@@ -1,0 +1,43 @@
+"""Storage-key codec: hive-style ``K=V`` path segments with URL encoding.
+
+Behavioral parity with the reference's path layout
+(``kartothek/core/urlencode.py``, ``docs/spec/format_specification.rst:49-228``
+in /root/reference): partition-key values are URL-quoted into path segments
+``<uuid>/<table>/K1=V1/K2=V2/<partition_uuid>.parquet`` and reconstructed,
+typed, from the path on read.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+from typing import Any
+
+# quote() with safe="" so "/" and "=" inside values round-trip
+def quote(value: Any) -> str:
+    if isinstance(value, bytes):
+        return urllib.parse.quote_from_bytes(value, safe="")
+    return urllib.parse.quote(str(value), safe="")
+
+
+def unquote(value: str) -> str:
+    return urllib.parse.unquote(value)
+
+
+def partition_dirname(keys: list[str], values: list[Any]) -> str:
+    """Hive-style relative dir for one partition value combination."""
+    return "/".join(f"{k}={quote(v)}" for k, v in zip(keys, values))
+
+
+def parse_partition_values(label: str, partition_keys: list[str]) -> dict[str, str]:
+    """Parse ``K=V`` segments out of a partition label (string values;
+    typed casting is applied later against the dataset schema)."""
+    out: dict[str, str] = {}
+    for seg in label.split("/"):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in partition_keys:
+                out[k] = unquote(v)
+    missing = [k for k in partition_keys if k not in out]
+    if missing:
+        raise ValueError(f"partition label {label!r} lacks keys {missing}")
+    return out

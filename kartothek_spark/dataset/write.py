@@ -1,0 +1,314 @@
+"""Dataset write / mutation lifecycle.
+
+Re-expresses the reference write pipeline (survey §3.4:
+``store_dataframes_as_dataset`` eager.py:589-641, ``write_partition``
+write.py:53-90, ``store_dataset_from_partitions`` write.py:169-243,
+``update_dataset_from_ddf`` dask/dataframe.py:408-480 in /root/reference)
+Spark-first:
+
+* the data write is one native ``df.write.partitionBy(keys).parquet`` —
+  distributed, codegen'd, shuffle-free unless bucketing asks for one;
+* file enumeration + manifest construction + index jobs happen after the
+  data lands (two-phase write: files first, one atomic manifest put last —
+  a crashed writer leaves only unreferenced garbage for GC);
+* mutations never touch rows: append partitions + drop partitions
+  (``delete_scope``) in a single manifest swap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kartothek_spark.core import index as ktk_index
+from kartothek_spark.core.manifest import (
+    TABLE,
+    DatasetManifest,
+    list_datasets,
+    new_uuid,
+)
+from kartothek_spark.core.schema import (
+    SchemaIncompatible,
+    normalize_dataframe,
+    validate_compatible,
+)
+
+
+def _enumerate_parquet(data_root: str) -> list[str]:
+    """Relative (to data_root) paths of parquet files just written."""
+    out = []
+    for dirpath, _dirs, files in os.walk(data_root):
+        for name in files:
+            if name.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, name), data_root)
+                out.append(rel)
+    return sorted(out)
+
+
+def _label_for(rel_file: str) -> str:
+    """Partition label = hive dirs + file stem (mirrors the reference's
+    ``K1=V1/K2=V2/<partition_uuid>`` labels)."""
+    return rel_file[: -len(".parquet")] if rel_file.endswith(".parquet") else rel_file
+
+
+def _check_no_null_partition_keys(df: DataFrame, partition_on: Sequence[str]) -> None:
+    # reference raises on null partition keys (metapartition.py:1574-1579);
+    # Spark would silently write __HIVE_DEFAULT_PARTITION__ instead.
+    if not partition_on:
+        return
+    cond = None
+    for k in partition_on:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    if not df.where(cond).isEmpty():
+        raise ValueError(f"null values in partition keys {list(partition_on)}")
+
+
+def _write_files(
+    df: DataFrame,
+    data_root: str,
+    partition_on: Sequence[str],
+    sort_partitions_by: Sequence[str] | None,
+    bucket_by: Sequence[str] | None,
+    num_buckets: int | None,
+) -> None:
+    out = df
+    if bucket_by and num_buckets:
+        # reference _shuffle.py:23-37: hash-bucket within each hive partition.
+        # Spark-first: one repartition on (partition keys, hash bucket) —
+        # co-locates each bucket in one task → one file per bucket per
+        # partition value, and downstream equi-reads on bucket_by hit a
+        # bounded file set.
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in bucket_by]), F.lit(num_buckets))
+        out = out.repartition(*( [F.col(c) for c in partition_on] + [bucket] ))
+    elif partition_on:
+        # one shuffle so each partition value lands in few tasks → few files
+        out = out.repartition(*[F.col(c) for c in partition_on])
+    if sort_partitions_by:
+        # row-group stat locality for later min/max skipping
+        out = out.sortWithinPartitions(*sort_partitions_by)
+    writer = out.write.mode("append")
+    if partition_on:
+        writer = writer.partitionBy(*partition_on)
+    writer.parquet("file://" + os.path.abspath(data_root))
+    # drop Spark's _SUCCESS marker; the manifest is the commit marker
+    marker = os.path.join(data_root, "_SUCCESS")
+    if os.path.exists(marker):
+        os.unlink(marker)
+
+
+def store_dataframe_as_dataset(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    dataset_uuid: str | None = None,
+    partition_on: Sequence[str] = (),
+    sort_partitions_by: Sequence[str] | None = None,
+    secondary_indices: Sequence[str] = (),
+    bucket_by: Sequence[str] | None = None,
+    num_buckets: int | None = None,
+    metadata: dict[str, Any] | None = None,
+    overwrite: bool = False,
+) -> DatasetManifest:
+    """Write a DataFrame as a new dataset (reference S13/S14/S16)."""
+    dataset_uuid = dataset_uuid or new_uuid()
+    if DatasetManifest.exists(root, dataset_uuid):
+        if not overwrite:
+            raise ValueError(f"dataset {dataset_uuid!r} already exists")
+        delete_dataset(root, dataset_uuid)
+
+    df = normalize_dataframe(df)
+    _check_no_null_partition_keys(df, partition_on)
+
+    manifest = DatasetManifest(
+        dataset_uuid=dataset_uuid,
+        root=root,
+        schema=df.schema,
+        partition_keys=list(partition_on),
+        metadata=dict(metadata or {}),
+    )
+    _write_files(df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets)
+
+    rel_prefix = os.path.join(dataset_uuid, TABLE)
+    for rel in _enumerate_parquet(manifest.data_root):
+        manifest.partitions[_label_for(rel)] = {"file": os.path.join(rel_prefix, rel)}
+
+    for col in secondary_indices:
+        manifest.indices[col] = ktk_index.build_index(spark, manifest, col)
+
+    manifest.commit()
+    return manifest
+
+
+def update_dataset(
+    spark: SparkSession,
+    df: DataFrame | None,
+    root: str,
+    dataset_uuid: str,
+    delete_scope: list[dict[str, Any]] | None = None,
+    sort_partitions_by: Sequence[str] | None = None,
+    metadata: dict[str, Any] | None = None,
+) -> DatasetManifest:
+    """Append + delete partitions in ONE atomic commit (reference
+    ``update_dataset_from_ddf`` / ``update_dataset_from_partitions``,
+    update.py:23-57). ``delete_scope`` = list of {partition_key: value}
+    dicts selecting victim partitions; replacing a partition = same scope
+    deleted + new rows appended, atomically."""
+    manifest = DatasetManifest.load(root, dataset_uuid)
+
+    removed: list[str] = []
+    for scope in delete_scope or []:
+        removed.extend(manifest.query(**scope))
+    removed = sorted(set(removed))
+
+    new_labels: list[str] = []
+    if df is not None:
+        df = normalize_dataframe(df)
+        validate_compatible([manifest.schema, df.schema])
+        _check_no_null_partition_keys(df, manifest.partition_keys)
+        before = set(_enumerate_parquet(manifest.data_root))
+        _write_files(df, manifest.data_root, manifest.partition_keys, sort_partitions_by, None, None)
+        rel_prefix = os.path.join(dataset_uuid, TABLE)
+        for rel in _enumerate_parquet(manifest.data_root):
+            if rel not in before:
+                label = _label_for(rel)
+                manifest.partitions[label] = {"file": os.path.join(rel_prefix, rel)}
+                new_labels.append(label)
+
+    for label in removed:
+        manifest.partitions.pop(label, None)
+
+    # incremental index maintenance: drop removed labels, merge new ones
+    for col in list(manifest.indices):
+        manifest.indices[col] = ktk_index.update_index(
+            spark, manifest, col, new_labels=new_labels, removed_labels=removed
+        )
+
+    if metadata:
+        manifest.metadata.update(metadata)
+    manifest.commit()
+    return manifest
+
+
+def commit_dataset(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    new_partitions: dict[str, str],
+    schema,
+    partition_keys: Sequence[str] = (),
+    delete_scope: list[dict[str, Any]] | None = None,
+    metadata: dict[str, Any] | None = None,
+) -> DatasetManifest:
+    """Commit externally-written parquet files (two-phase write, reference
+    ``commit_dataset`` eager.py:433-551). ``new_partitions`` maps label →
+    root-relative file path."""
+    if DatasetManifest.exists(root, dataset_uuid):
+        manifest = DatasetManifest.load(root, dataset_uuid)
+        validate_compatible([manifest.schema, schema])
+    else:
+        manifest = DatasetManifest(
+            dataset_uuid=dataset_uuid,
+            root=root,
+            schema=schema,
+            partition_keys=list(partition_keys),
+            metadata=dict(metadata or {}),
+        )
+    dupes = set(new_partitions) & set(manifest.partitions)
+    if dupes:
+        raise ValueError(f"duplicate partition labels: {sorted(dupes)[:5]}")
+    for scope in delete_scope or []:
+        for label in manifest.query(**scope):
+            manifest.partitions.pop(label, None)
+    for label, rel in new_partitions.items():
+        manifest.partitions[label] = {"file": rel}
+    if metadata:
+        manifest.metadata.update(metadata)
+    manifest.commit()
+    return manifest
+
+
+def delete_dataset(root: str, dataset_uuid: str) -> None:
+    """Delete files then metadata — reverse commit order (reference S22),
+    so a crash mid-delete never leaves a manifest pointing at nothing."""
+    data_dir = os.path.join(root, dataset_uuid)
+    if os.path.isdir(data_dir):
+        shutil.rmtree(data_dir)
+    manifest_path = os.path.join(root, dataset_uuid + ".by-dataset-metadata.json")
+    if os.path.exists(manifest_path):
+        os.unlink(manifest_path)
+
+
+def garbage_collect_dataset(root: str, dataset_uuid: str) -> list[str]:
+    """Delete files under the dataset prefix not referenced by the manifest
+    (failed writes, dropped indices) — reference S23 (gc.py:8-55).
+    Returns deleted paths. At scale this is a listing + anti-join driven
+    from the manifest; here the listing is the local walk."""
+    manifest = DatasetManifest.load(root, dataset_uuid)
+    referenced = {os.path.normpath(p["file"]) for p in manifest.partitions.values()}
+    # index "files" are parquet directories — everything under them is live
+    referenced_prefixes = tuple(os.path.normpath(p) + os.sep for p in manifest.indices.values())
+    referenced |= {os.path.normpath(p) for p in manifest.indices.values()}
+    deleted = []
+    data_dir = os.path.join(root, dataset_uuid)
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for name in files:
+            full = os.path.join(dirpath, name)
+            rel = os.path.normpath(os.path.relpath(full, root))
+            if rel not in referenced and not rel.startswith(referenced_prefixes):
+                os.unlink(full)
+                deleted.append(rel)
+    # prune now-empty dirs
+    for dirpath, dirs, files in os.walk(data_dir, topdown=False):
+        if not dirs and not files and dirpath != data_dir:
+            os.rmdir(dirpath)
+    return sorted(deleted)
+
+
+def copy_dataset(root: str, dataset_uuid: str, target_root: str, target_uuid: str | None = None) -> DatasetManifest:
+    """Copy a dataset with UUID rewrite of manifest + file keys (reference
+    S24, eager.py:946+)."""
+    src = DatasetManifest.load(root, dataset_uuid)
+    target_uuid = target_uuid or dataset_uuid
+    if DatasetManifest.exists(target_root, target_uuid):
+        raise ValueError(f"target dataset {target_uuid!r} exists")
+    dst = DatasetManifest(
+        dataset_uuid=target_uuid,
+        root=target_root,
+        schema=src.schema,
+        partition_keys=list(src.partition_keys),
+        metadata=dict(src.metadata),
+    )
+    for label, entry in src.partitions.items():
+        rel = entry["file"]
+        new_rel = rel.replace(dataset_uuid, target_uuid, 1)
+        s, d = os.path.join(root, rel), os.path.join(target_root, new_rel)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        shutil.copy2(s, d)
+        dst.partitions[label] = {"file": new_rel}
+    for col, rel in src.indices.items():
+        new_rel = rel.replace(dataset_uuid, target_uuid, 1)
+        s, d = os.path.join(root, rel), os.path.join(target_root, new_rel)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        if os.path.isdir(s):
+            shutil.copytree(s, d)
+        else:
+            shutil.copy2(s, d)
+        dst.indices[col] = new_rel
+    dst.commit()
+    return dst
+
+
+__all__ = [
+    "commit_dataset",
+    "copy_dataset",
+    "delete_dataset",
+    "garbage_collect_dataset",
+    "list_datasets",
+    "store_dataframe_as_dataset",
+    "update_dataset",
+]
