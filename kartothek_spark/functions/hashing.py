@@ -1,0 +1,78 @@
+"""Cross-engine deterministic hashing and tokenization primitives.
+
+Every hash here is reproducible bit-for-bit in ANSI SQL (DuckDB) so each
+operator built on top can ship a value-exact oracle:
+
+* Spark : ``CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)``
+* DuckDB: ``CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)``
+
+(60 bits of md5 → always a non-negative int64 in both engines.)
+
+All functions are Column-in/Column-out and stay inside whole-stage
+codegen — no Python UDFs anywhere in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+H60_BITS = 60
+H60_MAX = (1 << H60_BITS) - 1
+
+
+def h60(col: Column | str) -> Column:
+    """Deterministic 60-bit non-negative hash of a string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`h60` for oracle queries."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# --- tokenization (identical RE2/Java regex semantics) ---------------------
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased alphanumeric tokens; empty strings filtered."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_PATTERN), lambda t: t != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower({expr}), '{TOKEN_PATTERN}'), t -> t <> '')"
+
+
+def word_shingles(col: Column | str, n: int) -> Column:
+    """Distinct n-word shingles (space-joined) of the token stream."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(sh)
+
+
+def word_shingles_sql(expr: str, n: int) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"list_distinct(list_transform(range(0, greatest(len({toks}) - {n}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')))"
+    )
+
+
+def char_ngrams(col: Column | str, n: int) -> Column:
+    """Distinct character n-grams of the lower-cased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    lc = F.lower(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lc) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(lc, i, n)))
+
+
+def char_ngrams_sql(expr: str, n: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length(lower({expr})) - {n} + 1, 1) + 1), "
+        f"i -> substr(lower({expr}), i, {n})))"
+    )
