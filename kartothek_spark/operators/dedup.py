@@ -1,0 +1,423 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Each operator is pure DataFrame algebra (no Python UDFs) built on the
+cross-engine hash primitives in ``functions.hashing``, so every pipeline —
+including the MinHash signatures and SimHash fingerprints — has a
+bit-exact DuckDB oracle.
+
+Scale design (the point of these at 100 TB):
+
+* exact dedup — one hash-groupBy on the fingerprint; map-side combine,
+  single shuffle keyed by a 60-bit int, no skew (hash keys are uniform).
+* MinHash LSH — signatures are a narrow projection (no shuffle); the ONLY
+  shuffle is the self-join on (band_id, band_key), whose key cardinality
+  grows with corpus size so partitions stay bounded; candidate pairs ≪
+  all-pairs, and Jaccard verification touches candidates only.
+* SimHash — same banding trick over 15-bit chunks of the fingerprint.
+* n-gram Jaccard — inverted-index form (explode → join on gram) is the
+  scalable exact path; grams with extreme document frequency should be
+  dropped first at real scale (stopword grams create quadratic blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kartothek_spark.functions.hashing import (
+    char_ngrams,
+    char_ngrams_sql,
+    h60,
+    h60_sql,
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+from kartothek_spark.operators.text import fingerprint, fingerprint_sql
+
+# MinHash defaults: 12 permutations in 4 bands × 3 rows
+MINHASH_NUM_HASHES = 12
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_NUM_HASHES // MINHASH_BANDS
+MINHASH_SHINGLE_WORDS = 3
+
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint.
+
+    One shuffle: min(id) per 60-bit fingerprint (map-side combined), then
+    an inner self-join to recover surviving rows — at scale this beats a
+    window over the full payload because only (fingerprint, id) shuffles.
+    """
+    fp = df.select(fingerprint(text_col).alias("__fp"), F.col(id_col))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "inner")
+
+
+def dedup_exact_keep_sql(table: str, text_col: str, id_col: str) -> str:
+    fp = fingerprint_sql(text_col)
+    return (
+        f"SELECT {id_col} FROM (SELECT {id_col}, row_number() OVER "
+        f"(PARTITION BY {fp} ORDER BY {id_col}) AS rn FROM {table}) WHERE rn = 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col, num_hashes: int = MINHASH_NUM_HASHES, shingle_words: int = MINHASH_SHINGLE_WORDS):
+    """Array of minhashes: sig[i] = min over shingles of h60(i || ':' || s).
+    Narrow projection — computed without any shuffle."""
+    sh = word_shingles(col, shingle_words)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: h60(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def minhash_signature_sql(expr: str, num_hashes: int = MINHASH_NUM_HASHES, shingle_words: int = MINHASH_SHINGLE_WORDS) -> str:
+    sh = word_shingles_sql(expr, shingle_words)
+    inner = h60_sql("CAST(i AS VARCHAR) || ':' || s")
+    return (
+        f"list_transform(range(0, {num_hashes}), "
+        f"i -> list_aggregate(list_transform({sh}, s -> {inner}), 'min'))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
+
+    Plan shape: project signatures → explode bands → self-join on
+    (band, band key) → distinct candidate pairs → verify Jaccard on the
+    candidates only. Output: (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    sh = word_shingles(F.col(text_col), MINHASH_SHINGLE_WORDS)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes).alias("__sig"),
+        sh.alias("__sh"),
+    ).where(F.size("__sh") > 0)
+
+    banded = base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws("_", F.slice("__sig", b * rows + 1, rows)).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+    a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> str:
+    rows = num_hashes // bands
+    sig = minhash_signature_sql(text_col, num_hashes)
+    sh = word_shingles_sql(text_col, MINHASH_SHINGLE_WORDS)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sig} AS sig, {sh} AS sh FROM {table}
+  WHERE len({sh}) > 0
+), banded AS (
+  SELECT id, b.band AS band,
+         array_to_string(list_slice(sig, b.band * {rows} + 1, (b.band + 1) * {rows}), '_') AS key
+  FROM base, (SELECT unnest(range(0, {bands})) AS band) b
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+FROM cand c JOIN base a ON c.id_a = a.id JOIN base b ON c.id_b = b.id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col):
+    """60-bit SimHash over distinct tokens: bit j is set iff more token
+    hashes have bit j set than not. Pure column expressions, zero shuffle;
+    the bit loop is unrolled in Python (shift amounts must be literals)."""
+    toks = F.array_distinct(tokens(col))
+    hashes = F.transform(toks, lambda t: h60(t))
+
+    def vote_fn(j: int):
+        # closure (NOT a default arg: pyspark HOFs turn extra lambda
+        # params into lambda-variable Columns)
+        return lambda a, h: a + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    total = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(j))
+        total = total + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return total
+
+
+def simhash_sql(expr: str) -> str:
+    toks = f"list_distinct({tokens_sql(expr)})"
+    hashes = f"list_transform({toks}, t -> {h60_sql('t')})"
+    votes = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({hashes}, h -> CASE WHEN (h >> j) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
+        f"(a, b) -> a + b)"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(0, {SIMHASH_BITS}), "
+        f"j -> CASE WHEN {votes} > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) via explode → 60 bit-vote sums → recombine.
+
+    Value-identical to :func:`simhash` but shaped for scale: the nested
+    higher-order fold becomes one explode + one groupBy with 60 flat
+    integer aggregates (map-side combined, codegen-friendly), instead of a
+    60-deep lambda tree that stalls Catalyst. Docs with no tokens keep
+    simhash 0 (the left join restores them after the explode drops them).
+    """
+    from functools import reduce
+    import operator as _op
+
+    ids = df.select(F.col(id_col).alias("__id"))
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.transform(toks, lambda t: h60(t))).alias("__h"),
+    )
+    votes = exploded.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = reduce(
+        _op.add,
+        [
+            F.when(F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    combined = votes.select("__id", sim.alias("__sim"))
+    return ids.join(combined, "__id", "left").select(
+        "__id", F.coalesce(F.col("__sim"), F.lit(0).cast("long")).alias("__sim")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ in <= max_hamming bits.
+    Candidates come from equality on one of 4 15-bit bands (pigeonhole:
+    any pair within hamming 3 shares at least one exact band)."""
+    base = simhash_df(df, text_col, id_col)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = base.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("__sim"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(F.col("l.__sim").bitwiseXOR(F.col("r.__sim"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(table: str, text_col: str, id_col: str, max_hamming: int = 3) -> str:
+    sim = simhash_sql(text_col)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sim} AS sim FROM {table}
+), banded AS (
+  SELECT id, sim, b.band AS band, (sim >> (b.band * {SIMHASH_BAND_BITS})) & {mask} AS key
+  FROM base, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) b
+)
+SELECT DISTINCT l.id AS id_a, r.id AS id_b, bit_count(xor(l.sim, r.sim)) AS hamming
+FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+WHERE bit_count(xor(l.sim, r.sim)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index form — the scalable exact path)
+# ---------------------------------------------------------------------------
+
+NGRAM_MAX_DF = 20
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    threshold: float = 0.35,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Character-n-gram Jaccard via inverted index: explode grams →
+    drop grams with document frequency > max_df (stop-grams; without the
+    cap a gram shared by d documents contributes d·(d−1)/2 join rows —
+    quadratic blowup at corpus scale) → self-join on gram → count shared
+    grams per pair → |A∪B| = |A|+|B|−shared over the FILTERED gram sets.
+    Jaccard is exact w.r.t. the df-capped sets; the cap is part of the
+    operator contract and mirrored in the oracle.
+
+    Text is normalized first (lower-cased token stream re-joined with
+    single spaces) so punctuation/whitespace differences don't break
+    near-dup detection — consistent with minhash/simhash tokenization."""
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    grams = df.select(
+        F.col(id_col).alias("__id"), char_ngrams(norm, n).alias("__g")
+    ).where(F.size("__g") > 0)
+    inv_all = grams.select("__id", F.explode("__g").alias("g"))
+    rare = inv_all.groupBy("g").count().where(F.col("count") <= max_df).select("g")
+    inv = inv_all.join(rare, "g")
+    sizes = inv.groupBy("__id").agg(F.count("*").alias("__n"))
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.__id") < F.col("r.__id")))
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str, text_col: str, id_col: str, n: int = 4, threshold: float = 0.35, max_df: int = NGRAM_MAX_DF
+) -> str:
+    norm = f"array_to_string({tokens_sql(text_col)}, ' ')"
+    g = char_ngrams_sql(norm, n)
+    return f"""
+WITH grams AS (
+  SELECT {id_col} AS id, {g} AS g FROM {table} WHERE len({g}) > 0
+), inv_all AS (
+  SELECT id, unnest(g) AS gram FROM grams
+), inv AS (
+  SELECT id, gram FROM inv_all
+  WHERE gram IN (SELECT gram FROM inv_all GROUP BY gram HAVING count(*) <= {max_df})
+), sizes AS (
+  SELECT id, count(*) AS n FROM inv GROUP BY id
+), shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared
+  FROM inv l JOIN inv r ON l.gram = r.gram AND l.id < r.id
+  GROUP BY l.id, r.id
+)
+SELECT s.id_a, s.id_b,
+       round(CAST(s.shared AS DOUBLE) / CAST(a.n + b.n - s.shared AS DOUBLE), 6) AS jaccard
+FROM shared s JOIN sizes a ON s.id_a = a.id JOIN sizes b ON s.id_b = b.id
+WHERE round(CAST(s.shared AS DOUBLE) / CAST(a.n + b.n - s.shared AS DOUBLE), 6) >= {threshold}
+"""

@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side machinery is REAL and tested — schema contracts, Arrow
+batch shape, `mapInPandas` signatures, partition sizing — while the codec
+step is STUBBED (`decode_stub=True` deterministic fake / explicit
+``NotImplementedError``) because no image/audio libraries exist in this
+container. Swapping the stub for PIL/ffmpeg is a one-function change.
+
+Scale notes: binary payloads dominate partition size — pipelines should
+``repartition`` by byte budget, not row count (see
+``target_rows_per_batch``), and decoded features should be written as a
+separate narrow dataset so later scans never touch the blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def make_media_df(df: DataFrame, id_col: str, payload_col: str, kind: str = "image") -> DataFrame:
+    """Wrap any binary/string column as a typed media table (the ingest
+    plumbing: stable ids, opaque content, typed metadata)."""
+    content = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_feature(blob: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder+featurizer: byte-histogram
+    moments. Real implementation would decode and run a vision/audio model."""
+    if blob is None:
+        return [0.0] * dim
+    n = len(blob)
+    out = []
+    for i in range(dim):
+        chunk = blob[i::dim]
+        out.append(round(sum(chunk) / (255.0 * max(len(chunk), 1)), 6))
+    return out
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True, batch_rows: int = 256) -> DataFrame:
+    """Feature extraction over media blobs via Arrow-batched mapInPandas.
+
+    The batch iterator shape is the real contract: bounded batches of
+    binary payloads in, narrow feature rows out — blobs never survive the
+    operator. ``decode_stub=False`` raises ``NotImplementedError`` where a
+    real codec (PIL / torchaudio / ffmpeg) would plug in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg — not available; "
+                    "use decode_stub=True for the deterministic fake featurizer"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                    "feature": pdf["content"].map(_fake_feature),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: schema/metadata update is real, pixel work is
+    stubbed (content passed through; real impl decodes → resizes → encodes)."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ),
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: emits one row per sampled timestamp
+    with a stubbed frame payload (deterministic slice of the source blob)."""
+    frames = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest((F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast("long") - 1, F.lit(0)),
+        ),
+        lambda i: F.struct(
+            (i * every_ms).cast("long").alias("ts_ms"),
+            # stub: real impl decodes the frame at ts; fake = hash-sized slice
+            F.substring(F.col("content"), 1, 64).alias("frame"),
+        ),
+    )
+    return media.where(F.col("kind") == "video").select(
+        "media_id", F.explode(frames).alias("f")
+    ).select("media_id", F.col("f.ts_ms").alias("ts_ms"), F.col("f.frame").alias("frame"))
+
+
+def target_rows_per_batch(avg_blob_bytes: int, budget_mb: int = 64) -> int:
+    """Rows per Arrow batch so a batch stays within an executor-memory
+    budget — size batches by BYTES, not rows, when blobs are large."""
+    return max(1, (budget_mb * 1024 * 1024) // max(avg_blob_bytes, 1))

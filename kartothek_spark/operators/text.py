@@ -1,0 +1,147 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All column expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen); every operator has a value-exact DuckDB oracle (the
+SQL builders live next to each operator so the constants can never drift).
+Designed for 100 TB corpora: each operator is a narrow projection — no
+shuffle, no UDF, scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kartothek_spark.functions.hashing import (
+    TOKEN_PATTERN,
+    h60,
+    h60_sql,
+    tokens,
+    tokens_sql,
+)
+
+# Small deterministic stopword inventories per language for the n-gram
+# language-ID heuristic. Order matters for tie-breaks (first wins).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "los", "las", "es", "una", "por", "con", "para", "del", "se"),
+}
+_LANGS = tuple(LANG_STOPWORDS)
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+def _lang_score(col, lang: str) -> Column:
+    toks = tokens(col)
+    words = list(LANG_STOPWORDS[lang])
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def _lang_score_sql(expr: str, lang: str) -> str:
+    toks = tokens_sql(expr)
+    lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({toks}, t -> t IN ({lst})))"
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-vote language ID: language with the most stopword hits;
+    'und' (undetermined) when no stopword matches at all. Ties break by
+    the fixed language order."""
+    scores = [(_lang_score(col, lang), lang) for lang in _LANGS]
+    best = F.greatest(*[s for s, _ in scores])
+    expr = F.lit("und")
+    for s, lang in reversed(scores):  # earlier langs win ties → applied last
+        expr = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def language_id_sql(expr: str) -> str:
+    score_exprs = {lang: _lang_score_sql(expr, lang) for lang in _LANGS}
+    best = "greatest(" + ", ".join(score_exprs.values()) + ")"
+    out = "'und'"
+    for lang in reversed(_LANGS):
+        out = f"CASE WHEN {best} > 0 AND {score_exprs[lang]} = {best} THEN '{lang}' ELSE {out} END"
+    return out
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality features: char/token counts, mean token
+    length, alpha ratio, stopword ratio (English)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(list(ENGLISH_STOPWORDS))))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    return {
+        "n_chars": n_char.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+            / safe_tok.cast("double"),
+            6,
+        ),
+        "alpha_ratio": F.round(alpha.cast("double") / F.greatest(n_char, F.lit(1)).cast("double"), 6),
+        "stopword_ratio": F.round(stop.cast("double") / safe_tok.cast("double"), 6),
+    }
+
+
+def quality_features_sql(expr: str) -> dict[str, str]:
+    toks = tokens_sql(expr)
+    stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    return {
+        "n_chars": f"CAST(length({expr}) AS BIGINT)",
+        "n_tokens": f"CAST(len({toks}) AS BIGINT)",
+        "mean_token_len": (
+            f"round(CAST(list_reduce(list_prepend(0, list_transform({toks}, t -> length(t))), (a, b) -> a + b) AS DOUBLE)"
+            f" / CAST(greatest(len({toks}), 1) AS DOUBLE), 6)"
+        ),
+        "alpha_ratio": (
+            f"round(CAST(length(regexp_replace(lower({expr}), '[^a-z]', '', 'g')) AS DOUBLE)"
+            f" / CAST(greatest(length({expr}), 1) AS DOUBLE), 6)"
+        ),
+        "stopword_ratio": (
+            f"round(CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE)"
+            f" / CAST(greatest(len({toks}), 1) AS DOUBLE), 6)"
+        ),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    feats = quality_features(text_col)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in feats.items()])
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: 60-bit hash of whitespace-normalized,
+    lower-cased text (reference-style content identity; an exact-dup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), TOKEN_PATTERN, " "))
+    return h60(norm)
+
+
+def fingerprint_sql(expr: str) -> str:
+    norm = f"trim(regexp_replace(lower({expr}), '{TOKEN_PATTERN}', ' ', 'g'))"
+    return h60_sql(norm)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text analysis: language ID + quality features + fingerprint."""
+    feats = quality_features(text_col)
+    return df.select(
+        F.col(id_col),
+        language_id(text_col).alias("lang_pred"),
+        *[c.alias(n) for n, c in feats.items()],
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,105 @@
+"""Structured Streaming integration.
+
+The reference has NO streaming (survey §2.7); its closest analog is the
+incremental ``update_dataset_*`` pipeline. The Spark-native mapping is
+micro-batch ``foreachBatch`` → one atomic manifest commit per batch, which
+preserves the engine's exactly-the-manifest-is-visible guarantee: readers
+never observe a half-written batch, and a crashed batch leaves only
+GC-able orphan files.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+from kartothek_spark.core.manifest import DatasetManifest
+
+
+def stream_update_dataset(
+    stream_df: DataFrame,
+    root: str,
+    dataset_uuid: str,
+    partition_on: Sequence[str] = (),
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Write a streaming DataFrame into a managed dataset, one atomic
+    commit per micro-batch. Returns the StreamingQuery."""
+    spark = stream_df.sparkSession
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if DatasetManifest.exists(root, dataset_uuid):
+            update_dataset(spark, batch_df, root, dataset_uuid,
+                           metadata={"last_stream_batch": batch_id})
+        else:
+            store_dataframe_as_dataset(
+                spark, batch_df, root, dataset_uuid, partition_on=partition_on,
+                metadata={"last_stream_batch": batch_id},
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermarking. Works on both
+    batch and streaming frames (same plan; watermark is a no-op in batch,
+    so batch backfill and the live stream share one definition)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("double")), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization (batch form): a new session starts when the
+    user's inter-event gap exceeds ``gap_minutes``. One shuffle on user_id;
+    the streaming analog is applyInPandasWithState / session_window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    starts = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    df = events.withColumn("__new", starts)
+    df = df.withColumn("session_seq", F.sum("__new").over(w))
+    return (
+        df.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("long"))
+    )

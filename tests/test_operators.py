@@ -1,0 +1,134 @@
+"""Operator unit tests on small, hand-checkable inputs."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="The quick brown fox jumps over the lazy dog!"),  # exact dup of 1 modulo norm
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="der hund und die katze sind nicht da und das ist gut"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_fingerprint_normalizes(spark, docs):
+    from kartothek_spark.operators.text import fingerprint
+
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[3]  # case/punct-insensitive
+    assert fps[1] != fps[2]
+
+
+def test_dedup_exact(spark, docs):
+    from kartothek_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(docs)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 2, 4, 5}  # doc 3 collapsed into 1
+
+
+def test_language_id(spark, docs):
+    from kartothek_spark.operators.text import language_id
+
+    langs = {r.doc_id: r.l for r in docs.select("doc_id", language_id("text").alias("l")).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "de"
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    from kartothek_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert (1, 3) in pairs  # identical after normalization
+    assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_identical_zero_hamming(spark, docs):
+    from kartothek_spark.operators.dedup import simhash_pairs
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs.get((1, 3)) == 0  # identical after normalization
+    assert (1, 4) not in pairs and (4, 5) not in pairs  # unrelated docs stay apart
+
+
+def test_ngram_jaccard(spark, docs):
+    from kartothek_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=10).collect()}
+    assert pairs.get((1, 3)) == 1.0
+    assert (1, 4) not in pairs
+
+
+def test_brute_force_topk_self_similarity(spark):
+    from kartothek_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = brute_force_topk(df, df.where(F.col("vec_id") == 0), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got[0] == (1, 1)  # nearest is the almost-parallel vector
+
+
+def test_lsh_bucket_deterministic(spark):
+    from kartothek_spark.operators.similarity import lsh_bucket
+
+    rows = [Row(vec_id=i, embedding=[float(i), 1.0, -1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows)
+    a = df.select(lsh_bucket(F.col("embedding"), 3).alias("b")).collect()
+    b = df.select(lsh_bucket(F.col("embedding"), 3).alias("b")).collect()
+    assert [r.b for r in a] == [r.b for r in b]
+    assert all(0 <= r.b < 256 for r in a)
+
+
+def test_multimodal_feature_plumbing(spark, docs):
+    from kartothek_spark.operators.multimodal import extract_features, make_media_df
+
+    media = make_media_df(docs, "doc_id", "text", kind="image")
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "content", "meta"]
+    feats = extract_features(media).collect()
+    assert len(feats) == 5
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].n_bytes == len("the quick brown fox jumps over the lazy dog")
+    assert len(by_id[1].feature) == 8
+    # deterministic featurizer
+    feats2 = extract_features(media).collect()
+    assert [r.feature for r in sorted(feats, key=lambda r: r.media_id)] == [
+        r.feature for r in sorted(feats2, key=lambda r: r.media_id)
+    ]
+
+
+def test_multimodal_decode_stub_raises(spark, docs):
+    from kartothek_spark.operators.multimodal import extract_features, make_media_df
+    from py4j.protocol import Py4JJavaError
+
+    media = make_media_df(docs, "doc_id", "text")
+    with pytest.raises(Exception):
+        extract_features(media, decode_stub=False).collect()
+
+
+def test_sessionize(spark):
+    import datetime
+
+    from kartothek_spark.streaming.update import sessionize
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=t0, value=1.0),
+        Row(user_id=1, ts=t0 + datetime.timedelta(minutes=10), value=1.0),
+        Row(user_id=1, ts=t0 + datetime.timedelta(minutes=70), value=1.0),  # new session
+        Row(user_id=2, ts=t0, value=1.0),
+    ]
+    out = sessionize(spark.createDataFrame(rows))
+    sess = {(r.user_id, r.session_seq): r.n_events for r in out.collect()}
+    assert sess == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
