@@ -279,13 +279,115 @@ def ktk_dispatch_by(spark, sf_dir):
     return df.groupBy("l_returnflag").agg(F.count("*").alias("n"))
 
 
-def ktk_hash_dataset(spark, sf_dir):
-    """hash_dataset analog (A6): canonical per-group content hash."""
+def ktk_csv_roundtrip(spark, sf_dir):
+    """CSV serializer (S3/S4 format dispatch): write a CSV-format dataset,
+    pruned read back, integer-cents aggregation."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from kartothek_spark.dataset.read import read_table
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    store_dataframe_as_dataset(
+        spark, orders, root, "ocsv", partition_on=["o_orderstatus"], table_format="csv"
+    )
+    got = read_table(spark, root, "ocsv", predicates=[[("o_orderstatus", "==", "F")]])
+    return got.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        (F.sum(_cents("o_totalprice")).cast("double") / 100).alias("total"),
+    )
+
+
+def ktk_collect_metadata(spark, sf_dir):
+    """Parquet footer stats (S25): distributed row-group metadata read;
+    per-partition row counts recovered from footers alone must equal the
+    data's group counts."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from kartothek_spark.dataset.metadata import collect_dataset_metadata
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
     li = _t(spark, sf_dir, "lineitem")
-    row_h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 15), 16, 10
-    ).cast("long") % F.lit(1 << 40)  # 40-bit residues: sum never overflows int64
-    return li.groupBy("l_returnflag").agg(F.sum(row_h).alias("content_hash"), F.count("*").alias("n"))
+    store_dataframe_as_dataset(spark, li, root, "li", partition_on=["l_returnflag"])
+    md = collect_dataset_metadata(spark, root, "li")
+    return (
+        md.withColumn("l_returnflag", F.regexp_extract("partition_label", "l_returnflag=([^/]+)", 1))
+        .groupBy("l_returnflag")
+        .agg(F.sum("number_rows_per_row_group").alias("n_rows"))
+    )
+
+
+def ktk_merge_datasets(spark, sf_dir):
+    """Dataset-level merge (J4/J5): two managed datasets joined on a shared
+    column after per-side pruned reads."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from kartothek_spark.dataset.merge import merge_datasets
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice", "o_orderstatus"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment", "c_acctbal"
+    )
+    store_dataframe_as_dataset(spark, orders, root, "ord", partition_on=["o_orderstatus"])
+    store_dataframe_as_dataset(spark, cust, root, "cust")
+    merged = merge_datasets(
+        spark, root, "ord", "cust", on=["custkey"],
+        predicates=[[("o_orderstatus", "==", "O"), ("c_acctbal", ">", 0.0)]],
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        (F.sum(_cents("o_totalprice")).cast("double") / 100).alias("total"),
+    )
+
+
+def ktk_filter_query(spark, sf_dir):
+    """filter_query escape hatch (P8): arbitrary SQL boolean expression
+    applied after manifest pruning."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from kartothek_spark.dataset.read import read_table
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(spark, orders, root, "o", partition_on=["o_orderstatus"])
+    got = read_table(
+        spark, root, "o",
+        filter_query="o_totalprice > 150000.0 AND o_orderpriority LIKE '1-%'",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    return got
+
+
+def ktk_index_rebuild(spark, sf_dir):
+    """Post-hoc secondary index build (X5) + index-pruned read."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, build_dataset_indices
+    from kartothek_spark.dataset.read import read_table
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    li = _t(spark, sf_dir, "lineitem")
+    store_dataframe_as_dataset(spark, li, root, "li", partition_on=["l_returnflag"])
+    build_dataset_indices(spark, root, "li", ["l_partkey"])
+    return read_table(
+        spark, root, "li", predicates=[[("l_partkey", "==", 55), ("l_returnflag", "!=", "N")]]
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag", "l_quantity")
+
+
+def ktk_aggregate_to_lists(spark, sf_dir):
+    """aggregate_to_lists (A4): deterministic sorted collect per group."""
+    from kartothek_spark.functions.agg import aggregate_to_lists
+
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregate_to_lists(li, ["l_orderkey"], "l_linenumber", out_col="linenumbers")
+
+
+def ktk_hash_dataset(spark, sf_dir):
+    """hash_dataset analog (A6): canonical per-group content hash
+    (40-bit md5 residues summed — order-independent, overflow-safe)."""
+    from kartothek_spark.functions.agg import hash_dataset
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hash_dataset(li, ["l_returnflag"], ["l_orderkey", "l_linenumber"])
 
 
 # ---------------------------------------------------------------------------
@@ -447,6 +549,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_cube_query": ktk_cube_query,
         "ktk_dispatch_by": ktk_dispatch_by,
         "ktk_hash_dataset": ktk_hash_dataset,
+        "ktk_csv_roundtrip": ktk_csv_roundtrip,
+        "ktk_collect_metadata": ktk_collect_metadata,
+        "ktk_merge_datasets": ktk_merge_datasets,
+        "ktk_filter_query": ktk_filter_query,
+        "ktk_index_rebuild": ktk_index_rebuild,
+        "ktk_aggregate_to_lists": ktk_aggregate_to_lists,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "events_user_value": events_user_value,
@@ -568,6 +676,35 @@ SELECT l_returnflag,
        CAST(sum(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 1099511627776) AS BIGINT) AS content_hash,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
+""",
+        "ktk_csv_roundtrip": f"""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderstatus
+""",
+        "ktk_collect_metadata": """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+        "ktk_merge_datasets": f"""
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O' AND c_acctbal > 0.0
+GROUP BY c_mktsegment
+""",
+        "ktk_filter_query": """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderpriority LIKE '1-%'
+""",
+        "ktk_index_rebuild": """
+SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, l_quantity
+FROM lineitem WHERE l_partkey = 55 AND l_returnflag <> 'N'
+""",
+        "ktk_aggregate_to_lists": """
+SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers
+FROM lineitem GROUP BY l_orderkey
 """,
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events

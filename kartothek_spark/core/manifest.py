@@ -66,6 +66,10 @@ class DatasetManifest:
     indices: dict[str, str] = field(default_factory=dict)
     metadata: dict[str, Any] = field(default_factory=dict)
     metadata_version: int = METADATA_VERSION
+    # payload file format: "parquet" (default) or "csv" (reference S3/S4
+    # format dispatch, serialization/_generic.py:37-154 — CSV keeps parity
+    # with the reference: no pushdown, schema supplied by the manifest)
+    table_format: str = "parquet"
 
     # -- paths --------------------------------------------------------------
     @property
@@ -123,6 +127,7 @@ class DatasetManifest:
             "schema": json.loads(self.schema.json()),
             "partitions": self.partitions,
             "indices": self.indices,
+            "format": self.table_format,
         }
 
     @classmethod
@@ -136,6 +141,7 @@ class DatasetManifest:
             indices=dict(d.get("indices", {})),
             metadata=dict(d.get("metadata", {})),
             metadata_version=d.get("dataset_metadata_version", METADATA_VERSION),
+            table_format=d.get("format", "parquet"),
         )
 
     @classmethod

@@ -16,10 +16,11 @@ final projection. Catalyst picks broadcast vs sort-merge per join and AQE
 re-plans at runtime — none of the reference's hand-rolled partition
 alignment is needed.
 
-Determinism note (survey §7.4): the reference's "last" is file order of
-sorted partition labels + row position. We reproduce it exactly with the
-parquet ``_metadata.file_path`` / ``_metadata.row_index`` columns in a
-window — never the nondeterministic ``last()`` aggregate.
+Determinism note (survey §7.4): the reference's "last" is commit order,
+then file order of sorted partition labels, then row position. We
+reproduce it with (manifest partition ordinal, ``_metadata.row_index``)
+in a window — never the nondeterministic ``last()`` aggregate, and never
+file paths (their uuids carry no write-order information).
 """
 
 from __future__ import annotations
@@ -49,32 +50,43 @@ def _read_with_lineage(
     predicates: Predicates | None,
     columns: Sequence[str],
 ) -> DataFrame | None:
-    """Pruned read that keeps (file_path, row_index) lineage for the
-    deterministic last-wins dedup. Returns None when pruning removes
-    every file."""
+    """Pruned read that keeps (commit ordinal, row_index) lineage for the
+    deterministic last-wins dedup. The ordinal is the partition's position
+    in the manifest — manifests preserve insertion order across commits, so
+    a later append ALWAYS outranks earlier data (file paths embed random
+    uuids and carry no write-order information). Returns None when pruning
+    removes every file."""
     labels = dispatch_labels(spark, manifest, predicates)
     if not labels:
         return None
-    files = ["file:" + os.path.abspath(p) for p in manifest.files(labels)]
+    wanted = set(labels)
+    ordinals = [
+        (os.path.abspath(manifest.file_path(lbl)), i)
+        for i, lbl in enumerate(manifest.partitions)
+        if lbl in wanted
+    ]
+    ord_df = spark.createDataFrame(ordinals, "__ktk_path string, __ktk_ord long")
+    files = ["file:" + path for path, _i in ordinals]
     df = spark.read.option("basePath", "file:" + os.path.abspath(manifest.data_root)).parquet(*files)
     if predicates is not None:
         df = df.where(predicates_to_column(predicates))
     by_name = {f.name: f.dataType for f in manifest.schema.fields}
-    return df.select(
+    df = df.select(
         *[F.col(c).cast(by_name[c]).alias(c) for c in columns],
-        F.col("_metadata.file_path").alias("__ktk_file"),
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("__ktk_path"),
         F.col("_metadata.row_index").alias("__ktk_row"),
     )
+    return df.join(F.broadcast(ord_df), "__ktk_path").drop("__ktk_path")
 
 
 def _dedup_last_wins(df: DataFrame, cell_cols: Sequence[str]) -> DataFrame:
-    """Keep the last-written row per cell (reference A9): later partition
-    label (lexicographically greater file path) wins, then later row."""
-    w = Window.partitionBy(*cell_cols).orderBy(F.desc("__ktk_file"), F.desc("__ktk_row"))
+    """Keep the last-written row per cell (reference A9): later commit
+    (manifest ordinal) wins, then later row within the file."""
+    w = Window.partitionBy(*cell_cols).orderBy(F.desc("__ktk_ord"), F.desc("__ktk_row"))
     return (
         df.withColumn("__ktk_rn", F.row_number().over(w))
         .where(F.col("__ktk_rn") == 1)
-        .drop("__ktk_rn", "__ktk_file", "__ktk_row")
+        .drop("__ktk_rn", "__ktk_ord", "__ktk_row")
     )
 
 
@@ -160,7 +172,7 @@ def query_cube(
         elif dedup:
             df = _dedup_last_wins(df, cell)
         else:
-            df = df.drop("__ktk_file", "__ktk_row")
+            df = df.drop("__ktk_ord", "__ktk_row")
         frames[name] = df
         join_cols[name] = cell
 

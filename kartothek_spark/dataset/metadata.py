@@ -1,0 +1,107 @@
+"""Dataset statistics from Parquet footers.
+
+Reference parity: ``collect_dataset_metadata`` (S25,
+io/dask/dataframe.py:491-574 + ``get_parquet_metadata``
+metapartition.py:1720-1771 in /root/reference) and the stats fold (S26/A7,
+io_components/cube/stats.py:14-110).
+
+Spark-first shape: the footer reads are a DISTRIBUTED job — the file list
+(from the manifest, never a directory listing) is parallelized and each
+task opens only footers via pyarrow, so 100 TB of payload costs one tiny
+metadata read per file spread across the cluster. Results come back as a
+DataFrame, so downstream aggregation is ordinary Spark.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kartothek_spark.core.manifest import DatasetManifest
+
+_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_label", T.StringType()),
+        T.StructField("row_group_id", T.LongType()),
+        T.StructField("number_rows_total", T.LongType()),
+        T.StructField("number_row_groups", T.LongType()),
+        T.StructField("serialized_size", T.LongType()),
+        T.StructField("number_rows_per_row_group", T.LongType()),
+        T.StructField("number_columns", T.LongType()),
+        T.StructField("compressed_size", T.LongType()),
+        T.StructField("uncompressed_size", T.LongType()),
+    ]
+)
+
+
+def collect_dataset_metadata(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    frac: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Row-group statistics for a (sampled) fraction of partitions.
+
+    One output row per (file, row group), mirroring the reference's
+    ``_METADATA_SCHEMA``. The sample is taken over partitions (files), as
+    in the reference."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("frac must be in (0, 1]")
+    manifest = DatasetManifest.load(root, dataset_uuid)
+    if manifest.table_format != "parquet":
+        raise ValueError("parquet footer stats require parquet payloads")
+    items = [(label, manifest.file_path(label)) for label in sorted(manifest.partitions)]
+    if frac < 1.0:
+        rng = random.Random(seed)
+        items = [it for it in items if rng.random() < frac] or items[:1]
+    if not items:
+        return spark.createDataFrame([], _METADATA_SCHEMA)
+
+    def footer_rows(it):
+        import pyarrow.parquet as pq
+
+        label, path = it
+        meta = pq.ParquetFile(path).metadata
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            compressed = sum(g.column(i).total_compressed_size for i in range(g.num_columns))
+            yield (
+                label,
+                rg,
+                meta.num_rows,
+                meta.num_row_groups,
+                meta.serialized_size,
+                g.num_rows,
+                meta.num_columns,
+                compressed,
+                g.total_byte_size,
+            )
+
+    rdd = spark.sparkContext.parallelize(items, min(len(items), 64)).flatMap(footer_rows)
+    return spark.createDataFrame(rdd, _METADATA_SCHEMA)
+
+
+def collect_stats(spark: SparkSession, root: str, dataset_uuid: str) -> dict[str, Any]:
+    """Dataset-level {files, row_groups, rows, size} (reference S26
+    ``collect_stats`` / ``reduce_stats`` — the tree-reduce is a Spark agg)."""
+    md = collect_dataset_metadata(spark, root, dataset_uuid)
+    row = md.agg(
+        F.countDistinct("partition_label").alias("files"),
+        F.count("*").alias("row_groups"),
+        F.sum("number_rows_per_row_group").alias("rows"),
+        F.sum("compressed_size").alias("size"),
+    ).collect()[0]
+    return {
+        "files": row["files"] or 0,
+        "row_groups": row["row_groups"] or 0,
+        "rows": int(row["rows"] or 0),
+        "size": int(row["size"] or 0),
+    }
+
+
+__all__ = ["collect_dataset_metadata", "collect_stats"]

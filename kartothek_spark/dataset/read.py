@@ -95,6 +95,26 @@ def read_dataset_files(
     return manifest, manifest.files(labels)
 
 
+def _scan_files(spark: SparkSession, manifest: DatasetManifest, files: list[str]) -> DataFrame:
+    """Format-dispatched scan of a manifest file list (reference S4 format
+    registry, serialization/_generic.py:37-154)."""
+    base = "file:" + os.path.abspath(manifest.data_root)
+    uris = ["file:" + os.path.abspath(p) for p in files]
+    if manifest.table_format == "csv":
+        # CSV payload files hold the non-partition columns in schema order;
+        # partition columns are reconstructed from the hive paths
+        payload = T.StructType(
+            [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
+        )
+        return (
+            spark.read.option("basePath", base)
+            .option("header", "false")
+            .schema(payload)
+            .csv(uris)
+        )
+    return spark.read.option("basePath", base).parquet(*uris)
+
+
 def read_table(
     spark: SparkSession,
     root: str,
@@ -102,6 +122,8 @@ def read_table(
     predicates: Predicates | None = None,
     columns: Sequence[str] | None = None,
     dispatch_by: Sequence[str] | None = None,
+    filter_query: str | None = None,
+    index_on: str | None = None,
 ) -> DataFrame:
     """Materialize a dataset as ONE DataFrame (reference S8 ``read_table``).
 
@@ -109,19 +131,30 @@ def read_table(
     we realize it as a repartition on those columns so each output partition
     holds exactly one value-combination's rows — zero extra shuffle when the
     columns are partition keys and AQE coalesces.
+
+    ``filter_query`` is the reference's ``filter_query`` escape hatch (P8,
+    serialization/_generic.py:157-166): an arbitrary SQL boolean expression
+    applied after predicate pruning — mutually exclusive with ``predicates``.
+
+    ``index_on`` ≈ the reference's ``dask_index_on`` (S12,
+    io/dask/dataframe.py:160-167): range-partition + sort the result by one
+    column so downstream per-key work is co-located and ordered.
     """
+    if filter_query is not None and predicates is not None:
+        raise ValueError("filter_query and predicates are mutually exclusive")
     manifest = DatasetManifest.load(root, dataset_uuid)
     labels = dispatch_labels(spark, manifest, predicates)
     if not labels:
         return empty_dataframe(spark, manifest, columns)
 
-    files = ["file:" + os.path.abspath(p) for p in manifest.files(labels)]
-    df = spark.read.option("basePath", "file:" + os.path.abspath(manifest.data_root)).parquet(*files)
+    df = _scan_files(spark, manifest, manifest.files(labels))
 
     if predicates is not None:
         # full DNF pushed to Catalyst: row-group stats pruning + residual
         # filtering happen JVM-side (PushedFilters in the plan)
         df = df.where(predicates_to_column(predicates))
+    if filter_query is not None:
+        df = df.where(F.expr(filter_query))
 
     # enforce manifest types (hive partition columns come back from path
     # inference, e.g. IntegerType — cast to the normalized schema) and the
@@ -132,7 +165,46 @@ def read_table(
 
     if dispatch_by:
         df = df.repartition(*[F.col(c) for c in dispatch_by])
+    if index_on:
+        df = df.repartitionByRange(F.col(index_on)).sortWithinPartitions(index_on)
     return df
 
 
-__all__ = ["dispatch_labels", "empty_dataframe", "read_dataset_files", "read_table"]
+def read_dataset_as_iterator(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    predicates: Predicates | None = None,
+    columns: Sequence[str] | None = None,
+):
+    """Generator of (label, pandas.DataFrame) per surviving partition —
+    the reference's iterator backend (S9, io/iter.py:64-243). Each
+    partition is fetched as ONE small Spark job; memory on the driver is
+    bounded by one partition at a time. For distributed processing prefer
+    :func:`read_table`; this exists for parity with streaming-to-driver
+    consumers."""
+    manifest = DatasetManifest.load(root, dataset_uuid)
+    labels = dispatch_labels(spark, manifest, predicates)
+    by_name = {f.name: f.dataType for f in manifest.schema.fields}
+    out_cols = list(columns) if columns is not None else [f.name for f in manifest.schema.fields]
+    for label in labels:
+        df = _scan_files(spark, manifest, [manifest.file_path(label)])
+        # re-inject partition values (a single file loses hive inference
+        # context when the path is the basePath anchor itself)
+        for k, v in manifest.partition_values(label).items():
+            if k not in df.columns:
+                df = df.withColumn(k, F.lit(v))
+        if predicates is not None:
+            df = df.where(predicates_to_column(predicates))
+        yield label, df.select(
+            *[F.col(c).cast(by_name[c]).alias(c) for c in out_cols]
+        ).toPandas()
+
+
+__all__ = [
+    "dispatch_labels",
+    "empty_dataframe",
+    "read_dataset_as_iterator",
+    "read_dataset_files",
+    "read_table",
+]

@@ -38,12 +38,12 @@ from kartothek_spark.core.schema import (
 )
 
 
-def _enumerate_parquet(data_root: str) -> list[str]:
-    """Relative (to data_root) paths of parquet files just written."""
+def _enumerate_parquet(data_root: str, suffix: str = ".parquet") -> list[str]:
+    """Relative (to data_root) paths of payload files just written."""
     out = []
     for dirpath, _dirs, files in os.walk(data_root):
         for name in files:
-            if name.endswith(".parquet"):
+            if name.endswith(suffix):
                 rel = os.path.relpath(os.path.join(dirpath, name), data_root)
                 out.append(rel)
     return sorted(out)
@@ -52,7 +52,10 @@ def _enumerate_parquet(data_root: str) -> list[str]:
 def _label_for(rel_file: str) -> str:
     """Partition label = hive dirs + file stem (mirrors the reference's
     ``K1=V1/K2=V2/<partition_uuid>`` labels)."""
-    return rel_file[: -len(".parquet")] if rel_file.endswith(".parquet") else rel_file
+    for suf in (".parquet", ".csv"):
+        if rel_file.endswith(suf):
+            return rel_file[: -len(suf)]
+    return rel_file
 
 
 def _check_no_null_partition_keys(df: DataFrame, partition_on: Sequence[str]) -> None:
@@ -75,6 +78,7 @@ def _write_files(
     sort_partitions_by: Sequence[str] | None,
     bucket_by: Sequence[str] | None,
     num_buckets: int | None,
+    table_format: str = "parquet",
 ) -> None:
     out = df
     if bucket_by and num_buckets:
@@ -94,7 +98,12 @@ def _write_files(
     writer = out.write.mode("append")
     if partition_on:
         writer = writer.partitionBy(*partition_on)
-    writer.parquet("file://" + os.path.abspath(data_root))
+    if table_format == "csv":
+        # reference CSV serializer (_csv.py:25-120): no pushdown, types
+        # restored from the manifest schema on read
+        writer.option("header", "false").csv("file://" + os.path.abspath(data_root))
+    else:
+        writer.parquet("file://" + os.path.abspath(data_root))
     # drop Spark's _SUCCESS marker; the manifest is the commit marker
     marker = os.path.join(data_root, "_SUCCESS")
     if os.path.exists(marker):
@@ -113,13 +122,20 @@ def store_dataframe_as_dataset(
     num_buckets: int | None = None,
     metadata: dict[str, Any] | None = None,
     overwrite: bool = False,
+    table_format: str = "parquet",
 ) -> DatasetManifest:
-    """Write a DataFrame as a new dataset (reference S13/S14/S16)."""
+    """Write a DataFrame as a new dataset (reference S13/S14/S16).
+    ``table_format="csv"`` selects the CSV serializer (reference S3) —
+    no pushdown, no secondary indices, schema restored from the manifest."""
     dataset_uuid = dataset_uuid or new_uuid()
     if DatasetManifest.exists(root, dataset_uuid):
         if not overwrite:
             raise ValueError(f"dataset {dataset_uuid!r} already exists")
         delete_dataset(root, dataset_uuid)
+    if table_format not in ("parquet", "csv"):
+        raise ValueError(f"unsupported format {table_format!r}")
+    if table_format == "csv" and secondary_indices:
+        raise ValueError("secondary indices require parquet payloads")
 
     df = normalize_dataframe(df)
     _check_no_null_partition_keys(df, partition_on)
@@ -130,16 +146,35 @@ def store_dataframe_as_dataset(
         schema=df.schema,
         partition_keys=list(partition_on),
         metadata=dict(metadata or {}),
+        table_format=table_format,
     )
-    _write_files(df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets)
+    _write_files(
+        df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets,
+        table_format=table_format,
+    )
 
     rel_prefix = os.path.join(dataset_uuid, TABLE)
-    for rel in _enumerate_parquet(manifest.data_root):
+    suffix = ".csv" if table_format == "csv" else ".parquet"
+    for rel in _enumerate_parquet(manifest.data_root, suffix):
         manifest.partitions[_label_for(rel)] = {"file": os.path.join(rel_prefix, rel)}
 
     for col in secondary_indices:
         manifest.indices[col] = ktk_index.build_index(spark, manifest, col)
 
+    manifest.commit()
+    return manifest
+
+
+def build_dataset_indices(
+    spark: SparkSession, root: str, dataset_uuid: str, columns: Sequence[str]
+) -> DatasetManifest:
+    """Post-hoc secondary index build over all partitions + commit
+    (reference X5 ``build_dataset_indices``, io/eager.py:877-917)."""
+    manifest = DatasetManifest.load(root, dataset_uuid)
+    if manifest.table_format != "parquet":
+        raise ValueError("secondary indices require parquet payloads")
+    for col in columns:
+        manifest.indices[col] = ktk_index.build_index(spark, manifest, col)
     manifest.commit()
     return manifest
 
@@ -170,10 +205,12 @@ def update_dataset(
         df = normalize_dataframe(df)
         validate_compatible([manifest.schema, df.schema])
         _check_no_null_partition_keys(df, manifest.partition_keys)
-        before = set(_enumerate_parquet(manifest.data_root))
-        _write_files(df, manifest.data_root, manifest.partition_keys, sort_partitions_by, None, None)
+        suffix = ".csv" if manifest.table_format == "csv" else ".parquet"
+        before = set(_enumerate_parquet(manifest.data_root, suffix))
+        _write_files(df, manifest.data_root, manifest.partition_keys, sort_partitions_by, None, None,
+                     table_format=manifest.table_format)
         rel_prefix = os.path.join(dataset_uuid, TABLE)
-        for rel in _enumerate_parquet(manifest.data_root):
+        for rel in _enumerate_parquet(manifest.data_root, suffix):
             if rel not in before:
                 label = _label_for(rel)
                 manifest.partitions[label] = {"file": os.path.join(rel_prefix, rel)}
@@ -304,6 +341,7 @@ def copy_dataset(root: str, dataset_uuid: str, target_root: str, target_uuid: st
 
 
 __all__ = [
+    "build_dataset_indices",
     "commit_dataset",
     "copy_dataset",
     "delete_dataset",

@@ -35,6 +35,7 @@ from kartothek_spark.functions.hashing import (
     word_shingles_sql,
 )
 from kartothek_spark.operators.text import fingerprint, fingerprint_sql
+from kartothek_spark.operators._util import scale_out
 
 # MinHash defaults: 12 permutations in 4 bands × 3 rows
 MINHASH_NUM_HASHES = 12
@@ -75,24 +76,36 @@ def dedup_exact_keep_sql(table: str, text_col: str, id_col: str) -> str:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _perm_key(i: int) -> int:
+    """60-bit XOR-permutation key for minhash i — the Python rendering of
+    ``h60('perm:<i>')`` so Spark, DuckDB, and the planner all agree."""
+    import hashlib
+
+    return int(hashlib.md5(f"perm:{i}".encode()).hexdigest()[:15], 16)
+
+
 def minhash_signature(col, num_hashes: int = MINHASH_NUM_HASHES, shingle_words: int = MINHASH_SHINGLE_WORDS):
-    """Array of minhashes: sig[i] = min over shingles of h60(i || ':' || s).
-    Narrow projection — computed without any shuffle."""
+    """Array of minhashes: sig[i] = min over shingles of (h60(s) XOR K_i),
+    where K_i is a fixed 60-bit key (XOR by a constant is a permutation of
+    the hash space, so the family is a valid LSH for Jaccard). Column-in /
+    Column-out convenience form; :func:`minhash_lsh_pairs` uses the
+    aggregation form instead so each shingle is md5-hashed exactly once."""
     sh = word_shingles(col, shingle_words)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: h60(F.concat(i.cast("string"), F.lit(":"), s)))
-        ),
+    hashes = F.transform(sh, lambda s: h60(s))
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, lambda h: h.bitwiseXOR(F.lit(_perm_key(j)))))
+            for j in range(num_hashes)
+        ]
     )
 
 
 def minhash_signature_sql(expr: str, num_hashes: int = MINHASH_NUM_HASHES, shingle_words: int = MINHASH_SHINGLE_WORDS) -> str:
     sh = word_shingles_sql(expr, shingle_words)
-    inner = h60_sql("CAST(i AS VARCHAR) || ':' || s")
+    keys = ", ".join(str(_perm_key(j)) for j in range(num_hashes))
     return (
-        f"list_transform(range(0, {num_hashes}), "
-        f"i -> list_aggregate(list_transform({sh}, s -> {inner}), 'min'))"
+        f"list_transform([{keys}], "
+        f"k -> list_aggregate(list_transform({sh}, s -> xor({h60_sql('s')}, k)), 'min'))"
     )
 
 
@@ -106,28 +119,43 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
-    Plan shape: project signatures → explode bands → self-join on
-    (band, band key) → distinct candidate pairs → verify Jaccard on the
-    candidates only. Output: (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard >= threshold.
+    Plan shape (the 100 TB shape): explode shingles → ONE md5 per shingle
+    → groupBy(id) with ``min(h XOR K_i)`` per permutation (map-side
+    combined, narrow shuffle of (id, long) pairs) → explode bands →
+    self-join on (band, band key) → distinct candidate pairs → verify
+    Jaccard on the candidates only. The signature aggregation evaluates
+    each shingle hash exactly once — never one md5 per (permutation,
+    shingle), which is what a naive nested higher-order-function
+    expression degenerates to. Output: (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
     """
     rows = num_hashes // bands
+    df = scale_out(df)
     sh = word_shingles(F.col(text_col), MINHASH_SHINGLE_WORDS)
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes).alias("__sig"),
-        sh.alias("__sh"),
-    ).where(F.size("__sh") > 0)
+    base = df.select(F.col(id_col).alias("__id"), sh.alias("__sh")).where(F.size("__sh") > 0)
 
-    banded = base.select(
+    hashed = base.select("__id", F.explode("__sh").alias("__s")).select(
+        "__id", h60(F.col("__s")).alias("__h")
+    )
+    sig = hashed.groupBy("__id").agg(
+        *[
+            F.min(F.col("__h").bitwiseXOR(F.lit(_perm_key(j)))).alias(f"__m{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
         "__id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws("_", F.slice("__sig", b * rows + 1, rows)).alias("key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"__m{j}") for j in range(b * rows, (b + 1) * rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bk"),
     ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -249,6 +277,7 @@ def simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from functools import reduce
     import operator as _op
 
+    df = scale_out(df)
     ids = df.select(F.col(id_col).alias("__id"))
     toks = F.array_distinct(tokens(F.col(text_col)))
     exploded = df.select(
@@ -364,13 +393,18 @@ def ngram_jaccard_pairs(
     Text is normalized first (lower-cased token stream re-joined with
     single spaces) so punctuation/whitespace differences don't break
     near-dup detection — consistent with minhash/simhash tokenization."""
+    df = scale_out(df)
     norm = F.concat_ws(" ", tokens(F.col(text_col)))
     grams = df.select(
         F.col(id_col).alias("__id"), char_ngrams(norm, n).alias("__g")
     ).where(F.size("__g") > 0)
     inv_all = grams.select("__id", F.explode("__g").alias("g"))
     rare = inv_all.groupBy("g").count().where(F.col("count") <= max_df).select("g")
-    inv = inv_all.join(rare, "g")
+    # the inverted index feeds three consumers (sizes + both self-join
+    # sides); persist it so the gram tokenization/explode runs once, not
+    # once per consumer — at scale this is the difference between one
+    # corpus scan and three
+    inv = inv_all.join(rare, "g").persist()
     sizes = inv.groupBy("__id").agg(F.count("*").alias("__n"))
     l, r = inv.alias("l"), inv.alias("r")
     shared = (

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kartothek_spark.functions.hashing import h60, h60_sql, H60_MAX
+from kartothek_spark.operators._util import scale_out
 
 LSH_PLANES = 8  # 2^8 buckets
 
@@ -79,7 +80,7 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, rank, cos_sim).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = scale_out(df).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     sims = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -126,6 +127,7 @@ def embedding_dup_pairs(
     """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
     Exact all-pairs form; at scale, run :func:`lsh_bucket` first and join
     within buckets only."""
+    df = scale_out(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
@@ -148,43 +150,45 @@ WHERE round({cos}, 6) >= {threshold}
 """
 
 
-def _plane_component(p: int, j) -> Column:
+def _plane_weight(p: int, j: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    derived from h60 so the same planes exist in any engine."""
-    key = F.concat(F.lit(str(p) + ","), j.cast("string"))
-    return (h60(key).cast("double") / F.lit(float(H60_MAX))) * 2.0 - 1.0
+    the Python rendering of ``(h60('<p>,<j>') / H60_MAX) * 2 - 1``. The
+    planes are CONSTANTS — computed once here and embedded as literals in
+    both engines (repr(float) round-trips exactly in Spark and DuckDB),
+    never as per-row md5 expressions."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p},{j}".encode()).hexdigest()[:15], 16)
+    return (h / float(H60_MAX)) * 2.0 - 1.0
 
 
 def lsh_bucket(vec: Column, dim: int, planes: int = LSH_PLANES) -> Column:
     """Sign-bucket id: bit p = (vec · plane_p) >= 0. Integer in [0, 2^planes);
-    the plane loop is unrolled in Python (shift amounts must be literals)."""
-    def plane_fn(p: int):
-        # closure (NOT a default arg: a 2-param transform lambda would be
-        # interpreted as (element, index) and silently corrupt the plane)
-        return lambda j: _plane_component(p, j)
-
+    the plane loop is unrolled in Python (shift amounts must be literals);
+    plane weights are literal arrays, so the per-row work is exactly
+    planes × dim fused multiply-adds."""
     total = F.lit(0).cast("long")
     for p in range(planes):
-        plane = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), plane_fn(p))
+        plane = F.array(*[F.lit(_plane_weight(p, j)) for j in range(dim)])
         d = _fold_sum(F.zip_with(vec, plane, lambda x, w: x.cast("double") * w))
         total = total + F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return total
 
 
 def lsh_bucket_sql(vec: str, dim: int, planes: int = LSH_PLANES) -> str:
-    comp = h60_sql("CAST(p AS VARCHAR) || ',' || CAST(j AS VARCHAR)")
-    plane_dot = (
-        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(range(1, {dim + 1}), j_i -> CAST({vec}[j_i] AS DOUBLE) * "
-        f"((CAST(({comp.replace('j', '(j_i - 1)')}) AS DOUBLE) / {float(H60_MAX)}) * 2.0 - 1.0))), "
-        f"(x, y) -> x + y)"
+    def plane_dot(p: int) -> str:
+        lit = "[" + ", ".join(repr(_plane_weight(p, j)) for j in range(dim)) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i])), "
+            f"(x, y) -> x + y)"
+        )
+
+    terms = " + ".join(
+        f"(CASE WHEN {plane_dot(p)} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(planes)
     )
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(range(0, {planes}), p -> "
-        f"CASE WHEN {plane_dot} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)), "
-        f"(x, y) -> x + y)"
-    )
+    return f"({terms})"
 
 
 def lsh_topk(
@@ -199,7 +203,7 @@ def lsh_topk(
     """Approximate top-k: candidates share the query's LSH bucket; exact
     cosine rank within candidates. The scale path — the join key is the
     bucket id, so the N×Q cross-join never materializes."""
-    c = df.select(
+    c = scale_out(df).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),

@@ -1,0 +1,130 @@
+"""Tests for the extended dataset surface: CSV format, iterator backend,
+footer stats, index rebuild, merge/align, aggregation helpers."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kartothek_spark.dataset.merge import align_datasets, merge_datasets
+from kartothek_spark.dataset.metadata import collect_dataset_metadata, collect_stats
+from kartothek_spark.dataset.read import read_dataset_as_iterator, read_table
+from kartothek_spark.dataset.write import (
+    build_dataset_indices,
+    store_dataframe_as_dataset,
+    update_dataset,
+)
+
+
+@pytest.fixture()
+def df(spark):
+    rows = [
+        Row(P=p, L=l, V=float(p * 10 + l), S=f"s{l}")
+        for p in range(1, 4)
+        for l in range(1, 4)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_csv_roundtrip(spark, tmp_root, df):
+    store_dataframe_as_dataset(spark, df, tmp_root, "ds", partition_on=["P"], table_format="csv")
+    got = read_table(spark, tmp_root, "ds", predicates=[[("P", "==", 2), ("V", ">", 21.0)]])
+    rows = sorted((r.P, r.L, r.V, r.S) for r in got.collect())
+    assert rows == [(2, 2, 22.0, "s2"), (2, 3, 23.0, "s3")]
+    # schema restored from manifest (CSV itself is typeless)
+    assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields) == {
+        "P": "bigint", "L": "bigint", "V": "double", "S": "string",
+    }
+
+
+def test_csv_rejects_secondary_indices(spark, tmp_root, df):
+    with pytest.raises(ValueError, match="parquet"):
+        store_dataframe_as_dataset(
+            spark, df, tmp_root, "ds", table_format="csv", secondary_indices=["S"]
+        )
+
+
+def test_csv_update_delete_scope(spark, tmp_root, df):
+    store_dataframe_as_dataset(spark, df, tmp_root, "ds", partition_on=["P"], table_format="csv")
+    update_dataset(spark, None, tmp_root, "ds", delete_scope=[{"P": 1}])
+    got = read_table(spark, tmp_root, "ds")
+    assert sorted({r.P for r in got.collect()}) == [2, 3]
+
+
+def test_iterator_backend(spark, tmp_root, df):
+    store_dataframe_as_dataset(spark, df, tmp_root, "ds", partition_on=["P"])
+    seen = {}
+    for label, pdf in read_dataset_as_iterator(
+        spark, tmp_root, "ds", predicates=[[("P", ">=", 2)]]
+    ):
+        assert list(pdf.columns) == ["P", "L", "V", "S"]
+        seen[label] = len(pdf)
+    assert sum(seen.values()) == 6  # P=2 and P=3, 3 rows each
+    assert all("P=1" not in lbl for lbl in seen)
+
+
+def test_collect_metadata_and_stats(spark, tmp_root, df):
+    store_dataframe_as_dataset(spark, df, tmp_root, "ds", partition_on=["P"])
+    md = collect_dataset_metadata(spark, tmp_root, "ds")
+    total = md.agg(F.sum("number_rows_per_row_group").alias("n")).collect()[0]["n"]
+    assert total == 9
+    stats = collect_stats(spark, tmp_root, "ds")
+    assert stats["rows"] == 9 and stats["files"] >= 3 and stats["size"] > 0
+
+
+def test_index_rebuild_prunes(spark, tmp_root, df):
+    store_dataframe_as_dataset(spark, df, tmp_root, "ds", partition_on=["P"])
+    m = build_dataset_indices(spark, tmp_root, "ds", ["S"])
+    assert "S" in m.indices
+    got = read_table(spark, tmp_root, "ds", predicates=[[("S", "==", "s1")]])
+    assert sorted((r.P, r.L) for r in got.collect()) == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_merge_datasets(spark, tmp_root, df):
+    dims = spark.createDataFrame([Row(L=l, name=f"dim{l}") for l in range(1, 3)])
+    store_dataframe_as_dataset(spark, df, tmp_root, "facts", partition_on=["P"])
+    store_dataframe_as_dataset(spark, dims, tmp_root, "dims")
+    out = merge_datasets(
+        spark, tmp_root, "facts", "dims", on=["L"],
+        predicates=[[("P", "==", 1), ("name", "==", "dim2")]],
+    )
+    assert [(r.P, r.L, r.name) for r in out.collect()] == [(1, 2, "dim2")]
+
+
+def test_align_datasets_exact(spark, tmp_root, df):
+    store_dataframe_as_dataset(spark, df, tmp_root, "a", partition_on=["P"])
+    store_dataframe_as_dataset(spark, df, tmp_root, "b", partition_on=["P"])
+    pairs = align_datasets(tmp_root, "a", "b")
+    # labels embed a random file uuid, so exact alignment matches only if
+    # labels coincide — with distinct uuids nothing aligns exactly...
+    assert pairs == [] or all(l == r for l, r in pairs)
+    # prefix alignment pairs by shared hive prefix? labels differ past the
+    # dirs, so use a callable matching the partition dir
+    pre = align_datasets(
+        tmp_root, "a", "b", match_how=lambda ll, rl: ll.split("/")[0] == rl.split("/")[0]
+    )
+    assert len(pre) == 3
+
+
+def test_aggregate_to_lists_and_hash(spark, df):
+    from kartothek_spark.functions.agg import aggregate_to_lists, hash_dataset
+
+    out = {r.P: r.Ls for r in aggregate_to_lists(df, ["P"], "L", out_col="Ls").collect()}
+    assert out == {1: [1, 2, 3], 2: [1, 2, 3], 3: [1, 2, 3]}
+    h = hash_dataset(df, ["P"], ["L", "S"])
+    rows = {r.P: (r.content_hash, r.n) for r in h.collect()}
+    assert rows[1] == rows[2] == rows[3]  # identical (L, S) content per P
+    h2 = hash_dataset(df.where(F.col("L") != 1), ["P"], ["L", "S"])
+    assert {r.P: r.content_hash for r in h2.collect()}[1] != rows[1][0]
+
+
+def test_index_on_sorts(spark, tmp_root, df):
+    store_dataframe_as_dataset(spark, df, tmp_root, "ds", partition_on=["P"])
+    got = read_table(spark, tmp_root, "ds", index_on="L")
+    # every Spark partition is internally sorted by L
+    def check(it):
+        vals = [r.L for r in it]
+        return iter([vals == sorted(vals)])
+
+    assert all(got.rdd.mapPartitions(check).collect())
