@@ -459,7 +459,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def embedding_dups(spark, sf_dir):
     from kartothek_spark.operators.similarity import embedding_dup_pairs
 
-    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3, dim=EMB_DIM)
 
 
 def ann_topk(spark, sf_dir):
@@ -467,7 +467,7 @@ def ann_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, k=5)
+    return brute_force_topk(emb, queries, k=5, dim=EMB_DIM)
 
 
 def ann_lsh_topk(spark, sf_dir):

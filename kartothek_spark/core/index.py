@@ -147,6 +147,26 @@ def query_index_labels(
     return {r.label for r in hits.collect()}
 
 
+def filter_indices(
+    spark: SparkSession,
+    manifest: "DatasetManifest",
+    column: str,
+    keep_labels: Sequence[str],
+) -> DataFrame:
+    """Index restricted to a partition subset (reference X3
+    ``filter_indices``, core/index.py:843-874) — values whose partition
+    list becomes empty are dropped."""
+    keep = [(lbl,) for lbl in keep_labels]
+    keep_df = spark.createDataFrame(keep, "__ktk_label string")
+    return (
+        index_as_dataframe(spark, manifest, column)
+        .withColumnRenamed("label", "__ktk_label")
+        .join(F.broadcast(keep_df), "__ktk_label")
+        .groupBy("value")
+        .agg(F.collect_set("__ktk_label").alias("partitions"))
+    )
+
+
 def index_as_dataframe(spark: SparkSession, manifest: "DatasetManifest", column: str) -> DataFrame:
     """Flattened (value, label) view — reference ``as_flat_series``."""
     return load_index(spark, manifest, column).select(
@@ -156,6 +176,7 @@ def index_as_dataframe(spark: SparkSession, manifest: "DatasetManifest", column:
 
 __all__ = [
     "build_index",
+    "filter_indices",
     "index_as_dataframe",
     "load_index",
     "query_index_labels",

@@ -201,6 +201,17 @@ def remove_partitions(spark: SparkSession, cube: Cube, root: str, conditions, da
             update_dataset(spark, None, root, cube.ktk_dataset_uuid(name), delete_scope=scopes)
 
 
+def copy_cube(cube: Cube, root: str, target_root: str) -> dict[str, DatasetManifest]:
+    """Copy every member dataset to another store (reference ``copy_cube``
+    io/eager_cube.py:461-558) — manifests rewritten by copy_dataset."""
+    from kartothek_spark.dataset.write import copy_dataset
+
+    return {
+        name: copy_dataset(root, manifest.dataset_uuid, target_root)
+        for name, manifest in discover_datasets(cube, root).items()
+    }
+
+
 def delete_cube(cube: Cube, root: str) -> None:
     for name in list(discover_datasets(cube, root)):
         delete_dataset(root, cube.ktk_dataset_uuid(name))
@@ -215,18 +226,15 @@ def cleanup_cube(cube: Cube, root: str) -> dict[str, list[str]]:
 
 
 def collect_cube_stats(spark: SparkSession, cube: Cube, root: str) -> dict[str, dict[str, int]]:
-    """Per-dataset {files, rows, size} (reference ``collect_stats``)."""
-    import os
+    """Per-dataset {files, row_groups, rows, size} (reference
+    ``collect_stats`` io_components/cube/stats.py:44-110) — from parquet
+    FOOTERS only (distributed), never a data scan."""
+    from kartothek_spark.dataset.metadata import collect_stats
 
-    out = {}
-    for name, manifest in discover_datasets(cube, root).items():
-        files = manifest.files()
-        size = sum(os.path.getsize(p) for p in files)
-        rows = 0
-        if files:
-            rows = spark.read.parquet(*["file:" + os.path.abspath(p) for p in files]).count()
-        out[name] = {"files": len(files), "rows": rows, "size": size}
-    return out
+    return {
+        name: collect_stats(spark, root, manifest.dataset_uuid)
+        for name, manifest in discover_datasets(cube, root).items()
+    }
 
 
 def discover_datasets(cube: Cube, root: str) -> dict[str, DatasetManifest]:

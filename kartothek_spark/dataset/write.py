@@ -179,6 +179,59 @@ def build_dataset_indices(
     return manifest
 
 
+def create_empty_dataset_header(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    schema,
+    partition_keys: Sequence[str] = (),
+    metadata: dict[str, Any] | None = None,
+    table_format: str = "parquet",
+) -> DatasetManifest:
+    """Pre-create a schema-only dataset (reference S18
+    ``create_empty_dataset_header``, io/eager.py:642-716): zero
+    partitions, committed manifest — later ``write_single_partition`` +
+    ``commit_dataset`` attach data two-phase."""
+    if DatasetManifest.exists(root, dataset_uuid):
+        raise ValueError(f"dataset {dataset_uuid!r} already exists")
+    manifest = DatasetManifest(
+        dataset_uuid=dataset_uuid,
+        root=root,
+        schema=schema,
+        partition_keys=list(partition_keys),
+        metadata=dict(metadata or {}),
+        table_format=table_format,
+    )
+    manifest.commit()
+    return manifest
+
+
+def write_single_partition(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    dataset_uuid: str,
+) -> dict[str, str]:
+    """Write payload files WITHOUT committing (reference S18
+    ``write_single_partition``, io/eager.py:717-799) — returns
+    {label: root-relative file} for a later :func:`commit_dataset`. Until
+    that commit the files are invisible to readers and GC-able."""
+    manifest = DatasetManifest.load(root, dataset_uuid)
+    df = normalize_dataframe(df)
+    validate_compatible([manifest.schema, df.schema])
+    _check_no_null_partition_keys(df, manifest.partition_keys)
+    suffix = ".csv" if manifest.table_format == "csv" else ".parquet"
+    before = set(_enumerate_parquet(manifest.data_root, suffix))
+    _write_files(df, manifest.data_root, manifest.partition_keys, None, None, None,
+                 table_format=manifest.table_format)
+    rel_prefix = os.path.join(dataset_uuid, TABLE)
+    return {
+        _label_for(rel): os.path.join(rel_prefix, rel)
+        for rel in _enumerate_parquet(manifest.data_root, suffix)
+        if rel not in before
+    }
+
+
 def update_dataset(
     spark: SparkSession,
     df: DataFrame | None,
@@ -344,6 +397,8 @@ __all__ = [
     "build_dataset_indices",
     "commit_dataset",
     "copy_dataset",
+    "create_empty_dataset_header",
+    "write_single_partition",
     "delete_dataset",
     "garbage_collect_dataset",
     "list_datasets",

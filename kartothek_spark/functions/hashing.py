@@ -47,12 +47,23 @@ def tokens_sql(expr: str) -> str:
     return f"list_filter(regexp_split_to_array(lower({expr}), '{TOKEN_PATTERN}'), t -> t <> '')"
 
 
-def word_shingles(col: Column | str, n: int) -> Column:
-    """Distinct n-word shingles (space-joined) of the token stream."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct n-word shingles from an ALREADY-MATERIALIZED token array.
+    Keep tokenization in its own projection before calling this: a lambda
+    body re-evaluates its free expressions per element, so inlining
+    ``tokens(col)`` here would re-run the regex split once per shingle
+    position (an allocation storm at corpus scale)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return F.array_distinct(sh)
+
+
+def word_shingles(col: Column | str, n: int) -> Column:
+    """Distinct n-word shingles (space-joined) of the token stream.
+    Column-in/Column-out convenience; prefer a staged
+    ``select(tokens(...)).select(shingles_from_tokens(...))`` in hot paths
+    (see :func:`shingles_from_tokens`)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def word_shingles_sql(expr: str, n: int) -> str:

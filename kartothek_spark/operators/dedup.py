@@ -29,6 +29,7 @@ from kartothek_spark.functions.hashing import (
     char_ngrams_sql,
     h60,
     h60_sql,
+    shingles_from_tokens,
     tokens,
     tokens_sql,
     word_shingles,
@@ -131,8 +132,13 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     df = scale_out(df)
-    sh = word_shingles(F.col(text_col), MINHASH_SHINGLE_WORDS)
-    base = df.select(F.col(id_col).alias("__id"), sh.alias("__sh")).where(F.size("__sh") > 0)
+    # staged: tokenize ONCE per row, then shingle from the token array —
+    # never re-run the regex split per shingle position
+    base = (
+        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+        .select("__id", shingles_from_tokens(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"))
+        .where(F.size("__sh") > 0)
+    )
 
     hashed = base.select("__id", F.explode("__sh").alias("__s")).select(
         "__id", h60(F.col("__s")).alias("__h")

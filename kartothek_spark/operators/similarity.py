@@ -2,68 +2,193 @@
 
 Two paths, as a 100 TB design demands:
 
-* **brute force** — exact cosine top-k; the baseline and the verifier.
-  cross-join (broadcast the query side) × vectorized column math. All
-  arithmetic is an explicit left-to-right double fold so DuckDB oracles
-  reproduce results bit-for-bit.
+* **brute force** — exact cosine top-k / all-pairs; the baseline and the
+  verifier. Block-broadcast design: one side is broadcast as a dense
+  matrix, the other streams through `mapInPandas`, each Arrow batch doing
+  ONE numpy matmul instead of millions of per-pair expression evals.
 * **LSH-bucketed** — random-hyperplane sign buckets from *deterministic*
-  pseudo-random planes (hash-derived, no RNG state), so the bucketing
-  itself is reproducible in SQL. Candidates = same bucket; at scale the
-  cross-join shrinks from N×Q to |bucket|×Q and the bucket id is a
-  shuffle-friendly integer key. Recall is tunable via number of planes /
-  multi-probe; exactness is NOT claimed.
+  pseudo-random planes (hash-derived constants, no RNG state), so the
+  bucketing itself is reproducible in SQL. Candidates = same bucket; at
+  scale the cross-join shrinks from N×Q to |bucket|×Q and the bucket id
+  is a shuffle-friendly integer key. Recall is tunable via number of
+  planes / multi-probe; exactness is NOT claimed.
 
-No Python UDFs: `zip_with`/`aggregate` run inside codegen. For very wide
-vectors a Pandas-UDF BLAS path can be swapped in, but at dim=64 the
-JVM fold wins by avoiding Arrow transfer entirely.
+**Determinism contract — fixed-point cosine.** Float summation order
+differs between engines (numpy sums pairwise, SQL folds sequentially), so
+float dots can't be compared bit-exact. Instead every component is
+quantized to a 24-bit fixed-point integer (exact in any engine:
+``floor(v * 2^24 + 0.5)``); dots and squared norms are then INTEGER sums
+— associative, so ANY summation order (numpy matmul included) yields the
+same number; the final ``int_dot / (sqrt(na) * sqrt(nb))`` is a fixed
+sequence of IEEE double ops, bit-identical everywhere. Quantization error
+~6e-8 per component is semantically irrelevant for similarity search.
+Overflow margin: |v| ≤ 16 keeps a 64-dim dot under 2^62.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kartothek_spark.functions.hashing import h60, h60_sql, H60_MAX
 from kartothek_spark.operators._util import scale_out
 
 LSH_PLANES = 8  # 2^8 buckets
+QUANT_BITS = 24
+QUANT = 1 << QUANT_BITS
+
+_PAIR_SCHEMA = "id_a long, id_b long, cos_sim double"
+_TOPK_SIM_SCHEMA = "query_id long, neighbor_id long, cos_sim double"
 
 
-def _fold_sum(arr: Column) -> Column:
-    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+# ---------------------------------------------------------------------------
+# fixed-point primitives (Spark + SQL renderings)
+# ---------------------------------------------------------------------------
+
+def quantize(vec: Column) -> Column:
+    """array<float> → array<long> fixed-point at 2^24."""
+    return F.transform(
+        vec, lambda v: F.floor(v.cast("double") * QUANT + F.lit(0.5)).cast("long")
+    )
 
 
-def dot(a: Column, b: Column) -> Column:
-    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+def quantize_sql(vec: str) -> str:
+    return (
+        f"list_transform({vec}, v -> CAST(floor(CAST(v AS DOUBLE) * {QUANT} + 0.5) AS BIGINT))"
+    )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(_fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+def qdot(a: Column, b: Column) -> Column:
+    """Integer dot of two quantized vectors (associative — order-free)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def qdot_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i]), 'sum')"
+    )
+
+
+def cos_from_ints(dot_i: Column, na_i: Column, nb_i: Column) -> Column:
+    """int dot + int squared norms → double cosine. The op sequence
+    (sqrt, sqrt, mul, div, round) is fixed so every engine produces the
+    identical double."""
+    return F.round(
+        dot_i.cast("double")
+        / (F.sqrt(na_i.cast("double")) * F.sqrt(nb_i.cast("double"))),
+        6,
+    )
+
+
+def cos_from_ints_sql(dot_i: str, na_i: str, nb_i: str) -> str:
+    return (
+        f"round(CAST({dot_i} AS DOUBLE) / "
+        f"(sqrt(CAST({na_i} AS DOUBLE)) * sqrt(CAST({nb_i} AS DOUBLE))), 6)"
+    )
+
+
+# float fold forms (ad-hoc column math; the operators below use the
+# fixed-point contract instead — float summation order is engine-specific)
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def dot_sql(a: str, b: str, dim: int) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(range(1, {dim + 1}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
-        f"(x, y) -> x + y)"
-    )
+def _quantized_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """(ids int64[N], M int64[N×dim]) collected to the driver for the
+    broadcast side of the block design. The broadcast side must fit in
+    memory — the block-broadcast contract; when both sides are huge,
+    bucket first (:func:`lsh_topk`) and block within buckets."""
+    import numpy as np
+
+    pdf = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q")).toPandas()
+    ids = pdf["id"].to_numpy(dtype="int64")
+    M = np.array([np.asarray(q, dtype="int64") for q in pdf["q"]], dtype="int64")
+    return ids, M
 
 
-def norm_sql(a: str, dim: int) -> str:
-    return (
-        f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(range(1, {dim + 1}), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
-        f"(x, y) -> x + y))"
-    )
+# ---------------------------------------------------------------------------
+# all-pairs near-duplicates
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
+
+    Exact all-pairs semantics, block-broadcast execution: the corpus
+    matrix is broadcast once; each streamed Arrow batch computes one
+    integer matmul against it. Per-pair cost is a fused numpy op, not an
+    expression-tree eval. At scale, bucket first (LSH) and run this
+    within buckets."""
+    import numpy as np
+
+    spark = df.sparkSession
+    ids, M = _quantized_matrix(df, id_col, vec_col)
+    norms = (M * M).sum(axis=1)
+    bc = spark.sparkContext.broadcast((ids, M, norms))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        b_ids, b_M, b_norms = bc.value
+        sq = np.sqrt(b_norms.astype("float64"))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array([np.asarray(q, dtype="int64") for q in pdf["q"]], dtype="int64")
+            q_ids = pdf["id"].to_numpy(dtype="int64")
+            G = Q @ b_M.T  # exact int64
+            qn = np.sqrt((Q * Q).sum(axis=1).astype("float64"))
+            cos = np.round(G.astype("float64") / (qn[:, None] * sq[None, :]), 6)
+            ii, jj = np.where((cos >= threshold) & (q_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame({
+                "id_a": q_ids[ii],
+                "id_b": b_ids[jj],
+                "cos_sim": cos[ii, jj],
+            })
+
+    qdf = scale_out(df).select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    return qdf.mapInPandas(gen, _PAIR_SCHEMA)
 
 
-def cosine_sql(a: str, b: str, dim: int) -> str:
-    return f"({dot_sql(a, b, dim)} / ({norm_sql(a, dim)} * {norm_sql(b, dim)}))"
+def embedding_dup_pairs_sql(
+    table: str, threshold: float, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    cos = cos_from_ints_sql(qdot_sql("a.q", "b.q", dim), "a.n", "b.n")
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS id, {quantize_sql(vec_col)} AS q FROM {table}
+), base AS (
+  SELECT id, q, {qdot_sql('q', 'q', dim)} AS n FROM q
+)
+SELECT a.id AS id_a, b.id AS id_b, {cos} AS cos_sim
+FROM base a JOIN base b ON a.id < b.id
+WHERE {cos} >= {threshold}
+"""
 
+
+# ---------------------------------------------------------------------------
+# exact top-k
+# ---------------------------------------------------------------------------
 
 def brute_force_topk(
     df: DataFrame,
@@ -71,25 +196,43 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector.
 
-    ``queries`` is broadcast (small side); the corpus is scanned once.
-    Ties and float noise are controlled: rank orders by (rounded cosine
-    DESC, neighbor id ASC) — fully deterministic.
-    Output: (query_id, neighbor_id, rank, cos_sim).
-    """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = scale_out(df).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
-        )
-    )
+    The (small) query matrix is broadcast; the corpus streams through one
+    numpy matmul per Arrow batch. Rank orders by (cos DESC, neighbor id
+    ASC) — fully deterministic under the fixed-point contract.
+    Output: (query_id, neighbor_id, rank, cos_sim)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    q_ids, Qm = _quantized_matrix(queries, id_col, vec_col)
+    q_norms = (Qm * Qm).sum(axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, Qm, q_norms))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        b_qids, b_Q, b_qn = bc.value
+        qn = np.sqrt(b_qn.astype("float64"))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array([np.asarray(q, dtype="int64") for q in pdf["q"]], dtype="int64")
+            c_ids = pdf["id"].to_numpy(dtype="int64")
+            G = C @ b_Q.T  # corpus-batch × queries, exact int64
+            cn = np.sqrt((C * C).sum(axis=1).astype("float64"))
+            cos = np.round(G.astype("float64") / (cn[:, None] * qn[None, :]), 6)
+            ii, jj = np.where(c_ids[:, None] != b_qids[None, :])
+            yield pd.DataFrame({
+                "query_id": b_qids[jj],
+                "neighbor_id": c_ids[ii],
+                "cos_sim": cos[ii, jj],
+            })
+
+    qdf = scale_out(df).select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    sims = qdf.mapInPandas(gen, _TOPK_SIM_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -101,15 +244,19 @@ def brute_force_topk(
 def brute_force_topk_sql(
     table: str, query_filter: str, k: int, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:
-    cos = cosine_sql("q.v", "c.v", dim)
+    cos = cos_from_ints_sql(qdot_sql("q.qv", "c.qv", dim), "q.n", "c.n")
     return f"""
-WITH q AS (
-  SELECT {id_col} AS query_id, {vec_col} AS v FROM {table} WHERE {query_filter}
+WITH quant AS (
+  SELECT {id_col} AS id, {quantize_sql(vec_col)} AS qv FROM {table}
+), base AS (
+  SELECT id, qv, {qdot_sql('qv', 'qv', dim)} AS n FROM quant
+), q AS (
+  SELECT b.* FROM base b JOIN {table} t ON b.id = t.{id_col} WHERE {query_filter}
 ), c AS (
-  SELECT {id_col} AS neighbor_id, {vec_col} AS v FROM {table}
+  SELECT * FROM base
 ), sims AS (
-  SELECT q.query_id, c.neighbor_id, round({cos}, 6) AS cos_sim
-  FROM c, q WHERE q.query_id <> c.neighbor_id
+  SELECT q.id AS query_id, c.id AS neighbor_id, {cos} AS cos_sim
+  FROM c, q WHERE q.id <> c.id
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
@@ -118,59 +265,35 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
 """
 
 
-def embedding_dup_pairs(
-    df: DataFrame,
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
-    Exact all-pairs form; at scale, run :func:`lsh_bucket` first and join
-    within buckets only."""
-    df = scale_out(df)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
-    )
-
-
-def embedding_dup_pairs_sql(table: str, threshold: float, dim: int, id_col: str = "vec_id", vec_col: str = "embedding") -> str:
-    cos = cosine_sql("a.{v}".format(v=vec_col), f"b.{vec_col}", dim)
-    return f"""
-SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, round({cos}, 6) AS cos_sim
-FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
-WHERE round({cos}, 6) >= {threshold}
-"""
-
+# ---------------------------------------------------------------------------
+# LSH bucketing (approximate scale path)
+# ---------------------------------------------------------------------------
 
 def _plane_weight(p: int, j: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     the Python rendering of ``(h60('<p>,<j>') / H60_MAX) * 2 - 1``. The
-    planes are CONSTANTS — computed once here and embedded as literals in
-    both engines (repr(float) round-trips exactly in Spark and DuckDB),
-    never as per-row md5 expressions."""
+    planes are CONSTANTS — embedded as literals in both engines, never
+    per-row hash expressions."""
     import hashlib
 
     h = int(hashlib.md5(f"{p},{j}".encode()).hexdigest()[:15], 16)
-    return (h / float(H60_MAX)) * 2.0 - 1.0
+    return (h / float((1 << 60) - 1)) * 2.0 - 1.0
 
 
 def lsh_bucket(vec: Column, dim: int, planes: int = LSH_PLANES) -> Column:
-    """Sign-bucket id: bit p = (vec · plane_p) >= 0. Integer in [0, 2^planes);
-    the plane loop is unrolled in Python (shift amounts must be literals);
-    plane weights are literal arrays, so the per-row work is exactly
-    planes × dim fused multiply-adds."""
+    """Sign-bucket id: bit p = (vec · plane_p) >= 0. Integer in
+    [0, 2^planes); plane weights are literal constant arrays folded with
+    ``zip_with``. Only the SIGN of the dot matters, so float summation
+    order can flip a bucket only for vectors numerically ON a plane —
+    the approximate contract absorbs that."""
     total = F.lit(0).cast("long")
     for p in range(planes):
         plane = F.array(*[F.lit(_plane_weight(p, j)) for j in range(dim)])
-        d = _fold_sum(F.zip_with(vec, plane, lambda x, w: x.cast("double") * w))
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         total = total + F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return total
 
@@ -201,16 +324,16 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket; exact
-    cosine rank within candidates. The scale path — the join key is the
-    bucket id, so the N×Q cross-join never materializes."""
+    fixed-point cosine rank within candidates. The scale path — the join
+    key is the bucket id, so the N×Q cross-join never materializes."""
     c = scale_out(df).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
+        quantize(F.col(vec_col)).alias("__cq"),
         lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+        quantize(F.col(vec_col)).alias("__qq"),
         lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
     )
     sims = (
@@ -219,7 +342,11 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+            cos_from_ints(
+                qdot(F.col("__qq"), F.col("__cq")),
+                qdot(F.col("__qq"), F.col("__qq")),
+                qdot(F.col("__cq"), F.col("__cq")),
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -1,0 +1,117 @@
+"""Tests: condition-language shim, two-phase write, filter_indices,
+copy_cube, CLI."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_condition_builder_compiles_to_dnf():
+    from kartothek_spark.core.conditions import C, parse_condition, parse_conjunction
+
+    cond = (C("x") == 5) & (C("y") > 1.5) & C("s").isin(["a", "b"])
+    assert cond.predicate == [[("x", "==", 5), ("y", ">", 1.5), ("s", "in", ["a", "b"])]]
+    assert cond.columns == {"x", "y", "s"}
+
+    iv = C("t").in_interval(10, 20)
+    assert iv.predicate == [[("t", ">=", 10), ("t", "<", 20)]]
+
+    hit, miss = ((C("x") == 1) & (C("y") == 2)).split_by_column({"x"})
+    assert hit.predicate_part == [("x", "==", 1)] and miss.predicate_part == [("y", "==", 2)]
+
+    assert parse_condition("x >= 3").predicate_part == [("x", ">=", 3)]
+    assert parse_condition("s == 'abc'").predicate_part == [("s", "==", "abc")]
+    assert parse_condition("f < 1.25").predicate_part == [("f", "<", 1.25)]
+    assert parse_condition("b == true").predicate_part == [("b", "==", True)]
+    assert parse_condition("s in ('a', 'b')").predicate_part == [("s", "in", ["a", "b"])]
+    conj = parse_conjunction("x == 1 & y > 2")
+    assert conj.predicate == [[("x", "==", 1), ("y", ">", 2)]]
+
+
+def test_condition_filter_df(spark):
+    from kartothek_spark.core.conditions import C
+
+    df = spark.createDataFrame([Row(x=i, y=i * 10) for i in range(5)])
+    got = ((C("x") >= 2) & (C("y") != 30)).filter_df(df)
+    assert sorted(r.x for r in got.collect()) == [2, 4]
+
+
+def test_two_phase_write(spark, tmp_root):
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import (
+        commit_dataset,
+        create_empty_dataset_header,
+        write_single_partition,
+    )
+
+    df = spark.createDataFrame([Row(P=p, V=p * 1.5) for p in range(1, 4)])
+    create_empty_dataset_header(spark, tmp_root, "ds", df.schema, partition_keys=["P"])
+    # header alone: dataset readable, zero rows, full schema
+    empty = read_table(spark, tmp_root, "ds")
+    assert empty.count() == 0 and [f.name for f in empty.schema.fields] == ["P", "V"]
+
+    new = write_single_partition(spark, df, tmp_root, "ds")
+    assert len(new) == 3
+    # files invisible before commit
+    assert read_table(spark, tmp_root, "ds").count() == 0
+    commit_dataset(spark, tmp_root, "ds", new, df.schema, partition_keys=["P"])
+    assert read_table(spark, tmp_root, "ds").count() == 3
+
+
+def test_filter_indices(spark, tmp_root):
+    from kartothek_spark.core import index as ktk_index
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    df = spark.createDataFrame([Row(P=p, S=f"s{p % 2}") for p in range(4)])
+    store_dataframe_as_dataset(spark, df, tmp_root, "ds", partition_on=["P"], secondary_indices=["S"])
+    m = DatasetManifest.load(tmp_root, "ds")
+    keep = [lbl for lbl in m.partitions if "P=0" in lbl or "P=1" in lbl]
+    restricted = ktk_index.filter_indices(spark, m, "S", keep)
+    vals = {r.value: sorted(r.partitions) for r in restricted.collect()}
+    assert set(vals) == {"s0", "s1"}
+    assert all(len(v) == 1 for v in vals.values())
+
+
+def test_copy_cube(spark, tmp_root, tmp_path):
+    from kartothek_spark.core.cube import Cube
+    from kartothek_spark.cube.build import build_cube, copy_cube, discover_datasets
+    from kartothek_spark.cube.query import query_cube
+
+    cube = Cube(dimension_columns=("x",), partition_columns=("p",), uuid_prefix="cc",
+                index_columns=frozenset())
+    seed = spark.createDataFrame([Row(x=i, p=i % 2, v=i) for i in range(6)])
+    build_cube(spark, {"seed": seed}, cube, tmp_root)
+    target = str(tmp_path / "target")
+    copied = copy_cube(cube, tmp_root, target)
+    assert set(copied) == {"seed"}
+    assert set(discover_datasets(cube, target)) == {"seed"}
+    got = query_cube(spark, cube, target)
+    assert got.count() == 6
+
+
+def test_cli_info_stats_query(spark, tmp_root, capsys):
+    from kartothek_spark import cli
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    df = spark.createDataFrame([Row(P=p, V=float(p)) for p in range(3)])
+    store_dataframe_as_dataset(spark, df, tmp_root, "ds", partition_on=["P"])
+
+    assert cli.main(["info", "--root", tmp_root]) == 0
+    assert json.loads(capsys.readouterr().out) == ["ds"]
+
+    assert cli.main(["info", "--root", tmp_root, "--dataset", "ds"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["partition_keys"] == ["P"] and info["partitions"] == 3
+
+    assert cli.main(["stats", "--root", tmp_root, "--dataset", "ds"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["rows"] == 3
+
+    assert cli.main([
+        "query", "--root", tmp_root, "--dataset", "ds", "--condition", "P >= 1", "--limit", "5",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "V" in out

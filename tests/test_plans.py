@@ -1,0 +1,81 @@
+"""Physical-plan quality assertions — the 100 TB design checks.
+
+These don't test values (the oracle gate does); they pin the plan shapes
+that matter at scale: predicate pushdown reaching the parquet scan,
+file-list pruning ahead of Spark, broadcast joins for small dimensions,
+and map-side partial aggregation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_read_table_pushdown_and_pruning(spark, tmp_root):
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    store_dataframe_as_dataset(spark, li, tmp_root, "li", partition_on=["l_returnflag"])
+
+    # planner prunes files BEFORE Spark sees them
+    m = DatasetManifest.load(tmp_root, "li")
+    labels = dispatch_labels(spark, m, [[("l_returnflag", "==", "A")]])
+    assert len(labels) < len(m.partitions)
+
+    df = read_table(
+        spark, tmp_root, "li",
+        predicates=[[("l_returnflag", "==", "A"), ("l_quantity", ">", 25.0)]],
+    )
+    plan = _plan(df)
+    # data predicate reaches the parquet scan (row-group pruning)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_quantity" in pushed
+
+
+def test_projection_prunes_read_schema(spark, tmp_root):
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    store_dataframe_as_dataset(spark, orders, tmp_root, "o")
+    df = read_table(spark, tmp_root, "o", columns=["o_orderkey", "o_totalprice"])
+    plan = _plan(df)
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "o_orderkey" in schema and "o_totalprice" in schema
+    assert "o_comment" not in schema  # wide column NOT read
+
+
+def test_small_dim_join_broadcasts(spark):
+    import __spark_entry__ as e
+
+    df = e.q5_nation_revenue(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # nation/region never shuffle lineitem
+
+
+def test_groupby_partial_aggregation(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q1_pricing_summary(spark, SF_DIR))
+    # map-side combine: partial_ functions before the exchange
+    assert "partial_" in plan and "Exchange hashpartitioning" in plan
+
+
+def test_dedup_exact_shuffles_only_narrow_columns(spark):
+    from kartothek_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(dedup_exact(docs))
+    # the shuffled aggregate carries only (fingerprint, id) — the text
+    # payload joins back via broadcast, it is never exchanged
+    ex = [seg for seg in plan.split("Exchange")[1:]]
+    assert all("text" not in seg.split("\n")[0] for seg in ex)
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
