@@ -32,6 +32,7 @@ def get_cube_payload(df_columns: Sequence[str], cube: Cube) -> set[str]:
 
 
 def _check_user_df(name: str, df: DataFrame, cube: Cube, existing_payload: Mapping[str, set[str]]) -> None:
+    """Driver-side structural checks (schema only — no jobs)."""
     cols = set(df.columns)
     missing_part = set(cube.partition_columns) - cols
     if missing_part:
@@ -51,24 +52,36 @@ def _check_user_df(name: str, df: DataFrame, cube: Cube, existing_payload: Mappi
             raise ValueError(
                 f"payload overlap between {name!r} and {other!r}: {sorted(overlap)}"
             )
-    # no nulls in dimension / partition / index columns (cube/write.py:133-160)
-    check_cols = (set(cube.dimension_columns) | set(cube.partition_columns) | set(cube.index_columns)) & cols
-    cond = None
-    for c in check_cols:
-        n = F.col(c).isNull()
-        cond = n if cond is None else (cond | n)
-    if cond is not None and not df.where(cond).isEmpty():
-        raise ValueError(f"dataset {name!r} has nulls in dimension/partition/index columns")
 
 
-def _check_duplicates(name: str, df: DataFrame, cube: Cube) -> None:
-    """Error on duplicate (partition + dimension)-key rows (reference
-    ``_check_duplicates`` cube/write.py:268-289) — one distributed
-    groupBy/count, map-side combined."""
-    keys = [c for c in (*cube.partition_columns, *cube.dimension_columns) if c in df.columns]
-    dupes = df.groupBy(*keys).count().where(F.col("count") > 1)
-    if not dupes.isEmpty():
+def _check_data(name: str, df: DataFrame, cube: Cube) -> None:
+    """Fused distributed pre-write checks — ONE job instead of two scans:
+    duplicate (partition+dimension)-key rows (reference ``_check_duplicates``
+    cube/write.py:268-289) and nulls in dimension/partition/index columns
+    (cube/write.py:133-160). groupBy the cell keys with map-side combine,
+    fold null flags alongside, then a single global max."""
+    cols = set(df.columns)
+    keys = [c for c in (*cube.partition_columns, *cube.dimension_columns) if c in cols]
+    check_cols = sorted(
+        (set(cube.dimension_columns) | set(cube.partition_columns) | set(cube.index_columns)) & cols
+    )
+    extra = [c for c in check_cols if c not in keys]
+    grouped = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.max(F.col(c).isNull()).alias(f"__null_{c}") for c in extra],
+    )
+    row = grouped.agg(
+        F.max("__cnt").alias("max_cnt"),
+        *[F.max(F.col(f"__null_{c}")).alias(f"null_{c}") for c in extra],
+        *[F.max(F.col(k).isNull()).alias(f"null_{k}") for k in keys if k in check_cols],
+    ).first()
+    if row is None:
+        return
+    if (row["max_cnt"] or 0) > 1:
         raise ValueError(f"dataset {name!r} has duplicate rows for keys {keys}")
+    for c in check_cols:
+        if row[f"null_{c}"]:
+            raise ValueError(f"dataset {name!r} has nulls in dimension/partition/index columns")
 
 
 def _indices_for(name: str, df: DataFrame, cube: Cube) -> list[str]:
@@ -87,19 +100,29 @@ def build_cube(
     metadata: Mapping[str, Any] | None = None,
     overwrite: bool = False,
 ) -> dict[str, DatasetManifest]:
-    """Write all cube datasets; seed first; consistency-check at the end."""
+    """Write all cube datasets; consistency-check at the end.
+
+    Per-dataset pipelines (fused check job → write → index build) run in
+    parallel threads — Spark schedules the independent jobs concurrently,
+    so a 10-dataset cube build keeps the cluster saturated instead of
+    serializing ten write barriers. Inputs are persisted across their
+    check + write + index jobs (an enrichment input is often a join — we
+    evaluate it once, not once per job)."""
     if cube.seed_dataset not in data:
         raise ValueError(f"seed dataset {cube.seed_dataset!r} missing from data")
     payloads = {n: get_cube_payload(df.columns, cube) for n, df in data.items()}
     for name, df in data.items():
         _check_user_df(name, df, cube, payloads)
-        _check_duplicates(name, df, cube)
+
     out: dict[str, DatasetManifest] = {}
     written: list[str] = []
-    try:
-        for name in sorted(data, key=lambda n: (n != cube.seed_dataset, n)):
-            df = data[name]
-            out[name] = store_dataframe_as_dataset(
+    lock = __import__("threading").Lock()
+
+    def _one(name: str) -> None:
+        df = data[name].persist()
+        try:
+            _check_data(name, df, cube)
+            m = store_dataframe_as_dataset(
                 spark,
                 df,
                 root,
@@ -110,7 +133,19 @@ def build_cube(
                 metadata=dict(metadata or {}) | {"ktk_cube": _cube_spec_dict(cube)},
                 overwrite=overwrite,
             )
-            written.append(name)
+            with lock:
+                out[name] = m
+                written.append(name)
+        finally:
+            df.unpersist()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=min(4, len(data))) as pool:
+            futures = {pool.submit(_one, name): name for name in data}
+            for fut in futures:
+                fut.result()
         check_datasets(cube, root)
     except BaseException:
         # rollback freshly written datasets (reference cube/write.py:531-560)
@@ -141,7 +176,7 @@ def extend_cube(
         if name in existing:
             raise ValueError(f"dataset {name!r} already part of cube")
         _check_user_df(name, df, cube, payloads)
-        _check_duplicates(name, df, cube)
+        _check_data(name, df, cube)
         out[name] = store_dataframe_as_dataset(
             spark,
             df,

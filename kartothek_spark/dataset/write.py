@@ -58,17 +58,23 @@ def _label_for(rel_file: str) -> str:
     return rel_file
 
 
-def _check_no_null_partition_keys(df: DataFrame, partition_on: Sequence[str]) -> None:
-    # reference raises on null partition keys (metapartition.py:1574-1579);
-    # Spark would silently write __HIVE_DEFAULT_PARTITION__ instead.
+_NULL_KEY_MSG = "null values in partition keys"
+
+
+def _guard_null_partition_keys(df: DataFrame, partition_on: Sequence[str]) -> DataFrame:
+    """Inline null-partition-key guard (reference raises on null keys,
+    metapartition.py:1574-1579; Spark would silently write
+    __HIVE_DEFAULT_PARTITION__). Realized as an always-true filter around
+    ``assert_true`` so the check rides the write scan itself — no separate
+    full pass over the input, which at scale would double every write."""
     if not partition_on:
-        return
+        return df
     cond = None
     for k in partition_on:
-        c = F.col(k).isNull()
-        cond = c if cond is None else (cond | c)
-    if not df.where(cond).isEmpty():
-        raise ValueError(f"null values in partition keys {list(partition_on)}")
+        c = F.col(k).isNotNull()
+        cond = c if cond is None else (cond & c)
+    msg = f"{_NULL_KEY_MSG} {list(partition_on)}"
+    return df.where(F.assert_true(cond, F.lit(msg)).isNull())
 
 
 def _write_files(
@@ -80,7 +86,7 @@ def _write_files(
     num_buckets: int | None,
     table_format: str = "parquet",
 ) -> None:
-    out = df
+    out = _guard_null_partition_keys(df, partition_on)
     if bucket_by and num_buckets:
         # reference _shuffle.py:23-37: hash-bucket within each hive partition.
         # Spark-first: one repartition on (partition keys, hash bucket) —
@@ -90,20 +96,29 @@ def _write_files(
         bucket = F.pmod(F.xxhash64(*[F.col(c) for c in bucket_by]), F.lit(num_buckets))
         out = out.repartition(*( [F.col(c) for c in partition_on] + [bucket] ))
     elif partition_on:
-        # one shuffle so each partition value lands in few tasks → few files
-        out = out.repartition(*[F.col(c) for c in partition_on])
+        # AQE rebalance instead of a plain repartition: a hot partition
+        # value is SPLIT across tasks (advisoryPartitionSizeInBytes) and
+        # small values coalesce — plain repartition(keys) pins each value
+        # to exactly one task, which at 100 TB turns one popular key into
+        # one multi-hour straggler writing one giant file
+        out = out.hint("rebalance", *partition_on)
     if sort_partitions_by:
         # row-group stat locality for later min/max skipping
         out = out.sortWithinPartitions(*sort_partitions_by)
     writer = out.write.mode("append")
     if partition_on:
         writer = writer.partitionBy(*partition_on)
-    if table_format == "csv":
-        # reference CSV serializer (_csv.py:25-120): no pushdown, types
-        # restored from the manifest schema on read
-        writer.option("header", "false").csv("file://" + os.path.abspath(data_root))
-    else:
-        writer.parquet("file://" + os.path.abspath(data_root))
+    try:
+        if table_format == "csv":
+            # reference CSV serializer (_csv.py:25-120): no pushdown, types
+            # restored from the manifest schema on read
+            writer.option("header", "false").csv("file://" + os.path.abspath(data_root))
+        else:
+            writer.parquet("file://" + os.path.abspath(data_root))
+    except Exception as exc:  # surface the inline guard as the API error
+        if _NULL_KEY_MSG in str(exc):
+            raise ValueError(f"{_NULL_KEY_MSG} {list(partition_on)}") from None
+        raise
     # drop Spark's _SUCCESS marker; the manifest is the commit marker
     marker = os.path.join(data_root, "_SUCCESS")
     if os.path.exists(marker):
@@ -138,7 +153,6 @@ def store_dataframe_as_dataset(
         raise ValueError("secondary indices require parquet payloads")
 
     df = normalize_dataframe(df)
-    _check_no_null_partition_keys(df, partition_on)
 
     manifest = DatasetManifest(
         dataset_uuid=dataset_uuid,
@@ -219,7 +233,6 @@ def write_single_partition(
     manifest = DatasetManifest.load(root, dataset_uuid)
     df = normalize_dataframe(df)
     validate_compatible([manifest.schema, df.schema])
-    _check_no_null_partition_keys(df, manifest.partition_keys)
     suffix = ".csv" if manifest.table_format == "csv" else ".parquet"
     before = set(_enumerate_parquet(manifest.data_root, suffix))
     _write_files(df, manifest.data_root, manifest.partition_keys, None, None, None,
@@ -257,7 +270,6 @@ def update_dataset(
     if df is not None:
         df = normalize_dataframe(df)
         validate_compatible([manifest.schema, df.schema])
-        _check_no_null_partition_keys(df, manifest.partition_keys)
         suffix = ".csv" if manifest.table_format == "csv" else ".parquet"
         before = set(_enumerate_parquet(manifest.data_root, suffix))
         _write_files(df, manifest.data_root, manifest.partition_keys, sort_partitions_by, None, None,

@@ -75,11 +75,15 @@ def word_shingles_sql(expr: str, n: int) -> str:
 
 
 def char_ngrams(col: Column | str, n: int) -> Column:
-    """Distinct character n-grams of the lower-cased text."""
+    """Distinct character n-grams of the text.
+
+    Pass a STAGED, already-normalized (lower-cased) plain column reference:
+    the per-position lambda re-evaluates its input expression per element,
+    so an inlined ``lower(...)``/tokenize expression here would re-run on
+    the full string once per gram position (O(len²) per document)."""
     c = F.col(col) if isinstance(col, str) else col
-    lc = F.lower(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(lc) - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(lc, i, n)))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
 
 
 def char_ngrams_sql(expr: str, n: int) -> str:

@@ -133,11 +133,18 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     df = scale_out(df)
     # staged: tokenize ONCE per row, then shingle from the token array —
-    # never re-run the regex split per shingle position
+    # never re-run the regex split per shingle position. Persisted because
+    # three consumers need it (signature path + both verification sides);
+    # without the cache the corpus is re-tokenized three times. The
+    # null-text filter runs on the RAW column (pushed to the scan) — a
+    # post-hoc size(__sh)>0 filter would be pushed below the projection
+    # and re-evaluate the whole shingle expression a second time, and it
+    # only ever drops null texts anyway (empty docs shingle to [""]).
     base = (
-        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
         .select("__id", shingles_from_tokens(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"))
-        .where(F.size("__sh") > 0)
+        .persist()
     )
 
     hashed = base.select("__id", F.explode("__sh").alias("__s")).select(
@@ -400,10 +407,16 @@ def ngram_jaccard_pairs(
     single spaces) so punctuation/whitespace differences don't break
     near-dup detection — consistent with minhash/simhash tokenization."""
     df = scale_out(df)
+    # staged: materialize the normalized text into its own column BEFORE
+    # building grams — char_ngrams' per-position lambda re-evaluates its
+    # input expression per element, so inlining the tokenization here would
+    # re-run the regex split once per gram position (O(len²) at scale)
     norm = F.concat_ws(" ", tokens(F.col(text_col)))
-    grams = df.select(
-        F.col(id_col).alias("__id"), char_ngrams(norm, n).alias("__g")
-    ).where(F.size("__g") > 0)
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), norm.alias("__norm"))
+        .select("__id", char_ngrams(F.col("__norm"), n).alias("__g"))
+    )
     inv_all = grams.select("__id", F.explode("__g").alias("g"))
     rare = inv_all.groupBy("g").count().where(F.col("count") <= max_df).select("g")
     # the inverted index feeds three consumers (sizes + both self-join

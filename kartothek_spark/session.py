@@ -25,6 +25,10 @@ def get_spark(app_name: str = "kartothek_spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # rebalance-write granularity: split hot partition values into
+        # ~16 MB tasks (also the AQE coalesce target). At cluster scale
+        # raise toward 64-128 MB for fewer, larger files.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
