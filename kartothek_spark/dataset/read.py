@@ -57,10 +57,21 @@ def dispatch_labels(
         labels = set(manifest.query([list(conj)]))
         if not labels:
             continue
-        # group this conjunction's literals by indexed column
+        # group this conjunction's literals by indexed column. A literal
+        # matching NULL rows (`== None`, `in [..., None]`) must NOT be
+        # evaluated against the index — indices store non-null values only
+        # (reference build_indices dropna, metapartition.py:1371-1420), so
+        # using them there would prune files whose only matches are nulls.
+        # Every other op can only match non-null rows (SQL semantics), for
+        # which the index is complete — pruning stays a strict superset of
+        # the scan-time filter.
         by_col: dict[str, list] = {}
         for lit in conj:
-            col = lit[0]
+            col, op, value = lit
+            if (op == "==" and value is None) or (
+                op == "in" and any(v is None for v in value)
+            ):
+                continue
             if col in manifest.indices and col not in manifest.partition_keys:
                 by_col.setdefault(col, []).append(lit)
         # smallest-first is irrelevant here: each index query returns a

@@ -1,0 +1,169 @@
+"""Property-based predicate testing (reference test-strategy parity).
+
+Mirrors the reference's hypothesis suite (`kartothek/io/testing/
+query_cube.py:1404` ``test_hypothesis`` + strategies in
+`kartothek/core/testing.py:73+` in /root/reference): random DNF
+conjunctions over an all-types frame, checked against an INDEPENDENT
+pure-Python row-filter oracle — not the engine's own predicate compiler.
+
+The engine path under test is the full read pipeline: manifest label
+pruning (partition-key split + falsified-conjunction drop), secondary
+index pruning, Catalyst parquet pushdown, and residual filtering.
+"""
+
+import datetime as dt
+import os
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_DIR  # noqa: F401  (path side effect)
+
+ROWS = 240
+
+# typed literal domains: in-domain values, boundary values, out-of-domain
+_DOMAINS = {
+    "b": [True, False],
+    "i": [-5, 0, 1, 2, 3, 7, 10, 99, 1000],
+    "f": [-1.5, 0.0, 0.25, 1.0, 2.5, 9.75, 1e6],
+    "s": ["", "a", "bb", "ccc", "zz", "nope"],
+    "d": [dt.date(2020, 1, 1), dt.date(2021, 6, 15), dt.date(2022, 12, 31), dt.date(1999, 1, 1)],
+    "t": [
+        dt.datetime(2020, 1, 1, 0, 0, 0),
+        dt.datetime(2021, 6, 15, 12, 30, 0),
+        dt.datetime(2022, 12, 31, 23, 59, 59),
+    ],
+    "p": ["x", "y", "z", "missing"],
+}
+_NULLABLE = {"b", "i", "f", "s", "d", "t"}  # partition key p is never null
+_ORDERED_OK = {"i", "f", "s", "d", "t", "p"}  # no ordered ops on bool
+
+
+def _rows():
+    rng = random.Random(42)
+    rows = []
+    for k in range(ROWS):
+        rows.append(
+            {
+                "id": k,
+                "b": rng.choice([True, False, None]),
+                "i": rng.choice([None, *_DOMAINS["i"][:-1]]),
+                "f": rng.choice([None, *_DOMAINS["f"][:-1]]),
+                "s": rng.choice([None, *_DOMAINS["s"][:-1]]),
+                "d": rng.choice([None, *_DOMAINS["d"][:-1]]),
+                "t": rng.choice([None, *_DOMAINS["t"]]),
+                "p": rng.choice(["x", "y", "z"]),
+            }
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def alltypes_dataset(spark, tmp_path_factory):
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = str(tmp_path_factory.mktemp("hyp") / "store")
+    os.makedirs(root, exist_ok=True)
+    schema = (
+        "id long, b boolean, i long, f double, s string, d date, t timestamp, p string"
+    )
+    df = spark.createDataFrame(_rows(), schema)
+    store_dataframe_as_dataset(
+        spark, df, root, "alltypes", partition_on=["p"], secondary_indices=["i", "s"]
+    )
+    return root, _rows()
+
+
+def _literal_strategy():
+    def lit_for(col):
+        ops = ["==", "!=", "in"] + (["<", "<=", ">", ">="] if col in _ORDERED_OK else [])
+        dom = _DOMAINS[col]
+        val = st.sampled_from(dom)
+        nullable_val = st.one_of(val, st.none()) if col in _NULLABLE else val
+        return st.sampled_from(ops).flatmap(
+            lambda op: (
+                st.lists(nullable_val, min_size=0, max_size=4).map(
+                    lambda vs: (col, op, vs)
+                )
+                if op == "in"
+                else (nullable_val if op in ("==", "!=") else val).map(
+                    lambda v: (col, op, v)
+                )
+            )
+        )
+
+    return st.sampled_from(sorted(_DOMAINS)).flatmap(lit_for)
+
+
+predicates_st = st.lists(
+    st.lists(_literal_strategy(), min_size=1, max_size=3),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _eval_lit(row, col, op, value):
+    actual = row[col]
+    if op == "in":
+        vals = list(value)
+        if actual is None:
+            return None in vals
+        return actual in [v for v in vals if v is not None]
+    if op == "==":
+        return (actual is None) if value is None else (actual is not None and actual == value)
+    if op == "!=":
+        return (actual is not None) if value is None else (actual is not None and actual != value)
+    if actual is None or value is None:
+        return False
+    return {
+        "<": actual < value,
+        "<=": actual <= value,
+        ">": actual > value,
+        ">=": actual >= value,
+    }[op]
+
+
+def _oracle(rows, predicates):
+    out = []
+    for row in rows:
+        if any(all(_eval_lit(row, *lit) for lit in conj) for conj in predicates):
+            out.append(row["id"])
+    return sorted(out)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(predicates=predicates_st)
+def test_read_table_matches_python_oracle(spark, alltypes_dataset, predicates):
+    from kartothek_spark.dataset.read import read_table
+
+    root, rows = alltypes_dataset
+    got = read_table(spark, root, "alltypes", predicates=predicates, columns=["id"])
+    assert sorted(r.id for r in got.collect()) == _oracle(rows, predicates)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(predicates=predicates_st)
+def test_label_pruning_is_superset(spark, alltypes_dataset, predicates):
+    """dispatch_labels may over-approximate (pruning is a superset of the
+    matching files) but must NEVER drop a label containing a matching row."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+
+    root, rows = alltypes_dataset
+    m = DatasetManifest.load(root, "alltypes")
+    labels = set(dispatch_labels(spark, m, predicates))
+    matching = set(_oracle(rows, predicates))
+    by_id = {r["id"]: r["p"] for r in rows}
+    needed_values = {by_id[i] for i in matching}
+    kept_values = {m.partition_values(lbl)["p"] for lbl in labels}
+    assert needed_values <= kept_values
