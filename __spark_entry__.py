@@ -531,6 +531,37 @@ def stream_windowed_update(spark, sf_dir):
     )
 
 
+def stream_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    session state across micro-batches. Oracle = the batch sessionizer minus
+    each user's final (still-open-in-state) session — checked in
+    tests/test_streaming_state.py; here rows-only (streaming machinery)."""
+    from kartothek_spark.streaming.update import sessionize_stream
+
+    root = tempfile.mkdtemp(prefix="ktk_sess_")
+    ev = _events(spark, sf_dir).select("user_id", "ts").where(F.col("user_id") < 100)
+    src = os.path.join(root, "src")
+    ev.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    name = "sess_" + os.path.basename(root)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -569,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_plumbing": multimodal_plumbing,
         "multimodal_features": multimodal_features,
         "stream_windowed_update": stream_windowed_update,
+        "stream_sessionize": stream_sessionize,
     }
 
 

@@ -78,6 +78,76 @@ def windowed_event_counts(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Streaming gap-based sessionization — a custom stateful operator via
+    ``applyInPandasWithState``: per-user GroupState holds the open session
+    (start, end, count) across micro-batches; a session is emitted when a
+    later event of the same user exceeds the gap, or when the state times
+    out. The shuffle key is user_id, so state is partitioned exactly like
+    the aggregation would be at cluster scale; each state value is three
+    longs — millions of concurrent users fit comfortably per executor."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        f"{user_col} long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, end long, n long"  # epoch MICROseconds + count
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        user = key[0]
+
+        def emit(rows):
+            return pd.DataFrame(
+                rows, columns=[user_col, "session_start", "session_end", "n_events"]
+            ).astype({user_col: "int64", "n_events": "int64"})
+
+        def to_ts(us: int):
+            return pd.Timestamp(us * 1000)  # ns
+
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield emit([[user, to_ts(start), to_ts(end), n]])
+            return
+
+        ts = []
+        for pdf in pdf_iter:
+            # .value is epoch ns of the tz-naive (session-UTC) timestamp —
+            # NOT .timestamp(), which would re-interpret it in local time
+            ts.extend(int(v.value) // 1000 for v in pdf[ts_col])
+        ts.sort()
+        cur = state.get if state.exists else None  # (start, end, n)
+        closed = []
+        for t in ts:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        state.update(cur)
+        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if closed:
+            yield emit([[user, to_ts(s), to_ts(e), n] for s, e, n in closed])
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str = "ts",
@@ -86,7 +156,7 @@ def sessionize(
 ) -> DataFrame:
     """Gap-based sessionization (batch form): a new session starts when the
     user's inter-event gap exceeds ``gap_minutes``. One shuffle on user_id;
-    the streaming analog is applyInPandasWithState / session_window."""
+    :func:`sessionize_stream` is the stateful streaming form."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
