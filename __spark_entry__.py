@@ -480,6 +480,17 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=5, dim=EMB_DIM)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """Approximate ANN (IVF coarse quantizer, nprobe cells) — no SQL
+    oracle (approximate by design); driver records rows-only. With
+    nprobe == n_centroids it equals brute force (unit-tested)."""
+    from kartothek_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, dim=EMB_DIM, n_centroids=8, nprobe=2)
+
+
 def multimodal_plumbing(spark, sf_dir):
     """Binary media column plumbing: ingest schema + byte accounting."""
     from kartothek_spark.operators.multimodal import make_media_df
@@ -597,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "multimodal_plumbing": multimodal_plumbing,
         "multimodal_features": multimodal_features,
         "stream_windowed_update": stream_windowed_update,

@@ -355,3 +355,87 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The scale path for billion-vector corpora: a KMeans coarse quantizer
+    (trained on the corpus, model broadcast) assigns every corpus vector
+    to one of ``n_centroids`` cells; each query probes only its ``nprobe``
+    nearest cells, so the candidate set is ~``nprobe/n_centroids`` of the
+    corpus and the join key is the cell id — the N×Q cross-join never
+    materializes, and cells are shuffle-friendly integer partitions. At
+    cluster scale the cell assignment is also the natural *storage*
+    partition (write the corpus ``partition_on=["cell"]`` and ANN probes
+    become manifest-pruned reads). Exact fixed-point cosine ranks within
+    the probed cells; with ``nprobe == n_centroids`` the result equals
+    :func:`brute_force_topk` (tested).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = scale_out(df).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        quantize(F.col(vec_col)).alias("__cq"),
+    )
+    train = corpus.select(array_to_vector(F.col("__v").cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=8).fit(train)
+
+    c = model.transform(
+        corpus.withColumn("features", array_to_vector(F.col("__v").cast("array<double>")))
+    ).select("neighbor_id", "__cq", F.col("prediction").alias("__cell"))
+
+    # per-query nprobe nearest cells: centroids are tiny — broadcast both
+    # ways; the rank window is over Q×n_centroids rows only
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    cdf = df.sparkSession.createDataFrame(centroids, "__cell int, __ctr array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__v"),
+        quantize(F.col(vec_col)).alias("__qq"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__v").cast("array<double>"), F.col("__ctr"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("__cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("__d", dist)
+        .withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", "__qq", "__cell")
+    )
+
+    sims = (
+        c.join(F.broadcast(probes), "__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos_from_ints(
+                qdot(F.col("__qq"), F.col("__cq")),
+                qdot(F.col("__qq"), F.col("__qq")),
+                qdot(F.col("__cq"), F.col("__cq")),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
+    )

@@ -132,3 +132,33 @@ def test_sessionize(spark):
     out = sessionize(spark.createDataFrame(rows))
     sess = {(r.user_id, r.session_seq): r.n_events for r in out.collect()}
     assert sess == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.similarity import brute_force_topk, ivf_topk
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3, dim=64)
+    # probing every cell searches the whole corpus → identical result set
+    ivf = ivf_topk(emb, queries, k=3, dim=64, n_centroids=4, nprobe=4)
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, ivf.collect()))
+    assert a == b
+
+    # partial probe: results are a (query-wise) subset drawn from probed
+    # cells, ranks contiguous from 1, cosine within [-1, 1]
+    part = ivf_topk(emb, queries, k=3, dim=64, n_centroids=4, nprobe=1)
+    rows = part.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+        assert -1.0 <= r.cos_sim <= 1.0
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
