@@ -297,18 +297,21 @@ def simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("__id"),
         F.explode(F.transform(toks, lambda t: h60(t))).alias("__h"),
     )
+    # ones-count per bit instead of ±1 votes: vote_j > 0 ⟺ 2·ones_j > n,
+    # and sum((h>>j)&1) is a branchless codegen expression where the ±1
+    # form compiles to a CASE per (row, bit)
     votes = exploded.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__v{j}")
+            F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))).alias(f"__v{j}")
             for j in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sim = reduce(
         _op.add,
         [
-            F.when(F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"__v{j}") * 2 > F.col("__n"), F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
             for j in range(SIMHASH_BITS)
         ],
     )
