@@ -384,6 +384,7 @@ def copy_dataset(root: str, dataset_uuid: str, target_root: str, target_uuid: st
         schema=src.schema,
         partition_keys=list(src.partition_keys),
         metadata=dict(src.metadata),
+        table_format=src.table_format,
     )
     for label, entry in src.partitions.items():
         rel = entry["file"]

@@ -128,3 +128,20 @@ def test_index_on_sorts(spark, tmp_root, df):
         return iter([vals == sorted(vals)])
 
     assert all(got.rdd.mapPartitions(check).collect())
+
+
+def test_copy_preserves_table_format(spark, tmp_root):
+    import os
+
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import copy_dataset, store_dataframe_as_dataset
+    from tests.conftest import SF_DIR
+
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    store_dataframe_as_dataset(
+        spark, region, tmp_root, "rc", partition_on=["r_regionkey"], table_format="csv"
+    )
+    copy_dataset(tmp_root, "rc", tmp_root, "rc2")
+    got = read_table(spark, tmp_root, "rc2")
+    assert got.count() == region.count()
+    assert {f.name for f in got.schema.fields} == {f.name for f in region.schema.fields}
