@@ -627,9 +627,11 @@ def oracle_sql() -> dict[str, str]:
         embedding_dup_pairs_sql,
     )
     from kartothek_spark.operators.text import (
+        bpe_token_count_sql,
         fingerprint_sql,
         language_id_sql,
         quality_features_sql,
+        whitespace_token_count_sql,
     )
 
     c_ep = _cents_sql("l_extendedprice")
@@ -783,6 +785,8 @@ GROUP BY user_id, event_type
 SELECT doc_id,
        {language_id_sql('text')} AS lang_pred,
        {qf_cols},
+       {bpe_token_count_sql('text')} AS bpe_tokens,
+       {whitespace_token_count_sql('text')} AS ws_tokens,
        {fingerprint_sql('text')} AS fingerprint
 FROM documents
 """,

@@ -41,6 +41,35 @@ def token_count_sql(expr: str) -> str:
     return f"len({tokens_sql(expr)})"
 
 
+# BPE-style pre-tokenizer (GPT-2 family, RE2-safe subset: no lookahead so
+# Spark's Java regex and DuckDB's RE2 count identically): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens — the practical unit for LLM corpus
+    budgeting (whitespace tokens alone undercount code/punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PATTERN)).cast("long")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))).cast("long")
+
+
+def whitespace_token_count_sql(expr: str) -> str:
+    return (
+        f"CAST(len(list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t <> '')) AS BIGINT)"
+    )
+
+
 def _lang_score(col, lang: str) -> Column:
     toks = tokens(col)
     words = list(LANG_STOPWORDS[lang])
@@ -143,5 +172,7 @@ def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.col(id_col),
         language_id(text_col).alias("lang_pred"),
         *[c.alias(n) for n, c in feats.items()],
+        bpe_token_count(text_col).alias("bpe_tokens"),
+        whitespace_token_count(text_col).alias("ws_tokens"),
         fingerprint(text_col).alias("fingerprint"),
     )
