@@ -73,6 +73,37 @@ def merge_datasets(
     return out
 
 
+def merge_datasets_with_func(
+    spark: SparkSession,
+    root: str,
+    left_uuid: str,
+    right_uuid: str,
+    on: Sequence[str],
+    merge_func,
+    output_schema,
+    right_on: Sequence[str] | None = None,
+    predicates: Predicates | None = None,
+) -> DataFrame:
+    """Custom-function merge (reference U2/J3 ``merge_dataframes`` with a
+    user ``merge_func``, metapartition.py:983-1064): both sides are
+    cogrouped on the join keys and ``merge_func(key_tuple, left_pdf,
+    right_pdf) -> pandas.DataFrame`` runs per key group, Arrow-batched.
+    ``right_on`` names the right side's key columns when they differ.
+    The reference's ``type_safe=False`` schema re-derivation is
+    deliberately NOT supported — ``output_schema`` is required, matching
+    Spark's static-typing contract (survey §2.8 U1). One shuffle per side
+    on the keys; groups stream through Python workers without ever
+    materializing either dataset on one node."""
+    left = read_table(spark, root, left_uuid, predicates=_side(predicates, root, left_uuid))
+    right = read_table(spark, root, right_uuid, predicates=_side(predicates, root, right_uuid))
+    keys = list(on)
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*(list(right_on) if right_on else keys)))
+        .applyInPandas(merge_func, output_schema)
+    )
+
+
 def _side(predicates: Predicates | None, root: str, uuid: str) -> Predicates | None:
     """Column-restricted weakening of a DNF for one side: drop literals on
     columns the side lacks. If any conjunction loses ALL its literals it
@@ -86,4 +117,4 @@ def _side(predicates: Predicates | None, root: str, uuid: str) -> Predicates | N
     return restricted
 
 
-__all__ = ["align_datasets", "merge_datasets"]
+__all__ = ["align_datasets", "merge_datasets", "merge_datasets_with_func"]

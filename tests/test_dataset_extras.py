@@ -145,3 +145,39 @@ def test_copy_preserves_table_format(spark, tmp_root):
     got = read_table(spark, tmp_root, "rc2")
     assert got.count() == region.count()
     assert {f.name for f in got.schema.fields} == {f.name for f in region.schema.fields}
+
+
+def test_merge_datasets_with_func(spark, tmp_root):
+    import os
+
+    from kartothek_spark.dataset.merge import merge_datasets_with_func
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from tests.conftest import SF_DIR
+
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    store_dataframe_as_dataset(spark, nation, tmp_root, "n1")
+    store_dataframe_as_dataset(spark, region, tmp_root, "r1")
+
+    def merge(key, left, right):
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(columns=["n_regionkey", "n_name", "r_name"])
+        out = left[["n_regionkey", "n_name"]].copy()
+        out["r_name"] = right["r_name"].iloc[0]
+        return out
+
+    got = merge_datasets_with_func(
+        spark, tmp_root, "n1", "r1",
+        on=["n_regionkey"],
+        right_on=["r_regionkey"],
+        merge_func=lambda key, l, r: merge(key, l, r),
+        output_schema="n_regionkey long, n_name string, r_name string",
+    )
+    want = nation.join(
+        region.withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey"
+    ).select("n_regionkey", "n_name", "r_name")
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b
