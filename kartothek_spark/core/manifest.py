@@ -70,6 +70,11 @@ class DatasetManifest:
     # format dispatch, serialization/_generic.py:37-154 — CSV keeps parity
     # with the reference: no pushdown, schema supplied by the manifest)
     table_format: str = "parquet"
+    # hash-bucketing spec (reference S20 `_hash_bucket`, _shuffle.py:23-37):
+    # rows are hash-distributed on bucket_by into num_buckets path-encoded
+    # sub-partitions, so equality reads on bucket_by prune to one bucket
+    bucket_by: list[str] = field(default_factory=list)
+    num_buckets: int | None = None
 
     # -- paths --------------------------------------------------------------
     @property
@@ -128,6 +133,11 @@ class DatasetManifest:
             "partitions": self.partitions,
             "indices": self.indices,
             "format": self.table_format,
+            **(
+                {"bucket_by": self.bucket_by, "num_buckets": self.num_buckets}
+                if self.num_buckets
+                else {}
+            ),
         }
 
     @classmethod
@@ -142,6 +152,8 @@ class DatasetManifest:
             metadata=dict(d.get("metadata", {})),
             metadata_version=d.get("dataset_metadata_version", METADATA_VERSION),
             table_format=d.get("format", "parquet"),
+            bucket_by=list(d.get("bucket_by", [])),
+            num_buckets=d.get("num_buckets"),
         )
 
     @classmethod

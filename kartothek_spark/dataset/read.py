@@ -82,8 +82,42 @@ def dispatch_labels(
             labels &= hits
             if not labels:
                 break
+        labels = _prune_buckets(spark, manifest, conj, labels)
         surviving |= labels
     return sorted(surviving)
+
+
+def _prune_buckets(spark: SparkSession, manifest: DatasetManifest, conj, labels: set) -> set:
+    """Bucket pruning (reference S20 hash-bucketing made prunable): when a
+    conjunction pins EVERY bucket_by column with a non-null equality, only
+    the literal's hash bucket can contain matching rows — one tiny job
+    computes the bucket with the same JVM xxhash64 the writer used, then
+    the path-encoded bucket id filters the label set driver-side."""
+    from kartothek_spark.dataset.write import BUCKET_COL
+
+    if not manifest.num_buckets or not labels:
+        return labels
+    eqs = {c: v for c, op, v in conj if op == "==" and v is not None}
+    if not all(c in eqs for c in manifest.bucket_by):
+        return labels
+    by_name = {f.name: f.dataType for f in manifest.schema.fields}
+    bucket = (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(*[F.lit(eqs[c]).cast(by_name[c]) for c in manifest.bucket_by]),
+                F.lit(manifest.num_buckets),
+            ).alias("b")
+        )
+        .first()["b"]
+    )
+    prefix = f"{BUCKET_COL}="
+    out = set()
+    for lbl in labels:
+        bid = next((seg[len(prefix):] for seg in lbl.split("/") if seg.startswith(prefix)), None)
+        if bid is None or int(bid) == bucket:
+            out.add(lbl)
+    return out
 
 
 def empty_dataframe(spark: SparkSession, manifest: DatasetManifest, columns: Sequence[str] | None = None) -> DataFrame:

@@ -60,6 +60,9 @@ def _label_for(rel_file: str) -> str:
 
 _NULL_KEY_MSG = "null values in partition keys"
 
+# path-encoded hash-bucket hive level (never part of the payload schema)
+BUCKET_COL = "__ktk_bucket"
+
 
 def _guard_null_partition_keys(df: DataFrame, partition_on: Sequence[str]) -> DataFrame:
     """Inline null-partition-key guard (reference raises on null keys,
@@ -87,27 +90,33 @@ def _write_files(
     table_format: str = "parquet",
 ) -> None:
     out = _guard_null_partition_keys(df, partition_on)
+    part_cols = list(partition_on)
     if bucket_by and num_buckets:
-        # reference _shuffle.py:23-37: hash-bucket within each hive partition.
-        # Spark-first: one repartition on (partition keys, hash bucket) —
-        # co-locates each bucket in one task → one file per bucket per
-        # partition value, and downstream equi-reads on bucket_by hit a
-        # bounded file set.
-        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in bucket_by]), F.lit(num_buckets))
-        out = out.repartition(*( [F.col(c) for c in partition_on] + [bucket] ))
-    elif partition_on:
+        # reference _shuffle.py:23-37: hash-bucket within each hive
+        # partition. The bucket id is PATH-ENCODED as an extra hive level,
+        # so equality reads on bucket_by prune to a single bucket directory
+        # (dispatch_labels computes the literal's bucket and drops the
+        # rest) — "bounded file set" made literal. The column is consumed
+        # by partitionBy and never lands in payload files; reads project
+        # to the manifest schema so it stays invisible.
+        out = out.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(*[F.col(c) for c in bucket_by]), F.lit(num_buckets)),
+        )
+        part_cols.append(BUCKET_COL)
+    if part_cols:
         # AQE rebalance instead of a plain repartition: a hot partition
-        # value is SPLIT across tasks (advisoryPartitionSizeInBytes) and
+        # value (or bucket) is SPLIT across tasks by advisory size and
         # small values coalesce — plain repartition(keys) pins each value
         # to exactly one task, which at 100 TB turns one popular key into
         # one multi-hour straggler writing one giant file
-        out = out.hint("rebalance", *partition_on)
+        out = out.hint("rebalance", *part_cols)
     if sort_partitions_by:
         # row-group stat locality for later min/max skipping
         out = out.sortWithinPartitions(*sort_partitions_by)
     writer = out.write.mode("append")
-    if partition_on:
-        writer = writer.partitionBy(*partition_on)
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     try:
         if table_format == "csv":
             # reference CSV serializer (_csv.py:25-120): no pushdown, types
@@ -161,6 +170,8 @@ def store_dataframe_as_dataset(
         partition_keys=list(partition_on),
         metadata=dict(metadata or {}),
         table_format=table_format,
+        bucket_by=list(bucket_by or []),
+        num_buckets=num_buckets if bucket_by else None,
     )
     _write_files(
         df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets,
@@ -235,7 +246,8 @@ def write_single_partition(
     validate_compatible([manifest.schema, df.schema])
     suffix = ".csv" if manifest.table_format == "csv" else ".parquet"
     before = set(_enumerate_parquet(manifest.data_root, suffix))
-    _write_files(df, manifest.data_root, manifest.partition_keys, None, None, None,
+    _write_files(df, manifest.data_root, manifest.partition_keys, None,
+                 manifest.bucket_by, manifest.num_buckets,
                  table_format=manifest.table_format)
     rel_prefix = os.path.join(dataset_uuid, TABLE)
     return {
@@ -272,7 +284,8 @@ def update_dataset(
         validate_compatible([manifest.schema, df.schema])
         suffix = ".csv" if manifest.table_format == "csv" else ".parquet"
         before = set(_enumerate_parquet(manifest.data_root, suffix))
-        _write_files(df, manifest.data_root, manifest.partition_keys, sort_partitions_by, None, None,
+        _write_files(df, manifest.data_root, manifest.partition_keys, sort_partitions_by,
+                     manifest.bucket_by, manifest.num_buckets,
                      table_format=manifest.table_format)
         rel_prefix = os.path.join(dataset_uuid, TABLE)
         for rel in _enumerate_parquet(manifest.data_root, suffix):
@@ -385,6 +398,8 @@ def copy_dataset(root: str, dataset_uuid: str, target_root: str, target_uuid: st
         partition_keys=list(src.partition_keys),
         metadata=dict(src.metadata),
         table_format=src.table_format,
+        bucket_by=list(src.bucket_by),
+        num_buckets=src.num_buckets,
     )
     for label, entry in src.partitions.items():
         rel = entry["file"]

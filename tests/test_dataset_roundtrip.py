@@ -86,3 +86,42 @@ def test_empty_result_schema(spark, tmp_root, fixture_df):
     got = read_table(spark, tmp_root, "ds", predicates=[[("P", "==", 999)]])
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["P", "L", "TARGET", "DATE"]
+
+
+def test_bucket_pruning(spark, tmp_root):
+    import os
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    store_dataframe_as_dataset(
+        spark, li, tmp_root, "lb",
+        partition_on=["l_returnflag"], bucket_by=["l_orderkey"], num_buckets=4,
+    )
+    m = DatasetManifest.load(tmp_root, "lb")
+    assert m.num_buckets == 4 and m.bucket_by == ["l_orderkey"]
+    all_labels = set(m.partitions)
+    # equality on the bucket column prunes to <= 1 bucket per partition value
+    pruned = dispatch_labels(spark, m, [[("l_orderkey", "==", 7)]])
+    assert 0 < len(pruned) <= len(all_labels) // 4 + 1
+
+    got = read_table(spark, tmp_root, "lb", predicates=[[("l_orderkey", "==", 7)]])
+    want = li.where("l_orderkey = 7")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.select(*got.columns).collect())
+    )
+    # non-equality predicates must NOT bucket-prune
+    assert set(dispatch_labels(spark, m, [[("l_orderkey", ">", 0)]])) == all_labels
+
+    # appends keep the bucket layout (update path reuses the spec)
+    update_dataset(spark, li.limit(50), tmp_root, "lb")
+    got2 = read_table(spark, tmp_root, "lb", predicates=[[("l_orderkey", "==", 7)]])
+    n_dup = li.limit(50).where("l_orderkey = 7").count()
+    assert got2.count() == want.count() + n_dup
+
+    # full unpredicated roundtrip still matches (bucket col never leaks)
+    full = read_table(spark, tmp_root, "lb")
+    assert set(full.columns) == set(li.columns)
