@@ -218,6 +218,21 @@ def ktk_read_projection(spark, sf_dir):
     )
 
 
+def ktk_bucket_pruned(spark, sf_dir):
+    """Path-encoded hash bucketing (S20): point lookup on the bucket key
+    plans down to one bucket directory per partition value."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from kartothek_spark.dataset.read import read_table
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    li = _t(spark, sf_dir, "lineitem")
+    store_dataframe_as_dataset(
+        spark, li, root, "lb",
+        partition_on=["l_returnflag"], bucket_by=["l_orderkey"], num_buckets=8,
+    )
+    return read_table(spark, root, "lb", predicates=[[("l_orderkey", "==", 7)]])
+
+
 def ktk_update_delete_scope(spark, sf_dir):
     """update_dataset: append + delete_scope in one commit (M4 mutations)."""
     from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
@@ -587,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_by_size": top_parts_by_size,
         "ktk_read_pruned": ktk_read_pruned,
         "ktk_read_projection": ktk_read_projection,
+        "ktk_bucket_pruned": ktk_bucket_pruned,
         "ktk_update_delete_scope": ktk_update_delete_scope,
         "ktk_cube_query": ktk_cube_query,
         "ktk_dispatch_by": ktk_dispatch_by,
@@ -701,6 +717,9 @@ WHERE l_returnflag = 'A' AND l_suppkey = 5 AND l_quantity > 25.0
         "ktk_read_projection": """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+""",
+        "ktk_bucket_pruned": """
+SELECT * FROM lineitem WHERE l_orderkey = 7
 """,
         "ktk_update_delete_scope": f"""
 SELECT o_orderstatus, count(*) AS n,
