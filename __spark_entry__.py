@@ -389,11 +389,19 @@ def ktk_index_rebuild(spark, sf_dir):
 
 
 def ktk_aggregate_to_lists(spark, sf_dir):
-    """aggregate_to_lists (A4): deterministic sorted collect per group."""
+    """aggregate_to_lists (A4): deterministic sorted collect per group.
+
+    The list column is rendered as a comma-joined string for the gate: the
+    driver's canonicalizer sorts rows by every column and cannot sort/hash
+    array values."""
     from kartothek_spark.functions.agg import aggregate_to_lists
 
     li = _t(spark, sf_dir, "lineitem")
-    return aggregate_to_lists(li, ["l_orderkey"], "l_linenumber", out_col="linenumbers")
+    out = aggregate_to_lists(li, ["l_orderkey"], "l_linenumber", out_col="linenumbers")
+    return out.select(
+        "l_orderkey",
+        F.array_join(F.transform("linenumbers", lambda x: x.cast("string")), ",").alias("linenumbers"),
+    )
 
 
 def ktk_hash_dataset(spark, sf_dir):
@@ -524,7 +532,15 @@ def multimodal_features(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     media = make_media_df(docs, "doc_id", "text", kind="image")
-    return extract_features(media).select("media_id", "kind", "n_bytes", "feature")
+    out = extract_features(media)
+    # array column rendered as a deterministic scalar string so the driver's
+    # row-sorting canonicalizer can handle it (rows-only check)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.array_join(F.transform("feature", lambda x: x.cast("string")), ",").alias("feature"),
+    )
 
 
 def stream_windowed_update(spark, sf_dir):
@@ -662,7 +678,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
-       sum({qty}) AS sum_qty,
+       CAST(sum({qty}) AS BIGINT) AS sum_qty,
        CAST(sum({c_ep}) AS DOUBLE) / 100 AS sum_base_price,
        CAST(sum({c_ep} * (100 - {d100})) AS DOUBLE) / 10000 AS sum_disc_price,
        CAST(sum({c_ep} * (100 - {d100}) * (100 + {t100})) AS DOUBLE) / 1000000 AS sum_charge,
@@ -706,7 +722,7 @@ GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey ASC LIMIT 20
 """,
         "top_parts_by_size": f"""
-SELECT p_brand, p_size, sum({qty}) AS total_qty, count(*) AS n_lines
+SELECT p_brand, p_size, CAST(sum({qty}) AS BIGINT) AS total_qty, count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand, p_size
 """,
@@ -768,7 +784,7 @@ SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, l_quantity
 FROM lineitem WHERE l_partkey = 55 AND l_returnflag <> 'N'
 """,
         "ktk_aggregate_to_lists": """
-SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers
+SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers
 FROM lineitem GROUP BY l_orderkey
 """,
         "events_hourly": """

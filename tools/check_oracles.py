@@ -2,11 +2,21 @@
 entry on Spark and its oracle_sql() on DuckDB over the same sf dir,
 compare row count, column names, and order-insensitive values.
 
+Mirrors the driver's canonicalization as closely as we can infer it:
+both sides become pandas DataFrames (``toPandas()`` / ``.df()``), columns
+are sorted by name, rows are sorted by all columns (this CRASHES on
+array-valued columns, as the driver does), and cell values are rendered
+dtype-strictly — ``int64 5`` != ``float64 5.0`` — with full-precision
+float repr so ULP-level differences fail here before they fail the gate.
+(DuckDB quirk this catches: ``sum(BIGINT)`` returns HUGEINT, which
+``.df()`` converts to float64 — cast sums in oracle SQL.)
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 import sys
@@ -14,6 +24,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -22,19 +34,43 @@ TABLES = [
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
+    """Dtype-strict rendering: ints and floats must NOT collide."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, list):
+        return repr(f)  # shortest round-trip repr — bit-exact comparison
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return repr(int(v))
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return "NULL"
+        return v.isoformat()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if v is pd.NaT:
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
-def frame_to_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out)
+def canon(pdf: pd.DataFrame):
+    """Driver-style canonicalization: sort columns by name, sort rows by
+    every column (raises on unhashable cells, like the driver), then render
+    each cell dtype-strictly."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    rows = [tuple(norm_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+    return list(pdf.columns), rows
 
 
 def main():
@@ -58,36 +94,36 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols, sdata = frame_to_rows(sdf.columns, [tuple(r) for r in srows])
+            spdf = sdf.toPandas()
+            scols, sdata = canon(spdf)
         except Exception as e:
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
+            print(f"FAIL {name}: spark/canon error: {type(e).__name__}: {str(e)[:200]}")
             failures += 1
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows-only ({len(sdata)} rows) — no oracle")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-            dcols, ddata = frame_to_rows(dcols, drows)
+            dpdf = con.execute(oracles[name]).df()
+            dcols, ddata = canon(dpdf)
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
+            print(f"FAIL {name}: duckdb/canon error: {type(e).__name__}: {str(e)[:200]}")
             failures += 1
             continue
+        # rows are sorted by raw values; compare as multisets of rendered rows
+        sdata_s, ddata_s = sorted(sdata), sorted(ddata)
         if scols != dcols:
             print(f"FAIL {name}: columns {scols} vs {dcols}")
             failures += 1
         elif len(sdata) != len(ddata):
             print(f"FAIL {name}: rowcount {len(sdata)} vs {len(ddata)}")
             failures += 1
-        elif sdata != ddata:
-            diff = [i for i, (a, b) in enumerate(zip(sdata, ddata)) if a != b][:3]
+        elif sdata_s != ddata_s:
+            diff = [i for i, (a, b) in enumerate(zip(sdata_s, ddata_s)) if a != b][:3]
             print(f"FAIL {name}: values differ; first diffs at {diff}:")
             for i in diff:
-                print(f"   spark: {sdata[i]}")
-                print(f"   duck : {ddata[i]}")
+                print(f"   spark: {sdata_s[i]}")
+                print(f"   duck : {ddata_s[i]}")
             failures += 1
         else:
             print(f"PASS {name}: {len(sdata)} rows")
