@@ -43,12 +43,23 @@ def _cents_sql(expr: str) -> str:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects — read nanos as long and truncate to µs
-    (exactly what DuckDB does natively, so oracles agree)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet stores TIMESTAMP(NANOS). Spark ≥4.1 reads it natively
+    as TIMESTAMP_NTZ truncated to µs (exactly DuckDB's behavior); older
+    readers need the nanosAsLong legacy conf + manual µs truncation. Both
+    paths end in a session-tz TIMESTAMP (session tz is UTC) so downstream
+    window/state operators and oracles agree."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = next(f.dataType for f in ev.schema.fields if f.name == "ts")
+    if isinstance(ts_type, T.LongType):
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------

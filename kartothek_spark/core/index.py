@@ -26,6 +26,8 @@ from typing import TYPE_CHECKING, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kartothek_spark.core.urlencode import decode_file_uri_column
+
 if TYPE_CHECKING:
     from kartothek_spark.core.manifest import DatasetManifest
 
@@ -65,9 +67,10 @@ def _pairs_df(spark: SparkSession, manifest: "DatasetManifest", column: str, lab
         .parquet(*files)
         .select(
             F.col(column),
-            # input_file_name() yields a file:///… URI — normalize to a
-            # plain absolute path so it joins against the manifest mapping
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias("file_path"),
+            # input_file_name() yields a percent-encoded file:///… URI —
+            # decode to the on-disk path so it joins against the manifest
+            # mapping even when partition values contain ':'/' '/'%'
+            decode_file_uri_column(F.input_file_name()).alias("file_path"),
         )
         .where(F.col(column).isNotNull())
     )

@@ -136,6 +136,54 @@ def predicates_to_column(predicates: Predicates) -> Column:
     return reduce(operator.or_, conj_cols)
 
 
+def _coerce_literal(value: Any, dt: T.DataType) -> Any:
+    """Schema-aware literal normalization (reference
+    ``serialization/_generic.py`` ``_handle_timelike_values`` +
+    ``_ensure_type_stability``): ISO strings become typed date/datetime
+    against datelike columns, ints widen to float against float columns.
+    Exact coercions only — anything else is returned unchanged and left to
+    the strict type validator."""
+    import datetime
+
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, str):
+        if isinstance(dt, T.DateType):
+            return datetime.date.fromisoformat(value)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return datetime.datetime.fromisoformat(value.replace(" ", "T"))
+    if isinstance(value, int) and isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(value)
+    return value
+
+
+def coerce_predicate_literals(
+    predicates: Predicates | None, schema: T.StructType
+) -> Predicates | None:
+    """Normalize every literal in the DNF against the schema so that both
+    the driver-side planner evaluation (``evaluate_predicates_py`` over
+    typed partition values) and the Catalyst pushdown see typed literals.
+    Without this, a string literal like ``"2020-01-01"`` on a
+    date-partitioned column silently matches nothing driver-side (str vs
+    datetime.date is never ``==``) while Spark would happily cast it."""
+    if predicates is None:
+        return None
+    by_name = {f.name: f.dataType for f in schema.fields}
+    out = []
+    for conj in predicates:
+        new_conj = []
+        for col, op, value in conj:
+            dt = by_name.get(col)
+            if dt is None:
+                new_conj.append((col, op, value))
+            elif op == "in":
+                new_conj.append((col, op, [_coerce_literal(v, dt) for v in value]))
+            else:
+                new_conj.append((col, op, _coerce_literal(value, dt)))
+        out.append(new_conj)
+    return out
+
+
 def validate_predicate_types(predicates: Predicates | None, schema: T.StructType) -> None:
     """Strict literal type checks against the schema (reference P3,
     ``_generic.py:353-418``) — applied before compiling to Columns."""

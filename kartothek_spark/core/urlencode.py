@@ -28,6 +28,25 @@ def partition_dirname(keys: list[str], values: list[Any]) -> str:
     return "/".join(f"{k}={quote(v)}" for k, v in zip(keys, values))
 
 
+def decode_file_uri_column(col):
+    """Runtime file path (``input_file_name()`` / ``_metadata.file_path``)
+    → plain filesystem path, as a Spark Column.
+
+    Spark reports scan paths as ``file:``-scheme URIs with URI percent
+    encoding applied ON TOP of whatever bytes are on disk — a partition dir
+    like ``d=2020-01-01%2010%3A00`` (our hive quoting) arrives as
+    ``d=2020-01-01%252010%253A00`` and a literal space as ``%20``. Joining
+    that raw string against ``os.path.abspath(manifest.file_path(lbl))``
+    silently drops every file whose path contains URI-special bytes, which
+    corrupts secondary indices and last-wins lineage. One ``url_decode``
+    undoes exactly the URI layer. ``url_decode`` follows www-form semantics
+    ('+' → space), so literal '+' is protected first."""
+    from pyspark.sql import functions as F
+
+    path = F.regexp_replace(col, "^file:/+", "/")
+    return F.url_decode(F.regexp_replace(path, r"\+", "%2B"))
+
+
 def parse_partition_values(label: str, partition_keys: list[str]) -> dict[str, str]:
     """Parse ``K=V`` segments out of a partition label (string values;
     typed casting is applied later against the dataset schema)."""

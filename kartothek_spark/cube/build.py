@@ -236,13 +236,16 @@ def remove_partitions(spark: SparkSession, cube: Cube, root: str, conditions, da
             update_dataset(spark, None, root, cube.ktk_dataset_uuid(name), delete_scope=scopes)
 
 
-def copy_cube(cube: Cube, root: str, target_root: str) -> dict[str, DatasetManifest]:
+def copy_cube(
+    cube: Cube, root: str, target_root: str, spark: SparkSession | None = None
+) -> dict[str, DatasetManifest]:
     """Copy every member dataset to another store (reference ``copy_cube``
-    io/eager_cube.py:461-558) — manifests rewritten by copy_dataset."""
+    io/eager_cube.py:461-558) — manifests rewritten by copy_dataset. With a
+    SparkSession the file copy runs as one distributed job per dataset."""
     from kartothek_spark.dataset.write import copy_dataset
 
     return {
-        name: copy_dataset(root, manifest.dataset_uuid, target_root)
+        name: copy_dataset(root, manifest.dataset_uuid, target_root, spark=spark)
         for name, manifest in discover_datasets(cube, root).items()
     }
 

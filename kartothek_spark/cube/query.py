@@ -40,6 +40,7 @@ from kartothek_spark.core.predicates import (
     filter_predicates_by_column,
     predicates_to_column,
 )
+from kartothek_spark.core.urlencode import decode_file_uri_column
 from kartothek_spark.cube.build import discover_datasets, get_cube_payload
 from kartothek_spark.dataset.read import dispatch_labels
 
@@ -73,7 +74,7 @@ def _read_with_lineage(
     by_name = {f.name: f.dataType for f in manifest.schema.fields}
     df = df.select(
         *[F.col(c).cast(by_name[c]).alias(c) for c in columns],
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("__ktk_path"),
+        decode_file_uri_column(F.col("_metadata.file_path")).alias("__ktk_path"),
         F.col("_metadata.row_index").alias("__ktk_row"),
     )
     return df.join(F.broadcast(ord_df), "__ktk_path").drop("__ktk_path")

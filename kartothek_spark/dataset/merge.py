@@ -61,14 +61,31 @@ def merge_datasets(
 ) -> DataFrame:
     """Join two managed datasets on shared columns after per-side pruned
     reads. Each side is pre-pruned with the column-restricted WEAKENING of
-    the DNF (sound: dropping literals only widens a conjunction), and the
-    full DNF is re-applied to the joined frame for exact semantics."""
+    the DNF (sound: dropping literals only widens a conjunction); for inner
+    joins the full DNF is re-applied to the joined frame for exact
+    semantics. For outer joins a post-join re-filter would silently drop
+    unmatched rows (their other-side columns are NULL, so any literal on
+    them is false) — predicates referencing the nullable side are rejected
+    instead of degenerating the join to inner semantics."""
+    from kartothek_spark.core.predicates import columns_in_predicates, predicates_to_column
+
     left = read_table(spark, root, left_uuid, predicates=_side(predicates, root, left_uuid))
     right = read_table(spark, root, right_uuid, predicates=_side(predicates, root, right_uuid))
     out = left.join(right, list(on), how)
     if predicates is not None:
-        from kartothek_spark.core.predicates import predicates_to_column
-
+        nullable_cols: set[str] = set()
+        join_keys = set(on)
+        if how in ("left", "left_outer", "full", "outer", "full_outer"):
+            nullable_cols |= set(right.columns) - join_keys
+        if how in ("right", "right_outer", "full", "outer", "full_outer"):
+            nullable_cols |= set(left.columns) - join_keys
+        clash = columns_in_predicates(predicates) & nullable_cols
+        if clash:
+            raise ValueError(
+                f"predicates on {sorted(clash)} reference the nullable side of "
+                f"a {how!r} join — the filter would drop unmatched rows; "
+                "filter that side before the merge or use an inner join"
+            )
         out = out.where(predicates_to_column(predicates))
     return out
 

@@ -33,6 +33,7 @@ from kartothek_spark.core.manifest import DatasetManifest
 from kartothek_spark.core.predicates import (
     Predicates,
     check_predicates,
+    coerce_predicate_literals,
     predicates_to_column,
     validate_predicate_types,
 )
@@ -50,6 +51,9 @@ def dispatch_labels(
     check_predicates(predicates)
     if predicates is None:
         return sorted(manifest.partitions)
+    # typed literals first (ISO date strings, int→float) so the driver-side
+    # evaluation below compares like against like — then the strict check
+    predicates = coerce_predicate_literals(predicates, manifest.schema)
     validate_predicate_types(predicates, manifest.schema)
 
     surviving: set[str] = set()
@@ -188,6 +192,7 @@ def read_table(
     if filter_query is not None and predicates is not None:
         raise ValueError("filter_query and predicates are mutually exclusive")
     manifest = DatasetManifest.load(root, dataset_uuid)
+    predicates = coerce_predicate_literals(predicates, manifest.schema)
     labels = dispatch_labels(spark, manifest, predicates)
     if not labels:
         return empty_dataframe(spark, manifest, columns)
@@ -229,6 +234,7 @@ def read_dataset_as_iterator(
     :func:`read_table`; this exists for parity with streaming-to-driver
     consumers."""
     manifest = DatasetManifest.load(root, dataset_uuid)
+    predicates = coerce_predicate_literals(predicates, manifest.schema)
     labels = dispatch_labels(spark, manifest, predicates)
     by_name = {f.name: f.dataType for f in manifest.schema.fields}
     out_cols = list(columns) if columns is not None else [f.name for f in manifest.schema.fields]

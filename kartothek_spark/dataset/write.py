@@ -384,9 +384,43 @@ def garbage_collect_dataset(root: str, dataset_uuid: str) -> list[str]:
     return sorted(deleted)
 
 
-def copy_dataset(root: str, dataset_uuid: str, target_root: str, target_uuid: str | None = None) -> DatasetManifest:
+def _copy_files_distributed(spark: "SparkSession", pairs: list[tuple[str, str]]) -> None:
+    """Task-side file copy: the (src, dst) list is parallelized and each
+    task copies its slice — at 100 TB the copy bandwidth is the cluster's,
+    not the driver's. Local-fs copy here; on an object store the same shape
+    holds with the store client in the task."""
+    if not pairs:
+        return
+    n_slices = min(len(pairs), spark.sparkContext.defaultParallelism * 2)
+
+    def _copy(batch):
+        import os as _os
+        import shutil as _shutil
+
+        for s, d in batch:
+            _os.makedirs(_os.path.dirname(d), exist_ok=True)
+            _shutil.copy2(s, d)
+        return []
+
+    spark.sparkContext.parallelize(pairs, n_slices).mapPartitions(
+        lambda it: _copy(it)
+    ).count()
+
+
+def copy_dataset(
+    root: str,
+    dataset_uuid: str,
+    target_root: str,
+    target_uuid: str | None = None,
+    spark: "SparkSession | None" = None,
+) -> DatasetManifest:
     """Copy a dataset with UUID rewrite of manifest + file keys (reference
-    S24, eager.py:946+)."""
+    S24, eager.py:946+). With a SparkSession the data files are copied by a
+    distributed job (the reference copies driver-side; at scale that is the
+    bottleneck, so the Spark form is the default path from copy_cube);
+    without one it falls back to a serial driver copy. The manifest is
+    rewritten and committed on the driver AFTER all files land — commit
+    ordering matches every other mutation (files first, manifest last)."""
     src = DatasetManifest.load(root, dataset_uuid)
     target_uuid = target_uuid or dataset_uuid
     if DatasetManifest.exists(target_root, target_uuid):
@@ -401,22 +435,30 @@ def copy_dataset(root: str, dataset_uuid: str, target_root: str, target_uuid: st
         bucket_by=list(src.bucket_by),
         num_buckets=src.num_buckets,
     )
+    file_pairs: list[tuple[str, str]] = []
     for label, entry in src.partitions.items():
         rel = entry["file"]
         new_rel = rel.replace(dataset_uuid, target_uuid, 1)
-        s, d = os.path.join(root, rel), os.path.join(target_root, new_rel)
-        os.makedirs(os.path.dirname(d), exist_ok=True)
-        shutil.copy2(s, d)
+        file_pairs.append((os.path.join(root, rel), os.path.join(target_root, new_rel)))
         dst.partitions[label] = {"file": new_rel}
     for col, rel in src.indices.items():
         new_rel = rel.replace(dataset_uuid, target_uuid, 1)
         s, d = os.path.join(root, rel), os.path.join(target_root, new_rel)
-        os.makedirs(os.path.dirname(d), exist_ok=True)
         if os.path.isdir(s):
-            shutil.copytree(s, d)
+            # index "file" is a parquet directory — enumerate its files
+            for dirpath, _dirs, files in os.walk(s):
+                for name in files:
+                    full = os.path.join(dirpath, name)
+                    file_pairs.append((full, os.path.join(d, os.path.relpath(full, s))))
         else:
-            shutil.copy2(s, d)
+            file_pairs.append((s, d))
         dst.indices[col] = new_rel
+    if spark is not None:
+        _copy_files_distributed(spark, file_pairs)
+    else:
+        for s, d in file_pairs:
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            shutil.copy2(s, d)
     dst.commit()
     return dst
 

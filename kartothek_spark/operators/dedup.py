@@ -133,21 +133,35 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     df = scale_out(df)
     # staged: tokenize ONCE per row, then shingle from the token array —
-    # never re-run the regex split per shingle position. Persisted because
-    # three consumers need it (signature path + both verification sides);
-    # without the cache the corpus is re-tokenized three times. The
-    # null-text filter runs on the RAW column (pushed to the scan) — a
-    # post-hoc size(__sh)>0 filter would be pushed below the projection
-    # and re-evaluate the whole shingle expression a second time, and it
-    # only ever drops null texts anyway (empty docs shingle to [""]).
+    # never re-run the regex split per shingle position. The null-text
+    # filter runs on the RAW column (pushed to the scan) — a post-hoc
+    # size(__sh)>0 filter would be pushed below the projection and
+    # re-evaluate the whole shingle expression a second time, and it only
+    # ever drops null texts anyway (empty docs shingle to [""]).
+    #
+    # __ck is a 128-bit content key over the shingle set: documents with
+    # identical shingle sets (exact/boilerplate duplicates) collapse to ONE
+    # representative before banding. This is the hot-band skew guard — a
+    # cluster of d identical docs would otherwise put d copies of the same
+    # key into EVERY band and the self-join would shuffle bands·d²/2
+    # candidate rows through distinct(); with representatives the banding
+    # join sees each distinct document once and the (inherently quadratic)
+    # intra-cluster pairs are emitted directly, once, as output. Output is
+    # identical to naive banding: cluster members share all bands and have
+    # jaccard exactly 1 with each other and rep-equal jaccard to outsiders.
     base = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
         .select("__id", shingles_from_tokens(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"))
+        .withColumn("__ck", F.md5(F.concat_ws("\x01", "__sh")))
         .persist()
     )
 
-    hashed = base.select("__id", F.explode("__sh").alias("__s")).select(
+    members = base.select("__id", "__ck")
+    reps = members.groupBy("__ck").agg(F.min("__id").alias("__id"))
+    rep_base = base.join(reps, ["__ck", "__id"])
+
+    hashed = rep_base.select("__id", F.explode("__sh").alias("__s")).select(
         "__id", h60(F.col("__s")).alias("__h")
     )
     sig = hashed.groupBy("__id").agg(
@@ -186,9 +200,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    verified = (
+    a = rep_base.select(F.col("__id").alias("id_a"), F.col("__ck").alias("ck_a"), F.col("__sh").alias("sh_a"))
+    b = rep_base.select(F.col("__id").alias("id_b"), F.col("__ck").alias("ck_b"), F.col("__sh").alias("sh_b"))
+    verified_reps = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
@@ -200,9 +214,41 @@ def minhash_lsh_pairs(
             ),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("ck_a", "ck_b", "jaccard")
     )
-    return verified
+
+    # expand verified representative pairs to all member cross-pairs
+    ma = members.select(F.col("__ck").alias("ck_a"), F.col("__id").alias("ia"))
+    mb = members.select(F.col("__ck").alias("ck_b"), F.col("__id").alias("ib"))
+    cross = (
+        verified_reps.join(ma, "ck_a")
+        .join(mb, "ck_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-cluster pairs: identical shingle sets → jaccard exactly 1
+    # (NULL for empty sets, matching 0/0 in the naive form — then filtered)
+    il, ir = members.alias("il"), members.alias("ir")
+    intra = (
+        il.join(ir, (F.col("il.__ck") == F.col("ir.__ck")) & (F.col("il.__id") < F.col("ir.__id")))
+        .join(base.select(F.col("__ck"), F.size("__sh").alias("__n")).dropDuplicates(["__ck"]), "__ck")
+        .select(
+            F.col("il.__id").alias("id_a"),
+            F.col("ir.__id").alias("id_b"),
+            F.when(F.col("__n") > 0, F.lit(1.0)).otherwise(F.lit(None).cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    verified = cross.unionByName(intra)
+    # deterministic cleanup: materialize the (small) pair set and release
+    # the cached corpus projection — a lazy return would otherwise leak the
+    # persisted frame into the caller's session forever
+    out = verified.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def minhash_lsh_pairs_sql(
@@ -436,7 +482,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
-    return (
+    result = (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -450,6 +496,11 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # deterministic cleanup: materialize the (small) pair set, release the
+    # cached inverted index (lazy return would leak the cache forever)
+    out = result.localCheckpoint(eager=True)
+    inv.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs_sql(

@@ -131,43 +131,86 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    blocks: int | None = None,
+    target_block_rows: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
 
-    Exact all-pairs semantics, block-broadcast execution: the corpus
-    matrix is broadcast once; each streamed Arrow batch computes one
-    integer matmul against it. Per-pair cost is a fused numpy op, not an
-    expression-tree eval. At scale, bucket first (LSH) and run this
-    within buckets."""
+    Exact all-pairs semantics, distributed block-matrix execution — the
+    corpus is never collected to the driver. The corpus hash-splits into
+    ``B`` id-blocks; every unordered block pair ``(x <= y)`` becomes one
+    shuffle group whose members arrive tagged side ``a`` (block x) / ``b``
+    (block y), and ``applyInPandas`` runs ONE int64 numpy matmul per
+    group. Each row is replicated exactly B times (once per block pair it
+    participates in), so shuffle volume is N·B while compute stays the
+    inherent N²/2 — B ≈ N / ``target_block_rows`` keeps every task's
+    matmul at ~1k×1k and the B(B+1)/2 groups spread across the cluster.
+    All-pairs is inherently quadratic; beyond ~1e7 rows compose
+    :func:`lsh_bucket` first and run this within buckets."""
+    import math
+
     import numpy as np
 
-    spark = df.sparkSession
-    ids, M = _quantized_matrix(df, id_col, vec_col)
-    norms = (M * M).sum(axis=1)
-    bc = spark.sparkContext.broadcast((ids, M, norms))
+    if blocks is None:
+        blocks = max(1, math.ceil(df.count() / target_block_rows))
 
-    def gen(batches: Iterator) -> Iterator:
+    qdf = scale_out(df).select(
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col)).alias("q"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("__blk"),
+    )
+    # side a: block x participates in every pair (x, y>=x); side b: (x<y, y).
+    # The self pair (x, x) carries only side-a rows — the kernel takes the
+    # strict upper triangle there, so no pair is emitted twice.
+    a = qdf.select(
+        "id", "q",
+        F.col("__blk").alias("__bx"),
+        F.explode(F.sequence(F.col("__blk"), F.lit(blocks - 1))).alias("__by"),
+        F.lit("a").alias("side"),
+    )
+    b = qdf.where(F.col("__blk") > 0).select(
+        "id", "q",
+        F.explode(F.sequence(F.lit(0), F.col("__blk") - 1)).alias("__bx"),
+        F.col("__blk").alias("__by"),
+        F.lit("b").alias("side"),
+    )
+    tagged = a.unionByName(b)
+
+    def kernel(key, pdf):
         import pandas as pd
 
-        b_ids, b_M, b_norms = bc.value
-        sq = np.sqrt(b_norms.astype("float64"))
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = np.array([np.asarray(q, dtype="int64") for q in pdf["q"]], dtype="int64")
-            q_ids = pdf["id"].to_numpy(dtype="int64")
-            G = Q @ b_M.T  # exact int64
-            qn = np.sqrt((Q * Q).sum(axis=1).astype("float64"))
-            cos = np.round(G.astype("float64") / (qn[:, None] * sq[None, :]), 6)
-            ii, jj = np.where((cos >= threshold) & (q_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame({
-                "id_a": q_ids[ii],
-                "id_b": b_ids[jj],
-                "cos_sim": cos[ii, jj],
-            })
+        x, y = key
 
-    qdf = scale_out(df).select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
-    return qdf.mapInPandas(gen, _PAIR_SCHEMA)
+        def mat(part):
+            ids = part["id"].to_numpy(dtype="int64")
+            M = np.array([np.asarray(q, dtype="int64") for q in part["q"]], dtype="int64")
+            return ids, M, np.sqrt((M * M).sum(axis=1).astype("float64"))
+
+        empty = pd.DataFrame({"id_a": np.array([], dtype="int64"),
+                              "id_b": np.array([], dtype="int64"),
+                              "cos_sim": np.array([], dtype="float64")})
+        A = pdf[pdf["side"] == "a"]
+        if x == y:
+            if len(A) < 2:
+                return empty
+            ids, M, n = mat(A)
+            cos = np.round((M @ M.T).astype("float64") / (n[:, None] * n[None, :]), 6)
+            ii, jj = np.where((cos >= threshold) & (ids[:, None] < ids[None, :]))
+            left, right = ids[ii], ids[jj]
+        else:
+            Bp = pdf[pdf["side"] == "b"]
+            if len(A) == 0 or len(Bp) == 0:
+                return empty
+            a_ids, Am, an = mat(A)
+            b_ids, Bm, bn = mat(Bp)
+            cos = np.round((Am @ Bm.T).astype("float64") / (an[:, None] * bn[None, :]), 6)
+            ii, jj = np.where(cos >= threshold)
+            # ids are globally unique and blocks are id-disjoint — order only
+            left = np.minimum(a_ids[ii], b_ids[jj])
+            right = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": left, "id_b": right, "cos_sim": cos[ii, jj]})
+
+    return tagged.groupBy("__bx", "__by").applyInPandas(kernel, _PAIR_SCHEMA)
 
 
 def embedding_dup_pairs_sql(

@@ -85,7 +85,7 @@ def test_copy_cube(spark, tmp_root, tmp_path):
     seed = spark.createDataFrame([Row(x=i, p=i % 2, v=i) for i in range(6)])
     build_cube(spark, {"seed": seed}, cube, tmp_root)
     target = str(tmp_path / "target")
-    copied = copy_cube(cube, tmp_root, target)
+    copied = copy_cube(cube, tmp_root, target, spark=spark)
     assert set(copied) == {"seed"}
     assert set(discover_datasets(cube, target)) == {"seed"}
     got = query_cube(spark, cube, target)

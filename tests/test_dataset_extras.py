@@ -141,7 +141,7 @@ def test_copy_preserves_table_format(spark, tmp_root):
     store_dataframe_as_dataset(
         spark, region, tmp_root, "rc", partition_on=["r_regionkey"], table_format="csv"
     )
-    copy_dataset(tmp_root, "rc", tmp_root, "rc2")
+    copy_dataset(tmp_root, "rc", tmp_root, "rc2", spark=spark)
     got = read_table(spark, tmp_root, "rc2")
     assert got.count() == region.count()
     assert {f.name for f in got.schema.fields} == {f.name for f in region.schema.fields}

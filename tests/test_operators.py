@@ -162,3 +162,63 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
         assert -1.0 <= r.cos_sim <= 1.0
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_minhash_duplicate_cluster_bounded_candidates(spark):
+    """Hot-band skew guard: a large exact-duplicate cluster must reach the
+    banding self-join as ONE representative (not d copies per band), while
+    the output still contains every intra-cluster pair at jaccard 1.0 plus
+    cross-cluster near-dup pairs."""
+    from kartothek_spark.operators.dedup import minhash_lsh_pairs
+
+    d = 200
+    boiler = "subscribe to our newsletter for daily updates about the weather"
+    rows = [Row(doc_id=i, text=boiler) for i in range(d)]
+    rows.append(Row(doc_id=d, text=boiler + " today"))  # near-dup of the cluster
+    rows.append(Row(doc_id=d + 1, text="entirely unrelated content about spark plans"))
+    docs = spark.createDataFrame(rows)
+
+    out = minhash_lsh_pairs(docs, threshold=0.3).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    # all d*(d-1)/2 intra-cluster pairs at exactly 1.0
+    intra = [(a, b) for (a, b) in pairs if a < d and b < d]
+    assert len(intra) == d * (d - 1) // 2
+    assert all(pairs[p] == 1.0 for p in intra)
+    # the near-dup pairs with EVERY cluster member at the same jaccard
+    near = sorted((a, b) for (a, b) in pairs if b == d)
+    assert len(near) == d
+    assert len({pairs[p] for p in near}) == 1
+    # unrelated doc never pairs
+    assert all(d + 1 not in p for p in pairs)
+
+
+def test_embedding_dup_pairs_blocked_equals_single_block(spark):
+    """Block-matrix all-pairs must be EXACT: multi-block output equals the
+    single-block (trivially exact) output, regardless of how ids hash into
+    blocks — and the corpus never hits the driver."""
+    import random
+
+    from kartothek_spark.operators.similarity import embedding_dup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in base]))
+        # planted near-dup: tiny perturbation keeps cos >= 0.95
+        rows.append(
+            Row(
+                vec_id=1000 + i,
+                embedding=[float(x + rng.uniform(-0.01, 0.01)) for x in base],
+            )
+        )
+    df = spark.createDataFrame(rows)
+
+    def pairs(blocks):
+        out = embedding_dup_pairs(df, threshold=0.9, blocks=blocks).collect()
+        return sorted((r.id_a, r.id_b, r.cos_sim) for r in out)
+
+    exact = pairs(1)
+    assert len(exact) >= 60  # every planted pair found
+    assert pairs(5) == exact
+    assert pairs(13) == exact

@@ -16,14 +16,10 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def event_stream_dir(spark, tmp_path_factory):
+    from __spark_entry__ import _events
+
     base = tmp_path_factory.mktemp("evstream")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "ts")
-        .where(F.col("user_id") < 50)
-    )
+    ev = _events(spark, SF_DIR).select("user_id", "ts").where(F.col("user_id") < 50)
     # two chronological halves → two micro-batches (sessions can span them)
     mid = ev.approxQuantile("user_id", [0.5], 0)[0]
     src = str(base / "src")
