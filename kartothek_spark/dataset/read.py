@@ -22,7 +22,7 @@ metapartition.py:735-884 in /root/reference) Spark-first:
 from __future__ import annotations
 
 import os
-from typing import Sequence
+from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,9 +94,13 @@ def dispatch_labels(
 def _prune_buckets(spark: SparkSession, manifest: DatasetManifest, conj, labels: set) -> set:
     """Bucket pruning (reference S20 hash-bucketing made prunable): when a
     conjunction pins EVERY bucket_by column with a non-null equality, only
-    the literal's hash bucket can contain matching rows — one tiny job
-    computes the bucket with the same JVM xxhash64 the writer used, then
-    the path-encoded bucket id filters the label set driver-side."""
+    the literal's hash bucket can contain matching rows — the bucket id is
+    computed on the driver with a pure-Python XXH64 bit-exact to the JVM
+    ``xxhash64`` the writer used (no Spark job on the planning path; a
+    point lookup plans in microseconds), then the path-encoded bucket id
+    filters the label set driver-side. Types the Python hash can't render
+    fall back to a one-row Spark job."""
+    from kartothek_spark.core.xxhash import UnsupportedXxhashType, spark_pmod_xxhash64
     from kartothek_spark.dataset.write import BUCKET_COL
 
     if not manifest.num_buckets or not labels:
@@ -105,16 +109,23 @@ def _prune_buckets(spark: SparkSession, manifest: DatasetManifest, conj, labels:
     if not all(c in eqs for c in manifest.bucket_by):
         return labels
     by_name = {f.name: f.dataType for f in manifest.schema.fields}
-    bucket = (
-        spark.range(1)
-        .select(
-            F.pmod(
-                F.xxhash64(*[F.lit(eqs[c]).cast(by_name[c]) for c in manifest.bucket_by]),
-                F.lit(manifest.num_buckets),
-            ).alias("b")
+    try:
+        bucket = spark_pmod_xxhash64(
+            [eqs[c] for c in manifest.bucket_by],
+            [by_name[c] for c in manifest.bucket_by],
+            manifest.num_buckets,
         )
-        .first()["b"]
-    )
+    except UnsupportedXxhashType:
+        bucket = (
+            spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(*[F.lit(eqs[c]).cast(by_name[c]) for c in manifest.bucket_by]),
+                    F.lit(manifest.num_buckets),
+                ).alias("b")
+            )
+            .first()["b"]
+        )
     prefix = f"{BUCKET_COL}="
     out = set()
     for lbl in labels:
@@ -173,6 +184,7 @@ def read_table(
     dispatch_by: Sequence[str] | None = None,
     filter_query: str | None = None,
     index_on: str | None = None,
+    label_filter=None,
 ) -> DataFrame:
     """Materialize a dataset as ONE DataFrame (reference S8 ``read_table``).
 
@@ -188,12 +200,19 @@ def read_table(
     ``index_on`` ≈ the reference's ``dask_index_on`` (S12,
     io/dask/dataframe.py:160-167): range-partition + sort the result by one
     column so downstream per-key work is co-located and ordered.
+
+    ``label_filter`` is the reference's ``label_filter`` read parameter
+    (U4, io/eager.py:352): a ``str -> bool`` callable applied to the
+    surviving partition labels before the scan — a driver-side escape
+    hatch for callers that encode meaning into labels.
     """
     if filter_query is not None and predicates is not None:
         raise ValueError("filter_query and predicates are mutually exclusive")
     manifest = DatasetManifest.load(root, dataset_uuid)
     predicates = coerce_predicate_literals(predicates, manifest.schema)
     labels = dispatch_labels(spark, manifest, predicates)
+    if label_filter is not None:
+        labels = [lbl for lbl in labels if label_filter(lbl)]
     if not labels:
         return empty_dataframe(spark, manifest, columns)
 
@@ -218,6 +237,80 @@ def read_table(
     if index_on:
         df = df.repartitionByRange(F.col(index_on)).sortWithinPartitions(index_on)
     return df
+
+
+def read_dataset_dispatched(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    dispatch_by: Sequence[str],
+    predicates: Predicates | None = None,
+    columns: Sequence[str] | None = None,
+):
+    """Per-group dispatched read with an attached logical conjunction —
+    the reference's ``dispatch_by`` plan-time form (P10,
+    io_components/read.py:132-164, metapartition.py:103-114): one logical
+    group per distinct value-combination of ``dispatch_by``, each realized
+    as its OWN pruned read whose predicates are the caller's DNF AND-ed
+    with the group's ``[(col, ==, value)]`` restriction. Yields
+    ``(group_values_dict, conjunction, DataFrame)`` in sorted group order.
+
+    ``dispatch_by`` columns must be partition keys or secondary-indexed —
+    group discovery is metadata-only (labels / index values), never a data
+    scan; each group's DataFrame then plans with the conjunction visible
+    to the file pruner AND Catalyst (partition + row-group pruning per
+    group)."""
+    from kartothek_spark.core.index import index_as_dataframe
+
+    manifest = DatasetManifest.load(root, dataset_uuid)
+    predicates = coerce_predicate_literals(predicates, manifest.schema)
+    base_labels = set(dispatch_labels(spark, manifest, predicates))
+    if not base_labels:
+        return
+
+    # group values per label, metadata-only
+    per_label: dict[str, dict[str, Any]] = {lbl: {} for lbl in base_labels}
+    for col in dispatch_by:
+        if col in manifest.partition_keys:
+            for lbl in base_labels:
+                per_label[lbl][col] = manifest.partition_values(lbl)[col]
+        elif col in manifest.indices:
+            rows = (
+                index_as_dataframe(spark, manifest, col)
+                .where(F.col("label").isin(list(base_labels)))
+                .collect()
+            )
+            values_by_label: dict[str, list] = {}
+            for r in rows:
+                values_by_label.setdefault(r.label, []).append(r.value)
+            for lbl in base_labels:
+                per_label[lbl][col] = values_by_label.get(lbl, [])
+        else:
+            raise ValueError(
+                f"dispatch_by column {col!r} is neither a partition key nor "
+                "secondary-indexed — group discovery would need a data scan"
+            )
+
+    # expand to (group tuple) -> labels; an indexed column can map one
+    # label to several groups (the per-group conjunction re-filters rows)
+    groups: dict[tuple, set[str]] = {}
+
+    def _expand(lbl: str, cols: list[str], acc: tuple) -> None:
+        if not cols:
+            groups.setdefault(acc, set()).add(lbl)
+            return
+        v = per_label[lbl][cols[0]]
+        for value in v if isinstance(v, list) else [v]:
+            _expand(lbl, cols[1:], acc + (value,))
+
+    for lbl in base_labels:
+        _expand(lbl, list(dispatch_by), ())
+
+    for values in sorted(groups):
+        conj = [(c, "==", v) for c, v in zip(dispatch_by, values)]
+        preds_g = [list(base) + conj for base in (predicates or [[]])]
+        df = read_table(spark, root, dataset_uuid, predicates=preds_g, columns=columns)
+        yield dict(zip(dispatch_by, values)), conj, df
 
 
 def read_dataset_as_iterator(

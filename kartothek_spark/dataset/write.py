@@ -147,10 +147,14 @@ def store_dataframe_as_dataset(
     metadata: dict[str, Any] | None = None,
     overwrite: bool = False,
     table_format: str = "parquet",
+    storage_format: str = "json",
 ) -> DatasetManifest:
     """Write a DataFrame as a new dataset (reference S13/S14/S16).
     ``table_format="csv"`` selects the CSV serializer (reference S3) —
-    no pushdown, no secondary indices, schema restored from the manifest."""
+    no pushdown, no secondary indices, schema restored from the manifest.
+    ``storage_format="zstd"`` commits a zstd-compressed manifest (the
+    reference's msgpack.zstd metadata codec; the scale choice when
+    partition counts reach millions)."""
     dataset_uuid = dataset_uuid or new_uuid()
     if DatasetManifest.exists(root, dataset_uuid):
         if not overwrite:
@@ -172,6 +176,7 @@ def store_dataframe_as_dataset(
         table_format=table_format,
         bucket_by=list(bucket_by or []),
         num_buckets=num_buckets if bucket_by else None,
+        storage_format=storage_format,
     )
     _write_files(
         df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets,
@@ -350,12 +355,15 @@ def commit_dataset(
 def delete_dataset(root: str, dataset_uuid: str) -> None:
     """Delete files then metadata — reverse commit order (reference S22),
     so a crash mid-delete never leaves a manifest pointing at nothing."""
+    from kartothek_spark.core.manifest import METADATA_SUFFIX, METADATA_SUFFIX_ZST
+
     data_dir = os.path.join(root, dataset_uuid)
     if os.path.isdir(data_dir):
         shutil.rmtree(data_dir)
-    manifest_path = os.path.join(root, dataset_uuid + ".by-dataset-metadata.json")
-    if os.path.exists(manifest_path):
-        os.unlink(manifest_path)
+    for suffix in (METADATA_SUFFIX, METADATA_SUFFIX_ZST):
+        manifest_path = os.path.join(root, dataset_uuid + suffix)
+        if os.path.exists(manifest_path):
+            os.unlink(manifest_path)
 
 
 def garbage_collect_dataset(root: str, dataset_uuid: str) -> list[str]:
@@ -372,6 +380,11 @@ def garbage_collect_dataset(root: str, dataset_uuid: str) -> list[str]:
     data_dir = os.path.join(root, dataset_uuid)
     for dirpath, _dirs, files in os.walk(data_dir):
         for name in files:
+            # '.'/'_' files are Hadoop-invisible bookkeeping (.crc
+            # checksums, committer markers) — never payload, and their
+            # count varies with task parallelism; leave them alone
+            if name.startswith((".", "_")):
+                continue
             full = os.path.join(dirpath, name)
             rel = os.path.normpath(os.path.relpath(full, root))
             if rel not in referenced and not rel.startswith(referenced_prefixes):
@@ -434,6 +447,7 @@ def copy_dataset(
         table_format=src.table_format,
         bucket_by=list(src.bucket_by),
         num_buckets=src.num_buckets,
+        storage_format=src.storage_format,
     )
     file_pairs: list[tuple[str, str]] = []
     for label, entry in src.partitions.items():

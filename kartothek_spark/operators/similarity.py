@@ -312,26 +312,29 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
 # LSH bucketing (approximate scale path)
 # ---------------------------------------------------------------------------
 
-def _plane_weight(p: int, j: int) -> float:
+def _plane_weight(p: int, j: int, table: int = 0) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    the Python rendering of ``(h60('<p>,<j>') / H60_MAX) * 2 - 1``. The
+    the Python rendering of ``(h60('<t>,<p>,<j>') / H60_MAX) * 2 - 1``. The
     planes are CONSTANTS — embedded as literals in both engines, never
-    per-row hash expressions."""
+    per-row hash expressions. ``table`` seeds independent plane sets for
+    multi-table (OR-amplified) LSH."""
     import hashlib
 
-    h = int(hashlib.md5(f"{p},{j}".encode()).hexdigest()[:15], 16)
+    key = f"{p},{j}" if table == 0 else f"{table},{p},{j}"
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
     return (h / float((1 << 60) - 1)) * 2.0 - 1.0
 
 
-def lsh_bucket(vec: Column, dim: int, planes: int = LSH_PLANES) -> Column:
+def lsh_bucket(vec: Column, dim: int, planes: int = LSH_PLANES, table: int = 0) -> Column:
     """Sign-bucket id: bit p = (vec · plane_p) >= 0. Integer in
     [0, 2^planes); plane weights are literal constant arrays folded with
     ``zip_with``. Only the SIGN of the dot matters, so float summation
     order can flip a bucket only for vectors numerically ON a plane —
-    the approximate contract absorbs that."""
+    the approximate contract absorbs that. ``table`` selects an
+    independent plane set."""
     total = F.lit(0).cast("long")
     for p in range(planes):
-        plane = F.array(*[F.lit(_plane_weight(p, j)) for j in range(dim)])
+        plane = F.array(*[F.lit(_plane_weight(p, j, table)) for j in range(dim)])
         d = F.aggregate(
             F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -363,25 +366,46 @@ def lsh_topk(
     k: int = 5,
     dim: int = 64,
     planes: int = LSH_PLANES,
+    tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket; exact
-    fixed-point cosine rank within candidates. The scale path — the join
-    key is the bucket id, so the N×Q cross-join never materializes."""
-    c = scale_out(df).select(
-        F.col(id_col).alias("neighbor_id"),
-        quantize(F.col(vec_col)).alias("__cq"),
-        lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
+    """Approximate top-k via multi-table (OR-amplified) random-hyperplane
+    LSH: ``tables`` independent plane sets each bucket the corpus into
+    2^``planes`` cells; a candidate is any corpus vector sharing the
+    query's bucket in AT LEAST ONE table, and exact fixed-point cosine
+    ranks the deduplicated candidates. One table's miss probability for a
+    cos-0.95 pair is ~1-(1-θ/π)^planes ≈ 0.57 at 8 planes; eight tables
+    drive it to 0.57^8 ≈ 1%. The scale path — the join key is (table,
+    bucket), the corpus is scanned once producing ``tables`` index rows
+    per vector, and the N×Q cross-join never materializes."""
+    tbl_buckets = lambda col: F.array(  # noqa: E731
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(col, dim, planes, table=t).alias("b"),
+            )
+            for t in range(tables)
+        ]
+    )
+    c = (
+        scale_out(df)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize(F.col(vec_col)).alias("__cq"),
+            F.explode(tbl_buckets(F.col(vec_col))).alias("__tb"),
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         quantize(F.col(vec_col)).alias("__qq"),
-        lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
+        F.explode(tbl_buckets(F.col(vec_col))).alias("__tb"),
     )
     sims = (
-        c.join(F.broadcast(q), "__bucket")
+        c.join(F.broadcast(q), "__tb")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qq", "__cq")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
         .select(
             "query_id",
             "neighbor_id",

@@ -181,3 +181,105 @@ def test_merge_datasets_with_func(spark, tmp_root):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
     assert a == b
+
+
+def test_zstd_manifest_roundtrip(spark, tmp_root):
+    """storage_format='zstd': compressed manifest commits atomically, loads
+    transparently, survives mutations and copies, and is smaller than the
+    JSON form of the same dataset."""
+    import os
+
+    from kartothek_spark.core.manifest import (
+        METADATA_SUFFIX,
+        METADATA_SUFFIX_ZST,
+        DatasetManifest,
+        list_datasets,
+    )
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import (
+        copy_dataset,
+        store_dataframe_as_dataset,
+        update_dataset,
+    )
+    from tests.conftest import SF_DIR
+
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    store_dataframe_as_dataset(
+        spark, nation, tmp_root, "nz", partition_on=["n_regionkey"], storage_format="zstd"
+    )
+    store_dataframe_as_dataset(spark, nation, tmp_root, "nj", partition_on=["n_regionkey"])
+    zst = os.path.join(tmp_root, "nz" + METADATA_SUFFIX_ZST)
+    js = os.path.join(tmp_root, "nj" + METADATA_SUFFIX)
+    assert os.path.exists(zst) and not os.path.exists(os.path.join(tmp_root, "nz" + METADATA_SUFFIX))
+    assert os.path.getsize(zst) < os.path.getsize(js)
+    assert set(list_datasets(tmp_root)) >= {"nz", "nj"}
+
+    # loads typed, reads equal
+    m = DatasetManifest.load(tmp_root, "nz")
+    assert m.storage_format == "zstd"
+    assert read_table(spark, tmp_root, "nz").count() == nation.count()
+
+    # mutation preserves the codec
+    update_dataset(spark, None, tmp_root, "nz", delete_scope=[{"n_regionkey": 0}])
+    assert DatasetManifest.load(tmp_root, "nz").storage_format == "zstd"
+    got = read_table(spark, tmp_root, "nz")
+    assert got.where("n_regionkey = 0").count() == 0
+    assert got.count() == nation.where("n_regionkey <> 0").count()
+
+    # copy preserves the codec
+    copy_dataset(tmp_root, "nz", tmp_root, "nz2", spark=spark)
+    assert DatasetManifest.load(tmp_root, "nz2").storage_format == "zstd"
+
+
+def test_label_filter_read(spark, tmp_root):
+    import os
+
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from tests.conftest import SF_DIR
+
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    store_dataframe_as_dataset(spark, nation, tmp_root, "nlf", partition_on=["n_regionkey"])
+    got = read_table(
+        spark, tmp_root, "nlf", label_filter=lambda lbl: "n_regionkey=2" in lbl
+    )
+    want = nation.where("n_regionkey = 2")
+    assert got.count() == want.count() > 0
+    assert {r.n_nationkey for r in got.collect()} == {r.n_nationkey for r in want.collect()}
+
+
+def test_read_dataset_dispatched_per_group_conjunction(spark, tmp_root):
+    """P10: each dispatched group is its own pruned read whose predicates
+    carry the group's [(col,==,val)] conjunction — content must equal a
+    per-value filtered read, and group discovery is metadata-only."""
+    import os
+
+    from kartothek_spark.dataset.read import read_dataset_dispatched, read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from tests.conftest import SF_DIR
+
+    sup = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+    store_dataframe_as_dataset(
+        spark, sup, tmp_root, "sup", partition_on=["s_nationkey"], secondary_indices=["s_suppkey"]
+    )
+    groups = list(
+        read_dataset_dispatched(
+            spark, tmp_root, "sup", ["s_nationkey"], predicates=[[("s_acctbal", ">", 0.0)]]
+        )
+    )
+    assert len(groups) > 1
+    seen = set()
+    for values, conj, df in groups:
+        (nk,) = values.values()
+        assert conj == [("s_nationkey", "==", nk)]
+        want = read_table(
+            spark, tmp_root, "sup",
+            predicates=[[("s_acctbal", ">", 0.0), ("s_nationkey", "==", nk)]],
+        )
+        assert df.count() == want.count()
+        seen.add(nk)
+    total = sum(df.count() for _v, _c, df in groups)
+    assert total == sup.where("s_acctbal > 0.0").count()
+    # dispatch over an INDEXED (non-partition) column also works
+    g2 = list(read_dataset_dispatched(spark, tmp_root, "sup", ["s_suppkey"]))
+    assert sum(df.count() for _v, _c, df in g2) == sup.count()

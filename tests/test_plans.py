@@ -79,3 +79,34 @@ def test_dedup_exact_shuffles_only_narrow_columns(spark):
     ex = [seg for seg in plan.split("Exchange")[1:]]
     assert all("text" not in seg.split("\n")[0] for seg in ex)
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucket_prune_runs_no_spark_job(spark, tmp_root):
+    """Point-lookup planning must not launch a Spark job: the pinned
+    literal's hash bucket is computed driver-side (pure-Python XXH64
+    bit-exact to the writer's xxhash64), and only that bucket's labels
+    survive."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+    from kartothek_spark.dataset.write import BUCKET_COL, store_dataframe_as_dataset
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    store_dataframe_as_dataset(
+        spark, li, tmp_root, "lb", bucket_by=["l_orderkey"], num_buckets=8
+    )
+    m = DatasetManifest.load(tmp_root, "lb")
+
+    key = li.select("l_orderkey").first()[0]
+    sc = spark.sparkContext
+    sc.setJobGroup("bucket-prune-probe", "planning must be job-free")
+    try:
+        labels = dispatch_labels(spark, m, [[("l_orderkey", "==", key)]])
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("bucket-prune-probe") == []
+    assert 0 < len(labels) < len(m.partitions)
+    assert len({seg for l in labels for seg in l.split("/") if seg.startswith(BUCKET_COL)}) == 1
+
+    got = read_table(spark, tmp_root, "lb", predicates=[[("l_orderkey", "==", key)]])
+    want = li.where(F.col("l_orderkey") == key)
+    assert got.count() == want.count()
