@@ -27,8 +27,15 @@ def align_datasets(
     match_how: str = "exact",
 ) -> list[tuple[str, str]]:
     """Pair partition labels of two datasets (reference ``align_datasets``).
-    ``match_how``: 'exact' | 'left' (left labels that prefix-match right) —
-    plus any callable(label_l, label_r) -> bool."""
+    ``match_how``: 'exact' | 'prefix' (either label is a string prefix of
+    the other) — plus any callable(label_l, label_r) -> bool.
+
+    'exact' and 'prefix' are near-linear (set intersection / sorted range
+    scan + per-prefix lookups), so million-partition manifests align
+    without an L×R driver loop; an arbitrary callable is inherently
+    all-pairs and kept only for parity with the reference's hook."""
+    import bisect
+
     left = DatasetManifest.load(root, left_uuid)
     right = DatasetManifest.load(root, right_uuid)
     pairs: list[tuple[str, str]] = []
@@ -36,10 +43,21 @@ def align_datasets(
         shared = sorted(set(left.partitions) & set(right.partitions))
         pairs = [(lbl, lbl) for lbl in shared]
     elif match_how == "prefix":
+        right_sorted = sorted(right.partitions)
+        right_set = set(right_sorted)
         for ll in sorted(left.partitions):
-            for rl in sorted(right.partitions):
-                if rl.startswith(ll) or ll.startswith(rl):
-                    pairs.append((ll, rl))
+            matched = set()
+            # right labels extending ll: contiguous in sort order
+            i = bisect.bisect_left(right_sorted, ll)
+            while i < len(right_sorted) and right_sorted[i].startswith(ll):
+                matched.add(right_sorted[i])
+                i += 1
+            # right labels that are proper prefixes of ll: O(len(ll)) probes
+            for k in range(1, len(ll)):
+                cand = ll[:k]
+                if cand in right_set:
+                    matched.add(cand)
+            pairs.extend((ll, rl) for rl in sorted(matched))
     elif callable(match_how):
         for ll in sorted(left.partitions):
             for rl in sorted(right.partitions):

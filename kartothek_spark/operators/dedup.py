@@ -158,8 +158,13 @@ def minhash_lsh_pairs(
     )
 
     members = base.select("__id", "__ck")
-    reps = members.groupBy("__ck").agg(F.min("__id").alias("__id"))
-    rep_base = base.join(reps, ["__ck", "__id"])
+    # ONE shuffle on the content key: min-id becomes the representative and
+    # any member's shingle array stands in for the (identical) set —
+    # F.first is safe because every row in a __ck group carries the same
+    # __sh by construction
+    rep_base = base.groupBy("__ck").agg(
+        F.min("__id").alias("__id"), F.first("__sh").alias("__sh")
+    ).persist()
 
     hashed = rep_base.select("__id", F.explode("__sh").alias("__s")).select(
         "__id", h60(F.col("__s")).alias("__h")
@@ -229,25 +234,26 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
-    # intra-cluster pairs: identical shingle sets → jaccard exactly 1
-    # (NULL for empty sets, matching 0/0 in the naive form — then filtered)
+    # intra-cluster pairs: identical shingle sets → jaccard exactly 1.
+    # (A shingle set is never empty: the null-text filter ran and empty
+    # docs shingle to [""], so the naive form's 0/0 NULL cannot occur.)
     il, ir = members.alias("il"), members.alias("ir")
-    intra = (
-        il.join(ir, (F.col("il.__ck") == F.col("ir.__ck")) & (F.col("il.__id") < F.col("ir.__id")))
-        .join(base.select(F.col("__ck"), F.size("__sh").alias("__n")).dropDuplicates(["__ck"]), "__ck")
-        .select(
-            F.col("il.__id").alias("id_a"),
-            F.col("ir.__id").alias("id_b"),
-            F.when(F.col("__n") > 0, F.lit(1.0)).otherwise(F.lit(None).cast("double")).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    intra = il.join(
+        ir, (F.col("il.__ck") == F.col("ir.__ck")) & (F.col("il.__id") < F.col("ir.__id"))
+    ).select(
+        F.col("il.__id").alias("id_a"),
+        F.col("ir.__id").alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
     )
+    if threshold > 1.0:
+        intra = intra.where(F.lit(False))
     verified = cross.unionByName(intra)
     # deterministic cleanup: materialize the (small) pair set and release
-    # the cached corpus projection — a lazy return would otherwise leak the
-    # persisted frame into the caller's session forever
+    # the cached frames — a lazy return would otherwise leak them into the
+    # caller's session forever
     out = verified.localCheckpoint(eager=True)
     base.unpersist()
+    rep_base.unpersist()
     return out
 
 
