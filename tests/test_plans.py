@@ -110,3 +110,53 @@ def test_bucket_prune_runs_no_spark_job(spark, tmp_root):
     got = read_table(spark, tmp_root, "lb", predicates=[[("l_orderkey", "==", key)]])
     want = li.where(F.col("l_orderkey") == key)
     assert got.count() == want.count()
+
+
+def test_lsh_topk_joins_on_bucket_key_no_cross_join(spark):
+    """Multi-table LSH must join corpus to queries on the (table, bucket)
+    key — never a cartesian/nested-loop product of corpus x queries."""
+    from kartothek_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 5)
+    plan = _plan(lsh_topk(emb, q, k=3, dim=64, planes=4, tables=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dup_pairs_is_distributed(spark):
+    """Block-matrix all-pairs: the corpus reaches the kernel through a
+    group-by shuffle (FlatMapGroupsInPandas), never a driver collect or a
+    nested-loop join."""
+    from kartothek_spark.operators.similarity import embedding_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = _plan(embedding_dup_pairs(emb, threshold=0.9, blocks=4))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dispatched_group_pushes_conjunction_to_scan(spark, tmp_root):
+    """Each dispatched group's read must push its own [(col,==,val)]
+    restriction into the scan: partition pruning shrinks the file list and
+    content predicates reach PushedFilters."""
+    from kartothek_spark.dataset.read import read_dataset_dispatched
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    store_dataframe_as_dataset(spark, li, tmp_root, "ld", partition_on=["l_returnflag"])
+    groups = list(
+        read_dataset_dispatched(
+            spark, tmp_root, "ld", ["l_returnflag"],
+            predicates=[[("l_quantity", ">", 10.0)]],
+        )
+    )
+    assert len(groups) == 3
+    for values, conj, df in groups:
+        plan = _plan(df)
+        pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+        assert "l_quantity" in pushed  # content literal at the scan
+        # partition pruning: only this group's directory is scanned
+        files = df.inputFiles()
+        assert files and all(f"l_returnflag={values['l_returnflag']}/" in f for f in files)
