@@ -665,6 +665,17 @@ def events_sessionize(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def events_dedup(spark, sf_dir):
+    """stream_dedup_exact, batch form: the shared batch/stream definition
+    degrades to dropDuplicates over the keys (the streaming form is
+    dropDuplicatesWithinWatermark, pinned stream-vs-batch in
+    tests/test_streaming_state.py)."""
+    from kartothek_spark.streaming.update import stream_dedup_exact
+
+    ev = _events(spark, sf_dir)
+    return stream_dedup_exact(ev, ["user_id", "ts"]).select("user_id", "ts")
+
+
 def events_user_value(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
@@ -907,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_cli_lifecycle": ktk_cli_lifecycle,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
+        "events_dedup": events_dedup,
         "events_user_value": events_user_value,
         "text_analyze": text_analyze,
         "dedup_exact": dedup_exact,
@@ -1133,6 +1145,9 @@ WITH marked AS (
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
 FROM numbered GROUP BY user_id, session_seq
+""",
+        "events_dedup": """
+SELECT DISTINCT user_id, ts FROM events
 """,
         "events_user_value": f"""
 SELECT user_id, event_type, count(*) AS n,

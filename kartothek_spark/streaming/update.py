@@ -173,3 +173,25 @@ def sessionize(
         )
         .withColumn("session_seq", F.col("session_seq").cast("long"))
     )
+
+
+def stream_dedup_exact(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first occurrence of each key
+    within the watermark horizon (`dropDuplicatesWithinWatermark`, the
+    streaming analog of ``operators.dedup.dedup_exact``).
+
+    State is one entry per key seen inside the watermark window and is
+    evicted as the watermark advances — bounded memory at any corpus size,
+    unlike an unwindowed ``dropDuplicates`` whose state grows forever. On a
+    batch frame the same call degrades to plain ``dropDuplicates`` over the
+    keys so backfill and live stream share one definition (watermark
+    semantics need event-time progress, which batch has none of)."""
+    cols = list(key_cols)
+    if not events.isStreaming:
+        return events.dropDuplicates(cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)

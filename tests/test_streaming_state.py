@@ -83,3 +83,32 @@ def test_sessionize_stream_matches_batch(spark, event_stream_dir):
     }
     assert got == want
     assert len(want) > 10  # the fixture must actually exercise multi-session users
+
+
+def test_stream_dedup_exact_matches_batch(spark, event_stream_dir, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark over the replayed event log
+    must keep exactly one row per key, matching batch dropDuplicates —
+    keys here are (user_id, ts) which re-occur across the synthetic log."""
+    from __spark_entry__ import _events
+    from kartothek_spark.streaming.update import stream_dedup_exact
+    from tests.conftest import SF_DIR
+
+    src, ev, _ckpt = event_stream_dir
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream_dedup_exact(stream, ["user_id", "ts"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, ts FROM dedup_stream")
+    batch = _events(spark, SF_DIR).select("user_id", "ts").where(F.col("user_id") < 50)
+    want = stream_dedup_exact(batch, ["user_id", "ts"])
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
