@@ -724,9 +724,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def embedding_dups(spark, sf_dir):
+    """Exact all-pairs near-dup via the distributed block-matrix self-join;
+    blocks=4 pinned so the gate always exercises the multi-block shuffle
+    path (auto-sizing would pick 1 block at small sf)."""
     from kartothek_spark.operators.similarity import embedding_dup_pairs
 
-    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3, dim=EMB_DIM)
+    return embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, dim=EMB_DIM, blocks=4
+    )
 
 
 def ann_topk(spark, sf_dir):

@@ -167,3 +167,92 @@ def test_label_pruning_is_superset(spark, alltypes_dataset, predicates):
     needed_values = {by_id[i] for i in matching}
     kept_values = {m.partition_values(lbl)["p"] for lbl in labels}
     assert needed_values <= kept_values
+
+
+# ---------------------------------------------------------------------------
+# string-literal coercion on a DATE partition key (the silent-empty-result
+# class: driver-side label eval must coerce ISO strings before comparing)
+# ---------------------------------------------------------------------------
+
+def _dated_rows():
+    rng = random.Random(7)
+    rows = []
+    for k in range(ROWS):
+        rows.append(
+            {
+                "id": k,
+                "i": rng.choice([None, *_DOMAINS["i"][:-1]]),
+                "f": rng.choice([None, *_DOMAINS["f"][:-1]]),
+                "d": rng.choice(_DOMAINS["d"][:-1]),  # partition key: never null
+            }
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def datepart_dataset(spark, tmp_path_factory):
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = str(tmp_path_factory.mktemp("hypd") / "store")
+    os.makedirs(root, exist_ok=True)
+    df = spark.createDataFrame(_dated_rows(), "id long, i long, f double, d date")
+    store_dataframe_as_dataset(
+        spark, df, root, "dated", partition_on=["d"], secondary_indices=["i"]
+    )
+    return root, _dated_rows()
+
+
+def _stringify_datelike(predicates, seed):
+    """Render ~70% of date literals as ISO strings — the engine must coerce
+    them to typed values for BOTH driver-side label pruning and Catalyst."""
+    rng = random.Random(seed)
+    out = []
+    for conj in predicates:
+        nc = []
+        for col, op, v in conj:
+            if col == "d" and v is not None and rng.random() < 0.7:
+                if op == "in":
+                    v = [x.isoformat() if x is not None else None for x in v]
+                else:
+                    v = v.isoformat()
+            nc.append((col, op, v))
+        out.append(nc)
+    return out
+
+
+def _date_literal_strategy():
+    def lit_for(col):
+        ops = ["==", "!=", "in", "<", "<=", ">", ">="]
+        dom = _DOMAINS[col]
+        val = st.sampled_from(dom)
+        nullable_val = st.one_of(val, st.none()) if col in ("i", "f") else val
+        return st.sampled_from(ops).flatmap(
+            lambda op: (
+                st.lists(nullable_val, min_size=0, max_size=3).map(lambda vs: (col, op, vs))
+                if op == "in"
+                else (nullable_val if op in ("==", "!=") else val).map(lambda v: (col, op, v))
+            )
+        )
+
+    return st.sampled_from(["d", "i", "f"]).flatmap(lit_for)
+
+
+date_predicates_st = st.lists(
+    st.lists(_date_literal_strategy(), min_size=1, max_size=3), min_size=1, max_size=3
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(predicates=date_predicates_st, seed=st.integers(0, 2**16))
+def test_string_date_literals_match_typed_oracle(spark, datepart_dataset, predicates, seed):
+    from kartothek_spark.dataset.read import read_table
+
+    root, rows = datepart_dataset
+    rendered = _stringify_datelike(predicates, seed)
+    got = read_table(spark, root, "dated", predicates=rendered, columns=["id"])
+    # oracle evaluates the TYPED form — string rendering must not change results
+    assert sorted(r.id for r in got.collect()) == _oracle(rows, predicates)
