@@ -381,10 +381,19 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs whose SimHashes differ in <= max_hamming bits.
     Candidates come from equality on one of 4 15-bit bands (pigeonhole:
-    any pair within hamming 3 shares at least one exact band)."""
-    base = simhash_df(df, text_col, id_col)
+    any pair within hamming 3 shares at least one exact band).
+
+    Hot-band skew guard (same shape as minhash_lsh_pairs): documents with
+    IDENTICAL fingerprints collapse to one representative before banding —
+    a d-sized cluster of exact duplicates would otherwise contribute
+    bands·d²/2 join rows per band key. Member pairs re-expand afterwards:
+    intra-cluster pairs have hamming 0 by construction and cross-cluster
+    pairs inherit their representatives' hamming, so the output is
+    identical to naive banding."""
+    base = simhash_df(df, text_col, id_col)  # (__id, __sim)
+    reps = base.groupBy("__sim").agg(F.min("__id").alias("__id"))
     mask = (1 << SIMHASH_BAND_BITS) - 1
-    banded = base.select(
+    banded = reps.select(
         "__id",
         "__sim",
         F.explode(
@@ -402,7 +411,7 @@ def simhash_pairs(
         ).alias("bk"),
     ).select("__id", "__sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    rep_pairs = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -410,13 +419,29 @@ def simhash_pairs(
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
+            F.col("l.__sim").alias("sim_a"),
+            F.col("r.__sim").alias("sim_b"),
             F.bit_count(F.col("l.__sim").bitwiseXOR(F.col("r.__sim"))).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    ma = base.select(F.col("__sim").alias("sim_a"), F.col("__id").alias("ia"))
+    mb = base.select(F.col("__sim").alias("sim_b"), F.col("__id").alias("ib"))
+    cross = rep_pairs.join(ma, "sim_a").join(mb, "sim_b").select(
+        F.least("ia", "ib").alias("id_a"),
+        F.greatest("ia", "ib").alias("id_b"),
+        "hamming",
+    )
+    il, ir = base.alias("il"), base.alias("ir")
+    intra = il.join(
+        ir, (F.col("il.__sim") == F.col("ir.__sim")) & (F.col("il.__id") < F.col("ir.__id"))
+    ).select(
+        F.col("il.__id").alias("id_a"),
+        F.col("ir.__id").alias("id_b"),
+        F.lit(0).cast("integer").alias("hamming"),
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_pairs_sql(table: str, text_col: str, id_col: str, max_hamming: int = 3) -> str:

@@ -457,7 +457,15 @@ def ivf_topk(
         F.col(vec_col).alias("__v"),
         quantize(F.col(vec_col)).alias("__cq"),
     )
-    train = corpus.select(array_to_vector(F.col("__v").cast("array<double>")).alias("features"))
+    # train the coarse quantizer on a bounded deterministic sample — at
+    # billion-vector scale KMeans over the full corpus is its own big job,
+    # and cell quality only needs ~256 training points per centroid.
+    # Correctness never depends on the clustering (every cell is probed at
+    # nprobe == n_centroids; fewer probes only trade recall).
+    n = corpus.count()
+    target = max(4096, 256 * n_centroids)
+    train_src = corpus if n <= target else corpus.sample(False, target / n, seed=seed)
+    train = train_src.select(array_to_vector(F.col("__v").cast("array<double>")).alias("features"))
     model = KMeans(k=n_centroids, seed=seed, maxIter=8).fit(train)
 
     c = model.transform(

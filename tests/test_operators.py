@@ -222,3 +222,21 @@ def test_embedding_dup_pairs_blocked_equals_single_block(spark):
     assert len(exact) >= 60  # every planted pair found
     assert pairs(5) == exact
     assert pairs(13) == exact
+
+
+def test_simhash_duplicate_cluster_collapses_before_banding(spark):
+    """Identical-fingerprint docs must reach the banding join as one
+    representative; output still contains all intra-cluster pairs at
+    hamming 0 plus cross pairs at the representatives' hamming."""
+    from kartothek_spark.operators.dedup import simhash_pairs
+
+    d = 150
+    boiler = "identical boilerplate text shared by every mirror of this page"
+    rows = [Row(doc_id=i, text=boiler) for i in range(d)]
+    rows.append(Row(doc_id=d, text="utterly different content about query planners"))
+    out = simhash_pairs(spark.createDataFrame(rows), max_hamming=5).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out}
+    intra = [(a, b) for (a, b) in pairs if a < d and b < d]
+    assert len(intra) == d * (d - 1) // 2
+    assert all(pairs[p] == 0 for p in intra)
+    assert all(d not in p for p in pairs)
