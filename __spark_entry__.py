@@ -617,6 +617,35 @@ def ktk_zstd_manifest(spark, sf_dir):
     )
 
 
+def ktk_compact(spark, sf_dir):
+    """Small-file compaction: a fragmented write (25-row file cap) is
+    rewritten into few large files in one atomic swap; observable as
+    (content group-by, file count dropped, content preserved)."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import compact_dataset, store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    cust = _t(spark, sf_dir, "customer")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+    try:
+        store_dataframe_as_dataset(spark, cust, root, "c", partition_on=["c_mktsegment"])
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    n_before = len(DatasetManifest.load(root, "c").partitions)
+    compact_dataset(spark, root, "c")
+    n_after = len(DatasetManifest.load(root, "c").partitions)
+    return (
+        read_table(spark, root, "c")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("c_acctbal")).cast("double") / 100).alias("total_acctbal"),
+        )
+        .withColumn("compacted", F.lit(n_after < n_before))
+    )
+
+
 def ktk_cli_lifecycle(spark, sf_dir):
     """CLI (C13) driven end-to-end through observable state: `index` adds
     a secondary index, `copy` clones to a second root, `delete` removes
@@ -920,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_label_filter": ktk_label_filter,
         "ktk_dispatched_groups": ktk_dispatched_groups,
         "ktk_zstd_manifest": ktk_zstd_manifest,
+        "ktk_compact": ktk_compact,
         "ktk_cli_lifecycle": ktk_cli_lifecycle,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
@@ -1124,6 +1154,12 @@ FROM orders GROUP BY o_orderstatus
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal
 FROM customer WHERE c_mktsegment <> 'BUILDING' GROUP BY c_mktsegment
+""",
+        "ktk_compact": f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
+       CAST(1 AS BOOLEAN) AS compacted
+FROM customer GROUP BY c_mktsegment
 """,
         "ktk_cli_lifecycle": """
 SELECT p_partkey, p_brand, p_size FROM part WHERE p_size = 10

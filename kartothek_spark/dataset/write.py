@@ -104,13 +104,14 @@ def _write_files(
             F.pmod(F.xxhash64(*[F.col(c) for c in bucket_by]), F.lit(num_buckets)),
         )
         part_cols.append(BUCKET_COL)
-    if part_cols:
-        # AQE rebalance instead of a plain repartition: a hot partition
-        # value (or bucket) is SPLIT across tasks by advisory size and
-        # small values coalesce — plain repartition(keys) pins each value
-        # to exactly one task, which at 100 TB turns one popular key into
-        # one multi-hour straggler writing one giant file
-        out = out.hint("rebalance", *part_cols)
+    # AQE rebalance instead of a plain repartition: a hot partition
+    # value (or bucket) is SPLIT across tasks by advisory size and
+    # small values coalesce — plain repartition(keys) pins each value
+    # to exactly one task, which at 100 TB turns one popular key into
+    # one multi-hour straggler writing one giant file. Unpartitioned
+    # writes rebalance by size alone, so compaction of a fragmented
+    # unpartitioned dataset actually merges files.
+    out = out.hint("rebalance", *part_cols) if part_cols else out.hint("rebalance")
     if sort_partitions_by:
         # row-group stat locality for later min/max skipping
         out = out.sortWithinPartitions(*sort_partitions_by)
@@ -352,6 +353,36 @@ def commit_dataset(
     return manifest
 
 
+def compact_dataset(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    sort_partitions_by: Sequence[str] | None = None,
+) -> DatasetManifest:
+    """Small-file compaction: rewrite every payload file through the
+    AQE-rebalanced write path and swap the manifest once.
+
+    Streaming ingest (one commit per micro-batch) and frequent appends
+    accumulate many small files per hive partition; at 100 TB that tanks
+    scan throughput (per-file open cost, tiny row groups, no stat
+    locality). Compaction is one distributed read→write job: the rebalance
+    hint merges small partition values into ~advisory-sized output files
+    and splits hot ones, ``sort_partitions_by`` optionally restores
+    row-group stat locality, and the commit is the same atomic manifest
+    swap as every other mutation — readers see either the old file set or
+    the new one, never a mix; replaced files become GC-able orphans."""
+    from kartothek_spark.dataset.read import read_table
+
+    return update_dataset(
+        spark,
+        read_table(spark, root, dataset_uuid),
+        root,
+        dataset_uuid,
+        delete_scope=[{}],  # every existing partition label
+        sort_partitions_by=sort_partitions_by,
+    )
+
+
 def delete_dataset(root: str, dataset_uuid: str) -> None:
     """Delete files then metadata — reverse commit order (reference S22),
     so a crash mid-delete never leaves a manifest pointing at nothing."""
@@ -480,6 +511,7 @@ def copy_dataset(
 __all__ = [
     "build_dataset_indices",
     "commit_dataset",
+    "compact_dataset",
     "copy_dataset",
     "create_empty_dataset_header",
     "write_single_partition",

@@ -283,3 +283,43 @@ def test_read_dataset_dispatched_per_group_conjunction(spark, tmp_root):
     # dispatch over an INDEXED (non-partition) column also works
     g2 = list(read_dataset_dispatched(spark, tmp_root, "sup", ["s_suppkey"]))
     assert sum(df.count() for _v, _c, df in g2) == sup.count()
+
+
+def test_compact_dataset_merges_small_files(spark, tmp_root):
+    """Many tiny payload files (streaming-style ingest) must compact into
+    fewer files with identical content, atomically, with indices intact."""
+    import os
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import (
+        compact_dataset,
+        garbage_collect_dataset,
+        store_dataframe_as_dataset,
+    )
+    from tests.conftest import SF_DIR
+
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+    try:
+        store_dataframe_as_dataset(
+            spark, cust, tmp_root, "cc", partition_on=["c_mktsegment"],
+            secondary_indices=["c_nationkey"],
+        )
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    before = len(DatasetManifest.load(tmp_root, "cc").partitions)
+    assert before > 5  # the tiny-file cap actually fragmented the write
+
+    compact_dataset(spark, tmp_root, "cc", sort_partitions_by=["c_custkey"])
+    m = DatasetManifest.load(tmp_root, "cc")
+    assert len(m.partitions) < before
+    got = read_table(spark, tmp_root, "cc")
+    assert got.count() == cust.count()
+    # index still serves pruned reads after compaction
+    sel = read_table(spark, tmp_root, "cc", predicates=[[("c_nationkey", "==", 3)]])
+    assert sel.count() == cust.where("c_nationkey = 3").count()
+    # replaced files are orphans now; GC removes them and reads still work
+    deleted = garbage_collect_dataset(tmp_root, "cc")
+    assert len(deleted) >= before - len(m.partitions)
+    assert read_table(spark, tmp_root, "cc").count() == cust.count()
