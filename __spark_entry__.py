@@ -617,6 +617,203 @@ def ktk_zstd_manifest(spark, sf_dir):
     )
 
 
+def ktk_index_on(spark, sf_dir):
+    """read_table(index_on=...) (S12, reference dask_index_on): result is
+    range-partitioned and sorted within partitions by the column; verified
+    DISTRIBUTED (per-partition monotonicity check riding the scan), output
+    is (n_rows, sorted_ok)."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(spark, orders, root, "o", partition_on=["o_orderstatus"])
+    df = read_table(spark, root, "o", index_on="o_custkey")
+
+    def check(it):
+        n, ok, prev = 0, True, None
+        for row in it:
+            v = row["o_custkey"]
+            if prev is not None and v < prev:
+                ok = False
+            prev = v
+            n += 1
+        yield (n, ok)
+
+    parts = df.rdd.mapPartitions(check).collect()
+    n_rows = sum(n for n, _ok in parts)
+    sorted_ok = all(ok for _n, ok in parts)
+    return spark.createDataFrame([(n_rows, sorted_ok)], "n_rows long, sorted_ok boolean")
+
+
+def ktk_collect_stats(spark, sf_dir):
+    """collect_stats (S26/A7): footer-derived {files, rows} — nation
+    partitioned by region is always 5 files / 25 rows."""
+    from kartothek_spark.dataset.metadata import collect_stats
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    nation = _t(spark, sf_dir, "nation")
+    store_dataframe_as_dataset(spark, nation, root, "n", partition_on=["n_regionkey"])
+    st = collect_stats(spark, root, "n")
+    return spark.createDataFrame(
+        [(st["files"], st["rows"])], "files long, rows long"
+    )
+
+
+def ktk_cube_cleanup(spark, sf_dir):
+    """cleanup_cube (S27): GC every member dataset; a planted orphan in
+    the seed's directory is deleted, live query intact."""
+    import os
+
+    from kartothek_spark.core.cube import Cube
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.cube.build import build_cube, cleanup_cube
+    from kartothek_spark.cube.query import query_cube
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    cube = Cube(
+        dimension_columns=("n_nationkey",), partition_columns=("n_regionkey",),
+        uuid_prefix="ncl", index_columns=frozenset(),
+    )
+    build_cube(spark, {"seed": nation}, cube, root)
+    m = DatasetManifest.load(root, cube.ktk_dataset_uuid("seed"))
+    with open(os.path.join(m.data_root, "n_regionkey=1", "stray.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    deleted = cleanup_cube(cube, root)
+    n_deleted = sum(len(v) for v in deleted.values())
+    n_rows = query_cube(spark, cube, root).count()
+    return spark.createDataFrame([(n_rows, n_deleted)], "n_rows long, n_deleted long")
+
+
+def ktk_discover(spark, sf_dir):
+    """discover (S28): dataset listing by manifest suffix + cube
+    rediscovery from a bare store prefix."""
+    from kartothek_spark.core.cube import Cube
+    from kartothek_spark.core.manifest import list_datasets
+    from kartothek_spark.cube.build import build_cube, discover_cube
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    region = _t(spark, sf_dir, "region")
+    store_dataframe_as_dataset(spark, region, root, "alpha")
+    store_dataframe_as_dataset(spark, region, root, "beta", storage_format="zstd")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    cube = Cube(dimension_columns=("n_nationkey",), partition_columns=("n_regionkey",),
+                uuid_prefix="disc", index_columns=frozenset())
+    build_cube(spark, {"seed": nation}, cube, root)
+    found = discover_cube(root, "disc")
+    rows = [(n, "dataset") for n in list_datasets(root) if n in ("alpha", "beta")]
+    rows.append((found.seed_dataset, "cube_seed"))
+    return spark.createDataFrame(rows, "name string, kind string")
+
+
+def ktk_cube_checks(spark, sf_dir):
+    """Cube invariants + user-df checks (C2/C3/C11/A8): a healthy cube
+    passes check_datasets; duplicate cells and null dimensions raise."""
+    from kartothek_spark.core.cube import Cube
+    from kartothek_spark.cube.build import build_cube, check_datasets
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    cube = Cube(dimension_columns=("n_nationkey",), partition_columns=("n_regionkey",),
+                uuid_prefix="chk", index_columns=frozenset())
+    build_cube(spark, {"seed": nation}, cube, root)
+    ok = set(check_datasets(cube, root)) == {"seed"}
+
+    dup = nation.unionByName(nation.limit(1))
+    try:
+        build_cube(spark, {"seed": dup}, cube, tempfile.mkdtemp(prefix="ktk_q_"))
+        dup_raises = False
+    except Exception:
+        dup_raises = True
+    nulled = nation.withColumn(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") == 0, F.lit(None)).otherwise(F.col("n_nationkey")),
+    )
+    try:
+        build_cube(spark, {"seed": nulled}, cube, tempfile.mkdtemp(prefix="ktk_q_"))
+        null_raises = False
+    except Exception:
+        null_raises = True
+    return spark.createDataFrame(
+        [(ok, dup_raises, null_raises)],
+        "check_ok boolean, dup_raises boolean, null_raises boolean",
+    )
+
+
+def ktk_merge_func(spark, sf_dir):
+    """Custom-function merge (U2/J3): cogrouped applyInPandas over two
+    managed datasets, per-key pandas merge_func with explicit schema."""
+    from kartothek_spark.dataset.merge import merge_datasets_with_func
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal"
+    )
+    store_dataframe_as_dataset(spark, orders, root, "o")
+    store_dataframe_as_dataset(spark, cust, root, "c")
+
+    def merge_func(key, left, right):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"custkey": [key[0]], "n_orders": [len(left)], "n_cust": [len(right)]}
+        )
+
+    out = merge_datasets_with_func(
+        spark, root, "o", "c", on=["custkey"],
+        merge_func=merge_func, output_schema="custkey long, n_orders long, n_cust long",
+    )
+    return out
+
+
+def ktk_filter_indices(spark, sf_dir):
+    """filter_indices (X3): index restricted to a surviving-label subset;
+    suppliers are unique per nation, so every kept value maps to exactly
+    one partition."""
+    from kartothek_spark.core.index import filter_indices
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    sup = _t(spark, sf_dir, "supplier")
+    store_dataframe_as_dataset(
+        spark, sup, root, "s", partition_on=["s_nationkey"], secondary_indices=["s_suppkey"]
+    )
+    m = DatasetManifest.load(root, "s")
+    keep = m.query(predicates=[[("s_nationkey", "<", 13)]])
+    out = filter_indices(spark, m, "s_suppkey", keep)
+    return out.select(
+        F.col("value").cast("long").alias("value"),
+        F.size("partitions").cast("long").alias("n"),
+    )
+
+
+def ktk_align_labels(spark, sf_dir):
+    """align_datasets (J2/J5): manifest-level partition pairing of two
+    datasets sharing a hive layout (callable matcher on the partition
+    dir); region is one file per partition value, so pair count equals
+    the number of distinct values."""
+    from kartothek_spark.dataset.merge import align_datasets
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    region = _t(spark, sf_dir, "region")
+    store_dataframe_as_dataset(spark, region, root, "a", partition_on=["r_regionkey"])
+    store_dataframe_as_dataset(spark, region, root, "b", partition_on=["r_regionkey"])
+    pairs = align_datasets(
+        root, "a", "b", match_how=lambda l, r: l.split("/")[0] == r.split("/")[0]
+    )
+    vals = sorted(int(l.split("=")[1].split("/")[0]) for l, _r in pairs)
+    return spark.createDataFrame([(v,) for v in vals], "r_regionkey long")
+
+
 def ktk_compact(spark, sf_dir):
     """Small-file compaction: a fragmented write (25-row file cap) is
     rewritten into few large files in one atomic swap; observable as
@@ -949,6 +1146,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_label_filter": ktk_label_filter,
         "ktk_dispatched_groups": ktk_dispatched_groups,
         "ktk_zstd_manifest": ktk_zstd_manifest,
+        "ktk_index_on": ktk_index_on,
+        "ktk_collect_stats": ktk_collect_stats,
+        "ktk_cube_cleanup": ktk_cube_cleanup,
+        "ktk_discover": ktk_discover,
+        "ktk_cube_checks": ktk_cube_checks,
+        "ktk_merge_func": ktk_merge_func,
+        "ktk_filter_indices": ktk_filter_indices,
+        "ktk_align_labels": ktk_align_labels,
         "ktk_compact": ktk_compact,
         "ktk_cli_lifecycle": ktk_cli_lifecycle,
         "events_hourly": events_hourly,
@@ -1154,6 +1359,38 @@ FROM orders GROUP BY o_orderstatus
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal
 FROM customer WHERE c_mktsegment <> 'BUILDING' GROUP BY c_mktsegment
+""",
+        "ktk_index_on": """
+SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BOOLEAN) AS sorted_ok FROM orders
+""",
+        "ktk_collect_stats": """
+SELECT CAST(5 AS BIGINT) AS files, CAST(count(*) AS BIGINT) AS rows FROM nation
+""",
+        "ktk_cube_cleanup": """
+SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS n_deleted FROM nation
+""",
+        "ktk_discover": """
+SELECT 'alpha' AS name, 'dataset' AS kind
+UNION ALL SELECT 'beta', 'dataset'
+UNION ALL SELECT 'seed', 'cube_seed'
+""",
+        "ktk_cube_checks": """
+SELECT CAST(1 AS BOOLEAN) AS check_ok, CAST(1 AS BOOLEAN) AS dup_raises,
+       CAST(1 AS BOOLEAN) AS null_raises
+""",
+        "ktk_merge_func": """
+SELECT coalesce(custkey, custkey2) AS custkey,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust
+FROM (SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+FULL OUTER JOIN (SELECT c_custkey AS custkey2, count(*) AS n_cust FROM customer GROUP BY 1) c
+  ON custkey = custkey2
+""",
+        "ktk_filter_indices": """
+SELECT s_suppkey AS value, CAST(1 AS BIGINT) AS n FROM supplier WHERE s_nationkey < 13
+""",
+        "ktk_align_labels": """
+SELECT DISTINCT r_regionkey FROM region
 """,
         "ktk_compact": f"""
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
