@@ -617,6 +617,31 @@ def ktk_zstd_manifest(spark, sf_dir):
     )
 
 
+def ktk_extend_cube(spark, sf_dir):
+    """extend_cube (C1): add an enrichment member to a live cube, then a
+    conditioned query joins it seed-left — content must equal the plain
+    SQL join."""
+    from kartothek_spark.core.cube import Cube
+    from kartothek_spark.cube.build import build_cube, extend_cube
+    from kartothek_spark.cube.query import query_cube
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    cube = Cube(dimension_columns=("n_nationkey",), partition_columns=("n_regionkey",),
+                uuid_prefix="ext", index_columns=frozenset())
+    build_cube(spark, {"seed": nation}, cube, root)
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    enrich = nation.select("n_nationkey", "n_regionkey").join(
+        F.broadcast(region), "n_regionkey"
+    )
+    extend_cube(spark, {"regions": enrich}, cube, root)
+    return query_cube(spark, cube, root).select(
+        "n_nationkey", "n_regionkey", "n_name", "r_name"
+    )
+
+
 def ktk_index_on(spark, sf_dir):
     """read_table(index_on=...) (S12, reference dask_index_on): result is
     range-partitioned and sorted within partitions by the column; verified
@@ -1146,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_label_filter": ktk_label_filter,
         "ktk_dispatched_groups": ktk_dispatched_groups,
         "ktk_zstd_manifest": ktk_zstd_manifest,
+        "ktk_extend_cube": ktk_extend_cube,
         "ktk_index_on": ktk_index_on,
         "ktk_collect_stats": ktk_collect_stats,
         "ktk_cube_cleanup": ktk_cube_cleanup,
@@ -1359,6 +1385,10 @@ FROM orders GROUP BY o_orderstatus
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal
 FROM customer WHERE c_mktsegment <> 'BUILDING' GROUP BY c_mktsegment
+""",
+        "ktk_extend_cube": """
+SELECT n_nationkey, n_regionkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
 """,
         "ktk_index_on": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BOOLEAN) AS sorted_ok FROM orders
