@@ -962,6 +962,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def dedup_clusters(spark, sf_dir):
+    """Duplicate clustering: connected components over the MinHash near-dup
+    pair graph — (doc_id, cluster_id=min id in component), the thing a
+    dedup pipeline joins back to keep one canonical doc per cluster."""
+    from kartothek_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return duplicate_clusters(pairs)
+
+
 def dedup_simhash(spark, sf_dir):
     from kartothek_spark.operators.dedup import simhash_pairs
 
@@ -1189,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analyze": text_analyze,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_dups": embedding_dups,
@@ -1206,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from kartothek_spark.operators.dedup import (
+        duplicate_clusters_sql,
         minhash_lsh_pairs_sql,
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
@@ -1480,6 +1492,7 @@ FROM documents
             + ")"
         ),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
+        "dedup_clusters": duplicate_clusters_sql(minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2)),
         "dedup_simhash": simhash_pairs_sql("documents", "text", "doc_id", max_hamming=6),
         "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", "text", "doc_id", n=4, threshold=0.35),
         "embedding_dups": embedding_dup_pairs_sql("embeddings", threshold=0.3, dim=EMB_DIM),

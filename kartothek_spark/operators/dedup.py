@@ -559,3 +559,77 @@ SELECT s.id_a, s.id_b,
 FROM shared s JOIN sizes a ON s.id_a = a.id JOIN sizes b ON s.id_b = b.id
 WHERE round(CAST(s.shared AS DOUBLE) / CAST(a.n + b.n - s.shared AS DOUBLE), 6) >= {threshold}
 """
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    ``(node, cluster_id)`` with ``cluster_id`` = the smallest id in the
+    component. A dedup pipeline joins this back to keep ONE canonical
+    document per cluster — pair lists alone can't answer "which rows do I
+    drop" once clusters chain (a~b, b~c ⇒ {a,b,c} even if a≁c directly).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round every node takes the min of its label and its
+    neighbors' labels; fixpoint = components. Rounds needed = graph
+    diameter, and near-dup graphs are banding-generated near-cliques with
+    tiny diameters, so 2-3 shuffle rounds in practice (``max_iter`` bounds
+    adversarial chains; the large-star/small-star algorithm is the
+    published alternative when diameters are genuinely large). Each round
+    is one join + one min-aggregate on (node, label) longs — narrow
+    shuffles; lineage is cut per round with an eager localCheckpoint so
+    the plan does not grow O(iterations)."""
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: recursive reachability closure, cluster = min
+    reachable id (UNION-dedup recursion terminates on cycles)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node AS doc_id, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+"""

@@ -240,3 +240,25 @@ def test_simhash_duplicate_cluster_collapses_before_banding(spark):
     assert len(intra) == d * (d - 1) // 2
     assert all(pairs[p] == 0 for p in intra)
     assert all(d not in p for p in pairs)
+
+
+def test_duplicate_clusters_chained_components(spark):
+    """a~b and b~c must land a,b,c in ONE cluster even though a and c
+    never paired directly; singletons outside the pair list don't appear."""
+    from kartothek_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    from kartothek_spark.operators.dedup import duplicate_clusters
+
+    n = 12  # path graph: worst-case diameter for the iteration count
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
