@@ -1152,7 +1152,10 @@ def stream_sessionize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from kartothek_spark.queries.tpch import QUERIES as _tpch_queries
+
     return {
+        **_tpch_queries,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -1216,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from kartothek_spark.queries.tpch import ORACLES as _tpch_oracles
     from kartothek_spark.operators.dedup import (
         duplicate_clusters_sql,
         minhash_lsh_pairs_sql,
@@ -1244,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
     qf_cols = ",\n       ".join(f"{sql} AS {name}" for name, sql in qf.items())
 
     return {
+        **_tpch_oracles,
         "q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum({qty}) AS BIGINT) AS sum_qty,

@@ -20,6 +20,22 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "top_parts_by_size",
+    # round 2: full adapted-TPC-H suite (kartothek_spark/queries/tpch.py);
+    # the headline total grows vs round 1 because the query set grew —
+    # compare per-query times, not the total
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
+    "q21_late_suppliers",
+    "q22_dormant_customers",
     "ktk_read_pruned",
     "ktk_cube_query",
     "ktk_collect_metadata",
