@@ -972,6 +972,19 @@ def dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs)
 
 
+def dedup_corpus(spark, sf_dir):
+    """End-to-end dedup: MinHash pairs → clusters → corpus minus
+    non-canonical members. Output is (doc_id, fingerprint) so the gate
+    hashes content, not just survivors' ids."""
+    from kartothek_spark.operators.dedup import apply_dedup, minhash_lsh_pairs
+    from kartothek_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.2)
+    kept = apply_dedup(docs, pairs)
+    return kept.select("doc_id", fingerprint("text").alias("fp"))
+
+
 def dedup_simhash(spark, sf_dir):
     from kartothek_spark.operators.dedup import simhash_pairs
 
@@ -1203,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
+        "dedup_corpus": dedup_corpus,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_dups": embedding_dups,
@@ -1221,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from kartothek_spark.queries.tpch import ORACLES as _tpch_oracles
     from kartothek_spark.operators.dedup import (
+        apply_dedup_sql,
         duplicate_clusters_sql,
         minhash_lsh_pairs_sql,
         ngram_jaccard_pairs_sql,
@@ -1498,6 +1513,11 @@ FROM documents
         ),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
         "dedup_clusters": duplicate_clusters_sql(minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2)),
+        "dedup_corpus": apply_dedup_sql(
+            "documents",
+            minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
+            columns=f"doc_id, {fingerprint_sql('text')} AS fp",
+        ),
         "dedup_simhash": simhash_pairs_sql("documents", "text", "doc_id", max_hamming=6),
         "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", "text", "doc_id", n=4, threshold=0.35),
         "embedding_dups": embedding_dup_pairs_sql("embeddings", threshold=0.3, dim=EMB_DIM),

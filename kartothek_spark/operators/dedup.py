@@ -633,3 +633,33 @@ reach AS (
 )
 SELECT node AS doc_id, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
 """
+
+
+def apply_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deduplicated corpus: drop every member of a near-duplicate cluster
+    except its canonical representative (the smallest id — deterministic,
+    so re-runs and the oracle agree). Rows in no cluster pass through.
+
+    This is the operator a training-data pipeline actually ends on: pair
+    finders (MinHash/SimHash/n-gram/embedding) feed ``duplicate_clusters``,
+    and this anti-join applies the verdict to the corpus. The drop list is
+    (cluster size - 1) ids per cluster — tiny next to the corpus — so at
+    scale the anti-join broadcasts the drop side; the corpus itself is
+    never shuffled or collected."""
+    clusters = duplicate_clusters(pairs)
+    drop = (
+        clusters.where(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias("__drop_id"))
+    )
+    return df.join(drop, df[id_col] == F.col("__drop_id"), "left_anti")
+
+
+def apply_dedup_sql(table: str, pairs_sql: str, id_col: str = "doc_id", columns: str = "*") -> str:
+    """DuckDB oracle for :func:`apply_dedup` over ``table``."""
+    clusters_sql = duplicate_clusters_sql(pairs_sql)
+    return f"""
+SELECT {columns} FROM {table}
+WHERE {id_col} NOT IN (
+  SELECT doc_id FROM ({clusters_sql}) WHERE doc_id <> cluster_id
+)
+"""

@@ -262,3 +262,16 @@ def test_duplicate_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
     got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_apply_dedup_keeps_canonical_and_untouched(spark):
+    """Corpus filter: min-id per cluster survives, other members drop,
+    rows in no cluster pass through untouched."""
+    from kartothek_spark.operators.dedup import apply_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"text_{i}") for i in [1, 2, 3, 10, 11, 50]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in apply_dedup(corpus, pairs).collect())
+    assert kept == [1, 10, 50]
