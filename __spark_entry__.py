@@ -949,6 +949,48 @@ def text_analyze(spark, sf_dir):
     return analyze_documents(_t(spark, sf_dir, "documents"))
 
 
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def corpus_sample(spark, sf_dir):
+    """Deterministic hash sample — same corpus every run, any cluster."""
+    from kartothek_spark.operators.corpus import sample_corpus
+
+    return sample_corpus(_t(spark, sf_dir, "documents"), 0.35).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def corpus_mixture(spark, sf_dir):
+    """Weighted source mixture (sources outside the weight map drop)."""
+    from kartothek_spark.operators.corpus import mix_corpus
+
+    return mix_corpus(_t(spark, sf_dir, "documents"), _MIX_WEIGHTS).select(
+        "doc_id", "source"
+    )
+
+
+def corpus_quality(spark, sf_dir):
+    """C4-style heuristic quality gate over the documents table. Gate
+    thresholds are tuned stricter than the operator defaults so the gate
+    actually exercises selectivity on the (uniformly clean) testdata."""
+    from kartothek_spark.operators.corpus import quality_filter
+
+    return quality_filter(
+        _t(spark, sf_dir, "documents"),
+        min_chars=120,
+        min_mean_token_len=4.2,
+        min_alpha_ratio=0.81,
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+def corpus_rollup(spark, sf_dir):
+    """Per-language corpus stats: docs, sources, exact token/char totals."""
+    from kartothek_spark.operators.corpus import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
 def dedup_exact(spark, sf_dir):
     from kartothek_spark.operators.dedup import dedup_exact as op
 
@@ -1213,6 +1255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup": events_dedup,
         "events_user_value": events_user_value,
         "text_analyze": text_analyze,
+        "corpus_sample": corpus_sample,
+        "corpus_mixture": corpus_mixture,
+        "corpus_quality": corpus_quality,
+        "corpus_rollup": corpus_rollup,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -1233,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from kartothek_spark.operators import corpus as _corpus
     from kartothek_spark.queries.tpch import ORACLES as _tpch_oracles
     from kartothek_spark.operators.dedup import (
         apply_dedup_sql,
@@ -1504,6 +1551,20 @@ SELECT doc_id,
        {fingerprint_sql('text')} AS fingerprint
 FROM documents
 """,
+        "corpus_sample": _corpus.sample_corpus_sql(
+            "documents", 0.35, columns="doc_id, source, lang"
+        ),
+        "corpus_mixture": _corpus.mix_corpus_sql(
+            "documents", _MIX_WEIGHTS, columns="doc_id, source"
+        ),
+        "corpus_quality": _corpus.quality_filter_sql(
+            "documents",
+            min_chars=120,
+            min_mean_token_len=4.2,
+            min_alpha_ratio=0.81,
+            columns="doc_id, source, lang, n_chars",
+        ),
+        "corpus_rollup": _corpus.corpus_stats_sql("documents"),
         "dedup_exact": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id IN ("
             + __import__("kartothek_spark.operators.dedup", fromlist=["dedup_exact_keep_sql"]).dedup_exact_keep_sql(

@@ -1,0 +1,162 @@
+"""Corpus-assembly operators for training-data pipelines: deterministic
+sampling, weighted source mixture, quality filtering, and corpus stats.
+
+Everything here is pure DataFrame algebra on the cross-engine 60-bit md5
+hash (``functions/hashing.py``), so every operator ships a value-exact
+DuckDB oracle and every decision is reproducible run-to-run — the
+property a training pipeline needs so that re-running corpus assembly
+yields the same corpus (no ``rand()``, which would also break Spark task
+retries: a recomputed partition would sample different rows).
+
+Scale design: sampling and mixture are stateless per-row hash
+comparisons — no shuffle, no state, trivially parallel at any corpus
+size; the filter sits directly on the scan so column pruning and
+predicate pushdown still apply to everything downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kartothek_spark.functions.hashing import h60, h60_sql
+from kartothek_spark.operators.text import quality_features, quality_features_sql
+
+# hash-threshold denominator: rates are quantized to 1e-6, matching the
+# integer threshold on both engines exactly
+_DENOM = 1_000_000
+
+
+def _keep(key: Column, rate: float, salt: str) -> Column:
+    """Deterministic keep-decision: hash(salt:key) lands under the rate
+    threshold. Quantized to 1/1e6 so Spark and SQL agree exactly."""
+    thr = int(round(rate * _DENOM))
+    return (h60(F.concat(F.lit(salt + ":"), key.cast("string"))) % _DENOM) < thr
+
+
+def _keep_sql(key_expr: str, rate: float, salt: str) -> str:
+    thr = int(round(rate * _DENOM))
+    h = h60_sql(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+    return f"({h} % {_DENOM}) < {thr}"
+
+
+def sample_corpus(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli sample keyed on a stable id: the same
+    (salt, key) always makes the same keep/drop decision, independent of
+    partitioning, task retries, or cluster size."""
+    return df.where(_keep(F.col(key_col), rate, salt))
+
+
+def sample_corpus_sql(
+    table: str, rate: float, key_col: str = "doc_id", salt: str = "sample", columns: str = "*"
+) -> str:
+    return f"SELECT {columns} FROM {table} WHERE {_keep_sql(key_col, rate, salt)}"
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted source mixture: per-source deterministic sampling rates
+    (the "data mixing" step of corpus assembly — e.g. keep 100% of wiki,
+    10% of crawl). Sources absent from ``weights`` are dropped; a weight
+    of 1.0 keeps a source whole. One stateless hash comparison per row —
+    no shuffle, no per-source scans."""
+    rate = None
+    for src, w in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        rate = F.when(cond, F.lit(float(w))) if rate is None else rate.when(cond, F.lit(float(w)))
+    rate = rate.otherwise(F.lit(0.0))
+    thr = F.floor(rate * _DENOM + F.lit(0.5)).cast("long")
+    h = h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    return df.where((h % _DENOM) < thr)
+
+
+def mix_corpus_sql(
+    table: str,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    columns: str = "*",
+) -> str:
+    cases = " ".join(
+        f"WHEN {source_col} = '{src}' THEN {int(round(float(w) * _DENOM))}"
+        for src, w in sorted(weights.items())
+    )
+    thr = f"CASE {cases} ELSE 0 END"
+    h = h60_sql(f"'{salt}:' || CAST({key_col} AS VARCHAR)")
+    return f"SELECT {columns} FROM {table} WHERE ({h} % {_DENOM}) < ({thr})"
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 50,
+    min_mean_token_len: float = 2.0,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """C4-style heuristic quality gate: drop too-short, too-noisy, or
+    non-linguistic rows. Thresholds compare the same rounded features the
+    scoring operator emits, so filter and score never disagree."""
+    feats = quality_features(text_col)
+    return df.where(
+        (feats["n_chars"] >= min_chars)
+        & (feats["mean_token_len"] >= min_mean_token_len)
+        & (feats["alpha_ratio"] >= min_alpha_ratio)
+    )
+
+
+def quality_filter_sql(
+    table: str,
+    text_col: str = "text",
+    min_chars: int = 50,
+    min_mean_token_len: float = 2.0,
+    min_alpha_ratio: float = 0.5,
+    columns: str = "*",
+) -> str:
+    feats = quality_features_sql(text_col)
+    return (
+        f"SELECT {columns} FROM {table} "
+        f"WHERE {feats['n_chars']} >= {min_chars} "
+        f"AND {feats['mean_token_len']} >= {min_mean_token_len} "
+        f"AND {feats['alpha_ratio']} >= {min_alpha_ratio}"
+    )
+
+
+def corpus_stats(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang", source_col: str = "source"
+) -> DataFrame:
+    """Per-language corpus rollup: doc/source counts and exact token/char
+    totals — the sanity dashboard run after every assembly step. All-integer
+    outputs, map-side combinable."""
+    from kartothek_spark.functions.hashing import tokens
+
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    return df.groupBy(lang_col).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(source_col).alias("n_sources"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("total_chars"),
+    )
+
+
+def corpus_stats_sql(
+    table: str, text_col: str = "text", lang_col: str = "lang", source_col: str = "source"
+) -> str:
+    from kartothek_spark.functions.hashing import tokens_sql
+
+    toks = tokens_sql(text_col)
+    return f"""
+SELECT {lang_col},
+       count(*) AS n_docs,
+       count(DISTINCT {source_col}) AS n_sources,
+       CAST(sum(len({toks})) AS BIGINT) AS total_tokens,
+       CAST(sum(length({text_col})) AS BIGINT) AS total_chars
+FROM {table} GROUP BY {lang_col}
+"""

@@ -275,3 +275,32 @@ def test_apply_dedup_keeps_canonical_and_untouched(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
     kept = sorted(r.doc_id for r in apply_dedup(corpus, pairs).collect())
     assert kept == [1, 10, 50]
+
+
+def test_sample_corpus_deterministic_and_partition_invariant(spark):
+    """The keep-decision depends only on (salt, key): same rows kept on
+    re-run and under any repartitioning — the property that makes corpus
+    assembly reproducible across clusters and task retries."""
+    from kartothek_spark.operators.corpus import sample_corpus
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id for r in sample_corpus(df, 0.3).collect()}
+    b = {r.doc_id for r in sample_corpus(df.repartition(17), 0.3).collect()}
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.4
+    # different salt → a different (but still deterministic) subset
+    c = {r.doc_id for r in sample_corpus(df, 0.3, salt="other").collect()}
+    assert c != a
+
+
+def test_mix_corpus_rates_and_unknown_sources_drop(spark):
+    from kartothek_spark.operators.corpus import mix_corpus
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_corpus(df, {"src0": 1.0, "src1": 0.5, "src2": 0.0})
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("src0") == 1000          # weight 1.0 keeps everything
+    assert 380 < counts.get("src1", 0) < 620   # ~half
+    assert "src2" not in counts                # explicit zero drops all
+    assert "src3" not in counts                # absent from weights drops all
