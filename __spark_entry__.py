@@ -1050,6 +1050,18 @@ def embedding_dups(spark, sf_dir):
     )
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup end-to-end: embedding-cosine near-dup
+    pairs → connected components → keep one representative per cluster.
+    Output is the surviving vec_ids."""
+    from kartothek_spark.operators.dedup import apply_dedup
+    from kartothek_spark.operators.similarity import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, threshold=0.38, dim=EMB_DIM, blocks=4)
+    return apply_dedup(emb, pairs, id_col="vec_id").select("vec_id")
+
+
 def ann_topk(spark, sf_dir):
     from kartothek_spark.operators.similarity import brute_force_topk
 
@@ -1263,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
         "dedup_corpus": dedup_corpus,
+        "dedup_semantic": dedup_semantic,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_dups": embedding_dups,
@@ -1582,6 +1595,12 @@ FROM documents
         "dedup_simhash": simhash_pairs_sql("documents", "text", "doc_id", max_hamming=6),
         "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", "text", "doc_id", n=4, threshold=0.35),
         "embedding_dups": embedding_dup_pairs_sql("embeddings", threshold=0.3, dim=EMB_DIM),
+        "dedup_semantic": apply_dedup_sql(
+            "embeddings",
+            embedding_dup_pairs_sql("embeddings", threshold=0.38, dim=EMB_DIM),
+            id_col="vec_id",
+            columns="vec_id",
+        ),
         "ann_topk": brute_force_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
         # nprobe == n_centroids probes every IVF cell → exact, so the
         # brute-force SQL is a full value-level oracle for the IVF operator

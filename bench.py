@@ -94,6 +94,14 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # drop DataFrame refs and collect promptly: queries that
+        # localCheckpoint (dedup banding, clustering) pin executor block
+        # storage until Python GC runs, which otherwise taxes the queries
+        # that happen to run after them
+        del df
+        import gc
+
+        gc.collect()
 
     # planning latency at manifest scale (reference asv write.py:56-75
     # commit-cost workload): 20k-partition zstd manifest — load + point
