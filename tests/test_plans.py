@@ -160,3 +160,48 @@ def test_dispatched_group_pushes_conjunction_to_scan(spark, tmp_root):
         # partition pruning: only this group's directory is scanned
         files = df.inputFiles()
         assert files and all(f"l_returnflag={values['l_returnflag']}/" in f for f in files)
+
+
+def test_tpch_semi_anti_shapes_stay_joins(spark):
+    """q4/q16/q22's EXISTS / NOT IN / dormant shapes must plan as
+    LeftSemi/LeftAnti joins — not collected id lists — so they stay
+    distributed at any corpus size."""
+    from kartothek_spark.queries import tpch
+
+    assert "LeftSemi" in _plan(tpch.q4_order_priority(spark, SF_DIR))
+    assert "LeftAnti" in _plan(tpch.q16_supplier_variety(spark, SF_DIR))
+    assert "LeftAnti" in _plan(tpch.q22_dormant_customers(spark, SF_DIR))
+    # q21 needs BOTH on the same relation
+    p21 = _plan(tpch.q21_late_suppliers(spark, SF_DIR))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+
+
+def test_tpch_q19_disjunction_reaches_scan(spark):
+    """The disjunctive bracket over (brand, size) must be pushed to the
+    part scan as an Or filter, and lineitem's scan must stay pruned to the
+    columns the query needs."""
+    from kartothek_spark.queries import tpch
+
+    plan = _plan(tpch.q19_disjunctive_revenue(spark, SF_DIR))
+    assert "Or(" in plan or " OR " in plan
+    li_scan = [l for l in plan.splitlines() if "Scan parquet" in l and "l_partkey" in l]
+    assert li_scan and "l_tax" not in li_scan[0]  # unneeded column not read
+
+
+def test_tpch_q17_correlated_avg_is_partial_agged(spark):
+    """The per-part average subquery must partial-aggregate map-side
+    before its shuffle (sum/count are algebraic)."""
+    from kartothek_spark.queries import tpch
+
+    plan = _plan(tpch.q17_small_qty_revenue(spark, SF_DIR))
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_corpus_sample_no_shuffle(spark):
+    """Deterministic sampling is a stateless filter: the plan must contain
+    no Exchange at all."""
+    from kartothek_spark.operators.corpus import sample_corpus
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(sample_corpus(docs, 0.5))
+    assert "Exchange" not in plan
