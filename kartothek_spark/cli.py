@@ -12,6 +12,7 @@ Usage::
     python -m kartothek_spark.cli copy   --root /data --dataset li --target-root /backup
     python -m kartothek_spark.cli gc     --root /data --dataset li
     python -m kartothek_spark.cli delete --root /data --dataset li
+    python -m kartothek_spark.cli shell  --root /data   # interactive, tab-completed
 """
 
 from __future__ import annotations
@@ -53,13 +54,43 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def _coerce_predicates(predicates, manifest):
+    """Widen parsed int literals against float/double columns: a CLI
+    string like ``l_quantity > 25`` parses as int, but the engine's
+    type-stability guard (rightly) rejects int-vs-double — the CLI is the
+    one place literals arrive untyped, so it consults the schema
+    (reference behavior: cli/_query.py prompts retype on mismatch)."""
+    from pyspark.sql import types as T
+
+    floaty = {
+        f.name for f in manifest.schema.fields if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
+
+    def fix(val):
+        if isinstance(val, bool):
+            return val
+        if isinstance(val, int):
+            return float(val)
+        if isinstance(val, list):
+            return [fix(v) for v in val]
+        return val
+
+    return [
+        [(col, op, fix(val) if col in floaty else val) for col, op, val in conj]
+        for conj in predicates
+    ]
+
+
 def cmd_query(args) -> int:
     from kartothek_spark.core.conditions import parse_conjunction
+    from kartothek_spark.core.manifest import DatasetManifest
     from kartothek_spark.dataset.read import read_table
 
     predicates = None
     if args.condition:
         predicates = parse_conjunction(args.condition).predicate
+        m = DatasetManifest.load(args.root, args.dataset)
+        predicates = _coerce_predicates(predicates, m)
     df = read_table(_spark(), args.root, args.dataset, predicates=predicates,
                     columns=args.columns.split(",") if args.columns else None)
     df.show(args.limit, truncate=False)
@@ -77,7 +108,8 @@ def cmd_index(args) -> int:
 def cmd_copy(args) -> int:
     from kartothek_spark.dataset.write import copy_dataset
 
-    copy_dataset(args.root, args.dataset, args.target_root, args.target_uuid)
+    # pass the session so the file copy runs as a distributed job
+    copy_dataset(args.root, args.dataset, args.target_root, args.target_uuid, spark=_spark())
     return 0
 
 
@@ -95,6 +127,104 @@ def cmd_delete(args) -> int:
     return 0
 
 
+class KtkShell(__import__("cmd").Cmd):
+    """Interactive admin shell (reference's click-based shell with
+    completion, cli/_query.py:24-70, re-expressed on stdlib ``cmd`` /
+    readline): tab-completes commands and dataset names, holds a current
+    dataset, and reuses the one SparkSession across commands — the
+    interactive win over one-shot subcommands is not paying session
+    startup per query."""
+
+    prompt = "ktk> "
+    intro = "kartothek_spark shell — 'ls' datasets, 'use <ds>', 'query <cond>'; 'help' for all."
+
+    def __init__(self, root: str, stdout=None):
+        super().__init__(stdout=stdout)
+        self.root = root
+        self.dataset: str | None = None
+        self.limit = 20
+
+    # -- helpers ----------------------------------------------------------
+    def _datasets(self) -> list[str]:
+        from kartothek_spark.core.manifest import list_datasets
+
+        return list_datasets(self.root)
+
+    def _need_dataset(self) -> bool:
+        if not self.dataset:
+            print("no dataset selected — 'use <dataset>' first", file=self.stdout)
+            return True
+        return False
+
+    def _args(self, **kw) -> argparse.Namespace:
+        return argparse.Namespace(root=self.root, dataset=self.dataset, **kw)
+
+    # -- commands ---------------------------------------------------------
+    def do_ls(self, arg):
+        """List datasets under the root."""
+        for name in self._datasets():
+            print(name, file=self.stdout)
+
+    def do_use(self, arg):
+        """use <dataset> — select the current dataset (tab-completes)."""
+        name = arg.strip()
+        if name not in self._datasets():
+            print(f"unknown dataset: {name!r}", file=self.stdout)
+            return
+        self.dataset = name
+
+    def complete_use(self, text, line, begidx, endidx):
+        return [d for d in self._datasets() if d.startswith(text)]
+
+    def do_info(self, arg):
+        """Manifest summary of the current dataset."""
+        if not self._need_dataset():
+            cmd_info(self._args())
+
+    def do_columns(self, arg):
+        """Schema of the current dataset."""
+        if self._need_dataset():
+            return
+        from kartothek_spark.core.manifest import DatasetManifest
+
+        m = DatasetManifest.load(self.root, self.dataset)
+        for f in m.schema.fields:
+            print(f"{f.name}\t{f.dataType.simpleString()}", file=self.stdout)
+
+    def do_stats(self, arg):
+        """Distributed per-partition stats of the current dataset."""
+        if not self._need_dataset():
+            cmd_stats(self._args())
+
+    def do_limit(self, arg):
+        """limit <n> — rows shown by 'query' (default 20)."""
+        try:
+            self.limit = int(arg.strip())
+        except ValueError:
+            print("usage: limit <n>", file=self.stdout)
+
+    def do_query(self, arg):
+        """query [condition] — pruned read of the current dataset,
+        e.g.: query l_returnflag == "A" & l_quantity > 25"""
+        if self._need_dataset():
+            return
+        try:
+            cmd_query(self._args(condition=arg.strip() or None, columns=None, limit=self.limit))
+        except Exception as e:  # keep the shell alive on bad conditions
+            print(f"error: {type(e).__name__}: {e}", file=self.stdout)
+
+    def do_quit(self, arg):
+        """Exit the shell."""
+        return True
+
+    do_EOF = do_quit
+
+
+def cmd_shell(args) -> int:
+    KtkShell(args.root).cmdloop()
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="kartothek_spark.cli")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -106,10 +236,11 @@ def main(argv=None) -> int:
         ("copy", cmd_copy, ["target-root!", "target-uuid"]),
         ("gc", cmd_gc, []),
         ("delete", cmd_delete, []),
+        ("shell", cmd_shell, []),
     ]:
         p = sub.add_parser(name)
         p.add_argument("--root", required=True)
-        p.add_argument("--dataset", required=(name != "info"))
+        p.add_argument("--dataset", required=(name not in ("info", "shell")))
         for opt in extra:
             required = opt.endswith("!")
             opt = opt.rstrip("!")

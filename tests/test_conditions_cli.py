@@ -115,3 +115,48 @@ def test_cli_info_stats_query(spark, tmp_root, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "V" in out
+
+
+def test_cli_shell_drives_dataset_lifecycle(spark, tmp_root, capsys):
+    """The interactive shell: ls / use (with completion) / columns /
+    query with an int-literal condition against a double column — the
+    schema-aware coercion path."""
+    import io
+
+    from kartothek_spark import cli
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    df = spark.createDataFrame(
+        [(1, 10.5, "x"), (2, 30.0, "y"), (3, 50.25, "y")], "K long, V double, P string"
+    )
+    store_dataframe_as_dataset(spark, df, tmp_root, "ds", partition_on=["P"])
+
+    out = io.StringIO()
+    sh = cli.KtkShell(tmp_root, stdout=out)
+    sh.onecmd("ls")
+    assert "ds" in out.getvalue()
+    assert sh.complete_use("d", "use d", 4, 5) == ["ds"]
+    sh.onecmd("use nope")
+    assert "unknown dataset" in out.getvalue()
+    sh.onecmd("use ds")
+    sh.onecmd("columns")
+    assert "V\tdouble" in out.getvalue()
+    # int literal 30 against double column V must widen, not raise
+    capsys.readouterr()
+    sh.onecmd("query V > 30")
+    shown = capsys.readouterr().out
+    assert "50.25" in shown and "10.5" not in shown
+    # bad condition keeps the shell alive and reports
+    sh.onecmd("query V ~~ 3")
+    assert sh.onecmd("quit") is True
+
+
+def test_cli_query_coerces_int_literals_against_double_columns(spark, tmp_root, capsys):
+    from kartothek_spark import cli
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    df = spark.createDataFrame([(1, 10.5), (2, 30.0)], "K long, V double")
+    store_dataframe_as_dataset(spark, df, tmp_root, "ds")
+    assert cli.main(["query", "--root", tmp_root, "--dataset", "ds",
+                     "--condition", "V > 25", "--limit", "5"]) == 0
+    assert "30.0" in capsys.readouterr().out

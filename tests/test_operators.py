@@ -304,3 +304,16 @@ def test_mix_corpus_rates_and_unknown_sources_drop(spark):
     assert 380 < counts.get("src1", 0) < 620   # ~half
     assert "src2" not in counts                # explicit zero drops all
     assert "src3" not in counts                # absent from weights drops all
+
+
+def test_sample_corpus_rates_nest(spark):
+    """Hash-threshold sampling is monotone in rate: raising the rate only
+    ADDS rows (never swaps them) — rate sweeps yield nested corpora, so a
+    10% pilot corpus is always a subset of the 30% production one."""
+    from kartothek_spark.operators.corpus import sample_corpus
+
+    df = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    s20 = {r.doc_id for r in sample_corpus(df, 0.2).collect()}
+    s50 = {r.doc_id for r in sample_corpus(df, 0.5).collect()}
+    s90 = {r.doc_id for r in sample_corpus(df, 0.9).collect()}
+    assert s20 <= s50 <= s90
