@@ -1136,20 +1136,24 @@ def multimodal_plumbing(spark, sf_dir):
 
 
 def multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction (stubbed decode) — Python-side fake
-    featurizer, so rows-only check (no SQL oracle)."""
+    """mapInPandas feature extraction (stubbed decode). The deterministic
+    byte-histogram featurizer is SQL-expressible for ASCII payloads, so
+    this has a FULL value oracle: features render as integer micro-units
+    (round-half-up of x*1e6 — float-free hash parity) joined to one
+    scalar string the driver's canonicalizer can sort."""
     from kartothek_spark.operators.multimodal import extract_features, make_media_df
 
     docs = _t(spark, sf_dir, "documents")
     media = make_media_df(docs, "doc_id", "text", kind="image")
     out = extract_features(media)
-    # array column rendered as a deterministic scalar string so the driver's
-    # row-sorting canonicalizer can handle it (rows-only check)
+    micro = F.transform(
+        "feature", lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long").cast("string")
+    )
     return out.select(
         "media_id",
         "kind",
         "n_bytes",
-        F.array_join(F.transform("feature", lambda x: x.cast("string")), ",").alias("feature"),
+        F.array_join(micro, ",").alias("feature_micro"),
     )
 
 
@@ -1617,6 +1621,38 @@ FROM embeddings WHERE vec_id < 10
         "multimodal_plumbing": """
 SELECT doc_id AS media_id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
 FROM documents
+""",
+        # the stubbed featurizer is byte-histogram moments over 8-strided
+        # byte positions; testdata text is pure ASCII (asserted by the
+        # octet_length guard), so char positions == byte positions and the
+        # whole thing is SQL — a FULL value oracle for the mapInPandas op
+        "multimodal_features": """
+WITH guard AS (
+  SELECT CASE WHEN (SELECT count(*) FROM documents
+                    WHERE octet_length(CAST(text AS BLOB)) <> length(text)) = 0
+         THEN 1 ELSE NULL END AS ok
+), pos AS (
+  SELECT doc_id, unnest(range(1, length(text)+1)) AS p, text FROM documents
+), strided AS (
+  SELECT doc_id, CAST((p-1) % 8 AS BIGINT) AS i,
+         sum(ord(substr(text, CAST(p AS INTEGER), 1))) AS s, count(*) AS c
+  FROM pos GROUP BY 1, 2
+), dims AS (
+  SELECT d.doc_id, g.i FROM documents d CROSS JOIN (SELECT unnest(range(0,8)) AS i) g
+), feat AS (
+  SELECT dims.doc_id, dims.i,
+         CAST(floor(round(CAST(coalesce(s,0) AS DOUBLE)
+                          / (255.0 * greatest(coalesce(c,0),1)), 6) * 1000000 + 0.5) AS BIGINT) AS micro
+  FROM dims LEFT JOIN strided ON dims.doc_id = strided.doc_id AND dims.i = strided.i
+)
+SELECT f.doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS n_bytes,
+       array_to_string(list(CAST(micro AS VARCHAR) ORDER BY f.i), ',') AS feature_micro
+FROM feat f
+JOIN documents d ON f.doc_id = d.doc_id
+CROSS JOIN guard
+WHERE guard.ok = 1
+GROUP BY f.doc_id, d.text
 """,
         # ann_lsh_topk, multimodal_features, stream_windowed_update:
         # intentionally no oracle (approximate / Python featurizer / streaming)
