@@ -939,6 +939,31 @@ def events_user_value(spark, sf_dir):
     )
 
 
+def events_asof(spark, sf_dir):
+    """Distributed as-of join: attribute each purchase to the user's most
+    recent page view at-or-before it (union + keyed window, one shuffle).
+    Oracled by DuckDB's native ASOF LEFT JOIN."""
+    from kartothek_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id")
+    return out.select(
+        "purchase_id", "user_id", "ts", "view_ts", "view_value", "purchase_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis / dedup / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------
@@ -1270,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_dedup": events_dedup,
         "events_user_value": events_user_value,
+        "events_asof": events_asof,
         "text_analyze": text_analyze,
         "corpus_sample": corpus_sample,
         "corpus_mixture": corpus_mixture,
@@ -1558,6 +1584,17 @@ SELECT user_id, event_type, count(*) AS n,
        CAST(sum({_cents_sql('value')}) AS DOUBLE) / 100 AS total_value
 FROM events WHERE event_type IN ('purchase', 'click')
 GROUP BY user_id, event_type
+""",
+        "events_asof": """
+WITH l AS (
+  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, ts AS view_ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT purchase_id, l.user_id, l.ts, r.view_ts, r.view_value, purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "text_analyze": f"""
 SELECT doc_id,

@@ -1,0 +1,85 @@
+"""Temporal join operators Spark's DataFrame API lacks as primitives.
+
+``asof_join`` — for each left row, the single most recent right row at or
+before it per key ("attribute each purchase to the user's latest prior
+page view"). Spark has no ASOF JOIN; the naive formulations are a range
+join (quadratic candidate explosion) or a per-key ``collect_list`` UDF
+(memory-unbounded). This implementation is the scalable composition:
+
+    union(left, right) → one hash shuffle on the key
+    → window sorted by (time, side) with last_value(ignorenulls)
+    → keep left rows
+
+One shuffle, sort within partitions, O(1) state per row in the running
+window — the same cost profile as a groupBy over (key, time), at any
+scale. Skewed keys are AQE's problem, same as any keyed window.
+
+DuckDB's native ``ASOF JOIN`` is the value-exact oracle (see the
+``events_asof`` gate entry in ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row joined to the latest ``right``
+    row with ``right.on <= left.on`` (ties match), matched within ``by``
+    keys; unmatched left rows keep NULL right columns.
+
+    Contract: ``right`` must be unique per (by, on) — with duplicates
+    "the most recent right row" is ill-defined (DuckDB's ASOF JOIN has
+    the same ambiguity); pre-aggregate the right side. Payload column
+    names must not collide between the two inputs (rename before joining
+    — explicit beats silent suffixing). Only ``direction='backward'`` is
+    implemented; forward is the mirror image with a descending sort.
+    """
+    if direction != "backward":
+        raise NotImplementedError("asof_join: only direction='backward' is implemented")
+    by = [by] if isinstance(by, str) else list(by or [])
+    l_payload = [c for c in left.columns if c not in by + [on]]
+    r_payload = [c for c in right.columns if c not in by + [on]]
+    clash = set(l_payload) & set(r_payload)
+    if clash:
+        raise ValueError(f"asof_join: column collision {sorted(clash)}; rename before joining")
+
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    l_types = {f.name: f.dataType for f in left.schema.fields}
+    # one unified layout; the missing side's payload is NULL. __is_l also
+    # breaks the sort tie so a right row at the same timestamp sorts
+    # FIRST and is visible to the left row (ASOF's <= semantics).
+    lu = left.select(
+        *by,
+        F.col(on),
+        F.lit(1).alias("__is_l"),
+        *[F.col(c) for c in l_payload],
+        *[F.lit(None).cast(r_types[c]).alias(c) for c in r_payload],
+    )
+    ru = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("__is_l"),
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in l_payload],
+        *[F.col(c) for c in r_payload],
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lu.unionByName(ru).select(
+        *by,
+        F.col(on),
+        "__is_l",
+        *[F.col(c) for c in l_payload],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_payload],
+    )
+    return filled.where(F.col("__is_l") == 1).drop("__is_l")

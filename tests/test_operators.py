@@ -317,3 +317,40 @@ def test_sample_corpus_rates_nest(spark):
     s50 = {r.doc_id for r in sample_corpus(df, 0.5).collect()}
     s90 = {r.doc_id for r in sample_corpus(df, 0.9).collect()}
     assert s20 <= s50 <= s90
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left row per
+    key; exact-timestamp ties match; no prior right row → NULLs."""
+    import datetime as dt
+
+    from kartothek_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(20), "b"), (2, t(5), "c"), (1, t(2), "early")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(15), 150.0), (2, t(9), 900.0)],
+        "k long, ts timestamp, rv double",
+    )
+    got = {r.lv: r.rv for r in asof_join(left, right, on="ts", by="k").collect()}
+    assert got == {
+        "a": 100.0,       # tie at ts=10 matches (<= semantics)
+        "b": 150.0,       # latest of the two priors
+        "c": None,        # right row at t=9 is AFTER left t=5
+        "early": None,    # nothing before
+    }
+
+
+def test_asof_join_guards(spark):
+    import pytest as _pytest
+
+    from kartothek_spark.operators.temporal import asof_join
+
+    df = spark.createDataFrame([(1, 1, 2.0)], "k long, ts long, x double")
+    with _pytest.raises(ValueError, match="collision"):
+        asof_join(df, df, on="ts", by="k")
+    with _pytest.raises(NotImplementedError):
+        asof_join(df, df.withColumnRenamed("x", "y"), on="ts", by="k", direction="forward")
