@@ -964,6 +964,24 @@ def events_asof(spark, sf_dir):
     )
 
 
+def events_range_join(spark, sf_dir):
+    """Bucketed range join: place each purchase inside the gap-session
+    interval containing it. Sessions partition a user's events, so every
+    purchase lands in exactly one session — rows == #purchases."""
+    from kartothek_spark.operators.temporal import range_join
+    from kartothek_spark.streaming.update import sessionize
+
+    ev = _events(spark, sf_dir)
+    sessions = sessionize(ev, gap_minutes=30)
+    points = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = range_join(
+        points, sessions, on="ts", start="session_start", end="session_end", by="user_id"
+    )
+    return out.select("purchase_id", "user_id", "ts", "session_seq", "n_events")
+
+
 # ---------------------------------------------------------------------------
 # text analysis / dedup / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------
@@ -1296,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup": events_dedup,
         "events_user_value": events_user_value,
         "events_asof": events_asof,
+        "events_range_join": events_range_join,
         "text_analyze": text_analyze,
         "corpus_sample": corpus_sample,
         "corpus_mixture": corpus_mixture,
@@ -1595,6 +1614,30 @@ WITH l AS (
 )
 SELECT purchase_id, l.user_id, l.ts, r.view_ts, r.view_value, purchase_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "events_range_join": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                   - CAST(floor(date_part('epoch', lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+), sessions AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+  FROM numbered GROUP BY user_id, session_seq
+)
+SELECT e.event_id AS purchase_id, e.user_id, e.ts, s.session_seq, s.n_events
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id AND e.ts >= s.session_start AND e.ts <= s.session_end
+WHERE e.event_type = 'purchase'
 """,
         "text_analyze": f"""
 SELECT doc_id,

@@ -83,3 +83,47 @@ def asof_join(
         *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_payload],
     )
     return filled.where(F.col("__is_l") == 1).drop("__is_l")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    by: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Points-to-intervals join (``start <= point.on <= end``, inner,
+    optionally within ``by`` keys) as a bucketed equi-join.
+
+    A plain inequality join plans as broadcast-nested-loop / cartesian in
+    Spark — quadratic at scale. Instead both sides land in fixed-width
+    time buckets: a point has exactly ONE bucket, an interval explodes to
+    the buckets it covers, the join is a hash equi-join on
+    (by..., bucket), and the exact containment predicate filters the
+    bucket-collisions. Because a point owns a single bucket, no pair can
+    match twice — no dedup pass. Shuffle volume is points + intervals ×
+    (span/bucket_seconds + 1): pick ``bucket_seconds`` near the typical
+    interval span so the explode factor stays ~2."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    clash = (set(points.columns) & set(intervals.columns)) - set(by)
+    if clash:
+        raise ValueError(f"range_join: column collision {sorted(clash)}; rename before joining")
+
+    w = float(bucket_seconds)
+    pb = points.withColumn("__b", F.floor(F.col(on).cast("double") / w).cast("long"))
+    ib = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start).cast("double") / w).cast("long"),
+                F.floor(F.col(end).cast("double") / w).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, by + ["__b"])
+        .where((F.col(on) >= F.col(start)) & (F.col(on) <= F.col(end)))
+        .drop("__b")
+    )

@@ -354,3 +354,46 @@ def test_asof_join_guards(spark):
         asof_join(df, df, on="ts", by="k")
     with _pytest.raises(NotImplementedError):
         asof_join(df, df.withColumnRenamed("x", "y"), on="ts", by="k", direction="forward")
+
+
+def test_range_join_matches_naive_and_includes_boundaries(spark):
+    """Bucketed range join == naive inequality join, including intervals
+    spanning many buckets and points exactly on interval boundaries."""
+    from kartothek_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 3600, "p2"), (1, 5000, "p3"), (2, 100, "p4"), (1, 99, "p5")],
+        "k long, ts long, pid string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 100, 3600, "i1"),      # boundaries inclusive on both ends
+         (1, 4000, 90000, "i2"),    # spans ~25 one-hour buckets
+         (2, 0, 50, "i3")],         # no points inside
+        "k long, s long, e long, iid string",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            points, intervals, on="ts", start="s", end="e", by="k", bucket_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (p.pid, i.iid)
+        for p in points.collect()
+        for i in intervals.collect()
+        if p.k == i.k and i.s <= p.ts <= i.e
+    }
+    assert got == naive == {("p1", "i1"), ("p2", "i1"), ("p3", "i2")}
+
+
+def test_range_join_plans_as_equi_join(spark):
+    """The whole point: the plan must be a hash equi-join on the bucket,
+    never a broadcast-nested-loop / cartesian."""
+    from kartothek_spark.operators.temporal import range_join
+
+    points = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 7).alias("ts"))
+    iv = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 50).alias("s"), (F.col("id") * 50 + 40).alias("e")
+    )
+    plan = range_join(points, iv, on="ts", start="s", end="e", by="k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
