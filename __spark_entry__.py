@@ -995,6 +995,13 @@ def text_analyze(spark, sf_dir):
 _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
+def corpus_vocabulary(spark, sf_dir):
+    """Top-200 corpus tokens with counts (vocabulary building)."""
+    from kartothek_spark.operators.text import top_tokens
+
+    return top_tokens(_t(spark, sf_dir, "documents"), n=200, min_count=2)
+
+
 def corpus_sample(spark, sf_dir):
     """Deterministic hash sample — same corpus every run, any cluster."""
     from kartothek_spark.operators.corpus import sample_corpus
@@ -1316,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": events_asof,
         "events_range_join": events_range_join,
         "text_analyze": text_analyze,
+        "corpus_vocabulary": corpus_vocabulary,
         "corpus_sample": corpus_sample,
         "corpus_mixture": corpus_mixture,
         "corpus_quality": corpus_quality,
@@ -1648,6 +1656,9 @@ SELECT doc_id,
        {fingerprint_sql('text')} AS fingerprint
 FROM documents
 """,
+        "corpus_vocabulary": __import__(
+            "kartothek_spark.operators.text", fromlist=["top_tokens_sql"]
+        ).top_tokens_sql("documents", n=200, min_count=2),
         "corpus_sample": _corpus.sample_corpus_sql(
             "documents", 0.35, columns="doc_id, source, lang"
         ),

@@ -176,3 +176,32 @@ def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         whitespace_token_count(text_col).alias("ws_tokens"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def top_tokens(
+    df: DataFrame, n: int = 100, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary: the ``n`` most frequent tokens with counts —
+    explode → count (map-side combinable partial aggregation) → exact
+    top-n by (count DESC, token ASC), deterministic under ties. The
+    explode shuffles (token, partial-count) pairs only; the global top-n
+    is a single-reducer pass over the (vocabulary-sized, not corpus-
+    sized) count table."""
+    toks = tokens(F.col(text_col))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(n)
+
+
+def top_tokens_sql(table: str, n: int = 100, text_col: str = "text", min_count: int = 1) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+SELECT token, count(*) AS n_occurrences
+FROM (SELECT unnest({toks}) AS token FROM {table})
+GROUP BY token HAVING count(*) >= {min_count}
+ORDER BY n_occurrences DESC, token ASC LIMIT {n}
+"""

@@ -112,3 +112,38 @@ def test_stream_dedup_exact_matches_batch(spark, event_stream_dir, tmp_path):
     want = stream_dedup_exact(batch, ["user_id", "ts"])
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_corpus_ops_compose_with_streams(spark, tmp_path):
+    """sample_corpus / quality_filter / mix_corpus are stateless
+    expressions, so the same code runs unchanged over a stream — streamed
+    results must equal the batch run on the same files."""
+    import os
+
+    from kartothek_spark.operators.corpus import quality_filter, sample_corpus
+    from tests.conftest import SF_DIR
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.coalesce(4).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    def pipe(df):
+        return sample_corpus(quality_filter(df), 0.5).select("doc_id")
+
+    stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        pipe(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_corpus"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id FROM corpus_stream")
+    want = pipe(batch)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
