@@ -1002,6 +1002,14 @@ def corpus_vocabulary(spark, sf_dir):
     return top_tokens(_t(spark, sf_dir, "documents"), n=200, min_count=2)
 
 
+def corpus_heavy_hitters(spark, sf_dir):
+    """Misra-Gries candidates + exact recount: tokens with freq > 1/60 of
+    the corpus, exact counts, no vocabulary-wide shuffle."""
+    from kartothek_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), k=60)
+
+
 def corpus_sample(spark, sf_dir):
     """Deterministic hash sample — same corpus every run, any cluster."""
     from kartothek_spark.operators.corpus import sample_corpus
@@ -1324,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": events_range_join,
         "text_analyze": text_analyze,
         "corpus_vocabulary": corpus_vocabulary,
+        "corpus_heavy_hitters": corpus_heavy_hitters,
         "corpus_sample": corpus_sample,
         "corpus_mixture": corpus_mixture,
         "corpus_quality": corpus_quality,
@@ -1659,6 +1668,9 @@ FROM documents
         "corpus_vocabulary": __import__(
             "kartothek_spark.operators.text", fromlist=["top_tokens_sql"]
         ).top_tokens_sql("documents", n=200, min_count=2),
+        "corpus_heavy_hitters": __import__(
+            "kartothek_spark.operators.sketch", fromlist=["heavy_hitters_sql"]
+        ).heavy_hitters_sql("documents", k=60),
         "corpus_sample": _corpus.sample_corpus_sql(
             "documents", 0.35, columns="doc_id, source, lang"
         ),

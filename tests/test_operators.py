@@ -397,3 +397,34 @@ def test_range_join_plans_as_equi_join(spark):
     )
     plan = range_join(points, iv, on="ts", start="s", end="e", by="k")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_exact_under_any_partitioning(spark):
+    """MG candidates are a superset of true heavy hitters per theory; the
+    exact recount then makes the output EXACTLY the > n/k set — and that
+    must hold regardless of how rows land in partitions."""
+    from kartothek_spark.operators.sketch import heavy_hitters
+
+    # 'hot' appears 300/1000 docs, 'warm' 100, the rest is a long tail of
+    # unique tokens — k=8 → threshold n/8
+    rows = []
+    for i in range(1000):
+        word = "hot" if i % 10 < 3 else ("warm" if i % 10 == 3 else f"tail{i}")
+        rows.append((i, f"{word} filler{i % 7}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def exact(k):
+        toks = df.selectExpr("explode(split(lower(text), '[^a-z0-9]+')) AS t").where("t <> ''")
+        total = toks.count()
+        return {
+            (r.t, r.c)
+            for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()
+            if r.c * k > total
+        }
+
+    for parts in (1, 7, 32):
+        got = {
+            (r.token, r.n_occurrences)
+            for r in heavy_hitters(df.repartition(parts), k=8).collect()
+        }
+        assert got == exact(8) and ("hot", 300) in got
