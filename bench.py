@@ -49,6 +49,11 @@ HEADLINE = [
     "dedup_simhash",
     "embedding_dups",
     "ann_topk",
+    # round 2: temporal joins, end-to-end dedup, sketch
+    "events_asof",
+    "events_range_join",
+    "dedup_corpus",
+    "corpus_heavy_hitters",
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -113,12 +113,27 @@ _EPOCH_TS = datetime.datetime(1970, 1, 1)
 def _float_bits(f: float) -> int:
     import struct
 
+    # Spark normalizes -0.0f to 0.0f before hashing (SPARK-32110), so the
+    # two IEEE zeros hash identically; NaNs are canonicalized by
+    # floatToLongBits on the JVM side, mirrored here
+    if f == 0.0:
+        f = 0.0
+    import math
+
+    if math.isnan(f):
+        return 0x7FC00000
     return struct.unpack("<i", struct.pack("<f", f))[0]
 
 
 def _double_bits(d: float) -> int:
     import struct
 
+    if d == 0.0:  # -0.0 == 0.0 → normalize (SPARK-32110)
+        d = 0.0
+    import math
+
+    if math.isnan(d):
+        return 0x7FF8000000000000
     return struct.unpack("<q", struct.pack("<d", d))[0]
 
 
