@@ -15,7 +15,6 @@ separate narrow dataset so later scans never touch the blobs.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
