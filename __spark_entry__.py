@@ -1049,6 +1049,19 @@ def corpus_rollup(spark, sf_dir):
     return corpus_stats(_t(spark, sf_dir, "documents"))
 
 
+_SPLIT_FRACTIONS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def corpus_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment from contiguous hash
+    ranges — stable under reruns, repartitioning, and corpus growth."""
+    from kartothek_spark.operators.corpus import split_corpus
+
+    return split_corpus(_t(spark, sf_dir, "documents"), _SPLIT_FRACTIONS).select(
+        "doc_id", "source", "split"
+    )
+
+
 def dedup_exact(spark, sf_dir):
     from kartothek_spark.operators.dedup import dedup_exact as op
 
@@ -1337,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": corpus_mixture,
         "corpus_quality": corpus_quality,
         "corpus_rollup": corpus_rollup,
+        "corpus_split": corpus_split,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -1685,6 +1699,9 @@ FROM documents
             columns="doc_id, source, lang, n_chars",
         ),
         "corpus_rollup": _corpus.corpus_stats_sql("documents"),
+        "corpus_split": _corpus.split_corpus_sql(
+            "documents", _SPLIT_FRACTIONS, columns="doc_id, source"
+        ),
         "dedup_exact": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id IN ("
             + __import__("kartothek_spark.operators.dedup", fromlist=["dedup_exact_keep_sql"]).dedup_exact_keep_sql(

@@ -160,3 +160,46 @@ SELECT {lang_col},
        CAST(sum(length({text_col})) AS BIGINT) AS total_chars
 FROM {table} GROUP BY {lang_col}
 """
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment: each row gets exactly
+    one split label from contiguous hash ranges (fractions quantized to
+    1e-6 and assigned in sorted-name order, so the mapping is stable
+    across runs, partitionings, and engines). Fractions must sum to 1
+    within quantization. Zero shuffle — one hash comparison chain per
+    row — and adding MORE data never moves an existing row's split
+    (the hash only depends on the key)."""
+    quanta = {name: int(round(f * _DENOM)) for name, f in sorted(fractions.items())}
+    total = sum(quanta.values())
+    if total != _DENOM:
+        raise ValueError(f"fractions must sum to 1 (got {total / _DENOM})")
+    h = h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))) % _DENOM
+    expr = None
+    hi = 0
+    for name, q in quanta.items():
+        hi += q
+        cond = h < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def split_corpus_sql(
+    table: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+    columns: str = "*",
+) -> str:
+    quanta = {name: int(round(f * _DENOM)) for name, f in sorted(fractions.items())}
+    h = h60_sql(f"'{salt}:' || CAST({key_col} AS VARCHAR)")
+    cases, hi = [], 0
+    for name, q in quanta.items():
+        hi += q
+        cases.append(f"WHEN ({h} % {_DENOM}) < {hi} THEN '{name}'")
+    return f"SELECT {columns}, CASE {' '.join(cases)} END AS split FROM {table}"

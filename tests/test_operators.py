@@ -428,3 +428,29 @@ def test_heavy_hitters_exact_under_any_partitioning(spark):
             for r in heavy_hitters(df.repartition(parts), k=8).collect()
         }
         assert got == exact(8) and ("hot", 300) in got
+
+
+def test_split_corpus_partitions_exhaustively_and_stably(spark):
+    """Every row gets exactly one split; the assignment is identical
+    under repartitioning; corpus growth never moves an existing row; and
+    observed fractions track the requested ones."""
+    import pytest as _pytest
+
+    from kartothek_spark.operators.corpus import split_corpus
+
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    out = split_corpus(df, fr)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 4000 and set(counts) == {"train", "valid", "test"}
+    assert 0.75 < counts["train"] / 4000 < 0.85
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in split_corpus(df.repartition(13), fr).collect()}
+    assert a == b
+    grown = split_corpus(
+        spark.range(0, 8000).select(F.col("id").alias("doc_id")), fr
+    )
+    c = {r.doc_id: r.split for r in grown.where(F.col("doc_id") < 4000).collect()}
+    assert c == a  # growth never reassigns existing rows
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, {"train": 0.5, "test": 0.4})
