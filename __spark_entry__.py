@@ -939,6 +939,31 @@ def events_user_value(spark, sf_dir):
     )
 
 
+def events_quantiles(spark, sf_dir):
+    """Exact discrete quantiles per event type — percentile_disc picks an
+    actual element, so no interpolation arithmetic to diverge between
+    engines (tested bit-exact vs DuckDB quantile_disc)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50_value"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_value"),
+        F.count("*").alias("n"),
+    )
+
+
+def events_top_users(spark, sf_dir):
+    """Top-3 users per event type by activity (windowed rank with a total
+    tie-break order)."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "user_id", "n", "rank")
+    )
+
+
 def events_asof(spark, sf_dir):
     """Distributed as-of join: attribute each purchase to the user's most
     recent page view at-or-before it (union + keyed window, one shuffle).
@@ -1341,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_dedup": events_dedup,
         "events_user_value": events_user_value,
+        "events_quantiles": events_quantiles,
+        "events_top_users": events_top_users,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
         "text_analyze": text_analyze,
@@ -1634,6 +1661,20 @@ SELECT user_id, event_type, count(*) AS n,
        CAST(sum({_cents_sql('value')}) AS DOUBLE) / 100 AS total_value
 FROM events WHERE event_type IN ('purchase', 'click')
 GROUP BY user_id, event_type
+""",
+        "events_quantiles": """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50_value,
+       quantile_disc(value, 0.9) AS p90_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+        "events_top_users": """
+SELECT event_type, user_id, n, rank FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 3
 """,
         "events_asof": """
 WITH l AS (
