@@ -1075,6 +1075,48 @@ def corpus_rollup(spark, sf_dir):
 
 
 _SPLIT_FRACTIONS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+_UPSAMPLE_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4}
+
+
+def corpus_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top token/bigram share,
+    duplicated 5-gram char fraction)."""
+    from kartothek_spark.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: a held-out 5% hash slice of the corpus
+    plays the eval set; every remaining doc sharing an 8-gram with it is
+    flagged with its hit count (broadcast semi-join on shingle hashes —
+    the corpus itself never shuffles)."""
+    from kartothek_spark.operators.contamination import contamination_hits
+    from kartothek_spark.operators.corpus import sample_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = sample_corpus(docs, 0.05, salt="bench")
+    train = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    return contamination_hits(train, bench, n=8)
+
+
+def corpus_pack(spark, sf_dir):
+    """Sequence packing: docs → fixed-512-token bins inside 8 hash shards
+    (one shuffle, per-shard running-sum window)."""
+    from kartothek_spark.operators.corpus import pack_corpus
+
+    return pack_corpus(_t(spark, sf_dir, "documents"), budget_tokens=512, shards=8)
+
+
+def corpus_upsample(spark, sf_dir):
+    """Epoch-weighted mixture with upsampling: weights > 1 emit repeated
+    copies with an epoch index, fractional parts decided per-(doc, copy)
+    hash."""
+    from kartothek_spark.operators.corpus import upsample_corpus
+
+    return upsample_corpus(_t(spark, sf_dir, "documents"), _UPSAMPLE_WEIGHTS).select(
+        "doc_id", "source", "epoch"
+    )
 
 
 def corpus_split(spark, sf_dir):
@@ -1378,6 +1420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality": corpus_quality,
         "corpus_rollup": corpus_rollup,
         "corpus_split": corpus_split,
+        "corpus_repetition": corpus_repetition,
+        "corpus_decontaminate": corpus_decontaminate,
+        "corpus_pack": corpus_pack,
+        "corpus_upsample": corpus_upsample,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
@@ -1742,6 +1788,22 @@ FROM documents
         "corpus_rollup": _corpus.corpus_stats_sql("documents"),
         "corpus_split": _corpus.split_corpus_sql(
             "documents", _SPLIT_FRACTIONS, columns="doc_id, source"
+        ),
+        "corpus_repetition": __import__(
+            "kartothek_spark.operators.text", fromlist=["repetition_signals_sql"]
+        ).repetition_signals_sql("documents"),
+        "corpus_decontaminate": __import__(
+            "kartothek_spark.operators.contamination", fromlist=["contamination_hits_sql"]
+        ).contamination_hits_sql(
+            "SELECT * FROM documents WHERE NOT ("
+            + _corpus._keep_sql("doc_id", 0.05, "bench")
+            + ")",
+            _corpus.sample_corpus_sql("documents", 0.05, salt="bench"),
+            n=8,
+        ),
+        "corpus_pack": _corpus.pack_corpus_sql("documents", budget_tokens=512, shards=8),
+        "corpus_upsample": _corpus.upsample_corpus_sql(
+            "documents", _UPSAMPLE_WEIGHTS, columns="doc_id, source"
         ),
         "dedup_exact": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id IN ("

@@ -162,6 +162,145 @@ FROM {table} GROUP BY {lang_col}
 """
 
 
+def upsample_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Weighted mixture with UPSAMPLING: weights above 1 repeat documents
+    (the "epochs per source" knob of LLM training mixes — e.g. wiki x2.5,
+    crawl x0.4). A weight w emits floor(w) full copies plus one more copy
+    kept with probability frac(w), decided by a deterministic per-(doc,
+    copy) hash — so the realized token mix converges to the weights and
+    re-runs are identical. Output adds an ``epoch`` column (0-based copy
+    index). Zero shuffle: one generate + one hash compare per row."""
+    rate = None
+    for src, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {src}")
+        cond = F.col(source_col) == src
+        rate = F.when(cond, F.lit(float(w))) if rate is None else rate.when(cond, F.lit(float(w)))
+    rate = rate.otherwise(F.lit(0.0))
+    thr = F.floor(rate * _DENOM + F.lit(0.5)).cast("long")  # weight in 1e-6 quanta
+    df = df.withColumn("_thr", thr).where(F.col("_thr") > 0)
+    # copies 0..ceil(w)-1; copy i survives iff i*1e6 + hash-draw < w*1e6
+    n_copies = F.ceil(F.col("_thr").cast("double") / _DENOM).cast("int")
+    df = df.withColumn("epoch", F.explode(F.sequence(F.lit(0), n_copies - 1)))
+    h = h60(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col(key_col).cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    keep = (F.col("epoch").cast("long") * _DENOM + (h % _DENOM)) < F.col("_thr")
+    return df.where(keep).drop("_thr")
+
+
+def upsample_corpus_sql(
+    table: str,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "epoch",
+    columns: str = "*",
+) -> str:
+    cases = " ".join(
+        f"WHEN {source_col} = '{src}' THEN {int(round(float(w) * _DENOM))}"
+        for src, w in sorted(weights.items())
+    )
+    thr = f"CASE {cases} ELSE 0 END"
+    h = h60_sql(f"'{salt}:' || CAST({key_col} AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)")
+    return f"""
+SELECT {columns}, epoch FROM (
+  SELECT *, CAST(unnest(range(0, CAST(ceil(CAST(_thr AS DOUBLE) / {_DENOM}) AS BIGINT))) AS INTEGER) AS epoch
+  FROM (SELECT *, {thr} AS _thr FROM {table}) WHERE _thr > 0
+)
+WHERE CAST(epoch AS BIGINT) * {_DENOM} + ({h} % {_DENOM}) < _thr
+"""
+
+
+def pack_corpus(
+    df: DataFrame,
+    budget_tokens: int,
+    shards: int = 64,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget bins (the
+    step that turns a filtered corpus into training sequences). Contiguous
+    greedy packing inside deterministic hash shards:
+
+    * shard = h60(doc) % shards — docs spread evenly, assignment stable
+      under reruns/repartitioning/corpus growth within a shard count;
+    * inside a shard, docs are laid out in (hash, id) order and the
+      running token total is cut every ``budget_tokens`` — a doc belongs
+      to the bin its first token lands in;
+    * ``bin_id = shard * 2^32 + local bin`` is globally unique.
+
+    Scale shape: ONE shuffle (hash partition by shard) and a per-shard
+    window — each shard's window state is a running sum, so 100 TB packs
+    with shards sized to executor count, no global sort, no driver state.
+    Outputs (id, shard, bin_id, n_tokens, bin_offset).
+    """
+    from pyspark.sql import Window
+
+    from kartothek_spark.operators.text import bpe_token_count
+
+    h = h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    base = df.select(
+        F.col(key_col),
+        bpe_token_count(F.col(text_col)).alias("n_tokens"),
+        (h % shards).alias("shard"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    local_bin = F.floor(start / F.lit(budget_tokens)).cast("long")
+    return base.select(
+        key_col,
+        "shard",
+        (F.col("shard") * F.lit(1 << 32) + local_bin).alias("bin_id"),
+        "n_tokens",
+        (start - local_bin * budget_tokens).alias("bin_offset"),
+    )
+
+
+def pack_corpus_sql(
+    table: str,
+    budget_tokens: int,
+    shards: int = 64,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "pack",
+) -> str:
+    from kartothek_spark.operators.text import bpe_token_count_sql
+
+    h = h60_sql(f"'{salt}:' || CAST({key_col} AS VARCHAR)")
+    ntok = bpe_token_count_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {key_col}, {ntok} AS n_tokens, ({h}) % {shards} AS shard, {h} AS _h
+  FROM {table}
+), cum AS (
+  SELECT {key_col}, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY _h, {key_col}
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start
+  FROM base
+)
+SELECT {key_col}, shard,
+       shard * {1 << 32} + CAST(floor(CAST(start AS DOUBLE) / {budget_tokens}) AS BIGINT) AS bin_id,
+       n_tokens,
+       start - CAST(floor(CAST(start AS DOUBLE) / {budget_tokens}) AS BIGINT) * {budget_tokens} AS bin_offset
+FROM cum
+"""
+
+
 def split_corpus(
     df: DataFrame,
     fractions: dict[str, float],

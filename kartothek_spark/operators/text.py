@@ -178,6 +178,160 @@ def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    * ``top_bigram_ratio`` — fraction of characters covered by occurrences
+      of the single most frequent word 2-gram (boilerplate detector);
+    * ``dup_5gram_ratio`` — fraction of characters claimed by word 5-grams
+      that occur more than once (template/loop detector; overlapping grams
+      can push this past 1.0, as in the Gopher rules);
+    * ``top_token_ratio`` — frequency share of the most common token.
+
+    Shape at scale: one explode per gram order, map-side-combinable
+    ``(doc, gram)`` counts, then a per-doc fold — the shuffle carries gram
+    counts (vocabulary-of-the-doc sized), never the text. Ties on the top
+    gram break deterministically by (count, gram) struct comparison, which
+    is lexicographic in both engines.
+    """
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        tokens(c).alias("_toks"),
+        F.greatest(F.length(c), F.lit(1)).cast("double").alias("_n_chars"),
+    ).select(
+        id_col,
+        "_n_chars",
+        F.greatest(F.size("_toks"), F.lit(1)).cast("double").alias("_n_toks"),
+        "_toks",
+        _all_grams("_toks", 2).alias("_g2"),
+        _all_grams("_toks", 5).alias("_g5"),
+    )
+
+    tok_counts = (
+        base.select(id_col, "_n_toks", F.explode("_toks").alias("g"))
+        .groupBy(id_col, "_n_toks", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("n").cast("double") / F.first("_n_toks"), 6).alias("top_token_ratio")
+        )
+    )
+    g2_counts = (
+        base.select(id_col, "_n_chars", F.explode("_g2").alias("g"))
+        .groupBy(id_col, "_n_chars", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                (
+                    F.max(F.struct(F.col("n"), F.col("g"))).getField("n").cast("double")
+                    * F.length(F.max(F.struct(F.col("n"), F.col("g"))).getField("g")).cast("double")
+                )
+                / F.first("_n_chars"),
+                6,
+            ).alias("top_bigram_ratio")
+        )
+    )
+    g5_counts = (
+        base.select(id_col, "_n_chars", F.explode("_g5").alias("g"))
+        .groupBy(id_col, "_n_chars", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("n") > 1, F.col("n") * F.length("g")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.first("_n_chars"),
+                6,
+            ).alias("dup_5gram_ratio")
+        )
+    )
+    ids = base.select(id_col)
+    out = (
+        ids.join(tok_counts, id_col, "left")
+        .join(g2_counts, id_col, "left")
+        .join(g5_counts, id_col, "left")
+    )
+    return out.select(
+        id_col,
+        F.coalesce("top_token_ratio", F.lit(0.0)).alias("top_token_ratio"),
+        F.coalesce("top_bigram_ratio", F.lit(0.0)).alias("top_bigram_ratio"),
+        F.coalesce("dup_5gram_ratio", F.lit(0.0)).alias("dup_5gram_ratio"),
+    )
+
+
+def _all_grams(toks: Column | str, n: int) -> Column:
+    """ALL (non-distinct) n-word shingles of a token array; empty when the
+    doc has fewer than ``n`` tokens."""
+    t = F.col(toks) if isinstance(toks, str) else toks
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+    return F.when(F.size(t) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _all_grams_sql(toks: str, n: int) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(0, len({toks}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def repetition_signals_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = tokens_sql(text_col)
+    g2 = _all_grams_sql("_toks", 2)
+    g5 = _all_grams_sql("_toks", 5)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {toks} AS _toks,
+         CAST(greatest(length({text_col}), 1) AS DOUBLE) AS _n_chars
+  FROM {table}
+), base2 AS (
+  SELECT {id_col}, _n_chars,
+         CAST(greatest(len(_toks), 1) AS DOUBLE) AS _n_toks,
+         _toks, {g2} AS _g2, {g5} AS _g5
+  FROM base
+), tok_c AS (
+  SELECT {id_col}, round(CAST(max(n) AS DOUBLE) / any_value(_n_toks), 6) AS top_token_ratio
+  FROM (SELECT {id_col}, _n_toks, g, count(*) AS n
+        FROM (SELECT {id_col}, _n_toks, unnest(_toks) AS g FROM base2)
+        GROUP BY {id_col}, _n_toks, g)
+  GROUP BY {id_col}
+), g2_c AS (
+  SELECT {id_col},
+         round(CAST(max(struct_pack(n := n, g := g)).n AS DOUBLE)
+               * CAST(length(max(struct_pack(n := n, g := g)).g) AS DOUBLE)
+               / any_value(_n_chars), 6) AS top_bigram_ratio
+  FROM (SELECT {id_col}, _n_chars, g, count(*) AS n
+        FROM (SELECT {id_col}, _n_chars, unnest(_g2) AS g FROM base2)
+        GROUP BY {id_col}, _n_chars, g)
+  GROUP BY {id_col}
+), g5_c AS (
+  SELECT {id_col},
+         round(CAST(sum(CASE WHEN n > 1 THEN n * length(g) ELSE 0 END) AS DOUBLE)
+               / any_value(_n_chars), 6) AS dup_5gram_ratio
+  FROM (SELECT {id_col}, _n_chars, g, count(*) AS n
+        FROM (SELECT {id_col}, _n_chars, unnest(_g5) AS g FROM base2)
+        GROUP BY {id_col}, _n_chars, g)
+  GROUP BY {id_col}
+)
+SELECT b.{id_col},
+       coalesce(top_token_ratio, 0.0) AS top_token_ratio,
+       coalesce(top_bigram_ratio, 0.0) AS top_bigram_ratio,
+       coalesce(dup_5gram_ratio, 0.0) AS dup_5gram_ratio
+FROM (SELECT {id_col} FROM base2) b
+LEFT JOIN tok_c USING ({id_col})
+LEFT JOIN g2_c USING ({id_col})
+LEFT JOIN g5_c USING ({id_col})
+"""
+
+
 def top_tokens(
     df: DataFrame, n: int = 100, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

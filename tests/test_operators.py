@@ -454,3 +454,109 @@ def test_split_corpus_partitions_exhaustively_and_stably(spark):
     assert c == a  # growth never reassigns existing rows
     with _pytest.raises(ValueError, match="sum to 1"):
         split_corpus(df, {"train": 0.5, "test": 0.4})
+
+
+def test_repetition_signals_hand_checked(spark):
+    """Hand-computed Gopher-style repetition ratios on tiny docs."""
+    from kartothek_spark.operators.text import repetition_signals
+
+    rows = [
+        # 6 tokens, "a b" occurs 3x as top bigram ("a b a b a b"):
+        # top bigram chars = 3 * len("a b") = 9 over 11 chars
+        Row(doc_id=1, text="a b a b a b"),
+        # no repetition at all; fewer than 5 tokens → dup_5gram 0
+        Row(doc_id=2, text="one two three"),
+        # 10 tokens = "x y z w v" twice → every 5-gram occurring twice:
+        # dup 5-grams: "x y z w v" occurs 2x (9 chars each)
+        Row(doc_id=3, text="x y z w v x y z w v"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].top_token_ratio == 0.5  # "a" 3/6
+    assert got[1].top_bigram_ratio == round(9 / 11, 6)
+    # its two 5-grams ("a b a b a", "b a b a b") are distinct → no dup
+    assert got[1].dup_5gram_ratio == 0.0
+    assert got[2].top_token_ratio == round(1 / 3, 6)
+    assert got[2].dup_5gram_ratio == 0.0
+    assert got[3].top_token_ratio == 0.2
+    # "x y z w v" repeats; at least that gram's 2*9=18 chars over 19
+    assert got[3].dup_5gram_ratio >= round(18 / 19, 6)
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    from kartothek_spark.operators.contamination import contamination_hits, decontaminate
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the capital of france is paris and it is large")]
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram verbatim
+            Row(doc_id=1, text="trivia: the capital of france is paris and it is large indeed"),
+            Row(doc_id=2, text="a completely unrelated training document about spark planning"),
+            # shares words but no 8-gram run
+            Row(doc_id=3, text="paris is the capital city people say of france"),
+        ]
+    )
+    hits = {r.doc_id: r.n_hits for r in contamination_hits(train, bench, n=8).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits and 3 not in hits
+    clean = {r.doc_id for r in decontaminate(train, bench, n=8).collect()}
+    assert clean == {2, 3}
+
+
+def test_pack_corpus_bins_respect_budget_and_determinism(spark):
+    """Every bin's docs start inside the budget window, offsets equal the
+    running sum within (shard, bin) layout order, and the assignment is
+    invariant to input partitioning."""
+    from kartothek_spark.operators.corpus import pack_corpus
+
+    rows = [(i, "tok " * (5 + i % 17)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_corpus(df, budget_tokens=64, shards=4).collect()
+    assert len(out) == 300
+    for r in out:
+        assert 0 <= r.bin_offset < 64
+        assert r.bin_id >> 32 == r.shard
+    out2 = pack_corpus(df.repartition(13), budget_tokens=64, shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # per (shard, bin): exactly one doc starts at each running-sum point —
+    # recompute the layout independently
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in out:
+        by_shard[r.shard].append(r)
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: (r.bin_id, r.bin_offset))
+        start = 0
+        for r in rs:
+            assert (r.bin_id & 0xFFFFFFFF) == start // 64
+            assert r.bin_offset == start % 64
+            start += r.n_tokens
+
+
+def test_upsample_corpus_epoch_weights(spark):
+    """Weight 3.0 → exactly 3 copies each; 0.5 → about half, one copy;
+    fractional >1 → floor(w) full copies plus a hash-gated extra."""
+    from kartothek_spark.operators.corpus import upsample_corpus
+
+    rows = [(i, f"src{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = upsample_corpus(df, {"src0": 3.0, "src1": 0.5, "src2": 1.75}).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault((r.source, r.doc_id), []).append(r.epoch)
+    n0 = sum(len(v) for (s, _), v in per_doc.items() if s == "src0")
+    n1 = sum(len(v) for (s, _), v in per_doc.items() if s == "src1")
+    n2 = sum(len(v) for (s, _), v in per_doc.items() if s == "src2")
+    assert n0 == 3000  # every src0 doc exactly 3x
+    assert all(sorted(v) == [0, 1, 2] for (s, _), v in per_doc.items() if s == "src0")
+    assert 400 < n1 < 600  # ~0.5 of 1000, single epoch 0
+    assert all(v == [0] for (s, _), v in per_doc.items() if s == "src1")
+    # src2: every doc has epoch 0, ~75% also epoch 1
+    assert all(0 in v for (s, _), v in per_doc.items() if s == "src2")
+    assert 1600 < n2 < 1900
+    # determinism under repartitioning
+    out2 = upsample_corpus(df.repartition(7), {"src0": 3.0, "src1": 0.5, "src2": 1.75}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
