@@ -54,6 +54,9 @@ HEADLINE = [
     "events_range_join",
     "dedup_corpus",
     "corpus_heavy_hitters",
+    # round 2 (cont.): decontamination + sequence packing
+    "corpus_decontaminate",
+    "corpus_pack",
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
