@@ -390,7 +390,12 @@ def simhash_pairs(
     intra-cluster pairs have hamming 0 by construction and cross-cluster
     pairs inherit their representatives' hamming, so the output is
     identical to naive banding."""
-    base = simhash_df(df, text_col, id_col)  # (__id, __sim)
+    # (__id, __sim) — persisted: the frame feeds FOUR branches (reps, the
+    # member re-expansion's two sides, and the intra-cluster self-join);
+    # left lazy, the explode + 60-aggregate fingerprint job re-runs once
+    # per branch side (~6 evaluations — measured 3.5x wall on the sf0.1
+    # bench before this pin)
+    base = simhash_df(df, text_col, id_col).persist()
     reps = base.groupBy("__sim").agg(F.min("__id").alias("__id"))
     mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = reps.select(
@@ -441,7 +446,9 @@ def simhash_pairs(
         F.col("ir.__id").alias("id_b"),
         F.lit(0).cast("integer").alias("hamming"),
     )
-    return cross.unionByName(intra)
+    out = cross.unionByName(intra).localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def simhash_pairs_sql(table: str, text_col: str, id_col: str, max_hamming: int = 3) -> str:
