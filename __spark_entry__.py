@@ -888,6 +888,35 @@ def ktk_cli_lifecycle(spark, sf_dir):
     ).select("p_partkey", "p_brand", "p_size")
 
 
+def ktk_stats_pruned(spark, sf_dir):
+    """Manifest min/max data skipping (Delta/Iceberg-style, beyond the
+    reference's partition/index pruning): a range-laid-out write records
+    per-file stats; a range predicate then plans to a strict subset of
+    files (pinned by the `pruned` flag) and the content matches SQL."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    li = _t(spark, sf_dir, "lineitem")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+    try:
+        store_dataframe_as_dataset(
+            spark, li, root, "ls",
+            stats_columns=["l_orderkey"], range_partition_by=["l_orderkey"],
+        )
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    m = DatasetManifest.load(root, "ls")
+    preds = [[("l_orderkey", "<", 500)]]
+    labels = dispatch_labels(spark, m, preds)
+    got = read_table(spark, root, "ls", predicates=preds)
+    return got.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("sum_qty"),
+    ).withColumn("pruned", F.lit(len(labels) < len(m.partitions)))
+
+
 def ktk_hash_dataset(spark, sf_dir):
     """hash_dataset analog (A6): canonical per-group content hash
     (40-bit md5 residues summed — order-independent, overflow-safe)."""
@@ -1378,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_cube_query": ktk_cube_query,
         "ktk_dispatch_by": ktk_dispatch_by,
         "ktk_hash_dataset": ktk_hash_dataset,
+        "ktk_stats_pruned": ktk_stats_pruned,
         "ktk_csv_roundtrip": ktk_csv_roundtrip,
         "ktk_collect_metadata": ktk_collect_metadata,
         "ktk_merge_datasets": ktk_merge_datasets,
@@ -1558,6 +1588,13 @@ SELECT l_returnflag,
        CAST(sum(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 1099511627776) AS BIGINT) AS content_hash,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
+""",
+        "ktk_stats_pruned": f"""
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum({qty}) AS BIGINT) AS sum_qty,
+       CAST(1 AS BOOLEAN) AS pruned
+FROM lineitem WHERE l_orderkey < 500
+GROUP BY l_returnflag
 """,
         "ktk_csv_roundtrip": f"""
 SELECT o_orderstatus, count(*) AS n,

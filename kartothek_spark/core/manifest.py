@@ -85,6 +85,15 @@ class DatasetManifest:
     # manifest codec: "json" (default, debuggable) or "zstd" (compact JSON
     # under zstd — the scale choice; see METADATA_SUFFIX_ZST note)
     storage_format: str = "json"
+    # content columns with per-file min/max statistics kept in the manifest
+    # (Delta/Iceberg-style data skipping, beyond the reference's partition
+    # + secondary-index pruning): each partition entry gains
+    # {"stats": {col: {"min": v, "max": v, "nulls": n}}} collected from
+    # parquet footers by a distributed job at write time. The planner can
+    # then drop files whose [min, max] can't satisfy a conjunction WITHOUT
+    # opening them — at 100 TB the difference between touching thousands
+    # of footers and touching none.
+    stats_columns: list[str] = field(default_factory=list)
 
     # -- paths --------------------------------------------------------------
     @property
@@ -149,6 +158,7 @@ class DatasetManifest:
                 if self.num_buckets
                 else {}
             ),
+            **({"stats_columns": self.stats_columns} if self.stats_columns else {}),
         }
 
     @classmethod
@@ -165,6 +175,7 @@ class DatasetManifest:
             table_format=d.get("format", "parquet"),
             bucket_by=list(d.get("bucket_by", [])),
             num_buckets=d.get("num_buckets"),
+            stats_columns=list(d.get("stats_columns", [])),
         )
 
     @classmethod

@@ -86,6 +86,73 @@ def collect_dataset_metadata(
     return spark.createDataFrame(rdd, _METADATA_SCHEMA)
 
 
+def collect_file_stats(
+    spark: SparkSession,
+    manifest: DatasetManifest,
+    labels: list[str],
+    columns: list[str],
+) -> dict[str, dict[str, Any]]:
+    """Per-file column min/max/null-count from parquet footers, as a
+    DISTRIBUTED job over the (manifest-supplied) file list — the write-time
+    half of manifest data skipping. Returns {label: {col: {"min", "max",
+    "nulls"}}}; a column is omitted for a file whose footer lacks usable
+    min/max (e.g. all-null, or a writer that truncated string stats), which
+    downstream pruning treats as "cannot skip".
+
+    Values are rendered JSON-safe task-side (dates/timestamps → ISO
+    strings); the planner re-types them against the manifest schema when
+    comparing, via the same ``_typed_value`` the hive-label parser uses."""
+    if not labels or not columns:
+        return {}
+    items = [(label, manifest.file_path(label)) for label in sorted(labels)]
+    cols = list(columns)
+
+    def stats_rows(it):
+        import datetime as _dt
+
+        import pyarrow.parquet as pq
+
+        def render(v):
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()
+            if isinstance(v, bytes):
+                return None
+            return v
+
+        for label, path in it:
+            meta = pq.ParquetFile(path).metadata
+            names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            out = {}
+            for col in cols:
+                ci = names.get(col)
+                if ci is None:
+                    continue
+                lo = hi = None
+                nulls = 0
+                ok = True
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = render(st.min), render(st.max)
+                    if mn is None or mx is None:
+                        ok = False
+                        break
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                    nulls += st.null_count or 0
+                if ok and lo is not None:
+                    out[col] = {"min": lo, "max": hi, "nulls": nulls}
+            yield label, out
+
+    n_slices = min(len(items), max(spark.sparkContext.defaultParallelism, 1) * 2)
+    pairs = (
+        spark.sparkContext.parallelize(items, n_slices).mapPartitions(stats_rows).collect()
+    )
+    return dict(pairs)
+
+
 def collect_stats(spark: SparkSession, root: str, dataset_uuid: str) -> dict[str, Any]:
     """Dataset-level {files, row_groups, rows, size} (reference S26
     ``collect_stats`` / ``reduce_stats`` — the tree-reduce is a Spark agg)."""
@@ -104,4 +171,4 @@ def collect_stats(spark: SparkSession, root: str, dataset_uuid: str) -> dict[str
     }
 
 
-__all__ = ["collect_dataset_metadata", "collect_stats"]
+__all__ = ["collect_dataset_metadata", "collect_file_stats", "collect_stats"]

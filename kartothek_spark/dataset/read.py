@@ -87,8 +87,87 @@ def dispatch_labels(
             if not labels:
                 break
         labels = _prune_buckets(spark, manifest, conj, labels)
+        labels = _prune_stats(manifest, conj, labels)
         surviving |= labels
     return sorted(surviving)
+
+
+def _stats_typed(raw, dt):
+    """Manifest stats are JSON-native (ints/floats/bools as-is, datelike as
+    ISO strings); re-type string renderings against the schema with the
+    same parser the hive-label reconstruction uses."""
+    from kartothek_spark.core.manifest import _typed_value
+
+    if isinstance(raw, str):
+        return _typed_value(raw, dt)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    return raw
+
+
+def _prune_stats(manifest: DatasetManifest, conj, labels: set) -> set:
+    """File skipping on manifest min/max statistics (Delta/Iceberg-style,
+    beyond the reference's partition + index pruning): drop a file when a
+    conjunction literal on a stats column cannot hold anywhere in the
+    file's [min, max]. Conservative by construction — a file with no stats
+    entry for the column (all-null footer, unreadable stats, pre-stats
+    write) is never dropped, null-matching literals never consult stats
+    (min/max say nothing about nulls), and incomparable types fall through
+    to the scan filter."""
+    if not manifest.stats_columns or not labels:
+        return labels
+    lits = [
+        (col, op, val)
+        for col, op, val in conj
+        if col in manifest.stats_columns
+        and not (op == "==" and val is None)
+        and not (op == "in" and any(v is None for v in (val or [])))
+        and val is not None
+    ]
+    if not lits:
+        return labels
+    by_name = {f.name: f.dataType for f in manifest.schema.fields}
+    out = set()
+    for lbl in labels:
+        stats = manifest.partitions[lbl].get("stats") or {}
+        if _stats_may_match(lits, stats, by_name):
+            out.add(lbl)
+    return out
+
+
+def _stats_may_match(lits, stats, by_name) -> bool:
+    for col, op, val in lits:
+        s = stats.get(col)
+        if not s:
+            continue
+        dt = by_name[col]
+        try:
+            lo = _stats_typed(s["min"], dt)
+            hi = _stats_typed(s["max"], dt)
+            if op == "==":
+                if val < lo or val > hi:
+                    return False
+            elif op == "!=":
+                if lo == hi == val and not s.get("nulls", 0):
+                    return False
+            elif op == "<":
+                if not lo < val:
+                    return False
+            elif op == "<=":
+                if not lo <= val:
+                    return False
+            elif op == ">":
+                if not hi > val:
+                    return False
+            elif op == ">=":
+                if not hi >= val:
+                    return False
+            elif op == "in":
+                if not any(lo <= v <= hi for v in val if v is not None):
+                    return False
+        except (TypeError, ValueError):
+            continue  # incomparable/unparseable stats → cannot skip safely
+    return True
 
 
 def _prune_buckets(spark: SparkSession, manifest: DatasetManifest, conj, labels: set) -> set:

@@ -323,3 +323,115 @@ def test_compact_dataset_merges_small_files(spark, tmp_root):
     deleted = garbage_collect_dataset(tmp_root, "cc")
     assert len(deleted) >= before - len(m.partitions)
     assert read_table(spark, tmp_root, "cc").count() == cust.count()
+
+
+def test_stats_skipping_prunes_files_and_keeps_parity(spark, tmp_root):
+    """Manifest min/max data skipping: two appended batches with disjoint
+    key ranges become separately-pruned file sets; predicates on the stats
+    column plan to a strict file subset while results stay value-equal to
+    a direct filter, and conservative cases (no stats, nulls) never drop."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+    from kartothek_spark.dataset.write import update_dataset
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    lo = li.where("l_orderkey < 1000")
+    hi = li.where("l_orderkey >= 1000")
+    store_dataframe_as_dataset(
+        spark, lo, tmp_root, "st", stats_columns=["l_orderkey", "l_shipdate"]
+    )
+    update_dataset(spark, hi, tmp_root, "st")
+    m = DatasetManifest.load(tmp_root, "st")
+    assert m.stats_columns == ["l_orderkey", "l_shipdate"]
+    assert all("stats" in e for e in m.partitions.values())
+
+    all_labels = dispatch_labels(spark, m, None)
+    pruned = dispatch_labels(spark, m, [[("l_orderkey", "==", 7)]])
+    assert pruned and set(pruned) < set(all_labels)
+    # every pruned-away file truly cannot contain the key
+    got = read_table(spark, tmp_root, "st", predicates=[[("l_orderkey", "==", 7)]])
+    exp = li.where("l_orderkey = 7")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+    # range predicates prune too (hi-batch files are skipped for < 500)
+    lt = dispatch_labels(spark, m, [[("l_orderkey", "<", 500)]])
+    assert set(lt) < set(all_labels)
+    n = read_table(spark, tmp_root, "st", predicates=[[("l_orderkey", "<", 500)]]).count()
+    assert n == li.where("l_orderkey < 500").count()
+
+    # timestamp stats prune as well (ISO-rendered min/max re-typed)
+    cut = datetime.datetime(1997, 1, 1)
+    ts = read_table(spark, tmp_root, "st", predicates=[[("l_shipdate", ">=", cut)]])
+    assert ts.count() == li.where(F.col("l_shipdate") >= F.lit(cut)).count()
+
+    # a non-stats column never prunes below the full set
+    other = dispatch_labels(spark, m, [[("l_suppkey", "==", 5)]])
+    assert set(other) == set(all_labels)
+
+
+def test_stats_skipping_conservative_on_nulls(spark, tmp_root):
+    """All-null stats columns yield no stats entry and the file is never
+    skipped; null-matching literals bypass stats entirely."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+    from kartothek_spark.dataset.write import update_dataset
+
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    b = spark.createDataFrame([(3, None), (4, None)], "id long, v double")
+    c = spark.createDataFrame([(5, 30.0), (6, 40.0)], "id long, v double")
+    store_dataframe_as_dataset(spark, a, tmp_root, "nl", stats_columns=["v"])
+    update_dataset(spark, b, tmp_root, "nl")
+    update_dataset(spark, c, tmp_root, "nl")
+    m = DatasetManifest.load(tmp_root, "nl")
+    # the all-null batch has no usable min/max → no stats for v
+    assert any("v" not in (e.get("stats") or {}) for e in m.partitions.values())
+    # == None must not consult stats; the all-null file must survive
+    got = read_table(spark, tmp_root, "nl", predicates=[[("v", "==", None)]])
+    assert {r.id for r in got.collect()} == {3, 4}
+    # v == 10 prunes the [30, 40] batch, keeps batch a AND (conservatively)
+    # the stats-less all-null batch
+    labels = dispatch_labels(spark, m, [[("v", "==", 10.0)]])
+    assert set(labels) < set(m.partitions)
+    assert len(labels) == len(m.partitions) - 1
+    got = read_table(spark, tmp_root, "nl", predicates=[[("v", "==", 10.0)]])
+    assert {r.id for r in got.collect()} == {1}
+
+
+def test_range_partitioned_write_prunes_to_few_files(spark, tmp_root):
+    """range_partition_by lays files out by key range, so a point lookup
+    plans to a small fraction of the file set."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # cap records per file so the tiny test input still yields several
+    # range-contiguous files (AQE would otherwise coalesce to one)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "300")
+    try:
+        store_dataframe_as_dataset(
+            spark, orders, tmp_root, "rg",
+            stats_columns=["o_orderkey"], range_partition_by=["o_orderkey"],
+        )
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    m = DatasetManifest.load(tmp_root, "rg")
+    assert len(m.partitions) > 1
+    point = dispatch_labels(spark, m, [[("o_orderkey", "==", 7)]])
+    assert len(point) <= max(1, len(m.partitions) // 2)
+    got = read_table(spark, tmp_root, "rg", predicates=[[("o_orderkey", "==", 7)]])
+    assert got.count() == orders.where("o_orderkey = 7").count()
+
+
+def test_copy_carries_stats(spark, tmp_root):
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+    from kartothek_spark.dataset.write import copy_dataset
+
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    store_dataframe_as_dataset(spark, sup, tmp_root, "s1", stats_columns=["s_suppkey"])
+    copy_dataset(tmp_root, "s1", tmp_root, "s2", spark=spark)
+    m2 = DatasetManifest.load(tmp_root, "s2")
+    assert m2.stats_columns == ["s_suppkey"]
+    assert all("stats" in e for e in m2.partitions.values())
+    got = read_table(spark, tmp_root, "s2", predicates=[[("s_suppkey", "==", 3)]])
+    assert got.count() == sup.where("s_suppkey = 3").count()
