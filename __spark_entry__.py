@@ -1048,6 +1048,44 @@ def text_analyze(spark, sf_dir):
 
 _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
+_SEARCH_TERMS = ["spark", "table", "join"]
+
+# deterministic PII injection so the scrubber has something to redact on
+# the (clean) synthetic corpus — mirrored verbatim in the oracle SQL
+_PII_SUFFIX_7 = " contact bob@example.com or 10.0.81.7 today"
+_PII_SUFFIX_11 = " ssn 123-45-6789 phone +1 415 555 0100"
+
+
+def text_scrub(spark, sf_dir):
+    """PII redaction: typed placeholders + per-class counts; content is
+    pinned via the scrubbed-text fingerprint."""
+    from kartothek_spark.functions.hashing import h60
+    from kartothek_spark.operators.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(_PII_SUFFIX_7)))
+        .when(F.col("doc_id") % 11 == 0, F.concat("text", F.lit(_PII_SUFFIX_11)))
+        .otherwise(F.col("text")),
+    )
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id",
+        h60(F.col("text_scrubbed")).alias("scrub_fp"),
+        "n_email",
+        "n_ip",
+        "n_ssn",
+        "n_phone",
+    )
+
+
+def corpus_search(spark, sf_dir):
+    """BM25 keyword search over the corpus (top-25, fixed-order score
+    fold, deterministic tie-break)."""
+    from kartothek_spark.operators.search import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"), _SEARCH_TERMS, k=25)
+
 
 def corpus_vocabulary(spark, sf_dir):
     """Top-200 corpus tokens with counts (vocabulary building)."""
@@ -1443,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": events_asof,
         "events_range_join": events_range_join,
         "text_analyze": text_analyze,
+        "text_scrub": text_scrub,
+        "corpus_search": corpus_search,
         "corpus_vocabulary": corpus_vocabulary,
         "corpus_heavy_hitters": corpus_heavy_hitters,
         "corpus_sample": corpus_sample,
@@ -1803,6 +1843,29 @@ SELECT doc_id,
        {fingerprint_sql('text')} AS fingerprint
 FROM documents
 """,
+        "text_scrub": (
+            lambda scrub_sql, h: f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_PII_SUFFIX_7}'
+              WHEN doc_id % 11 = 0 THEN text || '{_PII_SUFFIX_11}'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, {h} AS scrub_fp, n_email, n_ip, n_ssn, n_phone
+FROM ({scrub_sql})
+"""
+        )(
+            __import__(
+                "kartothek_spark.operators.text", fromlist=["scrub_pii_sql"]
+            ).scrub_pii_sql("injected"),
+            __import__(
+                "kartothek_spark.functions.hashing", fromlist=["h60_sql"]
+            ).h60_sql("text_scrubbed"),
+        ),
+        "corpus_search": __import__(
+            "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
+        ).bm25_search_sql("documents", _SEARCH_TERMS, k=25),
         "corpus_vocabulary": __import__(
             "kartothek_spark.operators.text", fromlist=["top_tokens_sql"]
         ).top_tokens_sql("documents", n=200, min_count=2),

@@ -1,0 +1,154 @@
+"""Corpus keyword search: TF-IDF/BM25 scoring as pure DataFrame algebra.
+
+The retrieval primitive a training-data pipeline uses for targeted corpus
+audits ("show me the docs about X") and quality-weighted source selection.
+
+Scale shape: the query term list is tiny and inlined as a literal filter,
+so the corpus-side cost is one tokenize + explode restricted to matching
+terms (everything else drops at the scan projection), one combinable
+``(doc, term) -> tf`` aggregation, one ``term -> df`` aggregation over
+that (vocabulary-of-the-query sized), and a broadcast join back. No
+all-terms inverted index is materialized.
+
+Determinism: IDF/TF arithmetic is fixed-order — per-document term scores
+are folded LEFT-TO-RIGHT in sorted term order (floating-point addition is
+not associative; an unordered SUM would be partitioning-dependent), and
+the result is rounded to 6 decimals, the same discipline the cosine
+operators use. Ties rank by (score DESC, doc id ASC).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kartothek_spark.functions.hashing import tokens, tokens_sql
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under Okapi BM25
+    (k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5) / (df + 0.5))).
+    Returns (id, score, rank) for the k best-scoring docs."""
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+
+    base = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+    lens = base.select("__id", F.size("__t").cast("double").alias("__dl"))
+    # one small driver-side agg for N and avgdl (two scalars — the only
+    # driver values; both are exact integers so cross-engine safe)
+    row = lens.agg(
+        F.count("*").alias("n"), F.sum("__dl").alias("total")
+    ).collect()[0]
+    n_docs, total_len = int(row["n"]), float(row["total"] or 0.0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = total_len / n_docs
+
+    tf = (
+        base.select("__id", F.explode("__t").alias("__term"))
+        .where(F.col("__term").isin(terms))
+        .groupBy("__id", "__term")
+        .agg(F.count("*").cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count("*").cast("double").alias("__df"))
+    idf = F.round(
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)),
+        9,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq.select("__term", idf.alias("__idf"))), "__term")
+        .join(F.broadcast(lens), "__id")
+        .select(
+            "__id",
+            "__term",
+            F.round(
+                F.col("__idf")
+                * (F.col("__tf") * (BM25_K1 + 1))
+                / (
+                    F.col("__tf")
+                    + BM25_K1 * (1 - BM25_B + BM25_B * F.col("__dl") / F.lit(avgdl))
+                ),
+                9,
+            ).alias("__s"),
+        )
+    )
+    # fixed-order fold: sort the per-doc (term, score) pairs by term and
+    # add left-to-right — bit-stable under any partitioning
+    folded = (
+        scored.groupBy("__id")
+        .agg(F.sort_array(F.collect_list(F.struct("__term", "__s"))).alias("__ts"))
+        .select(
+            "__id",
+            F.round(
+                F.aggregate(
+                    "__ts", F.lit(0.0), lambda acc, x: acc + x.getField("__s")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("__id"))
+    return (
+        folded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("__id").alias(id_col), "score", "rank")
+    )
+
+
+def bm25_search_sql(
+    table: str,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    terms = sorted({t.lower() for t in query_terms})
+    lst = ", ".join(f"'{t}'" for t in terms)
+    toks = tokens_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS t FROM {table}
+), lens AS (
+  SELECT id, CAST(len(t) AS DOUBLE) AS dl FROM base
+), corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) / count(*) AS avgdl FROM lens
+), tf AS (
+  SELECT id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT id, unnest(t) AS term FROM base)
+  WHERE term IN ({lst})
+  GROUP BY id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.id, tf.term,
+         round(round(ln(1.0 + (corpus.n - df + 0.5) / (df + 0.5)), 9)
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * lens.dl / corpus.avgdl)), 9) AS s
+  FROM tf JOIN dfreq USING (term) JOIN lens ON tf.id = lens.id CROSS JOIN corpus
+), folded AS (
+  SELECT id,
+         round(list_reduce(list_prepend(0.0,
+                 list_transform(list_sort(list(struct_pack(term := term, s := s))), x -> x.s)),
+               (a, b) -> a + b), 6) AS score
+  FROM scored GROUP BY id
+)
+SELECT id AS {id_col}, score, rank FROM (
+  SELECT id, score, CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rank
+  FROM folded
+) WHERE rank <= {k}
+"""
+
+
+__all__ = ["bm25_search", "bm25_search_sql"]

@@ -332,6 +332,50 @@ LEFT JOIN g5_c USING ({id_col})
 """
 
 
+# PII patterns — RE2-safe subset (no lookaround, no backrefs) so Java's
+# regex (Spark) and RE2 (DuckDB) match identically. Order matters: email
+# first (its local part would otherwise be chewed up by the phone rule).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("phone", r"\+?\b[0-9][0-9 ().-]{7,14}[0-9]\b", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction for training corpora: emails, IPv4s, SSN-shaped ids,
+    and phone-shaped digit runs are replaced with typed placeholder
+    tokens. Pure ``regexp_replace``/``regexp_count`` expressions — one
+    narrow projection, zero shuffle, linear at any corpus size. Returns
+    (id, scrubbed text, one redaction count per class)."""
+    c = F.col(text_col)
+    counts = []
+    scrubbed = c
+    for name, pat, repl in PII_PATTERNS:
+        # counts are measured on the PARTIALLY-scrubbed text in pattern
+        # order, matching the replacement cascade exactly
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), scrubbed.alias("text_scrubbed"), *counts)
+
+
+def scrub_pii_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    counts, scrubbed = [], text_col
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(f"CAST(len(regexp_extract_all({scrubbed}, '{p}')) AS BIGINT) AS n_{name}")
+        scrubbed = f"regexp_replace({scrubbed}, '{p}', '{repl}', 'g')"
+    cols = ",\n       ".join(counts)
+    return f"""
+SELECT {id_col}, {scrubbed} AS text_scrubbed,
+       {cols}
+FROM {table}
+"""
+
+
 def top_tokens(
     df: DataFrame, n: int = 100, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

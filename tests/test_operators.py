@@ -560,3 +560,45 @@ def test_upsample_corpus_epoch_weights(spark):
     # determinism under repartitioning
     out2 = upsample_corpus(df.repartition(7), {"src0": 3.0, "src1": 0.5, "src2": 1.75}).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_scrub_pii_redacts_all_classes(spark):
+    from kartothek_spark.operators.text import scrub_pii
+
+    rows = [
+        Row(doc_id=1, text="mail me at alice.smith+x@corp.example.org thanks"),
+        Row(doc_id=2, text="server 10.0.0.1 and 192.168.001.255 are up"),
+        Row(doc_id=3, text="ssn 123-45-6789 and phone +1 415 555 0100"),
+        Row(doc_id=4, text="nothing sensitive here at all"),
+    ]
+    got = {r.doc_id: r for r in scrub_pii(spark.createDataFrame(rows)).collect()}
+    assert got[1].n_email == 1 and "<EMAIL>" in got[1].text_scrubbed
+    assert "alice" not in got[1].text_scrubbed
+    assert got[2].n_ip == 2 and got[2].text_scrubbed.count("<IP>") == 2
+    assert got[3].n_ssn == 1 and got[3].n_phone == 1
+    assert "<ID>" in got[3].text_scrubbed and "<PHONE>" in got[3].text_scrubbed
+    assert got[4].text_scrubbed == "nothing sensitive here at all"
+    assert got[4].n_email == got[4].n_ip == got[4].n_ssn == got[4].n_phone == 0
+
+
+def test_bm25_ranks_relevance_and_breaks_ties(spark):
+    from kartothek_spark.operators.search import bm25_search
+
+    rows = [
+        Row(doc_id=1, text="spark spark spark engine"),
+        Row(doc_id=2, text="spark engine"),
+        Row(doc_id=3, text="engine only here"),
+        Row(doc_id=4, text="totally unrelated words"),
+        Row(doc_id=5, text="spark engine"),  # tie with 2 → id order
+    ]
+    out = bm25_search(spark.createDataFrame(rows), ["spark"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1          # highest tf wins
+    assert ids[1:] == [2, 5]    # tie broken by id; non-matching docs absent
+    assert out[0].score > out[1].score
+    assert out[1].score == out[2].score
+    # determinism under repartitioning (float fold order is pinned)
+    df = spark.createDataFrame(rows)
+    a = [tuple(r) for r in bm25_search(df, ["spark", "engine"], k=10).collect()]
+    b = [tuple(r) for r in bm25_search(df.repartition(7), ["spark", "engine"], k=10).collect()]
+    assert a == b
