@@ -617,6 +617,73 @@ def ktk_zstd_manifest(spark, sf_dir):
     )
 
 
+def _versioned_customer(spark, sf_dir):
+    """Shared fixture for the snapshot gates: v1 = customers with
+    c_nationkey < 15 (keep_history=True); v2 = append >= 15 and drop the
+    c_nationkey=3 partition in one commit."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    cust = _t(spark, sf_dir, "customer")
+    store_dataframe_as_dataset(
+        spark,
+        cust.where("c_nationkey < 15"),
+        root,
+        "c",
+        partition_on=["c_nationkey"],
+        keep_history=True,
+    )
+    update_dataset(
+        spark,
+        cust.where("c_nationkey >= 15"),
+        root,
+        "c",
+        delete_scope=[{"c_nationkey": 3}],
+    )
+    return root
+
+
+def ktk_time_travel(spark, sf_dir):
+    """Snapshot versioning + time travel (beyond-reference, Delta-style):
+    after an append+delete commit, as_of=1 must reproduce the original
+    content exactly while the live read reflects the mutation — both
+    aggregated side by side."""
+    from kartothek_spark.dataset.read import read_table
+
+    root = _versioned_customer(spark, sf_dir)
+
+    def agg(df, tag):
+        return (
+            df.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                (F.sum(_cents("c_acctbal")).cast("double") / 100).alias("total_acctbal"),
+            )
+            .withColumn("snapshot", F.lit(tag))
+        )
+
+    return agg(read_table(spark, root, "c", as_of=1), "v1").unionByName(
+        agg(read_table(spark, root, "c"), "live")
+    )
+
+
+def ktk_read_changes(spark, sf_dir):
+    """Incremental changes-since feed: rows appended between v1 and live
+    are exactly the new files' rows (scan touches ONLY those files), and
+    the dropped partition is reported by label, never scanned."""
+    from kartothek_spark.dataset.read import diff_versions, read_changes
+
+    root = _versioned_customer(spark, sf_dir)
+    changes = read_changes(spark, root, "c", since=1)
+    _added, removed = diff_versions(root, "c", since=1)
+    removed_ok = bool(removed) and all("c_nationkey=3" in lbl for lbl in removed)
+    return (
+        changes.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("c_custkey").alias("sum_custkey"))
+        .withColumn("removed_ok", F.lit(removed_ok))
+    )
+
+
 def ktk_extend_cube(spark, sf_dir):
     """extend_cube (C1): add an enrichment member to a live cube, then a
     conditioned query joins it seed-left — content must equal the plain
@@ -1461,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_label_filter": ktk_label_filter,
         "ktk_dispatched_groups": ktk_dispatched_groups,
         "ktk_zstd_manifest": ktk_zstd_manifest,
+        "ktk_time_travel": ktk_time_travel,
+        "ktk_read_changes": ktk_read_changes,
         "ktk_extend_cube": ktk_extend_cube,
         "ktk_index_on": ktk_index_on,
         "ktk_collect_stats": ktk_collect_stats,
@@ -1711,6 +1780,25 @@ FROM customer WHERE c_mktsegment <> 'BUILDING' GROUP BY c_mktsegment
         "ktk_extend_cube": """
 SELECT n_nationkey, n_regionkey, n_name, r_name
 FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+        "ktk_time_travel": f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
+       'v1' AS snapshot
+FROM customer WHERE c_nationkey < 15 GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
+       'live' AS snapshot
+FROM customer
+WHERE (c_nationkey < 15 AND c_nationkey <> 3) OR c_nationkey >= 15
+GROUP BY c_mktsegment
+""",
+        "ktk_read_changes": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_custkey,
+       CAST(1 AS BOOLEAN) AS removed_ok
+FROM customer WHERE c_nationkey >= 15 GROUP BY c_mktsegment
 """,
         "ktk_index_on": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BOOLEAN) AS sorted_ok FROM orders

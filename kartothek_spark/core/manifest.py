@@ -85,6 +85,18 @@ class DatasetManifest:
     # manifest codec: "json" (default, debuggable) or "zstd" (compact JSON
     # under zstd — the scale choice; see METADATA_SUFFIX_ZST note)
     storage_format: str = "json"
+    # monotone snapshot version: every commit is a new version. With
+    # keep_history=True each commit also writes an immutable snapshot copy
+    # under <uuid>/_history/, enabling time-travel reads
+    # (``read_table(as_of=...)``) and incremental changes-since feeds —
+    # Delta/Iceberg-style capabilities the reference lacks (its manifest is
+    # single-version last-writer-wins, io_components/write.py:232-235).
+    # Snapshot files are one small metadata object per commit; data files
+    # are shared across versions (mutations never rewrite rows), so the
+    # storage cost of history is manifests only until expire_snapshots +
+    # GC reclaim replaced payload files.
+    version: int = 1
+    keep_history: bool = False
     # content columns with per-file min/max statistics kept in the manifest
     # (Delta/Iceberg-style data skipping, beyond the reference's partition
     # + secondary-index pruning): each partition entry gains
@@ -94,6 +106,9 @@ class DatasetManifest:
     # opening them — at 100 TB the difference between touching thousands
     # of footers and touching none.
     stats_columns: list[str] = field(default_factory=list)
+    # True once this in-memory state corresponds to a committed manifest —
+    # the next commit() then advances the version (never serialized)
+    _persisted: bool = field(default=False, repr=False, compare=False)
 
     # -- paths --------------------------------------------------------------
     @property
@@ -108,6 +123,16 @@ class DatasetManifest:
     @property
     def index_root(self) -> str:
         return os.path.join(self.root, self.dataset_uuid, "indices")
+
+    @property
+    def history_root(self) -> str:
+        return os.path.join(self.root, self.dataset_uuid, "_history")
+
+    def history_path(self, version: int) -> str:
+        # snapshot files are underscore-prefixed: Hadoop-invisible, so
+        # scans and GC's payload walk never see them
+        suffix = ".json.zst" if self.storage_format == "zstd" else ".json"
+        return os.path.join(self.history_root, f"_v{version:08d}.manifest{suffix}")
 
     def file_path(self, label: str) -> str:
         return os.path.join(self.root, self.partitions[label]["file"])
@@ -153,6 +178,8 @@ class DatasetManifest:
             "partitions": self.partitions,
             "indices": self.indices,
             "format": self.table_format,
+            "version": self.version,
+            **({"keep_history": True} if self.keep_history else {}),
             **(
                 {"bucket_by": self.bucket_by, "num_buckets": self.num_buckets}
                 if self.num_buckets
@@ -176,15 +203,20 @@ class DatasetManifest:
             bucket_by=list(d.get("bucket_by", [])),
             num_buckets=d.get("num_buckets"),
             stats_columns=list(d.get("stats_columns", [])),
+            version=int(d.get("version", 1)),
+            keep_history=bool(d.get("keep_history", False)),
         )
 
     @classmethod
-    def load(cls, root: str, dataset_uuid: str) -> "DatasetManifest":
+    def load(cls, root: str, dataset_uuid: str, version: int | None = None) -> "DatasetManifest":
+        if version is not None:
+            return cls._load_snapshot(root, dataset_uuid, version)
         path = os.path.join(root, dataset_uuid + METADATA_SUFFIX)
         if os.path.exists(path):
             with open(path) as fh:
                 m = cls.from_dict(json.load(fh), root)
                 m.storage_format = "json"
+                m._persisted = True
                 return m
         zpath = os.path.join(root, dataset_uuid + METADATA_SUFFIX_ZST)
         import pyarrow as pa
@@ -197,7 +229,53 @@ class DatasetManifest:
         raw = pa.Codec("zstd").decompress(blob[8:], asbytes=True, decompressed_size=size)
         m = cls.from_dict(json.loads(raw), root)
         m.storage_format = "zstd"
+        m._persisted = True
         return m
+
+    @classmethod
+    def _load_snapshot(cls, root: str, dataset_uuid: str, version: int) -> "DatasetManifest":
+        """Time-travel load: the immutable snapshot committed as ``version``.
+        The LIVE manifest at the same version number is the same state, so
+        asking for the current version works even before any history file
+        exists at it (commit writes the snapshot before the live swap)."""
+        hist = os.path.join(root, dataset_uuid, "_history")
+        stem = os.path.join(hist, f"_v{version:08d}.manifest")
+        if os.path.exists(stem + ".json"):
+            with open(stem + ".json") as fh:
+                m = cls.from_dict(json.load(fh), root)
+                m.storage_format = "json"
+        elif os.path.exists(stem + ".json.zst"):
+            import pyarrow as pa
+
+            with open(stem + ".json.zst", "rb") as fh:
+                blob = fh.read()
+            size = int.from_bytes(blob[:8], "little")
+            raw = pa.Codec("zstd").decompress(blob[8:], asbytes=True, decompressed_size=size)
+            m = cls.from_dict(json.loads(raw), root)
+            m.storage_format = "zstd"
+        else:
+            live = cls.load(root, dataset_uuid)
+            if live.version == version:
+                return live
+            raise ValueError(
+                f"dataset {dataset_uuid!r} has no snapshot v{version} "
+                f"(live version is v{live.version}; was it written with "
+                "keep_history=True, or has the snapshot been expired?)"
+            )
+        m._persisted = True
+        return m
+
+    @classmethod
+    def list_versions(cls, root: str, dataset_uuid: str) -> list[int]:
+        """All readable versions: retained history snapshots + the live one."""
+        out = set()
+        hist = os.path.join(root, dataset_uuid, "_history")
+        if os.path.isdir(hist):
+            for name in os.listdir(hist):
+                if name.startswith("_v") and ".manifest" in name:
+                    out.add(int(name[2:10]))
+        out.add(cls.load(root, dataset_uuid).version)
+        return sorted(out)
 
     @classmethod
     def exists(cls, root: str, dataset_uuid: str) -> bool:
@@ -213,26 +291,48 @@ class DatasetManifest:
         (``io_components/write.py:232-235``). No MVCC / concurrent-writer
         protection, matching the reference's documented limitation.
         """
+        if self._persisted:
+            self.version += 1
         os.makedirs(self.root, exist_ok=True)
+        if self.keep_history:
+            # snapshot BEFORE the live swap: once readers can see version N
+            # they can also time-travel to it; a crash in between leaves an
+            # orphan snapshot that the next commit overwrites harmlessly
+            os.makedirs(self.history_root, exist_ok=True)
+            self._write_blob(self.history_path(self.version))
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
         try:
-            if self.storage_format == "zstd":
-                import pyarrow as pa
-
-                payload = json.dumps(
-                    self.to_dict(), default=str, separators=(",", ":")
-                ).encode("utf-8")
-                with os.fdopen(fd, "wb") as fh:
-                    fh.write(len(payload).to_bytes(8, "little"))
-                    fh.write(pa.Codec("zstd").compress(payload, asbytes=True))
-            else:
-                with os.fdopen(fd, "w") as fh:
-                    json.dump(self.to_dict(), fh, default=str)
+            self._write_fd(fd)
             os.replace(tmp, self.manifest_path)
         except BaseException:
             if os.path.exists(tmp):
                 os.unlink(tmp)
             raise
+        self._persisted = True
+
+    def _write_blob(self, path: str) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        try:
+            self._write_fd(fd)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    def _write_fd(self, fd: int) -> None:
+        if self.storage_format == "zstd":
+            import pyarrow as pa
+
+            payload = json.dumps(
+                self.to_dict(), default=str, separators=(",", ":")
+            ).encode("utf-8")
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(len(payload).to_bytes(8, "little"))
+                fh.write(pa.Codec("zstd").compress(payload, asbytes=True))
+        else:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(self.to_dict(), fh, default=str)
 
 
 def new_uuid() -> str:

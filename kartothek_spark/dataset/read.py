@@ -264,6 +264,7 @@ def read_table(
     filter_query: str | None = None,
     index_on: str | None = None,
     label_filter=None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Materialize a dataset as ONE DataFrame (reference S8 ``read_table``).
 
@@ -284,10 +285,17 @@ def read_table(
     (U4, io/eager.py:352): a ``str -> bool`` callable applied to the
     surviving partition labels before the scan — a driver-side escape
     hatch for callers that encode meaning into labels.
+
+    ``as_of`` is a time-travel read: plan against the immutable manifest
+    snapshot committed as that version (requires the dataset to be written
+    with ``keep_history=True``). The snapshot pins the exact file set, so
+    the read is reproducible regardless of later appends/deletes — the
+    property a training pipeline needs to re-run an experiment against
+    yesterday's corpus while ingestion continues.
     """
     if filter_query is not None and predicates is not None:
         raise ValueError("filter_query and predicates are mutually exclusive")
-    manifest = DatasetManifest.load(root, dataset_uuid)
+    manifest = DatasetManifest.load(root, dataset_uuid, version=as_of)
     predicates = coerce_predicate_literals(predicates, manifest.schema)
     labels = dispatch_labels(spark, manifest, predicates)
     if label_filter is not None:
@@ -392,6 +400,48 @@ def read_dataset_dispatched(
         yield dict(zip(dispatch_by, values)), conj, df
 
 
+def diff_versions(
+    root: str, dataset_uuid: str, since: int, until: int | None = None
+) -> tuple[list[str], list[str]]:
+    """(added_labels, removed_labels) between two snapshot versions —
+    metadata-only, two manifest reads, no file IO. ``until=None`` means
+    the live version."""
+    old = DatasetManifest.load(root, dataset_uuid, version=since)
+    new = DatasetManifest.load(root, dataset_uuid, version=until)
+    added = sorted(set(new.partitions) - set(old.partitions))
+    removed = sorted(set(old.partitions) - set(new.partitions))
+    return added, removed
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    since: int,
+    until: int | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Incremental changes-since feed: the rows APPENDED between snapshot
+    ``since`` (exclusive) and ``until`` (inclusive; default live).
+
+    Mutations in this engine are append/drop of whole partitions (rows are
+    never rewritten in place), so the appended-rows feed is exactly the
+    files present in ``until`` but not in ``since`` — a pruned scan of only
+    the new files, never a diff of row contents. Dropped partitions are
+    reported by :func:`diff_versions`; a consumer maintaining a derived
+    table applies drops by label and appends from this DataFrame. This is
+    the incremental-ingest contract (Delta CDF-style appends) that lets a
+    100 TB downstream pipeline reprocess only the day's new data."""
+    new = DatasetManifest.load(root, dataset_uuid, version=until)
+    added, _removed = diff_versions(root, dataset_uuid, since, until)
+    if not added:
+        return empty_dataframe(spark, new, columns)
+    df = _scan_files(spark, new, new.files(added))
+    by_name = {f.name: f.dataType for f in new.schema.fields}
+    out_cols = list(columns) if columns is not None else [f.name for f in new.schema.fields]
+    return df.select(*[F.col(c).cast(by_name[c]).alias(c) for c in out_cols])
+
+
 def read_dataset_as_iterator(
     spark: SparkSession,
     root: str,
@@ -425,8 +475,10 @@ def read_dataset_as_iterator(
 
 
 __all__ = [
+    "diff_versions",
     "dispatch_labels",
     "empty_dataframe",
+    "read_changes",
     "read_dataset_as_iterator",
     "read_dataset_files",
     "read_table",

@@ -177,6 +177,7 @@ def store_dataframe_as_dataset(
     storage_format: str = "json",
     stats_columns: Sequence[str] = (),
     range_partition_by: Sequence[str] | None = None,
+    keep_history: bool = False,
 ) -> DatasetManifest:
     """Write a DataFrame as a new dataset (reference S13/S14/S16).
     ``table_format="csv"`` selects the CSV serializer (reference S3) —
@@ -191,7 +192,12 @@ def store_dataframe_as_dataset(
     files a conjunction cannot match without opening them.
     ``range_partition_by`` replaces the default AQE rebalance with a global
     range layout on those columns (plus a within-file sort), so each file
-    covers a narrow value range and stats pruning actually bites."""
+    covers a narrow value range and stats pruning actually bites.
+    ``keep_history=True`` makes every commit additionally write an immutable
+    manifest snapshot — enabling ``read_table(as_of=version)`` time travel
+    and :func:`kartothek_spark.dataset.read.read_changes` incremental feeds
+    (see ``DatasetManifest.version``); reclaim old versions with
+    :func:`expire_snapshots` + :func:`garbage_collect_dataset`."""
     dataset_uuid = dataset_uuid or new_uuid()
     if DatasetManifest.exists(root, dataset_uuid):
         if not overwrite:
@@ -222,6 +228,7 @@ def store_dataframe_as_dataset(
         num_buckets=num_buckets if bucket_by else None,
         storage_format=storage_format,
         stats_columns=list(stats_columns),
+        keep_history=keep_history,
     )
     _write_files(
         df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets,
@@ -449,12 +456,25 @@ def garbage_collect_dataset(root: str, dataset_uuid: str) -> list[str]:
     """Delete files under the dataset prefix not referenced by the manifest
     (failed writes, dropped indices) — reference S23 (gc.py:8-55).
     Returns deleted paths. At scale this is a listing + anti-join driven
-    from the manifest; here the listing is the local walk."""
+    from the manifest; here the listing is the local walk.
+
+    History-aware: files referenced by ANY retained snapshot stay live
+    (time travel must keep working), so reclaiming replaced payload files
+    is a two-step ``expire_snapshots`` → ``garbage_collect_dataset``
+    (Delta VACUUM semantics)."""
     manifest = DatasetManifest.load(root, dataset_uuid)
-    referenced = {os.path.normpath(p["file"]) for p in manifest.partitions.values()}
+    manifests = [manifest]
+    for v in DatasetManifest.list_versions(root, dataset_uuid):
+        if v != manifest.version:
+            manifests.append(DatasetManifest.load(root, dataset_uuid, version=v))
+    referenced = {
+        os.path.normpath(p["file"]) for m in manifests for p in m.partitions.values()
+    }
     # index "files" are parquet directories — everything under them is live
-    referenced_prefixes = tuple(os.path.normpath(p) + os.sep for p in manifest.indices.values())
-    referenced |= {os.path.normpath(p) for p in manifest.indices.values()}
+    referenced_prefixes = tuple(
+        os.path.normpath(p) + os.sep for m in manifests for p in m.indices.values()
+    )
+    referenced |= {os.path.normpath(p) for m in manifests for p in m.indices.values()}
     deleted = []
     data_dir = os.path.join(root, dataset_uuid)
     for dirpath, _dirs, files in os.walk(data_dir):
@@ -474,6 +494,32 @@ def garbage_collect_dataset(root: str, dataset_uuid: str) -> list[str]:
         if not dirs and not files and dirpath != data_dir:
             os.rmdir(dirpath)
     return sorted(deleted)
+
+
+def expire_snapshots(root: str, dataset_uuid: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` history snapshots (the live
+    version is always readable regardless). Expired versions stop being
+    time-travel targets and release their exclusive file references —
+    a following :func:`garbage_collect_dataset` then reclaims payload
+    files no retained version needs. Returns the expired version numbers."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    manifest = DatasetManifest.load(root, dataset_uuid)
+    hist = manifest.history_root
+    if not os.path.isdir(hist):
+        return []
+    snaps = sorted(
+        int(name[2:10])
+        for name in os.listdir(hist)
+        if name.startswith("_v") and ".manifest" in name
+    )
+    victims = snaps[: max(0, len(snaps) - keep_last)]
+    for v in victims:
+        for suffix in (".json", ".json.zst"):
+            p = os.path.join(hist, f"_v{v:08d}.manifest{suffix}")
+            if os.path.exists(p):
+                os.unlink(p)
+    return victims
 
 
 def _copy_files_distributed(spark: "SparkSession", pairs: list[tuple[str, str]]) -> None:
@@ -528,6 +574,7 @@ def copy_dataset(
         num_buckets=src.num_buckets,
         storage_format=src.storage_format,
         stats_columns=list(src.stats_columns),
+        keep_history=src.keep_history,
     )
     file_pairs: list[tuple[str, str]] = []
     for label, entry in src.partitions.items():
@@ -564,6 +611,7 @@ __all__ = [
     "compact_dataset",
     "copy_dataset",
     "create_empty_dataset_header",
+    "expire_snapshots",
     "write_single_partition",
     "delete_dataset",
     "garbage_collect_dataset",
