@@ -684,6 +684,33 @@ def ktk_read_changes(spark, sf_dir):
     )
 
 
+def ktk_schema_evolution(spark, sf_dir):
+    """Opt-in schema evolution (Delta mergeSchema-style, beyond the
+    reference): an update appends a NEW column; pre-evolution files read
+    it as NULL (explicit-schema scan — no footer merging), and the
+    grouped totals over old+new rows must equal plain SQL."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(
+        spark, orders.where("o_orderkey % 2 = 0"), root, "o", partition_on=["o_orderstatus"]
+    )
+    evolved = orders.where("o_orderkey % 2 = 1").withColumn(
+        "o_prio_class", F.substring("o_orderpriority", 1, 1)
+    )
+    update_dataset(spark, evolved, root, "o", schema_evolution=True)
+    return (
+        read_table(spark, root, "o")
+        .groupBy("o_prio_class")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("o_totalprice")).cast("double") / 100).alias("total"),
+        )
+    )
+
+
 def ktk_extend_cube(spark, sf_dir):
     """extend_cube (C1): add an enrichment member to a live cube, then a
     conditioned query joins it seed-left — content must equal the plain
@@ -978,6 +1005,34 @@ def ktk_stats_pruned(spark, sf_dir):
     preds = [[("l_orderkey", "<", 500)]]
     labels = dispatch_labels(spark, m, preds)
     got = read_table(spark, root, "ls", predicates=preds)
+    return got.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("sum_qty"),
+    ).withColumn("pruned", F.lit(len(labels) < len(m.partitions)))
+
+
+def ktk_zorder_pruned(spark, sf_dir):
+    """Z-order multi-column clustering (Delta OSS-style, beyond the
+    reference): a 2-column interleaved-quantile layout makes per-file
+    min/max selective on BOTH columns — a conjunction on them plans to a
+    strict subset of files (pinned by `pruned`) with exact value parity."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    li = _t(spark, sf_dir, "lineitem")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+    try:
+        store_dataframe_as_dataset(
+            spark, li, root, "lz", zorder_by=["l_orderkey", "l_partkey"]
+        )
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    m = DatasetManifest.load(root, "lz")
+    preds = [[("l_orderkey", "<", 500), ("l_partkey", "<", 100)]]
+    labels = dispatch_labels(spark, m, preds)
+    got = read_table(spark, root, "lz", predicates=preds)
     return got.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("sum_qty"),
@@ -1530,6 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_zstd_manifest": ktk_zstd_manifest,
         "ktk_time_travel": ktk_time_travel,
         "ktk_read_changes": ktk_read_changes,
+        "ktk_schema_evolution": ktk_schema_evolution,
+        "ktk_zorder_pruned": ktk_zorder_pruned,
         "ktk_extend_cube": ktk_extend_cube,
         "ktk_index_on": ktk_index_on,
         "ktk_collect_stats": ktk_collect_stats,
@@ -1705,6 +1762,13 @@ SELECT l_returnflag, count(*) AS n,
 FROM lineitem WHERE l_orderkey < 500
 GROUP BY l_returnflag
 """,
+        "ktk_zorder_pruned": f"""
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum({qty}) AS BIGINT) AS sum_qty,
+       CAST(1 AS BOOLEAN) AS pruned
+FROM lineitem WHERE l_orderkey < 500 AND l_partkey < 100
+GROUP BY l_returnflag
+""",
         "ktk_csv_roundtrip": f"""
 SELECT o_orderstatus, count(*) AS n,
        CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
@@ -1799,6 +1863,12 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(c_custkey) AS BIGINT) AS sum_custkey,
        CAST(1 AS BOOLEAN) AS removed_ok
 FROM customer WHERE c_nationkey >= 15 GROUP BY c_mktsegment
+""",
+        "ktk_schema_evolution": f"""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN substr(o_orderpriority, 1, 1) END AS o_prio_class,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
+FROM orders GROUP BY 1
 """,
         "ktk_index_on": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BOOLEAN) AS sorted_ok FROM orders

@@ -62,8 +62,18 @@ def _pairs_df(spark: SparkSession, manifest: "DatasetManifest", column: str, lab
         )
     files = ["file:" + os.path.abspath(p) for p in manifest.files(labels)]
     mapping = _file_label_df(spark, manifest, labels)
+    from pyspark.sql import types as T
+
+    # explicit payload schema: files from before a schema evolution may
+    # lack the indexed column entirely — they read as NULL and the
+    # isNotNull below keeps them out of the index (matching reference
+    # build_indices dropna semantics)
+    payload = T.StructType(
+        [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
+    )
     df = (
         spark.read.option("basePath", "file:" + os.path.abspath(manifest.data_root))
+        .schema(payload)
         .parquet(*files)
         .select(
             F.col(column),

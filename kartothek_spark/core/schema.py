@@ -124,6 +124,34 @@ def validate_compatible(schemas: list[T.StructType]) -> T.StructType:
     return T.StructType([T.StructField(n, ref_fields[n], True) for n in order])
 
 
+def evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Merge an incoming schema into a dataset schema (opt-in schema
+    evolution; Delta ``mergeSchema``-style, stricter typing): columns
+    present in both must match exactly after normalization (int widths /
+    float widths already collapse — that IS the supported widening);
+    columns only in ``old`` are kept (new files simply lack them and read
+    as NULL); columns only in ``new`` are appended nullable. Cross-class
+    changes (int vs float, string vs binary, ...) raise
+    :class:`SchemaIncompatible` — silent lossy casts are how a 100 TB
+    dataset rots."""
+    old_n, new_n = normalize_schema(old), normalize_schema(new)
+    by_name = {f.name: f.dataType for f in old_n.fields}
+    out = list(old_n.fields)
+    for f in new_n.fields:
+        ref = by_name.get(f.name)
+        if ref is None:
+            out.append(T.StructField(f.name, f.dataType, True))
+        elif isinstance(ref, T.NullType) and not isinstance(f.dataType, T.NullType):
+            out[[x.name for x in out].index(f.name)] = T.StructField(f.name, f.dataType, True)
+        elif not isinstance(f.dataType, T.NullType) and f.dataType != ref:
+            raise SchemaIncompatible(
+                f"column {f.name!r}: cannot evolve {ref.simpleString()} -> "
+                f"{f.dataType.simpleString()} (only adding columns and "
+                "int/float width widening are supported)"
+            )
+    return T.StructType(out)
+
+
 def validate_predicate_literal(col_type: T.DataType, value) -> None:
     """Strict predicate-literal type check (reference
     ``serialization/_generic.py:353-418``): reject comparisons whose literal

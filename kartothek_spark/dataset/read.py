@@ -251,7 +251,16 @@ def _scan_files(spark: SparkSession, manifest: DatasetManifest, files: list[str]
             .schema(payload)
             .csv(uris)
         )
-    return spark.read.option("basePath", base).parquet(*uris)
+    # explicit payload schema (manifest minus partition keys): no footer
+    # inference/merging, files written before a schema evolution read their
+    # missing columns as NULL, and int/float width widening is handled by
+    # the parquet reader. Hive partition columns (and the path-encoded
+    # bucket level) are appended from path discovery; read_table re-types
+    # them against the manifest schema.
+    payload = T.StructType(
+        [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
+    )
+    return spark.read.option("basePath", base).schema(payload).parquet(*uris)
 
 
 def read_table(

@@ -63,6 +63,66 @@ _NULL_KEY_MSG = "null values in partition keys"
 # path-encoded hash-bucket hive level (never part of the payload schema)
 BUCKET_COL = "__ktk_bucket"
 
+# ephemeral z-order key: drives the range exchange + within-file sort,
+# dropped before files land
+ZORDER_COL = "__ktk_zorder"
+ZORDER_BITS = 6  # 64 quantile buckets per column
+
+
+def _zorder_numeric(c: str, dt) -> F.Column:
+    """Monotone double rendering of a z-order column (quantiles + bucket
+    comparisons run on this view). Numeric/date/timestamp only — z-order
+    is a multi-column RANGE layout; hashing strings would destroy the
+    range locality that makes the skipping work."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType)):
+        return F.col(c).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(c), F.lit("1970-01-01").cast("date")).cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    raise TypeError(
+        f"zorder_by column {c!r} has non-orderable-numeric type {dt.simpleString()}"
+    )
+
+
+def _zorder_column(df: DataFrame, zorder_by: Sequence[str]) -> F.Column:
+    """Interleaved-bit z-value over per-column QUANTILE bucket indices
+    (Delta OSS-style multi-column clustering). One approxQuantile pass
+    computes 63 boundaries per column (rank-based, so skew cannot collapse
+    the grid the way linear width_bucket would); each row's bucket index is
+    a 64-element HOF fold (JVM codegen, no UDF); the 6-bit indices then
+    interleave into one integer whose range layout gives EVERY zorder_by
+    column selective per-file min/max — the multi-column data-skipping
+    layout that a single-column range sort cannot provide."""
+    import functools
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    views = {c: _zorder_numeric(c, by_name[c]) for c in zorder_by}
+    qdf = df.select(*[views[c].alias(c) for c in zorder_by])
+    n_b = (1 << ZORDER_BITS) - 1
+    probs = [i / (n_b + 1) for i in range(1, n_b + 1)]
+    bounds = dict(zip(zorder_by, qdf.approxQuantile(list(zorder_by), probs, 0.001)))
+
+    n = len(zorder_by)
+    terms = []
+    for ci, c in enumerate(zorder_by):
+        b = bounds[c] or [0.0]
+        arr = F.array(*[F.lit(float(x)) for x in b])
+        # bucket index = #boundaries <= value (nulls fold to bucket 0)
+        idx = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, bd: acc + F.when(views[c] >= bd, 1).otherwise(0),
+        )
+        for bit in range(ZORDER_BITS):
+            terms.append(
+                F.shiftleft(F.shiftright(idx, bit).bitwiseAND(F.lit(1)), bit * n + ci)
+            )
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
+
 
 def _guard_null_partition_keys(df: DataFrame, partition_on: Sequence[str]) -> DataFrame:
     """Inline null-partition-key guard (reference raises on null keys,
@@ -104,6 +164,7 @@ def _write_files(
     num_buckets: int | None,
     table_format: str = "parquet",
     range_partition_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> None:
     out = _guard_null_partition_keys(df, partition_on)
     part_cols = list(partition_on)
@@ -127,7 +188,15 @@ def _write_files(
     # one multi-hour straggler writing one giant file. Unpartitioned
     # writes rebalance by size alone, so compaction of a fragmented
     # unpartitioned dataset actually merges files.
-    if range_partition_by:
+    if zorder_by:
+        # z-order layout: range-exchange + within-file sort on the
+        # interleaved key, then DROP it — only the layout survives, read
+        # back as per-file min/max selectivity on all zorder_by columns
+        out = out.withColumn(ZORDER_COL, _zorder_column(df, zorder_by))
+        out = out.repartitionByRange(F.col(ZORDER_COL))
+        out = out.sortWithinPartitions(ZORDER_COL, *(sort_partitions_by or []))
+        out = out.drop(ZORDER_COL)
+    elif range_partition_by:
         # global range layout: files cover narrow, near-disjoint value
         # ranges of these columns, which is what makes manifest min/max
         # skipping (and row-group pruning) selective. The range exchange
@@ -177,6 +246,7 @@ def store_dataframe_as_dataset(
     storage_format: str = "json",
     stats_columns: Sequence[str] = (),
     range_partition_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
     keep_history: bool = False,
 ) -> DatasetManifest:
     """Write a DataFrame as a new dataset (reference S13/S14/S16).
@@ -193,6 +263,12 @@ def store_dataframe_as_dataset(
     ``range_partition_by`` replaces the default AQE rebalance with a global
     range layout on those columns (plus a within-file sort), so each file
     covers a narrow value range and stats pruning actually bites.
+    ``zorder_by`` is the MULTI-column version (Delta OSS-style z-ordering):
+    rows cluster by an interleaved-bit key over per-column quantile bucket
+    indices, so every listed column gets selective per-file min/max — a
+    predicate on ANY of them skips files, where a single-column range sort
+    only serves its leading column. The listed columns are auto-added to
+    ``stats_columns``. Costs one extra approxQuantile pass at write time.
     ``keep_history=True`` makes every commit additionally write an immutable
     manifest snapshot — enabling ``read_table(as_of=version)`` time travel
     and :func:`kartothek_spark.dataset.read.read_changes` incremental feeds
@@ -207,6 +283,13 @@ def store_dataframe_as_dataset(
         raise ValueError(f"unsupported format {table_format!r}")
     if table_format == "csv" and secondary_indices:
         raise ValueError("secondary indices require parquet payloads")
+    if zorder_by:
+        if range_partition_by:
+            raise ValueError("zorder_by and range_partition_by are mutually exclusive")
+        if table_format != "parquet":
+            raise ValueError("zorder_by requires parquet payloads")
+        # the z layout exists to feed min/max skipping on these columns
+        stats_columns = list(dict.fromkeys(list(stats_columns) + list(zorder_by)))
     if stats_columns:
         if table_format != "parquet":
             raise ValueError("stats columns require parquet payloads")
@@ -233,6 +316,7 @@ def store_dataframe_as_dataset(
     _write_files(
         df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets,
         table_format=table_format, range_partition_by=range_partition_by,
+        zorder_by=zorder_by,
     )
 
     rel_prefix = os.path.join(dataset_uuid, TABLE)
@@ -324,12 +408,23 @@ def update_dataset(
     delete_scope: list[dict[str, Any]] | None = None,
     sort_partitions_by: Sequence[str] | None = None,
     metadata: dict[str, Any] | None = None,
+    schema_evolution: bool = False,
 ) -> DatasetManifest:
     """Append + delete partitions in ONE atomic commit (reference
     ``update_dataset_from_ddf`` / ``update_dataset_from_partitions``,
     update.py:23-57). ``delete_scope`` = list of {partition_key: value}
     dicts selecting victim partitions; replacing a partition = same scope
-    deleted + new rows appended, atomically."""
+    deleted + new rows appended, atomically.
+
+    ``schema_evolution=True`` relaxes the strict schema check to a merge
+    (:func:`kartothek_spark.core.schema.evolve_schema`): the incoming frame
+    may add new columns (read back as NULL for pre-evolution files — the
+    scan supplies the manifest schema explicitly, so no footer merging at
+    plan time) and may omit existing non-key columns; same-name columns
+    must stay in the same type class. The widened schema commits atomically
+    with the data. Beyond the reference (which rejects any column-set
+    drift, common_metadata.py:586-671); semantics follow Delta
+    ``mergeSchema``."""
     manifest = DatasetManifest.load(root, dataset_uuid)
 
     removed: list[str] = []
@@ -340,7 +435,21 @@ def update_dataset(
     new_labels: list[str] = []
     if df is not None:
         df = normalize_dataframe(df)
-        validate_compatible([manifest.schema, df.schema])
+        if schema_evolution:
+            from kartothek_spark.core.schema import evolve_schema
+
+            missing_keys = [
+                k
+                for k in list(manifest.partition_keys) + list(manifest.bucket_by)
+                if k not in df.columns
+            ]
+            if missing_keys:
+                raise SchemaIncompatible(
+                    f"schema evolution cannot drop partition/bucket keys: {missing_keys}"
+                )
+            manifest.schema = evolve_schema(manifest.schema, df.schema)
+        else:
+            validate_compatible([manifest.schema, df.schema])
         suffix = ".csv" if manifest.table_format == "csv" else ".parquet"
         before = set(_enumerate_parquet(manifest.data_root, suffix))
         _write_files(df, manifest.data_root, manifest.partition_keys, sort_partitions_by,
