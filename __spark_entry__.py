@@ -1397,6 +1397,18 @@ def ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5, dim=EMB_DIM)
 
 
+def ann_knn_join(spark, sf_dir):
+    """Exact distributed KNN join (both sides large — no driver collect,
+    no broadcast): every left vector gets its k=3 nearest right vectors;
+    small blocks force real multi-block execution. Value-exact vs the
+    brute-force SQL oracle."""
+    from kartothek_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("vec_id") % 7 == 0)
+    return knn_join(left, emb, k=3, target_block_rows=128)
+
+
 def ann_lsh_topk(spark, sf_dir):
     """Approximate ANN (multi-table LSH) — no SQL oracle (approximate by
     design); driver records rows-only. Recall against brute force is
@@ -1629,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
+        "ann_knn_join": ann_knn_join,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_recall": ann_lsh_recall,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1652,6 +1665,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from kartothek_spark.operators.similarity import (
         brute_force_topk_sql,
+        knn_join_sql,
         embedding_dup_pairs_sql,
     )
     from kartothek_spark.operators.text import (
@@ -2087,6 +2101,9 @@ FROM ({scrub_sql})
             columns="vec_id",
         ),
         "ann_topk": brute_force_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
+        "ann_knn_join": knn_join_sql(
+            "embeddings", "b.id % 7 = 0", "TRUE", k=3, dim=EMB_DIM
+        ),
         # nprobe == n_centroids probes every IVF cell → exact, so the
         # brute-force SQL is a full value-level oracle for the IVF operator
         "ann_ivf_exhaustive": brute_force_topk_sql(

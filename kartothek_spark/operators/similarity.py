@@ -308,6 +308,137 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
 """
 
 
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_block_rows: int = 1024,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact distributed KNN join: for EVERY left row, its ``k`` nearest
+    right rows by cosine — both sides arbitrarily large, nothing broadcast
+    or collected to the driver (unlike :func:`brute_force_topk`, whose
+    contract is a small query side).
+
+    Block-matrix execution (same shape as :func:`embedding_dup_pairs`):
+    left hash-splits into BL id-blocks, right into BR; every (bl, br) pair
+    is one shuffle group whose kernel runs ONE int64 numpy matmul and
+    keeps a block-local per-left-row top-k, so the global rank window sees
+    at most BR·k candidates per query instead of M. Replication cost is
+    N·BR + M·BL rows of shuffle; compute is the inherent N·M. Exact by
+    construction: the global top-k is the top-k of the union of
+    block-local top-ks. Ties rank deterministically (cos DESC, neighbor
+    id ASC) on fixed-point cosine. Output: (query_id, neighbor_id, rank,
+    cos_sim). Beyond ~1e7×1e7 compose :func:`lsh_bucket` / IVF cells
+    first and run this within buckets."""
+    import math
+
+    import numpy as np
+
+    n_l = left.count()
+    n_r = right.count()
+    bl = max(1, math.ceil(n_l / target_block_rows))
+    br = max(1, math.ceil(n_r / target_block_rows))
+
+    lq = scale_out(left).select(
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col)).alias("q"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(bl)).cast("int").alias("__bl"),
+    )
+    rq = scale_out(right).select(
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col)).alias("q"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(br)).cast("int").alias("__br"),
+    )
+    a = lq.select(
+        "id", "q", F.col("__bl"),
+        F.explode(F.sequence(F.lit(0), F.lit(br - 1))).alias("__br"),
+        F.lit("a").alias("side"),
+    )
+    b = rq.select(
+        "id", "q",
+        F.explode(F.sequence(F.lit(0), F.lit(bl - 1))).alias("__bl"),
+        F.col("__br"),
+        F.lit("b").alias("side"),
+    )
+    tagged = a.unionByName(b)
+
+    def kernel(key, pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"query_id": np.array([], dtype="int64"),
+                              "neighbor_id": np.array([], dtype="int64"),
+                              "cos_sim": np.array([], dtype="float64")})
+        A = pdf[pdf["side"] == "a"]
+        B = pdf[pdf["side"] == "b"].sort_values("id")  # id ASC → stable tie-break
+        if len(A) == 0 or len(B) == 0:
+            return empty
+
+        def mat(part):
+            ids = part["id"].to_numpy(dtype="int64")
+            M = np.array([np.asarray(q, dtype="int64") for q in part["q"]], dtype="int64")
+            return ids, M, np.sqrt((M * M).sum(axis=1).astype("float64"))
+
+        a_ids, Am, an = mat(A)
+        b_ids, Bm, bn = mat(B)
+        cos = np.round((Am @ Bm.T).astype("float64") / (an[:, None] * bn[None, :]), 6)
+        if exclude_self:
+            cos[a_ids[:, None] == b_ids[None, :]] = -2.0
+        kk = min(k, cos.shape[1])
+        # stable argsort of -cos over id-ASC-sorted columns = (cos DESC, id ASC)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(cos.shape[0]), kk)
+        cols = order.ravel()
+        keep = cos[rows, cols] > -2.0
+        return pd.DataFrame({
+            "query_id": a_ids[rows][keep],
+            "neighbor_id": b_ids[cols][keep],
+            "cos_sim": cos[rows, cols][keep],
+        })
+
+    sims = tagged.groupBy("__bl", "__br").applyInPandas(kernel, _TOPK_SIM_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
+    )
+
+
+def knn_join_sql(
+    table: str,
+    left_filter: str,
+    right_filter: str,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Brute-force oracle for :func:`knn_join` restricted to filtered
+    left/right sides of one table."""
+    cos = cos_from_ints_sql(qdot_sql("l.qv", "r.qv", dim), "l.n", "r.n")
+    return f"""
+WITH quant AS (
+  SELECT {id_col} AS id, {quantize_sql(vec_col)} AS qv FROM {table}
+), base AS (
+  SELECT id, qv, {qdot_sql('qv', 'qv', dim)} AS n FROM quant
+), l AS (
+  SELECT b.* FROM base b JOIN {table} t ON b.id = t.{id_col} WHERE {left_filter}
+), r AS (
+  SELECT b.* FROM base b JOIN {table} t ON b.id = t.{id_col} WHERE {right_filter}
+), sims AS (
+  SELECT l.id AS query_id, r.id AS neighbor_id, {cos} AS cos_sim
+  FROM l, r WHERE l.id <> r.id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # LSH bucketing (approximate scale path)
 # ---------------------------------------------------------------------------

@@ -602,3 +602,40 @@ def test_bm25_ranks_relevance_and_breaks_ties(spark):
     a = [tuple(r) for r in bm25_search(df, ["spark", "engine"], k=10).collect()]
     b = [tuple(r) for r in bm25_search(df.repartition(7), ["spark", "engine"], k=10).collect()]
     assert a == b
+
+
+def test_knn_join_equals_brute_force_any_blocking(spark):
+    """knn_join (both sides distributed, block-matrix) must equal
+    brute_force_topk (broadcast-queries) for the same query set, for any
+    block partitioning — including the degenerate single-block case."""
+    import os
+
+    from kartothek_spark.operators.similarity import brute_force_topk, knn_join
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") % 29 == 0)
+    exact = sorted(map(tuple, brute_force_topk(emb, queries, k=4, dim=64).collect()))
+    for tbr in (100_000, 64):  # 1 block vs many blocks
+        got = sorted(map(tuple, knn_join(queries, emb, k=4, target_block_rows=tbr).collect()))
+        assert got == exact, f"target_block_rows={tbr}"
+
+
+def test_knn_join_self_exclusion_and_asymmetric_sides(spark):
+    from kartothek_spark.operators.similarity import knn_join
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = knn_join(df, df, k=3).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    # include_self: the nearest neighbor of each row is itself at cos 1.0
+    out2 = knn_join(df, df, k=1, exclude_self=False).collect()
+    assert {(r.query_id, r.neighbor_id) for r in out2} == {(0, 0), (1, 1), (2, 2)}
+    # asymmetric: right side restricted → neighbors only from the subset
+    out3 = knn_join(df, df.where("vec_id = 2"), k=2).collect()
+    assert all(r.neighbor_id == 2 for r in out3)
+    assert {r.query_id for r in out3} == {0, 1}
