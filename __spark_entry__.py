@@ -1409,6 +1409,18 @@ def ann_knn_join(spark, sf_dir):
     return knn_join(left, emb, k=3, target_block_rows=128)
 
 
+def corpus_diverse_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling: semantic LSH buckets capped at
+    a fixed quota of hash-min members — deterministic, value-exact vs the
+    SQL twin of buckets + per-bucket rank."""
+    from kartothek_spark.operators.similarity import diversity_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return diversity_sample(
+        emb, quota=12, dim=EMB_DIM, planes=4, keep_bucket=True
+    ).select("vec_id", "bucket")
+
+
 def ann_lsh_topk(spark, sf_dir):
     """Approximate ANN (multi-table LSH) — no SQL oracle (approximate by
     design); driver records rows-only. Recall against brute force is
@@ -1642,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
         "ann_knn_join": ann_knn_join,
+        "corpus_diverse_sample": corpus_diverse_sample,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_recall": ann_lsh_recall,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1665,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from kartothek_spark.operators.similarity import (
         brute_force_topk_sql,
+        diversity_sample_sql,
         knn_join_sql,
         embedding_dup_pairs_sql,
     )
@@ -2103,6 +2117,9 @@ FROM ({scrub_sql})
         "ann_topk": brute_force_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
         "ann_knn_join": knn_join_sql(
             "embeddings", "b.id % 7 = 0", "TRUE", k=3, dim=EMB_DIM
+        ),
+        "corpus_diverse_sample": diversity_sample_sql(
+            "embeddings", quota=12, dim=EMB_DIM, planes=4
         ),
         # nprobe == n_centroids probes every IVF cell → exact, so the
         # brute-force SQL is a full value-level oracle for the IVF operator

@@ -491,6 +491,70 @@ def lsh_bucket_sql(vec: str, dim: int, planes: int = LSH_PLANES) -> str:
     return f"({terms})"
 
 
+def diversity_sample(
+    df: DataFrame,
+    quota: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = LSH_PLANES,
+    salt: str = "diversity",
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: cap every semantic LSH
+    bucket at ``quota`` rows, so over-represented regions of embedding
+    space (boilerplate clusters, template families) cannot dominate a
+    training mixture the way a uniform sample lets them.
+
+    Deterministic end to end: buckets come from the constant hyperplanes
+    of :func:`lsh_bucket`; within a bucket the kept rows are the
+    ``quota`` hash-smallest by the cross-engine 60-bit id hash — so the
+    selection is partitioning-, retry-, and cluster-size-invariant, and
+    stable under corpus growth (a new row only ever displaces the current
+    hash-largest survivor of its own bucket). One shuffle on the bucket
+    id + a per-bucket rank window. Size ``planes`` so 2^planes ≈ N/quota:
+    the bucket count bounds both output size (≤ 2^planes·quota) and the
+    per-bucket sort a hot bucket pays in the window."""
+    from kartothek_spark.functions.hashing import h60
+
+    h = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("__bucket").orderBy(F.asc("__h"), F.asc(id_col))
+    out = (
+        df.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, planes))
+        .withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__h", "__rn")
+    )
+    if keep_bucket:
+        return out.withColumnRenamed("__bucket", "bucket")
+    return out.drop("__bucket")
+
+
+def diversity_sample_sql(
+    table: str,
+    quota: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+    salt: str = "diversity",
+) -> str:
+    """DuckDB twin of :func:`diversity_sample` (keep_bucket=True form),
+    selecting (id, bucket)."""
+    from kartothek_spark.functions.hashing import h60_sql
+
+    bucket = lsh_bucket_sql(vec_col, dim, planes)
+    h = h60_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {id_col}, bucket FROM (
+  SELECT {id_col}, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY h ASC, {id_col} ASC) AS rn
+  FROM (SELECT {id_col}, {bucket} AS bucket, {h} AS h FROM {table})
+) WHERE rn <= {quota}
+"""
+
+
 def lsh_topk(
     df: DataFrame,
     queries: DataFrame,

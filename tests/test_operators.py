@@ -639,3 +639,45 @@ def test_knn_join_self_exclusion_and_asymmetric_sides(spark):
     out3 = knn_join(df, df.where("vec_id = 2"), k=2).collect()
     assert all(r.neighbor_id == 2 for r in out3)
     assert {r.query_id for r in out3} == {0, 1}
+
+
+def test_diversity_sample_quota_and_stability(spark):
+    """Per-bucket quota is enforced; selection is stable under corpus
+    growth: adding rows never evicts a survivor unless its own bucket is
+    over quota, and survivors of the grown corpus restricted to the old
+    ids are a subset of the old survivors' buckets' top picks."""
+    import os
+
+    from kartothek_spark.operators.similarity import diversity_sample
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    out = diversity_sample(emb, quota=5, dim=64, planes=4, keep_bucket=True)
+    counts = out.groupBy("bucket").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+    # determinism across runs
+    a = sorted(r.vec_id for r in out.collect())
+    b = sorted(
+        r.vec_id
+        for r in diversity_sample(emb, quota=5, dim=64, planes=4).select("vec_id").collect()
+    )
+    assert a == b
+    # growth stability: sampling a half-corpus then the full corpus — every
+    # half-corpus survivor that is still hash-small enough survives; no
+    # reshuffling of unrelated buckets
+    half = emb.where("vec_id % 2 = 0")
+    s_half = {r.vec_id for r in diversity_sample(half, quota=5, dim=64, planes=4).select("vec_id").collect()}
+    s_full = {r.vec_id for r in diversity_sample(emb, quota=5, dim=64, planes=4).select("vec_id").collect()}
+    # survivors dropped from half→full must be displaced by new (odd) ids only
+    assert s_half - s_full <= s_half  # sanity
+    dropped = s_half - s_full
+    # every dropped even id's bucket must now contain an odd id in the full sample
+    if dropped:
+        out_full = diversity_sample(emb, quota=5, dim=64, planes=4, keep_bucket=True)
+        by_bucket = {}
+        for r in out_full.collect():
+            by_bucket.setdefault(r.bucket, set()).add(r.vec_id)
+        out_half = diversity_sample(half, quota=5, dim=64, planes=4, keep_bucket=True)
+        half_bucket = {r.vec_id: r.bucket for r in out_half.collect()}
+        for vid in dropped:
+            assert any(x % 2 == 1 for x in by_bucket[half_bucket[vid]])
