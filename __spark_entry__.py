@@ -711,6 +711,40 @@ def ktk_schema_evolution(spark, sf_dir):
     )
 
 
+def ktk_incremental_sync(spark, sf_dir):
+    """Derived-dataset CDC sync over the snapshot history: the second sync
+    must run in INCREMENTAL mode (only appended files scanned) and the
+    derived content must equal transform(live source) exactly."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.sync import sync_derived_dataset
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    cust = _t(spark, sf_dir, "customer")
+    store_dataframe_as_dataset(
+        spark, cust.where("c_nationkey < 15"), root, "src",
+        partition_on=["c_nationkey"], keep_history=True,
+    )
+
+    def transform(df):
+        return df.where(F.col("c_acctbal") > 0.0).select(
+            "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+        )
+
+    sync_derived_dataset(spark, root, "src", root, "dst", transform)
+    update_dataset(spark, cust.where("c_nationkey >= 15"), root, "src")
+    r2 = sync_derived_dataset(spark, root, "src", root, "dst", transform)
+    return (
+        read_table(spark, root, "dst")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("c_acctbal")).cast("double") / 100).alias("total_acctbal"),
+        )
+        .withColumn("incremental", F.lit(r2["mode"] == "incremental"))
+    )
+
+
 def ktk_extend_cube(spark, sf_dir):
     """extend_cube (C1): add an enrichment member to a live cube, then a
     conditioned query joins it seed-left — content must equal the plain
@@ -1611,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_read_changes": ktk_read_changes,
         "ktk_schema_evolution": ktk_schema_evolution,
         "ktk_zorder_pruned": ktk_zorder_pruned,
+        "ktk_incremental_sync": ktk_incremental_sync,
         "ktk_extend_cube": ktk_extend_cube,
         "ktk_index_on": ktk_index_on,
         "ktk_collect_stats": ktk_collect_stats,
@@ -1897,6 +1932,12 @@ SELECT CASE WHEN o_orderkey % 2 = 1 THEN substr(o_orderpriority, 1, 1) END AS o_
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
 FROM orders GROUP BY 1
+""",
+        "ktk_incremental_sync": f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
+       CAST(1 AS BOOLEAN) AS incremental
+FROM customer WHERE c_acctbal > 0.0 GROUP BY c_mktsegment
 """,
         "ktk_index_on": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BOOLEAN) AS sorted_ok FROM orders

@@ -110,6 +110,14 @@ def main() -> None:
         import gc
 
         gc.collect()
+        # and compact the JVM heap between queries: 39 queries in one
+        # session accumulate young-gen garbage whose collection otherwise
+        # lands as a multi-second pause INSIDE some later query's timing
+        # (observed: a 1.1s query measured at 5.7s once per bench run)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     # planning latency at manifest scale (reference asv write.py:56-75
     # commit-cost workload): 20k-partition zstd manifest — load + point

@@ -1,0 +1,116 @@
+"""Incremental derived-dataset maintenance over the snapshot history.
+
+A CDC-style consumer of :func:`kartothek_spark.dataset.read.read_changes`:
+keep a downstream dataset equal to ``transform(source)`` by reprocessing
+ONLY the rows appended since the last sync — the incremental-ingest shape
+a 100 TB pipeline needs (reprocess the day's new files, not the corpus).
+
+Beyond the reference (single-version manifests can't diff); semantics
+follow Delta CDF consumers: the sync cursor (source version) is recorded
+in the DERIVED dataset's manifest metadata, so the pipeline is restartable
+and exactly-once at the commit level — a crashed sync re-reads the same
+changes and re-appends idempotently only after the failed commit never
+landed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kartothek_spark.core.manifest import DatasetManifest
+
+_SYNC_KEY = "ktk_sync"
+
+
+def sync_derived_dataset(
+    spark: SparkSession,
+    src_root: str,
+    src_uuid: str,
+    dst_root: str,
+    dst_uuid: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    partition_on: Sequence[str] = (),
+) -> dict[str, Any]:
+    """Bring ``dst = transform(src)`` up to date with the source's live
+    version. Returns ``{"mode", "src_version", "rows_processed"}``.
+
+    * First call: full build from the live source (``mode="initial"``).
+    * Appends only since the cursor: process ONLY the new files
+      (``mode="incremental"`` — the scan never touches already-synced
+      data; this is the hot path, O(new data)).
+    * Source partitions were DROPPED since the cursor: a row-wise
+      ``transform`` cannot un-derive their output, so the derived dataset
+      is rebuilt from the live source (``mode="refresh"``). Correct for
+      any transform; callers with delete-heavy sources should partition
+      the derived dataset on the source's partition keys and mirror the
+      delete_scope instead of relying on refresh.
+
+    ``transform`` must be row-wise deterministic (filter / project /
+    per-row derivation) for incremental == batch equivalence; aggregating
+    transforms need the refresh path every time and are better served by
+    the streaming operators."""
+    from kartothek_spark.dataset.read import diff_versions, read_changes, read_table
+    from kartothek_spark.dataset.write import (
+        delete_dataset,
+        store_dataframe_as_dataset,
+        update_dataset,
+    )
+
+    transform = transform or (lambda df: df)
+    src = DatasetManifest.load(src_root, src_uuid)
+    if not src.keep_history:
+        raise ValueError(
+            f"source dataset {src_uuid!r} does not keep history "
+            "(write it with keep_history=True to enable incremental sync)"
+        )
+
+    cursor: int | None = None
+    if DatasetManifest.exists(dst_root, dst_uuid):
+        dst = DatasetManifest.load(dst_root, dst_uuid)
+        sync_meta = dst.metadata.get(_SYNC_KEY) or {}
+        if sync_meta.get("src_uuid") != src_uuid:
+            raise ValueError(
+                f"dataset {dst_uuid!r} is not a sync target of {src_uuid!r}"
+            )
+        cursor = int(sync_meta["src_version"])
+
+    meta = {_SYNC_KEY: {"src_uuid": src_uuid, "src_version": src.version}}
+
+    if cursor is None:
+        out = transform(read_table(spark, src_root, src_uuid))
+        store_dataframe_as_dataset(
+            spark, out, dst_root, dst_uuid, partition_on=partition_on, metadata=meta
+        )
+        return {"mode": "initial", "src_version": src.version,
+                "rows_processed": _rows(dst_root, dst_uuid, spark)}
+
+    if cursor == src.version:
+        return {"mode": "noop", "src_version": src.version, "rows_processed": 0}
+
+    _added, removed = diff_versions(src_root, src_uuid, since=cursor)
+    if removed:
+        # dropped source partitions invalidate previously-derived rows —
+        # rebuild from live (see docstring for the delete-heavy alternative)
+        delete_dataset(dst_root, dst_uuid)
+        out = transform(read_table(spark, src_root, src_uuid))
+        store_dataframe_as_dataset(
+            spark, out, dst_root, dst_uuid, partition_on=partition_on, metadata=meta
+        )
+        return {"mode": "refresh", "src_version": src.version,
+                "rows_processed": _rows(dst_root, dst_uuid, spark)}
+
+    changes = transform(read_changes(spark, src_root, src_uuid, since=cursor))
+    n = changes.count()
+    update_dataset(spark, changes if n else None, dst_root, dst_uuid, metadata=meta)
+    return {"mode": "incremental", "src_version": src.version, "rows_processed": n}
+
+
+def _rows(root: str, uuid: str, spark: SparkSession) -> int:
+    from kartothek_spark.dataset.read import read_table
+
+    return read_table(spark, root, uuid).count()
+
+
+__all__ = ["sync_derived_dataset"]
