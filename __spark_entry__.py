@@ -305,6 +305,27 @@ def ktk_dispatch_by(spark, sf_dir):
     return df.groupBy("l_returnflag").agg(F.count("*").alias("n"))
 
 
+def ktk_jsonl_roundtrip(spark, sf_dir):
+    """JSONL serializer (newline-delimited JSON — the LLM-corpus
+    interchange format) under the same manifest machinery: write, mutate
+    (delete_scope), pruned read back with a residual predicate."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    store_dataframe_as_dataset(
+        spark, docs, root, "dj", partition_on=["lang"], table_format="jsonl"
+    )
+    update_dataset(spark, None, root, "dj", delete_scope=[{"lang": "de"}])
+    got = read_table(spark, root, "dj", predicates=[[("doc_id", "<", 300)]])
+    return got.groupBy("lang", "source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
 def ktk_csv_roundtrip(spark, sf_dir):
     """CSV serializer (S3/S4 format dispatch): write a CSV-format dataset,
     pruned read back, integer-cents aggregation."""
@@ -1646,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_schema_evolution": ktk_schema_evolution,
         "ktk_zorder_pruned": ktk_zorder_pruned,
         "ktk_incremental_sync": ktk_incremental_sync,
+        "ktk_jsonl_roundtrip": ktk_jsonl_roundtrip,
         "ktk_extend_cube": ktk_extend_cube,
         "ktk_index_on": ktk_index_on,
         "ktk_collect_stats": ktk_collect_stats,
@@ -1831,6 +1853,13 @@ SELECT l_returnflag, count(*) AS n,
        CAST(1 AS BOOLEAN) AS pruned
 FROM lineitem WHERE l_orderkey < 500 AND l_partkey < 100
 GROUP BY l_returnflag
+""",
+        "ktk_jsonl_roundtrip": """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM documents WHERE lang <> 'de' AND doc_id < 300
+GROUP BY lang, source
 """,
         "ktk_csv_roundtrip": f"""
 SELECT o_orderstatus, count(*) AS n,

@@ -106,6 +106,10 @@ class DatasetManifest:
     # opening them — at 100 TB the difference between touching thousands
     # of footers and touching none.
     stats_columns: list[str] = field(default_factory=list)
+    # columns with parquet bloom filters embedded in every payload file
+    # (reader-side row-group skipping for point lookups; recorded so the
+    # update path keeps writing them for new files)
+    bloom_columns: list[str] = field(default_factory=list)
     # True once this in-memory state corresponds to a committed manifest —
     # the next commit() then advances the version (never serialized)
     _persisted: bool = field(default=False, repr=False, compare=False)
@@ -186,6 +190,7 @@ class DatasetManifest:
                 else {}
             ),
             **({"stats_columns": self.stats_columns} if self.stats_columns else {}),
+            **({"bloom_columns": self.bloom_columns} if self.bloom_columns else {}),
         }
 
     @classmethod
@@ -203,6 +208,7 @@ class DatasetManifest:
             bucket_by=list(d.get("bucket_by", [])),
             num_buckets=d.get("num_buckets"),
             stats_columns=list(d.get("stats_columns", [])),
+            bloom_columns=list(d.get("bloom_columns", [])),
             version=int(d.get("version", 1)),
             keep_history=bool(d.get("keep_history", False)),
         )

@@ -251,6 +251,11 @@ def _scan_files(spark: SparkSession, manifest: DatasetManifest, files: list[str]
             .schema(payload)
             .csv(uris)
         )
+    if manifest.table_format == "jsonl":
+        payload = T.StructType(
+            [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
+        )
+        return spark.read.option("basePath", base).schema(payload).json(uris)
     # explicit payload schema (manifest minus partition keys): no footer
     # inference/merging, files written before a schema evolution read their
     # missing columns as NULL, and int/float width widening is handled by

@@ -49,10 +49,17 @@ def _enumerate_parquet(data_root: str, suffix: str = ".parquet") -> list[str]:
     return sorted(out)
 
 
+_FORMAT_SUFFIX = {"parquet": ".parquet", "csv": ".csv", "jsonl": ".json"}
+
+
+def format_suffix(table_format: str) -> str:
+    return _FORMAT_SUFFIX[table_format]
+
+
 def _label_for(rel_file: str) -> str:
     """Partition label = hive dirs + file stem (mirrors the reference's
     ``K1=V1/K2=V2/<partition_uuid>`` labels)."""
-    for suf in (".parquet", ".csv"):
+    for suf in _FORMAT_SUFFIX.values():
         if rel_file.endswith(suf):
             return rel_file[: -len(suf)]
     return rel_file
@@ -165,6 +172,8 @@ def _write_files(
     table_format: str = "parquet",
     range_partition_by: Sequence[str] | None = None,
     zorder_by: Sequence[str] | None = None,
+    bloom_filter_columns: Sequence[str] | None = None,
+    bloom_ndv: int = 100_000,
 ) -> None:
     out = _guard_null_partition_keys(df, partition_on)
     part_cols = list(partition_on)
@@ -213,11 +222,22 @@ def _write_files(
     writer = out.write.mode("append")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
+    for c in bloom_filter_columns or ():
+        # parquet-mr bloom filters: the reader consults them for pushed
+        # equality/IN predicates, skipping row groups a point lookup on a
+        # high-cardinality column cannot match — complements min/max stats
+        # (useless for uniformly-spread ids) at the cost of ~1.2 bytes/ndv
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv))
     try:
         if table_format == "csv":
             # reference CSV serializer (_csv.py:25-120): no pushdown, types
             # restored from the manifest schema on read
             writer.option("header", "false").csv("file://" + os.path.abspath(data_root))
+        elif table_format == "jsonl":
+            # newline-delimited JSON — the lingua franca of LLM corpus
+            # interchange; schema restored from the manifest on read
+            writer.json("file://" + os.path.abspath(data_root))
         else:
             writer.parquet("file://" + os.path.abspath(data_root))
     except Exception as exc:  # surface the inline guard as the API error
@@ -248,10 +268,19 @@ def store_dataframe_as_dataset(
     range_partition_by: Sequence[str] | None = None,
     zorder_by: Sequence[str] | None = None,
     keep_history: bool = False,
+    bloom_filter_columns: Sequence[str] = (),
+    bloom_ndv: int = 100_000,
 ) -> DatasetManifest:
     """Write a DataFrame as a new dataset (reference S13/S14/S16).
     ``table_format="csv"`` selects the CSV serializer (reference S3) —
     no pushdown, no secondary indices, schema restored from the manifest.
+    ``table_format="jsonl"`` writes newline-delimited JSON (the standard
+    LLM-corpus interchange format) under the same manifest/mutation
+    machinery — no pushdown, schema restored from the manifest on read.
+    ``bloom_filter_columns`` embeds parquet bloom filters for those
+    columns in every payload file (``bloom_ndv`` expected distinct values
+    per file): point lookups on high-cardinality non-partition columns
+    then skip row groups inside the scan, where min/max stats cannot.
     ``storage_format="zstd"`` commits a zstd-compressed manifest (the
     reference's msgpack.zstd metadata codec; the scale choice when
     partition counts reach millions).
@@ -279,10 +308,17 @@ def store_dataframe_as_dataset(
         if not overwrite:
             raise ValueError(f"dataset {dataset_uuid!r} already exists")
         delete_dataset(root, dataset_uuid)
-    if table_format not in ("parquet", "csv"):
+    if table_format not in _FORMAT_SUFFIX:
         raise ValueError(f"unsupported format {table_format!r}")
-    if table_format == "csv" and secondary_indices:
+    if table_format != "parquet" and secondary_indices:
         raise ValueError("secondary indices require parquet payloads")
+    if bloom_filter_columns:
+        if table_format != "parquet":
+            raise ValueError("bloom filter columns require parquet payloads")
+        known = {f.name for f in df.schema.fields}
+        bad = [c for c in bloom_filter_columns if c not in known]
+        if bad:
+            raise ValueError(f"bloom filter columns not in schema: {bad}")
     if zorder_by:
         if range_partition_by:
             raise ValueError("zorder_by and range_partition_by are mutually exclusive")
@@ -312,15 +348,17 @@ def store_dataframe_as_dataset(
         storage_format=storage_format,
         stats_columns=list(stats_columns),
         keep_history=keep_history,
+        bloom_columns=list(bloom_filter_columns),
     )
     _write_files(
         df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets,
         table_format=table_format, range_partition_by=range_partition_by,
-        zorder_by=zorder_by,
+        zorder_by=zorder_by, bloom_filter_columns=bloom_filter_columns,
+        bloom_ndv=bloom_ndv,
     )
 
     rel_prefix = os.path.join(dataset_uuid, TABLE)
-    suffix = ".csv" if table_format == "csv" else ".parquet"
+    suffix = format_suffix(table_format)
     for rel in _enumerate_parquet(manifest.data_root, suffix):
         manifest.partitions[_label_for(rel)] = {"file": os.path.join(rel_prefix, rel)}
 
@@ -387,11 +425,12 @@ def write_single_partition(
     manifest = DatasetManifest.load(root, dataset_uuid)
     df = normalize_dataframe(df)
     validate_compatible([manifest.schema, df.schema])
-    suffix = ".csv" if manifest.table_format == "csv" else ".parquet"
+    suffix = format_suffix(manifest.table_format)
     before = set(_enumerate_parquet(manifest.data_root, suffix))
     _write_files(df, manifest.data_root, manifest.partition_keys, None,
                  manifest.bucket_by, manifest.num_buckets,
-                 table_format=manifest.table_format)
+                 table_format=manifest.table_format,
+                 bloom_filter_columns=manifest.bloom_columns)
     rel_prefix = os.path.join(dataset_uuid, TABLE)
     return {
         _label_for(rel): os.path.join(rel_prefix, rel)
@@ -450,11 +489,12 @@ def update_dataset(
             manifest.schema = evolve_schema(manifest.schema, df.schema)
         else:
             validate_compatible([manifest.schema, df.schema])
-        suffix = ".csv" if manifest.table_format == "csv" else ".parquet"
+        suffix = format_suffix(manifest.table_format)
         before = set(_enumerate_parquet(manifest.data_root, suffix))
         _write_files(df, manifest.data_root, manifest.partition_keys, sort_partitions_by,
                      manifest.bucket_by, manifest.num_buckets,
-                     table_format=manifest.table_format)
+                     table_format=manifest.table_format,
+                     bloom_filter_columns=manifest.bloom_columns)
         rel_prefix = os.path.join(dataset_uuid, TABLE)
         for rel in _enumerate_parquet(manifest.data_root, suffix):
             if rel not in before:
@@ -684,6 +724,7 @@ def copy_dataset(
         storage_format=src.storage_format,
         stats_columns=list(src.stats_columns),
         keep_history=src.keep_history,
+        bloom_columns=list(src.bloom_columns),
     )
     file_pairs: list[tuple[str, str]] = []
     for label, entry in src.partitions.items():

@@ -1,0 +1,86 @@
+"""JSONL table format + parquet bloom filter columns."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kartothek_spark.core.manifest import DatasetManifest
+from kartothek_spark.dataset.read import read_table
+from kartothek_spark.dataset.write import (
+    store_dataframe_as_dataset,
+    update_dataset,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_jsonl_roundtrip_with_mutations(spark, tmp_root):
+    docs = _docs(spark)
+    store_dataframe_as_dataset(
+        spark, docs, tmp_root, "d", partition_on=["lang"], table_format="jsonl"
+    )
+    m = DatasetManifest.load(tmp_root, "d")
+    assert m.table_format == "jsonl"
+    assert all(e["file"].endswith(".json") for e in m.partitions.values())
+    got = read_table(spark, tmp_root, "d")
+    assert got.count() == docs.count()
+    assert [f.name for f in got.schema.fields] == [f.name for f in docs.schema.fields]
+    assert (
+        got.agg(F.sum("doc_id"), F.sum(F.length("text"))).first()
+        == docs.agg(F.sum("doc_id"), F.sum(F.length("text"))).first()
+    )
+    # predicates evaluate (partition pruning + residual filter; no pushdown)
+    one = read_table(spark, tmp_root, "d", predicates=[[("lang", "==", "en"), ("doc_id", "<", 100)]])
+    assert one.count() == docs.where("lang = 'en' AND doc_id < 100").count()
+    # mutation machinery works identically
+    update_dataset(spark, None, tmp_root, "d", delete_scope=[{"lang": "en"}])
+    assert read_table(spark, tmp_root, "d").count() == docs.where("lang <> 'en'").count()
+
+
+def test_jsonl_rejects_indices_and_stats(spark, tmp_root):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="secondary indices"):
+        store_dataframe_as_dataset(
+            spark, docs, tmp_root, "x", table_format="jsonl", secondary_indices=["doc_id"]
+        )
+    with pytest.raises(ValueError, match="stats columns"):
+        store_dataframe_as_dataset(
+            spark, docs, tmp_root, "y", table_format="jsonl", stats_columns=["doc_id"]
+        )
+
+
+def test_bloom_filter_columns(spark, tmp_root):
+    docs = _docs(spark)
+    store_dataframe_as_dataset(
+        spark, docs, tmp_root, "plain", partition_on=["lang"]
+    )
+    store_dataframe_as_dataset(
+        spark, docs, tmp_root, "bloomed", partition_on=["lang"],
+        bloom_filter_columns=["doc_id"], bloom_ndv=10_000,
+    )
+    m = DatasetManifest.load(tmp_root, "bloomed")
+    assert m.bloom_columns == ["doc_id"]
+
+    def total_size(uuid):
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(tmp_root, uuid, "**", "*.parquet"), recursive=True)
+        )
+
+    # bloom bitsets are physically present (≈1.2 bytes/ndv per file)
+    assert total_size("bloomed") > total_size("plain")
+    # point lookup stays exact
+    got = read_table(spark, tmp_root, "bloomed", predicates=[[("doc_id", "==", 42)]])
+    assert got.count() == docs.where("doc_id = 42").count()
+    # update path keeps writing blooms for new files
+    before = total_size("bloomed")
+    update_dataset(spark, docs.withColumn("doc_id", F.col("doc_id") + 1_000_000), tmp_root, "bloomed")
+    m2 = DatasetManifest.load(tmp_root, "bloomed")
+    assert m2.bloom_columns == ["doc_id"]
+    assert total_size("bloomed") > before
