@@ -326,6 +326,27 @@ def ktk_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def ktk_convert_ingest(spark, sf_dir):
+    """Corpus ingestion: raw JSONL drop → convert_dataset into managed
+    parquet WITH a secondary index installed during conversion; the
+    index-pruned read of the converted dataset must serve exact content."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import convert_dataset, store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    store_dataframe_as_dataset(
+        spark, docs, root, "raw", partition_on=["lang"], table_format="jsonl"
+    )
+    convert_dataset(spark, root, "raw", "managed", secondary_indices=["source"])
+    got = read_table(spark, root, "managed", predicates=[[("source", "==", "src1")]])
+    return got.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
 def ktk_csv_roundtrip(spark, sf_dir):
     """CSV serializer (S3/S4 format dispatch): write a CSV-format dataset,
     pruned read back, integer-cents aggregation."""
@@ -1668,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_zorder_pruned": ktk_zorder_pruned,
         "ktk_incremental_sync": ktk_incremental_sync,
         "ktk_jsonl_roundtrip": ktk_jsonl_roundtrip,
+        "ktk_convert_ingest": ktk_convert_ingest,
         "ktk_extend_cube": ktk_extend_cube,
         "ktk_index_on": ktk_index_on,
         "ktk_collect_stats": ktk_collect_stats,
@@ -1860,6 +1882,12 @@ SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(doc_id) AS BIGINT) AS sum_id
 FROM documents WHERE lang <> 'de' AND doc_id < 300
 GROUP BY lang, source
+""",
+        "ktk_convert_ingest": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM documents WHERE source = 'src1' GROUP BY lang
 """,
         "ktk_csv_roundtrip": f"""
 SELECT o_orderstatus, count(*) AS n,

@@ -645,6 +645,40 @@ def garbage_collect_dataset(root: str, dataset_uuid: str) -> list[str]:
     return sorted(deleted)
 
 
+def convert_dataset(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    target_uuid: str,
+    target_root: str | None = None,
+    table_format: str = "parquet",
+    **store_kwargs: Any,
+) -> DatasetManifest:
+    """Re-materialize a dataset in another payload format — the standard
+    corpus-ingestion flow (raw JSONL/CSV drop → managed parquet with
+    indices, stats, layout) as ONE distributed read→write job. Partition
+    keys carry over unless overridden; every ``store_dataframe_as_dataset``
+    option (``secondary_indices``, ``stats_columns``, ``zorder_by``,
+    ``bloom_filter_columns``, ...) applies to the target, so a conversion
+    can also install the scale layout the raw drop lacked."""
+    from kartothek_spark.dataset.read import read_table
+
+    src = DatasetManifest.load(root, dataset_uuid)
+    target_root = target_root or root
+    if target_root == root and target_uuid == dataset_uuid:
+        raise ValueError("conversion target must differ from the source")
+    store_kwargs.setdefault("partition_on", list(src.partition_keys))
+    return store_dataframe_as_dataset(
+        spark,
+        read_table(spark, root, dataset_uuid),
+        target_root,
+        target_uuid,
+        table_format=table_format,
+        metadata=dict(src.metadata),
+        **store_kwargs,
+    )
+
+
 def expire_snapshots(root: str, dataset_uuid: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` history snapshots (the live
     version is always readable regardless). Expired versions stop being
@@ -759,6 +793,7 @@ __all__ = [
     "build_dataset_indices",
     "commit_dataset",
     "compact_dataset",
+    "convert_dataset",
     "copy_dataset",
     "create_empty_dataset_header",
     "expire_snapshots",

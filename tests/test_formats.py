@@ -84,3 +84,27 @@ def test_bloom_filter_columns(spark, tmp_root):
     m2 = DatasetManifest.load(tmp_root, "bloomed")
     assert m2.bloom_columns == ["doc_id"]
     assert total_size("bloomed") > before
+
+
+def test_convert_dataset_jsonl_to_parquet(spark, tmp_root):
+    from kartothek_spark.dataset.write import convert_dataset
+
+    docs = _docs(spark)
+    store_dataframe_as_dataset(
+        spark, docs, tmp_root, "raw", partition_on=["lang"], table_format="jsonl"
+    )
+    m = convert_dataset(
+        spark, tmp_root, "raw", "managed",
+        secondary_indices=["source"], stats_columns=["doc_id"],
+    )
+    assert m.table_format == "parquet"
+    assert m.partition_keys == ["lang"]  # carried over
+    assert "source" in m.indices and m.stats_columns == ["doc_id"]
+    got = read_table(spark, tmp_root, "managed")
+    assert got.count() == docs.count()
+    assert (
+        got.agg(F.sum("doc_id"), F.sum(F.length("text"))).first()
+        == docs.agg(F.sum("doc_id"), F.sum(F.length("text"))).first()
+    )
+    with pytest.raises(ValueError, match="must differ"):
+        convert_dataset(spark, tmp_root, "raw", "raw")
