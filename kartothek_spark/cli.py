@@ -8,6 +8,8 @@ Usage::
     python -m kartothek_spark.cli stats  --root /data --dataset li
     python -m kartothek_spark.cli query  --root /data --dataset li \
         --condition "l_suppkey == 5 & l_quantity > 25" --limit 20
+    python -m kartothek_spark.cli query  --root /data --dataset li --as-of 3
+    python -m kartothek_spark.cli versions --root /data --dataset li
     python -m kartothek_spark.cli index  --root /data --dataset li --columns l_suppkey
     python -m kartothek_spark.cli copy   --root /data --dataset li --target-root /backup
     python -m kartothek_spark.cli gc     --root /data --dataset li
@@ -86,14 +88,28 @@ def cmd_query(args) -> int:
     from kartothek_spark.core.manifest import DatasetManifest
     from kartothek_spark.dataset.read import read_table
 
+    as_of = int(args.as_of) if getattr(args, "as_of", None) else None
     predicates = None
     if args.condition:
         predicates = parse_conjunction(args.condition).predicate
-        m = DatasetManifest.load(args.root, args.dataset)
+        m = DatasetManifest.load(args.root, args.dataset, version=as_of)
         predicates = _coerce_predicates(predicates, m)
     df = read_table(_spark(), args.root, args.dataset, predicates=predicates,
-                    columns=args.columns.split(",") if args.columns else None)
+                    columns=args.columns.split(",") if args.columns else None,
+                    as_of=as_of)
     df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_versions(args) -> int:
+    from kartothek_spark.core.manifest import DatasetManifest
+
+    live = DatasetManifest.load(args.root, args.dataset)
+    print(json.dumps({
+        "live": live.version,
+        "keep_history": live.keep_history,
+        "readable": DatasetManifest.list_versions(args.root, args.dataset),
+    }, indent=2))
     return 0
 
 
@@ -231,7 +247,8 @@ def main(argv=None) -> int:
     for name, fn, extra in [
         ("info", cmd_info, []),
         ("stats", cmd_stats, []),
-        ("query", cmd_query, ["condition", "columns", "limit"]),
+        ("query", cmd_query, ["condition", "columns", "limit", "as-of"]),
+        ("versions", cmd_versions, []),
         ("index", cmd_index, ["columns!"]),
         ("copy", cmd_copy, ["target-root!", "target-uuid"]),
         ("gc", cmd_gc, []),

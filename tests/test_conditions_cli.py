@@ -160,3 +160,29 @@ def test_cli_query_coerces_int_literals_against_double_columns(spark, tmp_root, 
     assert cli.main(["query", "--root", tmp_root, "--dataset", "ds",
                      "--condition", "V > 25", "--limit", "5"]) == 0
     assert "30.0" in capsys.readouterr().out
+
+
+def test_cli_versions_and_as_of_query(spark, tmp_root, capsys):
+    from kartothek_spark import cli
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    df = spark.createDataFrame([Row(P=p, V=float(p)) for p in range(3)])
+    store_dataframe_as_dataset(
+        spark, df, tmp_root, "ds", partition_on=["P"], keep_history=True
+    )
+    update_dataset(spark, None, tmp_root, "ds", delete_scope=[{"P": 0}])
+
+    assert cli.main(["versions", "--root", tmp_root, "--dataset", "ds"]) == 0
+    v = json.loads(capsys.readouterr().out)
+    assert v == {"live": 2, "keep_history": True, "readable": [1, 2]}
+
+    # as-of 1 still sees the dropped partition; live does not
+    assert cli.main([
+        "query", "--root", tmp_root, "--dataset", "ds",
+        "--condition", "P == 0", "--as-of", "1",
+    ]) == 0
+    assert "0.0" in capsys.readouterr().out
+    assert cli.main([
+        "query", "--root", tmp_root, "--dataset", "ds", "--condition", "P == 0",
+    ]) == 0
+    assert "0.0" not in capsys.readouterr().out
