@@ -1339,6 +1339,26 @@ def corpus_rollup(spark, sf_dir):
     return corpus_stats(_t(spark, sf_dir, "documents"))
 
 
+def corpus_pipeline(spark, sf_dir):
+    """End-to-end corpus assembly as ONE composed lazy plan: quality
+    filter → exact dedup (min-id per fingerprint) → PII scrub → per-lang
+    rollup over the SCRUBBED text. Pins that the operators compose (each
+    is also gated standalone) and that the composition stays value-exact
+    against the nested-CTE SQL oracle."""
+    from kartothek_spark.operators.corpus import corpus_stats, quality_filter
+    from kartothek_spark.operators.dedup import dedup_exact
+    from kartothek_spark.operators.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup_exact(quality_filter(docs, min_chars=120, min_mean_token_len=4.2,
+                                      min_alpha_ratio=0.81))
+    scrubbed = scrub_pii(kept).select("doc_id", "text_scrubbed")
+    enriched = scrubbed.join(docs.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", F.col("text_scrubbed").alias("text"), "lang", "source"
+    )
+    return corpus_stats(enriched)
+
+
 _SPLIT_FRACTIONS = {"train": 0.9, "valid": 0.05, "test": 0.05}
 _UPSAMPLE_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4}
 
@@ -1718,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": corpus_mixture,
         "corpus_quality": corpus_quality,
         "corpus_rollup": corpus_rollup,
+        "corpus_pipeline": corpus_pipeline,
         "corpus_split": corpus_split,
         "corpus_repetition": corpus_repetition,
         "corpus_decontaminate": corpus_decontaminate,
@@ -2170,6 +2191,17 @@ FROM ({scrub_sql})
             columns="doc_id, source, lang, n_chars",
         ),
         "corpus_rollup": _corpus.corpus_stats_sql("documents"),
+        "corpus_pipeline": f"""
+WITH q AS ({_corpus.quality_filter_sql('documents', min_chars=120, min_mean_token_len=4.2, min_alpha_ratio=0.81)}),
+keepids AS ({__import__('kartothek_spark.operators.dedup', fromlist=['dedup_exact_keep_sql']).dedup_exact_keep_sql('q', 'text', 'doc_id')}),
+kept AS (SELECT q.* FROM q JOIN keepids USING (doc_id)),
+scrub AS ({__import__('kartothek_spark.operators.text', fromlist=['scrub_pii_sql']).scrub_pii_sql('kept')}),
+enr AS (
+  SELECT s.doc_id, s.text_scrubbed AS text, k.lang, k.source
+  FROM scrub s JOIN kept k USING (doc_id)
+)
+{_corpus.corpus_stats_sql('enr')}
+""",
         "corpus_split": _corpus.split_corpus_sql(
             "documents", _SPLIT_FRACTIONS, columns="doc_id, source"
         ),
