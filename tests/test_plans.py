@@ -205,3 +205,66 @@ def test_corpus_sample_no_shuffle(spark):
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = _plan(sample_corpus(docs, 0.5))
     assert "Exchange" not in plan
+
+
+def test_knn_join_no_cartesian_or_bnlj(spark):
+    from kartothek_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = _plan(knn_join(emb.where("vec_id % 5 = 0"), emb, k=3, target_block_rows=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # block-matrix form: one grouped applyInPandas over the tagged union
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_time_travel_read_keeps_pushdown_and_snapshot_pruning(spark, tmp_root):
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    store_dataframe_as_dataset(
+        spark, li.where("l_returnflag = 'A'"), tmp_root, "li",
+        partition_on=["l_returnflag"], keep_history=True,
+    )
+    update_dataset(spark, li.where("l_returnflag <> 'A'"), tmp_root, "li")
+    # snapshot planner prunes against the v1 file set only
+    m1 = DatasetManifest.load(tmp_root, "li", version=1)
+    assert dispatch_labels(spark, m1, [[("l_returnflag", "==", "N")]]) == []
+    df = read_table(spark, tmp_root, "li", as_of=1,
+                    predicates=[[("l_quantity", ">", 30.0)]])
+    pushed = _plan(df).split("PushedFilters: [")[1].split("]")[0]
+    assert "l_quantity" in pushed
+
+
+def test_read_changes_scans_only_new_files(spark, tmp_root):
+    from kartothek_spark.dataset.read import read_changes
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    store_dataframe_as_dataset(
+        spark, li.where("l_returnflag = 'A'"), tmp_root, "li",
+        partition_on=["l_returnflag"], keep_history=True,
+    )
+    update_dataset(spark, li.where("l_returnflag = 'N'"), tmp_root, "li")
+    files = read_changes(spark, tmp_root, "li", since=1).inputFiles()
+    # the scan's file list contains ONLY the appended partition's files
+    assert files and all("l_returnflag=N" in f for f in files)
+
+
+def test_scrub_pii_no_shuffle(spark):
+    from kartothek_spark.operators.text import scrub_pii
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(scrub_pii(docs))
+    assert "Exchange" not in plan  # pure projection, linear at any scale
+
+
+def test_diversity_sample_single_bucket_shuffle(spark):
+    from kartothek_spark.operators.similarity import diversity_sample
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = _plan(diversity_sample(emb, quota=5, dim=64, planes=4))
+    # exactly one exchange: hash by bucket for the rank window
+    assert plan.count("Exchange hashpartitioning") == 1
