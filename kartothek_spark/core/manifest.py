@@ -43,6 +43,18 @@ METADATA_SUFFIX = ".by-dataset-metadata.json"
 METADATA_SUFFIX_ZST = METADATA_SUFFIX + ".zst"
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed since this manifest state was loaded.
+
+    Optimistic concurrency control, beyond the reference (which documents
+    plain last-writer-wins): commit() verifies the on-disk version is
+    still the one this state derived from before swapping. On a local
+    filesystem this is a read-check-swap (a narrow race window remains);
+    on an object store the same check is a conditional put / put-if-match
+    and is exact. Mutation APIs catch this and rebase
+    (:func:`kartothek_spark.dataset.write.update_dataset`)."""
+
+
 def _typed_value(raw: str, dt: T.DataType) -> Any:
     """Cast a path-string partition value to its schema type (primary-index
     reconstruction; reference ``metapartition.py:920-980``)."""
@@ -289,14 +301,33 @@ class DatasetManifest:
             os.path.join(root, dataset_uuid + METADATA_SUFFIX)
         ) or os.path.exists(os.path.join(root, dataset_uuid + METADATA_SUFFIX_ZST))
 
-    def commit(self) -> None:
-        """Atomic commit: write-temp + rename (POSIX atomic replace).
-
-        On an object store this is a conditional put of one object — same
-        single-key last-writer-wins semantics as the reference
-        (``io_components/write.py:232-235``). No MVCC / concurrent-writer
-        protection, matching the reference's documented limitation.
+    def commit(self, check_conflict: bool = True) -> None:
+        """Atomic commit: write-temp + rename (POSIX atomic replace), with
+        optimistic concurrency (beyond the reference's documented
+        last-writer-wins): the commit is rejected with
+        :class:`CommitConflict` when the on-disk manifest is no longer the
+        state this one was loaded from — a concurrent writer got there
+        first. Callers rebase by reloading and re-applying (see
+        ``update_dataset(max_conflict_retries=...)``); pass
+        ``check_conflict=False`` for deliberate overwrite semantics. On an
+        object store the check maps to a conditional put (put-if-match on
+        the manifest object), making it exact rather than read-check-swap.
         """
+        if check_conflict:
+            disk_exists = type(self).exists(self.root, self.dataset_uuid)
+            if not self._persisted:
+                if disk_exists:
+                    raise CommitConflict(
+                        f"dataset {self.dataset_uuid!r} was created concurrently"
+                    )
+            elif disk_exists:
+                disk = type(self).load(self.root, self.dataset_uuid)
+                if disk.version != self.version:
+                    raise CommitConflict(
+                        f"dataset {self.dataset_uuid!r}: expected on-disk "
+                        f"version v{self.version}, found v{disk.version} — "
+                        "a concurrent writer committed; reload and rebase"
+                    )
         if self._persisted:
             self.version += 1
         os.makedirs(self.root, exist_ok=True)

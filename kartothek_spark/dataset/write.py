@@ -448,6 +448,7 @@ def update_dataset(
     sort_partitions_by: Sequence[str] | None = None,
     metadata: dict[str, Any] | None = None,
     schema_evolution: bool = False,
+    max_conflict_retries: int = 3,
 ) -> DatasetManifest:
     """Append + delete partitions in ONE atomic commit (reference
     ``update_dataset_from_ddf`` / ``update_dataset_from_partitions``,
@@ -463,20 +464,26 @@ def update_dataset(
     must stay in the same type class. The widened schema commits atomically
     with the data. Beyond the reference (which rejects any column-set
     drift, common_metadata.py:586-671); semantics follow Delta
-    ``mergeSchema``."""
+    ``mergeSchema``.
+
+    Concurrency: commits use optimistic concurrency control
+    (:class:`kartothek_spark.core.manifest.CommitConflict`). On conflict
+    the data files already on disk are kept and only the METADATA work is
+    rebased — reload the live manifest, re-resolve the delete scope
+    against it, re-attach the new files, re-run incremental index
+    maintenance — up to ``max_conflict_retries`` times, so concurrent
+    appenders all land without clobbering each other."""
+    from kartothek_spark.core.manifest import CommitConflict
+
     manifest = DatasetManifest.load(root, dataset_uuid)
 
-    removed: list[str] = []
-    for scope in delete_scope or []:
-        removed.extend(manifest.query(**scope))
-    removed = sorted(set(removed))
-
-    new_labels: list[str] = []
+    # phase 1 — once: land payload files. Layout config (partition keys,
+    # bucketing, format, bloom columns) is create-time-invariant, so
+    # concurrent commits cannot change what this write depends on.
+    new_entries: dict[str, dict[str, Any]] = {}
     if df is not None:
         df = normalize_dataframe(df)
         if schema_evolution:
-            from kartothek_spark.core.schema import evolve_schema
-
             missing_keys = [
                 k
                 for k in list(manifest.partition_keys) + list(manifest.bucket_by)
@@ -486,7 +493,6 @@ def update_dataset(
                 raise SchemaIncompatible(
                     f"schema evolution cannot drop partition/bucket keys: {missing_keys}"
                 )
-            manifest.schema = evolve_schema(manifest.schema, df.schema)
         else:
             validate_compatible([manifest.schema, df.schema])
         suffix = format_suffix(manifest.table_format)
@@ -498,25 +504,53 @@ def update_dataset(
         rel_prefix = os.path.join(dataset_uuid, TABLE)
         for rel in _enumerate_parquet(manifest.data_root, suffix):
             if rel not in before:
-                label = _label_for(rel)
-                manifest.partitions[label] = {"file": os.path.join(rel_prefix, rel)}
-                new_labels.append(label)
+                new_entries[_label_for(rel)] = {"file": os.path.join(rel_prefix, rel)}
+    new_labels = sorted(new_entries)
 
+    # new-file stats are content-determined — collect once, reuse on rebase
+    for label, entry in new_entries.items():
+        manifest.partitions[label] = entry
     _attach_file_stats(spark, manifest, new_labels)
+    for label in new_labels:
+        new_entries[label] = manifest.partitions[label]
 
-    for label in removed:
-        manifest.partitions.pop(label, None)
+    # phase 2 — metadata transaction, rebased on conflict
+    last_conflict: CommitConflict | None = None
+    for attempt in range(max(0, max_conflict_retries) + 1):
+        if attempt:
+            manifest = DatasetManifest.load(root, dataset_uuid)
+        if df is not None:
+            if schema_evolution:
+                from kartothek_spark.core.schema import evolve_schema
 
-    # incremental index maintenance: drop removed labels, merge new ones
-    for col in list(manifest.indices):
-        manifest.indices[col] = ktk_index.update_index(
-            spark, manifest, col, new_labels=new_labels, removed_labels=removed
-        )
+                manifest.schema = evolve_schema(manifest.schema, df.schema)
+            else:
+                validate_compatible([manifest.schema, df.schema])
+        for label, entry in new_entries.items():
+            manifest.partitions[label] = dict(entry)
 
-    if metadata:
-        manifest.metadata.update(metadata)
-    manifest.commit()
-    return manifest
+        removed: list[str] = []
+        for scope in delete_scope or []:
+            removed.extend(manifest.query(**scope))
+        removed = sorted(set(removed) - set(new_labels))
+        for label in removed:
+            manifest.partitions.pop(label, None)
+
+        # incremental index maintenance: drop removed labels, merge new
+        # ones (an aborted attempt leaves only GC-able orphan index files)
+        for col in list(manifest.indices):
+            manifest.indices[col] = ktk_index.update_index(
+                spark, manifest, col, new_labels=new_labels, removed_labels=removed
+            )
+
+        if metadata:
+            manifest.metadata.update(metadata)
+        try:
+            manifest.commit()
+            return manifest
+        except CommitConflict as exc:
+            last_conflict = exc
+    raise last_conflict
 
 
 def commit_dataset(

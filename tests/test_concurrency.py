@@ -1,0 +1,97 @@
+"""Optimistic concurrency control (beyond the reference's documented
+last-writer-wins): stale commits are rejected, and update_dataset rebases
+its metadata transaction so concurrent appenders all land."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kartothek_spark.core.manifest import CommitConflict, DatasetManifest
+from kartothek_spark.dataset.read import read_table
+from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+from tests.conftest import SF_DIR
+
+
+def _sup(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+
+
+def test_stale_commit_rejected(spark, tmp_root):
+    store_dataframe_as_dataset(spark, _sup(spark), tmp_root, "s")
+    a = DatasetManifest.load(tmp_root, "s")
+    b = DatasetManifest.load(tmp_root, "s")
+    a.metadata["x"] = 1
+    a.commit()
+    b.metadata["y"] = 2
+    with pytest.raises(CommitConflict, match="concurrent writer"):
+        b.commit()
+    # explicit overwrite escape hatch still exists
+    b.commit(check_conflict=False)
+    assert DatasetManifest.load(tmp_root, "s").metadata == {"y": 2}
+
+
+def test_concurrent_creation_rejected(spark, tmp_root):
+    sup = _sup(spark)
+    store_dataframe_as_dataset(spark, sup, tmp_root, "s")
+    fresh = DatasetManifest(dataset_uuid="s", root=tmp_root, schema=sup.schema)
+    with pytest.raises(CommitConflict, match="created concurrently"):
+        fresh.commit()
+
+
+def test_update_rebases_on_conflict(spark, tmp_root, monkeypatch):
+    sup = _sup(spark)
+    store_dataframe_as_dataset(
+        spark, sup.where("s_nationkey < 10"), tmp_root, "s",
+        partition_on=["s_nationkey"], secondary_indices=["s_suppkey"],
+    )
+
+    # a competing writer sneaks a commit in between our load and commit —
+    # exactly once, before the first commit attempt
+    orig_commit = DatasetManifest.commit
+    state = {"raced": False}
+
+    def racing_commit(self, *args, **kwargs):
+        if not state["raced"] and self.dataset_uuid == "s" and "competitor" not in self.metadata:
+            state["raced"] = True
+            other = DatasetManifest.load(tmp_root, "s")
+            other.metadata["competitor"] = True
+            orig_commit(other)
+        return orig_commit(self, *args, **kwargs)
+
+    monkeypatch.setattr(DatasetManifest, "commit", racing_commit)
+    update_dataset(spark, sup.where("s_nationkey >= 10"), tmp_root, "s",
+                   delete_scope=[{"s_nationkey": 3}])
+    monkeypatch.undo()
+
+    m = DatasetManifest.load(tmp_root, "s")
+    # the competitor's metadata survived the rebase
+    assert m.metadata.get("competitor") is True
+    # and our append + delete both landed
+    got = read_table(spark, tmp_root, "s")
+    exp = sup.where("s_nationkey <> 3")
+    assert got.count() == exp.count()
+    assert got.agg(F.sum("s_suppkey")).first()[0] == exp.agg(F.sum("s_suppkey")).first()[0]
+    # index still serves pruned reads after the rebased index maintenance
+    one = read_table(spark, tmp_root, "s", predicates=[[("s_suppkey", "==", 5)]])
+    assert one.count() == sup.where("s_suppkey = 5 AND s_nationkey <> 3").count()
+
+
+def test_update_exhausted_retries_raises(spark, tmp_root, monkeypatch):
+    sup = _sup(spark)
+    store_dataframe_as_dataset(spark, sup, tmp_root, "s")
+
+    orig_commit = DatasetManifest.commit
+
+    def always_racing_commit(self, *args, **kwargs):
+        if self.metadata.get("mine"):  # only OUR commits get raced
+            other = DatasetManifest.load(tmp_root, "s")
+            other.metadata = dict(other.metadata, bump=other.version)
+            orig_commit(other)
+        return orig_commit(self, *args, **kwargs)
+
+    monkeypatch.setattr(DatasetManifest, "commit", always_racing_commit)
+    with pytest.raises(CommitConflict):
+        update_dataset(spark, None, tmp_root, "s",
+                       metadata={"mine": 1}, max_conflict_retries=1)
