@@ -787,6 +787,69 @@ def ktk_incremental_sync(spark, sf_dir):
     )
 
 
+def ktk_delete_rows(spark, sf_dir):
+    """Row-level DELETE by DNF predicate (copy-on-write): only partitions
+    that can contain matches are rewritten (pinned by `untouched` — the
+    'P' partition keeps its physical files), remaining content is exact."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.dml import delete_rows
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders")
+    store_dataframe_as_dataset(spark, orders, root, "o", partition_on=["o_orderstatus"])
+    before = {
+        lbl: e["file"]
+        for lbl, e in DatasetManifest.load(root, "o").partitions.items()
+        if "o_orderstatus=P" in lbl
+    }
+    delete_rows(
+        spark, root, "o",
+        [[("o_orderstatus", "==", "F"), ("o_totalprice", ">", 150000.0)]],
+    )
+    after = DatasetManifest.load(root, "o")
+    untouched = bool(before) and all(
+        after.partitions.get(lbl, {}).get("file") == f for lbl, f in before.items()
+    )
+    return (
+        read_table(spark, root, "o")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("o_totalprice")).cast("double") / 100).alias("total"),
+        )
+        .withColumn("untouched", F.lit(untouched))
+    )
+
+
+def ktk_upsert(spark, sf_dir):
+    """MERGE-style upsert (copy-on-write): matched keys get replaced rows,
+    unmatched keys insert, all in one atomic commit."""
+    from kartothek_spark.dataset.dml import upsert_dataset
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    cust = _t(spark, sf_dir, "customer")
+    store_dataframe_as_dataset(spark, cust, root, "c", partition_on=["c_mktsegment"])
+    updates = cust.where("c_custkey < 100").withColumn("c_acctbal", F.lit(0.0))
+    inserts = cust.where("c_custkey = 1").withColumn(
+        "c_custkey", F.lit(9_000_001).cast("long")
+    )
+    upsert_dataset(spark, updates.unionByName(inserts), root, "c",
+                   merge_keys=["c_custkey"])
+    return (
+        read_table(spark, root, "c")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("c_acctbal")).cast("double") / 100).alias("total_acctbal"),
+            F.sum("c_custkey").alias("sum_custkey"),
+        )
+    )
+
+
 def ktk_extend_cube(spark, sf_dir):
     """extend_cube (C1): add an enrichment member to a live cube, then a
     conditioned query joins it seed-left — content must equal the plain
@@ -1710,6 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_incremental_sync": ktk_incremental_sync,
         "ktk_jsonl_roundtrip": ktk_jsonl_roundtrip,
         "ktk_convert_ingest": ktk_convert_ingest,
+        "ktk_delete_rows": ktk_delete_rows,
+        "ktk_upsert": ktk_upsert,
         "ktk_extend_cube": ktk_extend_cube,
         "ktk_index_on": ktk_index_on,
         "ktk_collect_stats": ktk_collect_stats,
@@ -2010,6 +2075,27 @@ SELECT CASE WHEN o_orderkey % 2 = 1 THEN substr(o_orderpriority, 1, 1) END AS o_
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
 FROM orders GROUP BY 1
+""",
+        "ktk_delete_rows": f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total,
+       CAST(1 AS BOOLEAN) AS untouched
+FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+GROUP BY o_orderstatus
+""",
+        "ktk_upsert": f"""
+WITH merged AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey < 100 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT 9000001 AS c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey = 1
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_custkey
+FROM merged GROUP BY c_mktsegment
 """,
         "ktk_incremental_sync": f"""
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
