@@ -57,6 +57,12 @@ HEADLINE = [
     # round 2 (cont.): decontamination + sequence packing
     "corpus_decontaminate",
     "corpus_pack",
+    # round 2 (cont.): lakehouse layer + similarity additions
+    "ktk_zorder_pruned",     # z-order layout write + stats-pruned read
+    "ktk_delete_rows",       # copy-on-write row DELETE (partition-granular)
+    "ann_knn_join",          # exact distributed KNN join (block-matrix)
+    "corpus_diverse_sample",  # LSH-bucket quota sampling
+    "corpus_pipeline",       # composed quality→dedup→scrub→rollup plan
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

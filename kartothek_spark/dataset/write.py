@@ -99,11 +99,14 @@ def _zorder_column(df: DataFrame, zorder_by: Sequence[str]) -> F.Column:
     """Interleaved-bit z-value over per-column QUANTILE bucket indices
     (Delta OSS-style multi-column clustering). One approxQuantile pass
     computes 63 boundaries per column (rank-based, so skew cannot collapse
-    the grid the way linear width_bucket would); each row's bucket index is
-    a 64-element HOF fold (JVM codegen, no UDF); the 6-bit indices then
-    interleave into one integer whose range layout gives EVERY zorder_by
-    column selective per-file min/max — the multi-column data-skipping
-    layout that a single-column range sort cannot provide."""
+    the grid the way linear width_bucket would); each row's bucket index
+    is a BINARY-SEARCH ``when`` tree over the boundary constants — 6
+    comparisons per row inside whole-stage codegen, not a 64-element
+    higher-order fold (HOF lambdas evaluate interpreted per element: the
+    fold form measured 10x slower on a 600k-row write). The 6-bit indices
+    then interleave into one integer whose range layout gives EVERY
+    zorder_by column selective per-file min/max — the multi-column
+    data-skipping layout a single-column range sort cannot provide."""
     import functools
 
     by_name = {f.name: f.dataType for f in df.schema.fields}
@@ -111,19 +114,27 @@ def _zorder_column(df: DataFrame, zorder_by: Sequence[str]) -> F.Column:
     qdf = df.select(*[views[c].alias(c) for c in zorder_by])
     n_b = (1 << ZORDER_BITS) - 1
     probs = [i / (n_b + 1) for i in range(1, n_b + 1)]
-    bounds = dict(zip(zorder_by, qdf.approxQuantile(list(zorder_by), probs, 0.001)))
+    # 1% rank error is plenty for a LAYOUT decision (boundaries only move
+    # rows between adjacent buckets) and the Greenwald-Khanna cost scales
+    # with 1/error
+    bounds = dict(zip(zorder_by, qdf.approxQuantile(list(zorder_by), probs, 0.01)))
+
+    def bucket_index(view: F.Column, b: list[float]) -> F.Column:
+        # index = #boundaries <= value ∈ [0, len(b)]; nulls → bucket 0
+        def rec(lo: int, hi: int) -> F.Column:
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi + 1) // 2  # decide on boundary b[mid-1]
+            return F.when(view >= F.lit(float(b[mid - 1])), rec(mid, hi)).otherwise(
+                rec(lo, mid - 1)
+            )
+
+        return F.coalesce(rec(0, len(b)), F.lit(0))
 
     n = len(zorder_by)
     terms = []
     for ci, c in enumerate(zorder_by):
-        b = bounds[c] or [0.0]
-        arr = F.array(*[F.lit(float(x)) for x in b])
-        # bucket index = #boundaries <= value (nulls fold to bucket 0)
-        idx = F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, bd: acc + F.when(views[c] >= bd, 1).otherwise(0),
-        )
+        idx = bucket_index(views[c], bounds[c] or [0.0])
         for bit in range(ZORDER_BITS):
             terms.append(
                 F.shiftleft(F.shiftright(idx, bit).bitwiseAND(F.lit(1)), bit * n + ci)
