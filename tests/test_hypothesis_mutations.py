@@ -97,3 +97,91 @@ def test_mutation_sequences_match_model(spark, tmp_path_factory, ops):
             predicates=[[("k", "==", sample[1]), ("payload", "==", sample[2])]],
         )
         assert sorted(map(tuple, pruned.collect())) == [sample]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ops_st)
+def test_mutation_sequences_time_travel_matches_model(spark, tmp_path_factory, ops):
+    """Snapshot-versioning property: with keep_history, EVERY retained
+    version reproduces the model state as of that commit, and
+    read_changes(since=v) equals exactly the still-live rows appended
+    after v."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_changes, read_table
+    from kartothek_spark.dataset.write import (
+        build_dataset_indices,
+        garbage_collect_dataset,
+        store_dataframe_as_dataset,
+        update_dataset,
+    )
+
+    root = str(tmp_path_factory.mktemp("tt"))
+    uuid = "m2"
+    counter = [0]
+
+    def rows(key, n):
+        out = [(counter[0] + i, key, f"v{counter[0] + i}") for i in range(n)]
+        counter[0] += n
+        return out
+
+    def df_of(data):
+        return spark.createDataFrame(data, "id long, k string, payload string")
+
+    model: dict[str, set] = {k: set() for k in KEYS}
+    added_at: dict[tuple, int] = {}
+    snapshots: dict[int, list] = {}
+
+    def snap():
+        v = DatasetManifest.load(root, uuid).version
+        snapshots[v] = sorted(r for pool in model.values() for r in pool)
+
+    init = rows("a", 2) + rows("b", 2)
+    store_dataframe_as_dataset(
+        spark, df_of(init), root, uuid, partition_on=["k"], keep_history=True
+    )
+    for r in init:
+        model[r[1]].add(r)
+        added_at[r] = 1
+    snap()
+
+    for op, key, n in ops:
+        if op == "append":
+            data = rows(key, n)
+            update_dataset(spark, df_of(data), root, uuid)
+            v = DatasetManifest.load(root, uuid).version
+            for r in data:
+                model[r[1]].add(r)
+                added_at[r] = v
+            snap()
+        elif op == "delete":
+            update_dataset(spark, None, root, uuid, delete_scope=[{"k": key}])
+            model[key] = set()
+            snap()
+        elif op == "replace":
+            data = rows(key, n)
+            update_dataset(spark, df_of(data), root, uuid, delete_scope=[{"k": key}])
+            v = DatasetManifest.load(root, uuid).version
+            model[key] = set(data)
+            for r in data:
+                added_at[r] = v
+            snap()
+        elif op == "gc":
+            # history retained → GC must delete NOTHING
+            assert garbage_collect_dataset(root, uuid) == []
+        elif op == "rebuild_index":
+            build_dataset_indices(spark, root, uuid, ["payload"])
+
+    live = sorted(r for pool in model.values() for r in pool)
+    # every retained snapshot reproduces its exact state
+    for v, want in snapshots.items():
+        got = sorted(map(tuple, read_table(spark, root, uuid, as_of=v).collect()))
+        assert got == want, f"as_of={v}"
+    # changes-since any version = still-live rows appended after it
+    for v in snapshots:
+        want_changes = sorted(r for r in live if added_at[r] > v)
+        got_changes = sorted(map(tuple, read_changes(spark, root, uuid, since=v).collect()))
+        assert got_changes == want_changes, f"since={v}"
