@@ -787,6 +787,30 @@ def ktk_incremental_sync(spark, sf_dir):
     )
 
 
+def ktk_attach_external(spark, sf_dir):
+    """Zero-copy ATTACH (beyond the reference): a plain
+    spark.write.partitionBy directory becomes a managed dataset with no
+    rewrite — partition keys inferred from the hive layout, a secondary
+    index built over the external files, and the index-pruned read must
+    serve exact content."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import attach_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    raw = os.path.join(root, "raw")
+    orders = _t(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").parquet(raw)
+    attach_dataset(spark, root, "o", raw, secondary_indices=["o_custkey"])
+    got = read_table(
+        spark, root, "o",
+        predicates=[[("o_orderstatus", "==", "F"), ("o_totalprice", ">", 100000.0)]],
+    )
+    return got.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (F.sum(_cents("o_totalprice")).cast("double") / 100).alias("total"),
+    )
+
+
 def ktk_delete_rows(spark, sf_dir):
     """Row-level DELETE by DNF predicate (copy-on-write): only partitions
     that can contain matches are rewritten (pinned by `untouched` — the
@@ -1775,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_convert_ingest": ktk_convert_ingest,
         "ktk_delete_rows": ktk_delete_rows,
         "ktk_upsert": ktk_upsert,
+        "ktk_attach_external": ktk_attach_external,
         "ktk_extend_cube": ktk_extend_cube,
         "ktk_index_on": ktk_index_on,
         "ktk_collect_stats": ktk_collect_stats,
@@ -2075,6 +2100,12 @@ SELECT CASE WHEN o_orderkey % 2 = 1 THEN substr(o_orderpriority, 1, 1) END AS o_
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
 FROM orders GROUP BY 1
+""",
+        "ktk_attach_external": f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+GROUP BY o_orderpriority
 """,
         "ktk_delete_rows": f"""
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

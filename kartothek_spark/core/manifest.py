@@ -118,6 +118,12 @@ class DatasetManifest:
     # opening them — at 100 TB the difference between touching thousands
     # of footers and touching none.
     stats_columns: list[str] = field(default_factory=list)
+    # zero-copy EXTERNAL dataset (attach_dataset): payload files live in a
+    # pre-existing directory outside <root>/<uuid>/table; entries store
+    # absolute paths, scans anchor basePath here, and the engine never
+    # deletes external payload files (GC walks only <root>/<uuid>;
+    # delete_dataset removes metadata/indices only — a zero-copy detach)
+    external_root: str | None = None
     # columns with parquet bloom filters embedded in every payload file
     # (reader-side row-group skipping for point lookups; recorded so the
     # update path keeps writing them for new files)
@@ -134,7 +140,18 @@ class DatasetManifest:
 
     @property
     def data_root(self) -> str:
+        if self.external_root:
+            return self.external_root
         return os.path.join(self.root, self.dataset_uuid, TABLE)
+
+    def payload_entry(self, rel: str) -> str:
+        """The value stored in a partition entry's ``file`` field for a
+        payload file at ``rel`` under :attr:`data_root` — root-relative
+        for managed datasets, absolute for external ones (``file_path``
+        resolves both: ``os.path.join`` yields an absolute path as-is)."""
+        if self.external_root:
+            return os.path.join(self.external_root, rel)
+        return os.path.join(self.dataset_uuid, TABLE, rel)
 
     @property
     def index_root(self) -> str:
@@ -203,6 +220,7 @@ class DatasetManifest:
             ),
             **({"stats_columns": self.stats_columns} if self.stats_columns else {}),
             **({"bloom_columns": self.bloom_columns} if self.bloom_columns else {}),
+            **({"external_root": self.external_root} if self.external_root else {}),
         }
 
     @classmethod
@@ -221,6 +239,7 @@ class DatasetManifest:
             num_buckets=d.get("num_buckets"),
             stats_columns=list(d.get("stats_columns", [])),
             bloom_columns=list(d.get("bloom_columns", [])),
+            external_root=d.get("external_root"),
             version=int(d.get("version", 1)),
             keep_history=bool(d.get("keep_history", False)),
         )

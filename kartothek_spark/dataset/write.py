@@ -368,10 +368,9 @@ def store_dataframe_as_dataset(
         bloom_ndv=bloom_ndv,
     )
 
-    rel_prefix = os.path.join(dataset_uuid, TABLE)
     suffix = format_suffix(table_format)
     for rel in _enumerate_parquet(manifest.data_root, suffix):
-        manifest.partitions[_label_for(rel)] = {"file": os.path.join(rel_prefix, rel)}
+        manifest.partitions[_label_for(rel)] = {"file": manifest.payload_entry(rel)}
 
     _attach_file_stats(spark, manifest, list(manifest.partitions))
 
@@ -442,9 +441,8 @@ def write_single_partition(
                  manifest.bucket_by, manifest.num_buckets,
                  table_format=manifest.table_format,
                  bloom_filter_columns=manifest.bloom_columns)
-    rel_prefix = os.path.join(dataset_uuid, TABLE)
     return {
-        _label_for(rel): os.path.join(rel_prefix, rel)
+        _label_for(rel): manifest.payload_entry(rel)
         for rel in _enumerate_parquet(manifest.data_root, suffix)
         if rel not in before
     }
@@ -512,10 +510,9 @@ def update_dataset(
                      manifest.bucket_by, manifest.num_buckets,
                      table_format=manifest.table_format,
                      bloom_filter_columns=manifest.bloom_columns)
-        rel_prefix = os.path.join(dataset_uuid, TABLE)
         for rel in _enumerate_parquet(manifest.data_root, suffix):
             if rel not in before:
-                new_entries[_label_for(rel)] = {"file": os.path.join(rel_prefix, rel)}
+                new_entries[_label_for(rel)] = {"file": manifest.payload_entry(rel)}
     new_labels = sorted(new_entries)
 
     # new-file stats are content-determined — collect once, reuse on rebase
@@ -634,7 +631,9 @@ def compact_dataset(
 
 def delete_dataset(root: str, dataset_uuid: str) -> None:
     """Delete files then metadata — reverse commit order (reference S22),
-    so a crash mid-delete never leaves a manifest pointing at nothing."""
+    so a crash mid-delete never leaves a manifest pointing at nothing.
+    For an external (attached) dataset this removes metadata + indices
+    only — the external payload directory is not owned by the engine."""
     from kartothek_spark.core.manifest import METADATA_SUFFIX, METADATA_SUFFIX_ZST
 
     data_dir = os.path.join(root, dataset_uuid)
@@ -688,6 +687,72 @@ def garbage_collect_dataset(root: str, dataset_uuid: str) -> list[str]:
         if not dirs and not files and dirpath != data_dir:
             os.rmdir(dirpath)
     return sorted(deleted)
+
+
+def attach_dataset(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    data_path: str,
+    partition_keys: Sequence[str] | None = None,
+    secondary_indices: Sequence[str] = (),
+    stats_columns: Sequence[str] = (),
+    metadata: dict[str, Any] | None = None,
+) -> DatasetManifest:
+    """Zero-copy ATTACH of an existing hive-partitioned parquet directory
+    as a managed dataset (beyond the reference): no rewrite, no copy —
+    the manifest simply records the existing files (absolute paths), the
+    schema is read from the data, and every engine capability that needs
+    no relayout works immediately: pruned reads, secondary indices,
+    manifest stats skipping, cube membership, time travel going forward.
+    This is how a user of plain ``spark.write.partitionBy`` directories
+    switches to the engine without touching 100 TB of payload.
+
+    Semantics of external datasets: mutations append new files INTO
+    ``data_path``; GC never reclaims external payload files (the engine
+    does not own them); ``delete_dataset`` removes metadata + indices only
+    (a zero-copy detach); ``copy_dataset`` refuses (attach at the target
+    instead, or ``convert_dataset`` to materialize a managed copy)."""
+    if DatasetManifest.exists(root, dataset_uuid):
+        raise ValueError(f"dataset {dataset_uuid!r} already exists")
+    data_path = os.path.abspath(data_path)
+    if not os.path.isdir(data_path):
+        raise ValueError(f"data_path {data_path!r} is not a directory")
+    rels = _enumerate_parquet(data_path, ".parquet")
+    if not rels:
+        raise ValueError(f"no parquet files under {data_path!r}")
+
+    # partition keys: declared, or inferred from the first file's hive dirs
+    if partition_keys is None:
+        partition_keys = [
+            seg.split("=", 1)[0]
+            for seg in rels[0].split(os.sep)[:-1]
+            if "=" in seg
+        ]
+    # schema (incl. typed partition columns) from the data itself
+    schema = normalize_dataframe(
+        spark.read.option("basePath", "file:" + data_path).parquet("file:" + data_path)
+    ).schema
+    missing = [k for k in partition_keys if k not in {f.name for f in schema.fields}]
+    if missing:
+        raise ValueError(f"partition keys not present in data: {missing}")
+
+    manifest = DatasetManifest(
+        dataset_uuid=dataset_uuid,
+        root=root,
+        schema=schema,
+        partition_keys=list(partition_keys),
+        metadata=dict(metadata or {}),
+        external_root=data_path,
+        stats_columns=list(stats_columns),
+    )
+    for rel in rels:
+        manifest.partitions[_label_for(rel)] = {"file": manifest.payload_entry(rel)}
+    _attach_file_stats(spark, manifest, list(manifest.partitions))
+    for col in secondary_indices:
+        manifest.indices[col] = ktk_index.build_index(spark, manifest, col)
+    manifest.commit()
+    return manifest
 
 
 def convert_dataset(
@@ -788,6 +853,11 @@ def copy_dataset(
     rewritten and committed on the driver AFTER all files land — commit
     ordering matches every other mutation (files first, manifest last)."""
     src = DatasetManifest.load(root, dataset_uuid)
+    if src.external_root:
+        raise ValueError(
+            "copy_dataset of an external (attached) dataset is ambiguous — "
+            "attach_dataset at the target, or convert_dataset to materialize"
+        )
     target_uuid = target_uuid or dataset_uuid
     if DatasetManifest.exists(target_root, target_uuid):
         raise ValueError(f"target dataset {target_uuid!r} exists")
@@ -835,6 +905,7 @@ def copy_dataset(
 
 
 __all__ = [
+    "attach_dataset",
     "build_dataset_indices",
     "commit_dataset",
     "compact_dataset",
