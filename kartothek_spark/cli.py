@@ -129,6 +129,45 @@ def cmd_copy(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from kartothek_spark.dataset.write import compact_dataset
+
+    m = compact_dataset(_spark(), args.root, args.dataset)
+    print(json.dumps({"partitions": len(m.partitions), "version": m.version}))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    from kartothek_spark.dataset.write import expire_snapshots
+
+    print(json.dumps(expire_snapshots(args.root, args.dataset,
+                                      keep_last=int(args.keep_last))))
+    return 0
+
+
+def cmd_attach(args) -> int:
+    from kartothek_spark.dataset.write import attach_dataset
+
+    m = attach_dataset(_spark(), args.root, args.dataset, args.data_path)
+    print(json.dumps({
+        "dataset_uuid": m.dataset_uuid,
+        "external_root": m.external_root,
+        "partition_keys": m.partition_keys,
+        "partitions": len(m.partitions),
+    }, indent=2))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from kartothek_spark.dataset.write import convert_dataset
+
+    m = convert_dataset(_spark(), args.root, args.dataset, args.target_uuid,
+                        table_format=args.format or "parquet")
+    print(json.dumps({"dataset_uuid": m.dataset_uuid, "format": m.table_format,
+                      "partitions": len(m.partitions)}))
+    return 0
+
+
 def cmd_gc(args) -> int:
     from kartothek_spark.dataset.write import garbage_collect_dataset
 
@@ -251,6 +290,10 @@ def main(argv=None) -> int:
         ("versions", cmd_versions, []),
         ("index", cmd_index, ["columns!"]),
         ("copy", cmd_copy, ["target-root!", "target-uuid"]),
+        ("compact", cmd_compact, []),
+        ("expire", cmd_expire, ["keep-last!"]),
+        ("attach", cmd_attach, ["data-path!"]),
+        ("convert", cmd_convert, ["target-uuid!", "format"]),
         ("gc", cmd_gc, []),
         ("delete", cmd_delete, []),
         ("shell", cmd_shell, []),

@@ -186,3 +186,50 @@ def test_cli_versions_and_as_of_query(spark, tmp_root, capsys):
         "query", "--root", tmp_root, "--dataset", "ds", "--condition", "P == 0",
     ]) == 0
     assert "0.0" not in capsys.readouterr().out
+
+
+def test_cli_admin_lifecycle_subcommands(spark, tmp_root, tmp_path, capsys):
+    """compact / expire / attach / convert round out the admin surface."""
+    from kartothek_spark import cli
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    df = spark.createDataFrame([Row(P=p % 2, V=float(p)) for p in range(20)])
+    store_dataframe_as_dataset(
+        spark, df, tmp_root, "ds", partition_on=["P"], keep_history=True
+    )
+    update_dataset(spark, df.limit(5), tmp_root, "ds")
+
+    assert cli.main(["compact", "--root", tmp_root, "--dataset", "ds"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["version"] == 3
+
+    assert cli.main(["expire", "--root", tmp_root, "--dataset", "ds", "--keep-last", "1"]) == 0
+    assert json.loads(capsys.readouterr().out) == [1, 2]
+
+    raw = str(tmp_path / "raw")
+    df.write.partitionBy("P").parquet(raw)
+    assert cli.main(["attach", "--root", tmp_root, "--dataset", "ext", "--data-path", raw]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["partition_keys"] == ["P"] and info["partitions"] >= 2
+
+    assert cli.main(["convert", "--root", tmp_root, "--dataset", "ext",
+                     "--target-uuid", "managed"]) == 0
+    conv = json.loads(capsys.readouterr().out)
+    assert conv["format"] == "parquet"
+    assert DatasetManifest.load(tmp_root, "managed").external_root is None
+
+
+def test_package_api_and_temp_views(spark, tmp_root):
+    import kartothek_spark as ks
+
+    df = spark.createDataFrame([Row(P=p % 3, V=float(p)) for p in range(30)])
+    ks.store_dataframe_as_dataset(spark, df, tmp_root, "alpha", partition_on=["P"])
+    ks.store_dataframe_as_dataset(spark, df.where("P = 0"), tmp_root, "beta")
+    views = ks.create_temp_views(spark, tmp_root, view_prefix="ktk_")
+    assert views == ["ktk_alpha", "ktk_beta"]
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(V) AS s FROM ktk_alpha WHERE P = 1"
+    ).first()
+    exp = df.where("P = 1")
+    assert (got.n, got.s) == (exp.count(), exp.agg(F.sum("V")).first()[0])
