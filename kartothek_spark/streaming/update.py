@@ -26,9 +26,15 @@ def stream_update_dataset(
     partition_on: Sequence[str] = (),
     checkpoint_dir: str | None = None,
     trigger: dict[str, Any] | None = None,
+    keep_history: bool = False,
 ):
     """Write a streaming DataFrame into a managed dataset, one atomic
-    commit per micro-batch. Returns the StreamingQuery."""
+    commit per micro-batch. Returns the StreamingQuery.
+
+    ``keep_history=True`` snapshots every micro-batch commit: each batch
+    becomes a time-travel-able version and downstream consumers can tail
+    the stream transactionally via ``read_changes``/``sync_derived_dataset``
+    — streaming ingest and the CDC layer compose."""
     spark = stream_df.sparkSession
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -39,6 +45,7 @@ def stream_update_dataset(
             store_dataframe_as_dataset(
                 spark, batch_df, root, dataset_uuid, partition_on=partition_on,
                 metadata={"last_stream_batch": batch_id},
+                keep_history=keep_history,
             )
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")

@@ -147,3 +147,39 @@ def test_corpus_ops_compose_with_streams(spark, tmp_path):
     want = pipe(batch)
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_stream_ingest_with_history_is_time_travelable(spark, tmp_path):
+    """Streaming ingest composes with the snapshot layer: every
+    micro-batch commit is a version, read_changes tails exactly the later
+    batches, and as_of reproduces any batch boundary."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_changes, read_table
+    from kartothek_spark.streaming.update import stream_update_dataset
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "store")
+    batch = spark.range(100).selectExpr("id", "id % 4 AS k")
+    # 3 source files → maxFilesPerTrigger=1 gives 3 micro-batches
+    for i in range(3):
+        batch.where(F.col("id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("id long, k long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_update_dataset(
+        stream, root, "ev", checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True}, keep_history=True,
+    )
+    q.awaitTermination(120)
+
+    m = DatasetManifest.load(root, "ev")
+    assert m.keep_history and m.version == 3  # one version per micro-batch
+    assert read_table(spark, root, "ev").count() == 100
+    # each snapshot is a prefix of the ingest
+    sizes = [read_table(spark, root, "ev", as_of=v).count()
+             for v in DatasetManifest.list_versions(root, "ev")]
+    assert sizes == sorted(sizes) and sizes[-1] == 100
+    # tail from v1: exactly the rows of batches 2..3
+    assert read_changes(spark, root, "ev", since=1).count() == 100 - sizes[0]
