@@ -159,6 +159,19 @@ def main() -> None:
     timings["manifest_plan_20k"] = round(best, 3)
     print(f"# manifest_plan_20k: {timings['manifest_plan_20k']}s", file=sys.stderr)
 
+    # commit latency at the same scale (the other half of the reference's
+    # asv write.py:56-75 workload): serialize + zstd + conflict check +
+    # atomic swap of a 20k-partition manifest
+    best = None
+    for i in range(BEST_OF):
+        t0 = time.perf_counter()
+        big.metadata["bench_touch"] = i
+        big.commit()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["manifest_commit_20k"] = round(best, 3)
+    print(f"# manifest_commit_20k: {timings['manifest_commit_20k']}s", file=sys.stderr)
+
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf_val = float(sf)
