@@ -1537,6 +1537,15 @@ def dedup_corpus(spark, sf_dir):
     return kept.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def dedup_spans(spark, sf_dir):
+    """Cross-document duplicated token spans (Lee et al.-style span-level
+    dedup signal): rolling-window hash frequencies across the corpus,
+    per-doc duplicated-window fraction in exact integer ppm."""
+    from kartothek_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"), window_tokens=12)
+
+
 def dedup_simhash(spark, sf_dir):
     from kartothek_spark.operators.dedup import simhash_pairs
 
@@ -1840,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": dedup_corpus,
         "dedup_semantic": dedup_semantic,
         "dedup_simhash": dedup_simhash,
+        "dedup_spans": dedup_spans,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
@@ -1862,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
     from kartothek_spark.operators.dedup import (
         apply_dedup_sql,
         duplicate_clusters_sql,
+        duplicated_spans_sql,
         minhash_lsh_pairs_sql,
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
@@ -2346,6 +2357,7 @@ enr AS (
             + ")"
         ),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
+        "dedup_spans": duplicated_spans_sql("documents", window_tokens=12),
         "dedup_clusters": duplicate_clusters_sql(minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2)),
         "dedup_corpus": apply_dedup_sql(
             "documents",

@@ -670,3 +670,84 @@ WHERE {id_col} NOT IN (
   SELECT doc_id FROM ({clusters_sql}) WHERE doc_id <> cluster_id
 )
 """
+
+
+def duplicated_spans(
+    df: DataFrame,
+    window_tokens: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN signal (the span-level view of
+    near-duplication, after the "Deduplicating Training Data Makes
+    Language Models Better" observation that boilerplate repeats as long
+    verbatim token spans inside otherwise-distinct documents — a doc-level
+    pair finder never sees it).
+
+    Every ``window_tokens``-token rolling window is hashed (one md5 per
+    window — linear in corpus tokens, the windows themselves never
+    materialize as strings past the hash); a window is *duplicated* when
+    it appears in at least ``min_docs`` distinct documents. Output per
+    document: ``(doc_id, n_windows, n_dup_windows, dup_ppm)`` where
+    ``dup_ppm`` = duplicated-window fraction in integer parts-per-million
+    (exact integer division — bit-stable across engines). Shuffles on the
+    bounded window-hash key (frequency count + join back); corpus rows are
+    never collected. Feed high-``dup_ppm`` docs to a span-trimming or
+    drop policy downstream."""
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    w = window_tokens
+    # rolling (non-distinct) window hashes; short docs yield one short window
+    whs = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__toks") - w, F.lit(0))),
+        lambda i: h60(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, w))),
+    )
+    ex = toks.select("doc_id", F.explode(whs).alias("__wh"))
+    freq = (
+        ex.dropDuplicates(["doc_id", "__wh"])
+        .groupBy("__wh")
+        .agg(F.count("*").alias("__n_docs"))
+    )
+    return (
+        ex.join(freq, "__wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("__n_docs") >= min_docs, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+            F.expr("(n_dup_windows * 1000000L) div n_windows").alias("dup_ppm"),
+        )
+    )
+
+
+def duplicated_spans_sql(
+    table: str,
+    window_tokens: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = tokens_sql(text_col)
+    w = window_tokens
+    wh = h60_sql(f"array_to_string(list_slice(toks, i + 1, i + {w}), ' ')")
+    return f"""
+WITH t AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
+e AS (
+  SELECT doc_id, unnest(list_transform(
+      range(0, greatest(len(toks) - {w}, 0) + 1), i -> {wh})) AS wh
+  FROM t
+),
+freq AS (
+  SELECT wh, count(DISTINCT doc_id) AS n_docs FROM e GROUP BY wh
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN f.n_docs >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(sum(CASE WHEN f.n_docs >= {min_docs} THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM e JOIN freq f USING (wh)
+GROUP BY e.doc_id
+"""

@@ -681,3 +681,24 @@ def test_diversity_sample_quota_and_stability(spark):
         half_bucket = {r.vec_id: r.bucket for r in out_half.collect()}
         for vid in dropped:
             assert any(x % 2 == 1 for x in by_bucket[half_bucket[vid]])
+
+
+def test_duplicated_spans_hand_checked(spark):
+    """Hand-built corpus: a 12-token span shared verbatim by docs 1 and 2
+    (inside different surroundings) is flagged; doc 3 shares nothing."""
+    from kartothek_spark.operators.dedup import duplicated_spans
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        Row(doc_id=1, text=f"intro one two three {span} outro"),
+        Row(doc_id=2, text=f"different start {span} and a different ending here"),
+        Row(doc_id=3, text="completely unrelated content with no overlap at all "
+                           "padded padded padded padded padded padded padded"),
+    ]
+    out = {r.doc_id: r for r in duplicated_spans(
+        spark.createDataFrame(rows), window_tokens=12).collect()}
+    assert out[1].n_dup_windows >= 1 and out[2].n_dup_windows >= 1
+    assert out[3].n_dup_windows == 0 and out[3].dup_ppm == 0
+    for r in out.values():
+        assert 0 <= r.dup_ppm <= 1_000_000
+        assert r.dup_ppm == r.n_dup_windows * 1_000_000 // r.n_windows
