@@ -109,6 +109,10 @@ class DatasetManifest:
     # GC reclaim replaced payload files.
     version: int = 1
     keep_history: bool = False
+    # UTC ISO timestamp of the commit that produced this state (stamped by
+    # commit(); enables timestamp-based time travel — "AS OF <ts>" picks
+    # the newest retained version committed at or before the instant)
+    committed_at: str | None = None
     # content columns with per-file min/max statistics kept in the manifest
     # (Delta/Iceberg-style data skipping, beyond the reference's partition
     # + secondary-index pruning): each partition entry gains
@@ -213,6 +217,7 @@ class DatasetManifest:
             "format": self.table_format,
             "version": self.version,
             **({"keep_history": True} if self.keep_history else {}),
+            **({"committed_at": self.committed_at} if self.committed_at else {}),
             **(
                 {"bucket_by": self.bucket_by, "num_buckets": self.num_buckets}
                 if self.num_buckets
@@ -240,6 +245,7 @@ class DatasetManifest:
             stats_columns=list(d.get("stats_columns", [])),
             bloom_columns=list(d.get("bloom_columns", [])),
             external_root=d.get("external_root"),
+            committed_at=d.get("committed_at"),
             version=int(d.get("version", 1)),
             keep_history=bool(d.get("keep_history", False)),
         )
@@ -315,6 +321,30 @@ class DatasetManifest:
         return sorted(out)
 
     @classmethod
+    def version_at(cls, root: str, dataset_uuid: str, timestamp: str) -> int:
+        """Newest retained version committed at or before the ISO-8601
+        instant (naive inputs are taken as UTC) — "AS OF <timestamp>"
+        resolution over the retained history + live version."""
+        import datetime as _dt
+
+        def parse(s: str) -> _dt.datetime:
+            t = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+            return t if t.tzinfo else t.replace(tzinfo=_dt.timezone.utc)
+
+        target = parse(timestamp)
+        best: int | None = None
+        for v in cls.list_versions(root, dataset_uuid):
+            m = cls.load(root, dataset_uuid, version=v)
+            if m.committed_at and parse(m.committed_at) <= target:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"dataset {dataset_uuid!r} has no retained version committed "
+                f"at or before {timestamp!r}"
+            )
+        return best
+
+    @classmethod
     def exists(cls, root: str, dataset_uuid: str) -> bool:
         return os.path.exists(
             os.path.join(root, dataset_uuid + METADATA_SUFFIX)
@@ -349,6 +379,9 @@ class DatasetManifest:
                     )
         if self._persisted:
             self.version += 1
+        import datetime as _dt
+
+        self.committed_at = _dt.datetime.now(_dt.timezone.utc).isoformat()
         os.makedirs(self.root, exist_ok=True)
         if self.keep_history:
             # snapshot BEFORE the live swap: once readers can see version N

@@ -278,7 +278,7 @@ def read_table(
     filter_query: str | None = None,
     index_on: str | None = None,
     label_filter=None,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
 ) -> DataFrame:
     """Materialize a dataset as ONE DataFrame (reference S8 ``read_table``).
 
@@ -302,13 +302,17 @@ def read_table(
 
     ``as_of`` is a time-travel read: plan against the immutable manifest
     snapshot committed as that version (requires the dataset to be written
-    with ``keep_history=True``). The snapshot pins the exact file set, so
-    the read is reproducible regardless of later appends/deletes — the
+    with ``keep_history=True``). An ``int`` is a version number; a ``str``
+    is an ISO-8601 instant resolved to the newest version committed at or
+    before it ("AS OF <timestamp>"). The snapshot pins the exact file set,
+    so the read is reproducible regardless of later appends/deletes — the
     property a training pipeline needs to re-run an experiment against
     yesterday's corpus while ingestion continues.
     """
     if filter_query is not None and predicates is not None:
         raise ValueError("filter_query and predicates are mutually exclusive")
+    if isinstance(as_of, str):
+        as_of = DatasetManifest.version_at(root, dataset_uuid, as_of)
     manifest = DatasetManifest.load(root, dataset_uuid, version=as_of)
     predicates = coerce_predicate_literals(predicates, manifest.schema)
     labels = dispatch_labels(spark, manifest, predicates)

@@ -141,3 +141,24 @@ def test_zstd_manifest_history_roundtrip(spark, tmp_root):
     update_dataset(spark, cust.where("c_nationkey >= 5"), tmp_root, "c")
     v1 = read_table(spark, tmp_root, "c", as_of=1)
     assert v1.count() == cust.where("c_nationkey < 5").count()
+
+
+def test_timestamp_as_of(spark, versioned):
+    from kartothek_spark.core.manifest import DatasetManifest
+
+    t1 = DatasetManifest.load(versioned, "c", version=1).committed_at
+    t2 = DatasetManifest.load(versioned, "c").committed_at
+    assert t1 and t2 and t1 <= t2
+    cust = _customer(spark)
+    # exactly at v1's commit instant → v1 content
+    got = read_table(spark, versioned, "c", as_of=t1)
+    assert got.count() == cust.where("c_nationkey < 15").count()
+    # at v2's instant (and with a 'Z' rendering) → live content
+    z = t2.replace("+00:00", "Z")
+    live = read_table(spark, versioned, "c", as_of=z)
+    assert live.count() == cust.where(
+        "(c_nationkey < 15 AND c_nationkey != 3) OR c_nationkey >= 15"
+    ).count()
+    # before the first commit → error
+    with pytest.raises(ValueError, match="at or before"):
+        read_table(spark, versioned, "c", as_of="2000-01-01T00:00:00+00:00")
