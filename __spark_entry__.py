@@ -1223,6 +1223,28 @@ def events_hourly(spark, sf_dir):
     return out.select("window_start", "event_type", "n_events")
 
 
+def events_attribution(spark, sf_dir):
+    """Keyed interval join (stream-stream-capable shape, batch form):
+    every purchase paired with the same user's views in the preceding 30
+    minutes, rolled up per user."""
+    from kartothek_spark.streaming.update import interval_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.where("event_type = 'view'").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    pairs = interval_join(views, purchases, left_ts="v_ts", right_ts="p_ts",
+                          lookback="30 minutes")
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.sum("view_id").alias("sum_view_ids"),
+    )
+
+
 def events_sessionize(spark, sf_dir):
     from kartothek_spark.streaming.update import sessionize
 
@@ -1828,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": events_top_users,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
+        "events_attribution": events_attribution,
         "text_analyze": text_analyze,
         "text_scrub": text_scrub,
         "corpus_search": corpus_search,
@@ -2231,6 +2254,19 @@ SELECT event_type, user_id, n, rank FROM (
          row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rank
   FROM events GROUP BY event_type, user_id
 ) WHERE rank <= 3
+""",
+        "events_attribution": """
+WITH v AS (
+  SELECT user_id, ts AS v_ts, event_id AS view_id FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts AS p_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       CAST(sum(view_id) AS BIGINT) AS sum_view_ids
+FROM v JOIN p USING (user_id)
+WHERE p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTE
+GROUP BY user_id
 """,
         "events_asof": """
 WITH l AS (

@@ -202,3 +202,34 @@ def stream_dedup_exact(
     if not events.isStreaming:
         return events.dropDuplicates(cols)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Keyed interval (stream-stream-capable) join: pair every right row
+    with the left rows of the same key whose timestamp falls within
+    ``lookback`` BEFORE it (view→purchase attribution). One definition for
+    batch and streaming: on streaming inputs both sides get watermarks and
+    Spark runs its stream-stream join with bounded state (the time-range
+    condition is what lets it evict); on batch the same plan is a hash
+    equi-join on the key with the range as a post-filter — never a
+    cartesian. Timestamp columns must be distinct names; other collisions
+    are rejected."""
+    clash = (set(left.columns) & set(right.columns)) - {key}
+    if clash:
+        raise ValueError(f"interval_join: column collision {sorted(clash)}; rename first")
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond).drop(r[key])

@@ -183,3 +183,45 @@ def test_stream_ingest_with_history_is_time_travelable(spark, tmp_path):
     assert sizes == sorted(sizes) and sizes[-1] == 100
     # tail from v1: exactly the rows of batches 2..3
     assert read_changes(spark, root, "ev", since=1).count() == 100 - sizes[0]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The stream-stream interval join over a replayed event log must
+    equal the batch form — same definition, bounded state via watermark +
+    time-range condition."""
+    from __spark_entry__ import _events
+    from kartothek_spark.streaming.update import interval_join
+    from tests.conftest import SF_DIR
+
+    ev = _events(spark, SF_DIR).where(F.col("user_id") < 40)
+    src = str(tmp_path / "src")
+    ev.coalesce(2).write.parquet(src)
+
+    def sides(df):
+        v = df.where("event_type = 'view'").select(
+            "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+        )
+        p = df.where("event_type = 'purchase'").select(
+            "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+        )
+        return v, p
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sv, sp = sides(stream)
+    q = (
+        interval_join(sv, sp, left_ts="v_ts", right_ts="p_ts", lookback="45 minutes")
+        .writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, view_id, purchase_id FROM attr_stream")
+    bv, bp = sides(ev)
+    want = interval_join(bv, bp, left_ts="v_ts", right_ts="p_ts",
+                         lookback="45 minutes").select("user_id", "view_id", "purchase_id")
+    assert want.count() > 0
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
