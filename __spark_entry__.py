@@ -1568,6 +1568,15 @@ def dedup_spans(spark, sf_dir):
     return duplicated_spans(_t(spark, sf_dir, "documents"), window_tokens=12)
 
 
+def dedup_span_trim(spark, sf_dir):
+    """Span REMOVAL (action to the dedup_spans signal): duplicated windows
+    are cut everywhere except their canonical (min-doc-id) occurrence;
+    full trimmed text is value-compared against the nested SQL twin."""
+    from kartothek_spark.operators.dedup import trim_duplicated_spans
+
+    return trim_duplicated_spans(_t(spark, sf_dir, "documents"), window_tokens=12)
+
+
 def dedup_simhash(spark, sf_dir):
     from kartothek_spark.operators.dedup import simhash_pairs
 
@@ -1873,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "dedup_simhash": dedup_simhash,
         "dedup_spans": dedup_spans,
+        "dedup_span_trim": dedup_span_trim,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
@@ -1896,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         apply_dedup_sql,
         duplicate_clusters_sql,
         duplicated_spans_sql,
+        trim_duplicated_spans_sql,
         minhash_lsh_pairs_sql,
         ngram_jaccard_pairs_sql,
         simhash_pairs_sql,
@@ -2394,6 +2405,7 @@ enr AS (
         ),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
         "dedup_spans": duplicated_spans_sql("documents", window_tokens=12),
+        "dedup_span_trim": trim_duplicated_spans_sql("documents", window_tokens=12),
         "dedup_clusters": duplicate_clusters_sql(minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2)),
         "dedup_corpus": apply_dedup_sql(
             "documents",

@@ -751,3 +751,136 @@ SELECT e.doc_id,
 FROM e JOIN freq f USING (wh)
 GROUP BY e.doc_id
 """
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    window_tokens: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REMOVE cross-document duplicated spans, keeping one canonical
+    occurrence (the action to :func:`duplicated_spans`' signal; policy per
+    the span-dedup observation of "Deduplicating Training Data Makes
+    Language Models Better"): a token is dropped when some duplicated
+    window covers it AND this document is not that window hash's canonical
+    holder (the smallest doc id containing it) — so every duplicated span
+    survives exactly in its canonical document and is cut everywhere else.
+
+    Deterministic end to end (hash frequencies + min-id canonicals, no
+    RNG), linear in corpus tokens: window hashing and coverage explosion
+    are per-token work, the only shuffles are on the window-hash key and
+    the (doc, position) key. Output: ``(doc_id, text_trimmed, n_tokens,
+    n_removed)`` with the trimmed text rebuilt from surviving tokens in
+    order (token-normalized rendering: lower-cased, single-spaced)."""
+    w = window_tokens
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    toks = toks.persist()
+    whs = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__toks") - w, F.lit(0))),
+        lambda i: h60(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, w))),
+    )
+    wins = toks.select("doc_id", F.posexplode(whs).alias("__pos", "__wh"))
+    freq = (
+        wins.groupBy("__wh")
+        .agg(
+            F.countDistinct("doc_id").alias("__n_docs"),
+            F.min("doc_id").alias("__canonical"),
+        )
+        .where(F.col("__n_docs") >= min_docs)
+    )
+    # token positions disqualified in non-canonical docs (0-based)
+    covered = (
+        wins.join(freq, "__wh")
+        .where(F.col("doc_id") != F.col("__canonical"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(w - 1))
+            ).alias("__tpos"),
+        )
+        .dropDuplicates(["doc_id", "__tpos"])
+    )
+    exploded = toks.select("doc_id", F.posexplode("__toks").alias("__tpos", "__tok"))
+    survivors = exploded.join(covered, ["doc_id", "__tpos"], "left_anti")
+    trimmed = (
+        survivors.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__tpos"), F.col("__tok")))
+            ).alias("__ordered"),
+            F.count("*").alias("__n_kept"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.transform("__ordered", lambda s: s["__tok"])).alias(
+                "text_trimmed"
+            ),
+            F.col("__n_kept"),
+        )
+    )
+    totals = toks.select("doc_id", F.size("__toks").cast("long").alias("n_tokens"))
+    out = (
+        totals.join(trimmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text_trimmed"), F.lit("")).alias("text_trimmed"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out
+
+
+def trim_duplicated_spans_sql(
+    table: str,
+    window_tokens: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = tokens_sql(text_col)
+    w = window_tokens
+    # the lateral counter i is 1-based (range(1, ...)): window pos = i-1,
+    # slice = tokens[i .. i+w-1]
+    wh = h60_sql(f"array_to_string(list_slice(toks, i, i + {w - 1}), ' ')")
+    return f"""
+WITH t AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, {wh} AS wh
+  FROM t, unnest(range(1, greatest(len(toks) - {w}, 0) + 2)) AS u(i)
+),
+freq AS (
+  SELECT wh, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canonical
+  FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+covered AS (
+  SELECT DISTINCT wins.doc_id, pos + off AS tpos
+  FROM wins JOIN freq USING (wh), unnest(range(0, {w})) AS o(off)
+  WHERE wins.doc_id <> freq.canonical
+),
+ex AS (
+  SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+surv AS (
+  SELECT ex.* FROM ex
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = ex.doc_id AND c.tpos = ex.tpos
+  )
+),
+agg AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY tpos), ' ') AS text_trimmed,
+         count(*) AS n_kept
+  FROM surv GROUP BY doc_id
+)
+SELECT t2.doc_id,
+       coalesce(agg.text_trimmed, '') AS text_trimmed,
+       CAST(len(t2.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t2.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+FROM t t2 LEFT JOIN agg USING (doc_id)
+"""

@@ -702,3 +702,28 @@ def test_duplicated_spans_hand_checked(spark):
     for r in out.values():
         assert 0 <= r.dup_ppm <= 1_000_000
         assert r.dup_ppm == r.n_dup_windows * 1_000_000 // r.n_windows
+
+
+def test_trim_duplicated_spans_canonical_keeps_text(spark):
+    from kartothek_spark.operators.dedup import trim_duplicated_spans
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        Row(doc_id=1, text=f"one two {span} three"),
+        Row(doc_id=2, text=f"prefix words {span} suffix words here"),
+        Row(doc_id=3, text="totally different text padded padded padded padded "
+                           "padded padded padded padded"),
+    ]
+    out = {r.doc_id: r for r in trim_duplicated_spans(
+        spark.createDataFrame(rows), window_tokens=12).collect()}
+    # canonical doc (min id) keeps everything
+    assert out[1].n_removed == 0
+    assert "alpha" in out[1].text_trimmed and "lima" in out[1].text_trimmed
+    # the other doc loses exactly the span tokens; its own words survive
+    assert out[2].n_removed >= 12
+    assert "alpha" not in out[2].text_trimmed and "charlie" not in out[2].text_trimmed
+    for word in ("prefix", "words", "suffix", "here"):
+        assert word in out[2].text_trimmed
+    # untouched doc is fully preserved (token-normalized rendering)
+    assert out[3].n_removed == 0
+    assert out[3].text_trimmed.startswith("totally different text")
