@@ -63,6 +63,8 @@ HEADLINE = [
     "ann_knn_join",          # exact distributed KNN join (block-matrix)
     "corpus_diverse_sample",  # LSH-bucket quota sampling
     "corpus_pipeline",       # composed quality→dedup→scrub→rollup plan
+    "dedup_span_trim",       # span-level dedup: signal + removal
+    "events_attribution",    # keyed interval join (stream-stream shape)
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
