@@ -1536,6 +1536,28 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def dedup_incremental(spark, sf_dir):
+    """Incrementally-maintained MinHash signature index
+    (operators/dedup_index.py): the corpus lands in two append commits,
+    each sync computes signatures for the NEW docs only and bands them
+    against the persisted index — the union of the two emitted pair sets
+    must equal the batch operator's output over the full corpus (oracle:
+    the same naive-banding SQL as ``dedup_minhash_lsh``). The 100 TB
+    dedup shape: per-day cost is O(new docs), never a corpus re-scan."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+    from kartothek_spark.operators.dedup_index import sync_minhash_index
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store_dataframe_as_dataset(
+        spark, docs.where(F.col("doc_id") % 2 == 0), root, "corpus", keep_history=True
+    )
+    p1 = sync_minhash_index(spark, root, "corpus", root, "mh_idx", threshold=0.2)
+    update_dataset(spark, docs.where(F.col("doc_id") % 2 == 1), root, "corpus")
+    p2 = sync_minhash_index(spark, root, "corpus", root, "mh_idx", threshold=0.2)
+    return p1.unionByName(p2)
+
+
 def dedup_clusters(spark, sf_dir):
     """Duplicate clustering: connected components over the MinHash near-dup
     pair graph — (doc_id, cluster_id=min id in component), the thing a
@@ -1877,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_upsample": corpus_upsample,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_incremental": dedup_incremental,
         "dedup_clusters": dedup_clusters,
         "dedup_corpus": dedup_corpus,
         "dedup_semantic": dedup_semantic,
@@ -2404,6 +2427,7 @@ enr AS (
             + ")"
         ),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
+        "dedup_incremental": minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
         "dedup_spans": duplicated_spans_sql("documents", window_tokens=12),
         "dedup_span_trim": trim_duplicated_spans_sql("documents", window_tokens=12),
         "dedup_clusters": duplicate_clusters_sql(minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2)),
