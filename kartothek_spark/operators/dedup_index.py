@@ -9,8 +9,9 @@ every other dataset — reference parity: kartothek's secondary indices
 are likewise persisted copy-on-write datasets, kartothek/core/index.py):
 
 * ``<uuid>`` — one row per indexed document: ``(doc_id, ck, sig)`` where
-  ``ck`` is the 128-bit content key over the shingle set (identical docs
-  share a ``ck``) and ``sig`` the ``num_hashes``-long MinHash signature.
+  ``ck`` is the 128-bit content key over the normalized token stream
+  (identical docs share a ``ck``) and ``sig`` the ``num_hashes``-long
+  MinHash signature.
   The sync cursor (source snapshot version) lives in its metadata.
 * ``<uuid>__ckpairs`` — the verified near-duplicate relation at the
   content-key level: ``(ck_a, ck_b, jaccard)``. Needed so that a NEW
@@ -70,8 +71,14 @@ def _shingled(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
-        .select("__id", shingles_from_tokens(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"))
-        .withColumn("__ck", F.md5(F.concat_ws("\x01", "__sh")))
+        .select(
+            "__id",
+            shingles_from_tokens(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"),
+            # token-stream content key, same rationale as the batch
+            # operator (dedup.py minhash_lsh_pairs): refines the shingle
+            # set, 3× cheaper than hashing the shingle concat
+            F.md5(F.concat_ws("\x01", "__t")).alias("__ck"),
+        )
     )
 
 
