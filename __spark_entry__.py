@@ -1720,6 +1720,47 @@ def ann_ivf_exhaustive(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, dim=EMB_DIM, n_centroids=8, nprobe=8)
 
 
+def ann_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of IVF-PQ (operators/pq.py: coarse quantizer + product-
+    quantized codes + ADC shortlist + exact cosine re-rank) vs brute
+    force, both in Spark. (n_queries, recall_ok) with a 0.5 floor —
+    measured 0.84 (sf0.01) / 0.80 (sf0.1) at n_centroids=16, nprobe=8,
+    m=8, ksub=256, refine=8; the oracle pins the expected row."""
+    from kartothek_spark.operators.pq import ivfpq_topk
+    from kartothek_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5, dim=EMB_DIM).select("query_id", "neighbor_id")
+    approx = ivfpq_topk(
+        emb, queries, k=5, dim=EMB_DIM, n_centroids=16, nprobe=8, refine=8
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        ((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")) >= 0.5).alias("recall_ok"),
+    )
+
+
+def ann_ivfpq_planted(spark, sf_dir):
+    """Value-level oracle for the FULL IVF-PQ path: a clone of every
+    query vector is planted in the corpus under id+1000000; its ADC
+    distance is the minimum possible (identical codes + identical
+    residual), so it must surface in the shortlist, and the exact re-rank
+    must pin it at rank 1 with cosine exactly 1.0. The oracle is the
+    closed-form expected rank-1 row set — a deterministic, hash-exact
+    check of quantizer training, encoding, ADC scoring, and re-rank."""
+    from kartothek_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 5)
+    clones = queries.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(clones)
+    top = ivfpq_topk(corpus, queries, k=3, dim=EMB_DIM, nprobe=8, refine=4)
+    return top.where(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", "rank", "cos_sim"
+    )
+
+
 def multimodal_plumbing(spark, sf_dir):
     """Binary media column plumbing: ingest schema + byte accounting."""
     from kartothek_spark.operators.multimodal import make_media_df
@@ -1913,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diverse_sample": corpus_diverse_sample,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_recall": ann_lsh_recall,
+        "ann_ivfpq_recall": ann_ivfpq_recall,
+        "ann_ivfpq_planted": ann_ivfpq_planted,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_exhaustive": ann_ivf_exhaustive,
         "multimodal_plumbing": multimodal_plumbing,
@@ -2463,6 +2506,15 @@ enr AS (
         "ann_lsh_recall": """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < 10
+""",
+        "ann_ivfpq_recall": """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""",
+        "ann_ivfpq_planted": """
+SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+       CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS cos_sim
+FROM embeddings WHERE vec_id < 5
 """,
         "multimodal_plumbing": """
 SELECT doc_id AS media_id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes

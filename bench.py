@@ -65,6 +65,9 @@ HEADLINE = [
     "corpus_pipeline",       # composed quality→dedup→scrub→rollup plan
     "dedup_span_trim",       # span-level dedup: signal + removal
     "events_attribution",    # keyed interval join (stream-stream shape)
+    # round 2 (cont.): incremental dedup + product quantization
+    "dedup_incremental",     # MinHash signature index, two-commit sync
+    "ann_ivfpq_recall",      # IVF-PQ train+encode+ADC+re-rank vs brute force
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
