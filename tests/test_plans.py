@@ -268,3 +268,20 @@ def test_diversity_sample_single_bucket_shuffle(spark):
     plan = _plan(diversity_sample(emb, quota=5, dim=64, planes=4))
     # exactly one exchange: hash by bucket for the rank window
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivfpq_no_cartesian_and_broadcast_rerank(spark):
+    """IVF-PQ plan shape: the code stream is scored by mapInPandas (no
+    N×Q cross-join), the shortlist re-rank joins the tiny query side as a
+    broadcast, and nothing plans as a nested-loop join."""
+    from kartothek_spark.operators.pq import ivfpq_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.where("vec_id < 3")
+    plan = _plan(ivfpq_topk(emb, q, k=3, dim=64, n_centroids=4, nprobe=2, refine=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # encode + ADC score both stream
+    assert "BroadcastHashJoin" in plan  # query side of the re-rank
