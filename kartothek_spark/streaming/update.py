@@ -233,3 +233,67 @@ def interval_join(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {lookback}"))
     )
     return l.join(r, cond).drop(r[key])
+
+
+def stream_dedup_index(
+    stream_df: DataFrame,
+    root: str,
+    corpus_uuid: str = "corpus",
+    index_uuid: str = "mh_index",
+    pairs_uuid: str = "dup_pairs",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming near-duplicate detection against the FULL corpus history:
+    per micro-batch, (1) commit the batch into a history-keeping corpus
+    dataset, (2) advance the persisted MinHash signature index
+    (:func:`~kartothek_spark.operators.dedup_index.sync_minhash_index` —
+    signatures computed for the batch only, banded against the index), and
+    (3) append the newly-discovered pairs to a queryable pairs dataset.
+    After the stream drains, the pairs dataset equals the batch operator's
+    output over everything ingested — the streaming form of corpus dedup
+    with per-batch cost O(batch), never a history re-scan.
+
+    Consistency: the corpus commit is the transaction of record — a batch
+    retried after its corpus commit landed syncs as a no-op (the index
+    cursor already covers it). The index/pairs commits are downstream
+    derivations; a crash BETWEEN corpus commit and pairs append loses that
+    batch's pair rows, which a restartable pipeline repairs by rebuilding
+    the index (delete index + pairs datasets, one catch-up sync). Returns
+    the StreamingQuery."""
+    from kartothek_spark.operators.dedup_index import sync_minhash_index
+
+    spark = stream_df.sparkSession
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if DatasetManifest.exists(root, corpus_uuid):
+            update_dataset(spark, batch_df, root, corpus_uuid,
+                           metadata={"last_stream_batch": batch_id})
+        else:
+            store_dataframe_as_dataset(
+                spark, batch_df, root, corpus_uuid, keep_history=True,
+                metadata={"last_stream_batch": batch_id},
+            )
+        pairs = sync_minhash_index(
+            spark, root, corpus_uuid, root, index_uuid,
+            text_col=text_col, id_col=id_col, threshold=threshold,
+        )
+        if DatasetManifest.exists(root, pairs_uuid):
+            n = pairs.count()
+            update_dataset(spark, pairs if n else None, root, pairs_uuid,
+                           metadata={"last_stream_batch": batch_id})
+        else:
+            store_dataframe_as_dataset(spark, pairs, root, pairs_uuid,
+                                       metadata={"last_stream_batch": batch_id})
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

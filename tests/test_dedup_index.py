@@ -101,3 +101,32 @@ def test_index_datasets_are_queryable(spark, tmp_root):
     idx = read_table(spark, tmp_root, "mh_idx")
     assert idx.columns == ["doc_id", "ck", "sig"]
     assert idx.count() == docs.where(F.col("text").isNotNull()).count()
+
+
+def test_stream_dedup_index_matches_batch(spark, tmp_path):
+    """Replay the documents corpus as a 3-file stream: after the stream
+    drains, the pairs dataset must equal the batch operator over all
+    ingested docs, and the index must cover every doc."""
+    from kartothek_spark.streaming.update import stream_dedup_index
+
+    docs = _docs(spark).limit(300).localCheckpoint(eager=True)
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+
+    root = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_dedup_index(
+        stream, root, threshold=THRESHOLD,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+
+    got = _pairs_set(read_table(spark, root, "dup_pairs"))
+    want = _pairs_set(minhash_lsh_pairs(docs, threshold=THRESHOLD))
+    assert got == want
+    assert read_table(spark, root, "mh_index").count() == docs.count()
