@@ -1761,6 +1761,36 @@ def ann_ivfpq_planted(spark, sf_dir):
     )
 
 
+def ann_pq_index_search(spark, sf_dir):
+    """Persisted PQ index as a managed dataset PARTITIONED BY CELL
+    (operators/pq.py build_pq_index/search_pq_index): the nprobe cells
+    become a `cell IN (...)` predicate → manifest-pruned scan of only the
+    probed partitions; quantizers ride in the manifest metadata. Planted
+    query clones must come back rank 1 with cosine exactly 1.0 through
+    the FULL store→prune→ADC→re-rank path; the `pruned` flag pins that
+    the probe really planned to a strict subset of partitions."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+    from kartothek_spark.operators.pq import build_pq_index, search_pq_index
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 5)
+    clones = queries.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(clones)
+    m = build_pq_index(spark, corpus, root, "pq_idx", dim=EMB_DIM, n_centroids=16)
+    top = search_pq_index(
+        spark, root, "pq_idx", queries, k=3, nprobe=8, refine=4, corpus=corpus
+    )
+    labels = dispatch_labels(
+        spark, DatasetManifest.load(root, "pq_idx"), [[("cell", "in", [0, 1])]]
+    )
+    return top.where(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", "rank", "cos_sim",
+        F.lit(len(labels) < len(m.partitions)).alias("pruned"),
+    )
+
+
 def multimodal_plumbing(spark, sf_dir):
     """Binary media column plumbing: ingest schema + byte accounting."""
     from kartothek_spark.operators.multimodal import make_media_df
@@ -1956,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": ann_lsh_recall,
         "ann_ivfpq_recall": ann_ivfpq_recall,
         "ann_ivfpq_planted": ann_ivfpq_planted,
+        "ann_pq_index_search": ann_pq_index_search,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_exhaustive": ann_ivf_exhaustive,
         "multimodal_plumbing": multimodal_plumbing,
@@ -2514,6 +2545,12 @@ FROM embeddings WHERE vec_id < 10
         "ann_ivfpq_planted": """
 SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
        CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS cos_sim
+FROM embeddings WHERE vec_id < 5
+""",
+        "ann_pq_index_search": """
+SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+       CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS cos_sim,
+       CAST(1 AS BOOLEAN) AS pruned
 FROM embeddings WHERE vec_id < 5
 """,
         "multimodal_plumbing": """

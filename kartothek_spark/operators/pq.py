@@ -187,23 +187,39 @@ def ivfpq_topk(
     """Approximate top-k via IVF-PQ with exact cosine re-rank of the ADC
     top ``refine·k``. Output ``(query_id, neighbor_id, rank, cos_sim)``,
     deterministic ties (ADC asc, id asc; then cos desc, id asc)."""
-    import numpy as np
-
     spark = df.sparkSession
     coarse, codebooks = train_pq(
         spark, df, dim, n_centroids=n_centroids, m=m, ksub=ksub, vec_col=vec_col, seed=seed
     )
     codes = encode_pq(df, coarse, codebooks, id_col=id_col, vec_col=vec_col)
+    q_ids, Qraw, Qm = _collect_queries(queries, id_col, vec_col)
+    tables = _probe_tables(q_ids, Qm, coarse, codebooks, nprobe)
+    shortlist = _adc_shortlist(codes, tables, refine * k)
+    return _exact_rerank(shortlist, df, q_ids, Qraw, k, id_col, vec_col)
 
-    # ---- driver-side: probes + ADC tables (Q·nprobe·m·ksub floats) ----
-    dsub = dim // m
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect the (small, by contract) query side: ids, raw float lists,
+    and the L2-normalized matrix."""
+    import numpy as np
+
     qrows = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
     q_ids = np.array([r.id for r in qrows], dtype="int64")
     Qraw = [[float(x) for x in r.v] for r in qrows]
     Qm = _normalize([np.asarray(r.v, dtype="float64") for r in qrows])
+    return q_ids, Qraw, Qm
+
+
+def _probe_tables(q_ids, Qm, coarse, codebooks, nprobe: int):
+    """ADC lookup tables, driver-side (Q·nprobe·m·ksub floats):
+    ``tables[cell] = [(query_id, dt[m, ksub]), ...]`` for the queries
+    probing that cell."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = coarse.shape[1] // m
     cd = ((Qm[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)  # Q × n_centroids
     probe_cells = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]
-    # tables[cell] = list of (query_id, dt[m, ksub]) for queries probing it
     tables: dict[int, list] = {}
     for qi in range(len(q_ids)):
         for cell in probe_cells[qi]:
@@ -215,8 +231,15 @@ def ivfpq_topk(
                 ]
             )
             tables.setdefault(int(cell), []).append((int(q_ids[qi]), dt))
-    bc = spark.sparkContext.broadcast(tables)
-    R = refine * k
+    return tables
+
+
+def _adc_shortlist(codes: DataFrame, tables: dict, R: int) -> DataFrame:
+    """Stream the code frame past the broadcast ADC tables; one vectorized
+    gather per (cell, query) per batch, each batch keeps only its per-query
+    best ``R``, then a global rank window trims to the true ADC top ``R``
+    (lossless: the global top-R is a subset of the union of batch top-Rs)."""
+    bc = codes.sparkSession.sparkContext.broadcast(tables)
 
     def score(batches: Iterator) -> Iterator:
         import numpy as np
@@ -249,14 +272,26 @@ def ivfpq_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "adc_dist": out_d}
             )
 
-    scored = codes.mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
-    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    shortlist = (
-        scored.withColumn("__r", F.row_number().over(wa)).where(F.col("__r") <= R)
+    scored = codes.select("id", "cell", "codes").mapInPandas(
+        score, "query_id long, neighbor_id long, adc_dist double"
     )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("__r", F.row_number().over(wa)).where(F.col("__r") <= R)
 
-    # ---- exact fixed-point cosine re-rank of the shortlist ----
-    cq = df.select(
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    q_ids,
+    Qraw,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact fixed-point cosine re-rank of the ADC shortlist against the
+    original corpus vectors (semi-join pruned by the shortlist ids)."""
+    spark = corpus.sparkSession
+    cq = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("__cq")
     )
     # RAW query vectors here (not the normalized copies): cosine is
@@ -285,4 +320,111 @@ def ivfpq_topk(
     )
 
 
-__all__ = ["train_pq", "encode_pq", "ivfpq_topk", "_np_kmeans"]
+_PQ_META_KEY = "pq"
+
+
+def build_pq_index(
+    spark,
+    df: DataFrame,
+    root: str,
+    index_uuid: str,
+    dim: int = 64,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_target: int = 65536,
+):
+    """Persist the PQ-compressed corpus as a managed dataset PARTITIONED
+    BY CELL — the deployment shape the inline operator's docstring
+    promises: every coarse cell is a hive partition, so a search's
+    ``nprobe`` cells resolve to a manifest-pruned file list and the scan
+    reads ``~nprobe/n_centroids`` of the (already 32×-compressed) index.
+    The trained quantizers (coarse centroids + per-subspace codebooks)
+    ride in the manifest metadata — one load, no side files. Returns the
+    committed :class:`DatasetManifest`."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    coarse, codebooks = train_pq(
+        spark, df, dim, n_centroids=n_centroids, m=m, ksub=ksub,
+        vec_col=vec_col, seed=seed, sample_target=sample_target,
+    )
+    codes = encode_pq(df, coarse, codebooks, id_col=id_col, vec_col=vec_col)
+    meta = {
+        _PQ_META_KEY: {
+            "dim": dim,
+            "n_centroids": n_centroids,
+            "m": m,
+            "ksub": ksub,
+            "coarse": [[float(x) for x in row] for row in coarse],
+            "codebooks": [
+                [[float(x) for x in row] for row in book] for book in codebooks
+            ],
+        }
+    }
+    return store_dataframe_as_dataset(
+        spark, codes, root, index_uuid, partition_on=["cell"], metadata=meta
+    )
+
+
+def search_pq_index(
+    spark,
+    root: str,
+    index_uuid: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int = 4,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted PQ index: the ``nprobe`` cells per query become
+    ONE ``cell IN (...)`` predicate, so the code scan is a partition-pruned
+    read of only the probed cells (`tests/test_pq.py` pins the pruned
+    label count). With ``corpus`` the ADC shortlist is re-ranked by exact
+    fixed-point cosine (output ``(query_id, neighbor_id, rank,
+    cos_sim)``); without it, ranks are ADC order and the approximate
+    distance is returned (``adc_dist``)."""
+    import numpy as np
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_table
+
+    manifest = DatasetManifest.load(root, index_uuid)
+    meta = manifest.metadata[_PQ_META_KEY]
+    coarse = np.asarray(meta["coarse"], dtype="float64")
+    codebooks = np.asarray(meta["codebooks"], dtype="float64")
+
+    q_ids, Qraw, Qm = _collect_queries(queries, id_col, vec_col)
+    tables = _probe_tables(q_ids, Qm, coarse, codebooks, nprobe)
+    probed = sorted(tables)
+    codes = read_table(
+        spark, root, index_uuid, predicates=[[("cell", "in", probed)]]
+    ).select("id", F.col("cell").cast("int").alias("cell"), "codes")
+
+    R = refine * k
+    shortlist = _adc_shortlist(codes, tables, R)
+    if corpus is not None:
+        return _exact_rerank(shortlist, corpus, q_ids, Qraw, k, id_col, vec_col)
+    return (
+        shortlist.where(F.col("__r") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__r").cast("long").alias("rank"),
+            "adc_dist",
+        )
+    )
+
+
+__all__ = [
+    "train_pq",
+    "encode_pq",
+    "ivfpq_topk",
+    "build_pq_index",
+    "search_pq_index",
+    "_np_kmeans",
+]

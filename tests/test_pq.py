@@ -86,3 +86,46 @@ def test_ivfpq_cos_matches_brute_force_values(spark):
     assert shared, "no overlap between approx and exact top-k at all"
     for key in shared:
         assert a[key] == b[key]
+
+
+def test_pq_index_search_prunes_to_probed_cells(spark, tmp_path):
+    """A persisted PQ index is a cell-partitioned managed dataset: a
+    search's cell predicate must plan to a strict subset of partition
+    labels, and searching with the corpus re-rank must equal the inline
+    operator's output (same seed, same params)."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+    from kartothek_spark.operators.pq import build_pq_index, ivfpq_topk, search_pq_index
+
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 5)
+    root = str(tmp_path / "store")
+    build_pq_index(spark, emb, root, "pq_idx", dim=DIM, n_centroids=8)
+
+    m = DatasetManifest.load(root, "pq_idx")
+    got = search_pq_index(
+        spark, root, "pq_idx", q, k=5, nprobe=4, refine=4, corpus=emb
+    )
+    inline = ivfpq_topk(emb, q, k=5, dim=DIM, n_centroids=8, nprobe=4, refine=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, inline.collect()))
+
+    # pruning: 4 probed cells of 8 → fewer labels than the full index
+    some_cells = [0, 1, 2, 3]
+    labels = dispatch_labels(spark, m, [[("cell", "in", some_cells)]])
+    assert 0 < len(labels) < len(m.partitions)
+
+
+def test_pq_index_search_without_corpus_ranks_by_adc(spark, tmp_path):
+    from kartothek_spark.operators.pq import build_pq_index, search_pq_index
+
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 3)
+    root = str(tmp_path / "store")
+    build_pq_index(spark, emb, root, "pq_idx", dim=DIM, n_centroids=8)
+    out = search_pq_index(spark, root, "pq_idx", q, k=5, nprobe=8)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    assert out.columns == ["query_id", "neighbor_id", "rank", "adc_dist"]
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in rows if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]
