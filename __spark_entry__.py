@@ -1791,6 +1791,36 @@ def ann_pq_index_search(spark, sf_dir):
     )
 
 
+def ann_pq_index_sync(spark, sf_dir):
+    """Incrementally-maintained PQ index over the snapshot history
+    (operators/pq.py sync_pq_index): the quantizers train once on the
+    first commit and FREEZE; the second commit (query clones) is encoded
+    alone via the changes feed and appended into the cell partitions.
+    Searching the synced index must find every clone at rank 1 with
+    cosine exactly 1.0 — proving incrementally-added rows are fully
+    searchable without any re-encode of the history."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+    from kartothek_spark.operators.pq import search_pq_index, sync_pq_index
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 5)
+    clones = queries.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    store_dataframe_as_dataset(spark, emb, root, "corpus", keep_history=True)
+    sync_pq_index(spark, root, "corpus", root, "pq_idx", dim=EMB_DIM, n_centroids=16)
+    update_dataset(spark, clones, root, "corpus")
+    r = sync_pq_index(spark, root, "corpus", root, "pq_idx", dim=EMB_DIM, n_centroids=16)
+    live = read_table(spark, root, "corpus")
+    top = search_pq_index(
+        spark, root, "pq_idx", queries, k=3, nprobe=8, refine=4, corpus=live
+    )
+    return top.where(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", "rank", "cos_sim",
+        F.lit(r["mode"] == "incremental").alias("incremental"),
+    )
+
+
 def multimodal_plumbing(spark, sf_dir):
     """Binary media column plumbing: ingest schema + byte accounting."""
     from kartothek_spark.operators.multimodal import make_media_df
@@ -1987,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": ann_ivfpq_recall,
         "ann_ivfpq_planted": ann_ivfpq_planted,
         "ann_pq_index_search": ann_pq_index_search,
+        "ann_pq_index_sync": ann_pq_index_sync,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_exhaustive": ann_ivf_exhaustive,
         "multimodal_plumbing": multimodal_plumbing,
@@ -2551,6 +2582,12 @@ FROM embeddings WHERE vec_id < 5
 SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
        CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS cos_sim,
        CAST(1 AS BOOLEAN) AS pruned
+FROM embeddings WHERE vec_id < 5
+""",
+        "ann_pq_index_sync": """
+SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+       CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS cos_sim,
+       CAST(1 AS BOOLEAN) AS incremental
 FROM embeddings WHERE vec_id < 5
 """,
         "multimodal_plumbing": """

@@ -428,3 +428,105 @@ __all__ = [
     "search_pq_index",
     "_np_kmeans",
 ]
+
+
+def sync_pq_index(
+    spark,
+    corpus_root: str,
+    corpus_uuid: str,
+    index_root: str,
+    index_uuid: str,
+    dim: int = 64,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_target: int = 65536,
+):
+    """Keep a persisted PQ index in sync with a history-keeping corpus
+    dataset. The first call trains the quantizers on the live corpus and
+    builds the cell-partitioned index; every later call encodes ONLY the
+    rows appended since the cursor, with the FROZEN quantizers from the
+    manifest — the production IVF-PQ contract (codebooks are versioned
+    artifacts; re-training is an explicit rebuild, because new codes must
+    stay comparable with old ones). Per-sync cost is O(new rows): encode
+    is one mapInPandas pass over the appended files, and the commit
+    appends into the existing cell partitions. Dropped corpus partitions
+    force a rebuild (codes for removed rows cannot be un-appended row-wise
+    — same contract as the dedup index). Returns ``{"mode",
+    "src_version", "rows_indexed"}``."""
+    import numpy as np
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import diff_versions, read_changes, read_table
+    from kartothek_spark.dataset.write import delete_dataset, update_dataset
+
+    src = DatasetManifest.load(corpus_root, corpus_uuid)
+    if not src.keep_history:
+        raise ValueError(
+            f"corpus {corpus_uuid!r} does not keep history "
+            "(write it with keep_history=True to enable incremental indexing)"
+        )
+    params = {
+        "src_uuid": corpus_uuid,
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "m": m,
+        "ksub": ksub,
+    }
+
+    cursor: int | None = None
+    if DatasetManifest.exists(index_root, index_uuid):
+        idx = DatasetManifest.load(index_root, index_uuid)
+        meta = idx.metadata.get(_PQ_META_KEY) or {}
+        stored = {k: meta.get(k) for k in params}
+        if stored != params:
+            raise ValueError(
+                f"index {index_uuid!r} was built with {stored}; quantizer "
+                f"parameters are part of the index identity — rebuild to "
+                f"change them (got {params})"
+            )
+        cursor = int(meta["src_version"])
+        if cursor == src.version:
+            return {"mode": "noop", "src_version": src.version, "rows_indexed": 0}
+        _added, removed = diff_versions(corpus_root, corpus_uuid, since=cursor)
+        if removed:
+            delete_dataset(index_root, index_uuid)
+            cursor = None
+
+    if cursor is None:
+        corpus = read_table(spark, corpus_root, corpus_uuid)
+        coarse, codebooks = train_pq(
+            spark, corpus, dim, n_centroids=n_centroids, m=m, ksub=ksub,
+            vec_col=vec_col, seed=seed, sample_target=sample_target,
+        )
+        codes = encode_pq(corpus, coarse, codebooks, id_col=id_col, vec_col=vec_col)
+        meta = {
+            _PQ_META_KEY: {
+                **params,
+                "src_version": src.version,
+                "coarse": [[float(x) for x in row] for row in coarse],
+                "codebooks": [
+                    [[float(x) for x in row] for row in book] for book in codebooks
+                ],
+            }
+        }
+        from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+        store_dataframe_as_dataset(
+            spark, codes, index_root, index_uuid, partition_on=["cell"], metadata=meta
+        )
+        n = read_table(spark, index_root, index_uuid).count()
+        return {"mode": "initial", "src_version": src.version, "rows_indexed": n}
+
+    idx_meta = DatasetManifest.load(index_root, index_uuid).metadata[_PQ_META_KEY]
+    coarse = np.asarray(idx_meta["coarse"], dtype="float64")
+    codebooks = np.asarray(idx_meta["codebooks"], dtype="float64")
+    new_rows = read_changes(spark, corpus_root, corpus_uuid, since=cursor)
+    codes = encode_pq(new_rows, coarse, codebooks, id_col=id_col, vec_col=vec_col)
+    n = codes.count()
+    meta = {_PQ_META_KEY: {**idx_meta, "src_version": src.version}}
+    update_dataset(spark, codes if n else None, index_root, index_uuid, metadata=meta)
+    return {"mode": "incremental", "src_version": src.version, "rows_indexed": n}

@@ -129,3 +129,67 @@ def test_pq_index_search_without_corpus_ranks_by_adc(spark, tmp_path):
     for qid in (0, 1, 2):
         ranks = sorted(r.rank for r in rows if r.query_id == qid)
         assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_sync_pq_index_incremental_equals_frozen_encode(spark, tmp_path):
+    """After initial(b1) + sync(b2), the index rows must equal encoding
+    b1 ∪ b2 with the b1-trained (frozen) quantizers — new batches never
+    shift old codes."""
+    import numpy as np
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+    from kartothek_spark.operators.pq import encode_pq, sync_pq_index
+
+    emb = _emb(spark)
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "store")
+    store_dataframe_as_dataset(spark, b1, root, "corpus", keep_history=True)
+    r1 = sync_pq_index(spark, root, "corpus", root, "pq_idx", dim=DIM, n_centroids=8)
+    assert r1["mode"] == "initial"
+    update_dataset(spark, b2, root, "corpus")
+    r2 = sync_pq_index(spark, root, "corpus", root, "pq_idx", dim=DIM, n_centroids=8)
+    assert r2["mode"] == "incremental"
+    assert r2["rows_indexed"] == b2.count()
+
+    meta = DatasetManifest.load(root, "pq_idx").metadata["pq"]
+    coarse = np.asarray(meta["coarse"])
+    codebooks = np.asarray(meta["codebooks"])
+    want = {
+        (r.id, r.cell, tuple(r.codes))
+        for r in encode_pq(emb, coarse, codebooks).collect()
+    }
+    got = {
+        (r.id, int(r.cell), tuple(r.codes))
+        for r in read_table(spark, root, "pq_idx").collect()
+    }
+    assert got == want
+
+    r3 = sync_pq_index(spark, root, "corpus", root, "pq_idx", dim=DIM, n_centroids=8)
+    assert r3["mode"] == "noop"
+
+
+def test_sync_pq_index_searchable_after_sync(spark, tmp_path):
+    """Clones arriving in the SECOND commit must be found rank-1 by a
+    search of the incrementally-maintained index."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+    from kartothek_spark.operators.pq import search_pq_index, sync_pq_index
+
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 5)
+    clones = q.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    root = str(tmp_path / "store")
+    store_dataframe_as_dataset(spark, emb, root, "corpus", keep_history=True)
+    sync_pq_index(spark, root, "corpus", root, "pq_idx", dim=DIM, n_centroids=8)
+    update_dataset(spark, clones, root, "corpus")
+    sync_pq_index(spark, root, "corpus", root, "pq_idx", dim=DIM, n_centroids=8)
+
+    live = read_table(spark, root, "corpus")
+    top = search_pq_index(
+        spark, root, "pq_idx", q, k=3, nprobe=8, refine=4, corpus=live
+    )
+    r1 = {r.query_id: r.neighbor_id for r in top.where("rank = 1").collect()}
+    assert r1 == {i: i + 10000 for i in range(5)}
