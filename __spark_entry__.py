@@ -787,6 +787,49 @@ def ktk_incremental_sync(spark, sf_dir):
     )
 
 
+def ktk_incremental_agg(spark, sf_dir):
+    """Incrementally-maintained materialized aggregate
+    (dataset/sync.py:sync_aggregate_dataset): a groupBy view over the
+    orders source kept current with PARTITION-GRANULAR rewrites — the
+    second commit touches only the 1-URGENT groups, so only those view
+    partitions rewrite (mode must be incremental), yet the view equals a
+    full recompute (the oracle aggregates the whole table)."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.sync import sync_aggregate_dataset
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus",
+        _cents("o_totalprice").alias("price_cents"),
+    )
+    b1 = orders.where(F.col("o_orderkey") % 3 != 0)
+    b2 = orders.where(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    b3 = orders.where(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderpriority") != "1-URGENT")
+    )
+    aggs = [
+        ("n_orders", "count", "*"),
+        ("total_cents", "sum", "price_cents"),
+        ("max_cents", "max", "price_cents"),
+    ]
+    args = dict(group_by=["o_orderpriority", "o_orderstatus"], aggs=aggs)
+    store_dataframe_as_dataset(spark, b1, root, "src", keep_history=True)
+    sync_aggregate_dataset(spark, root, "src", root, "view", **args)
+    update_dataset(spark, b2, root, "src")
+    r2 = sync_aggregate_dataset(spark, root, "src", root, "view", **args)
+    update_dataset(spark, b3, root, "src")
+    r3 = sync_aggregate_dataset(spark, root, "src", root, "view", **args)
+    return read_table(spark, root, "view").select(
+        "o_orderpriority", "o_orderstatus", "n_orders",
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+        F.lit(r2["mode"] == "incremental" and r3["mode"] == "incremental").alias("incremental"),
+    )
+
+
 def ktk_attach_external(spark, sf_dir):
     """Zero-copy ATTACH (beyond the reference): a plain
     spark.write.partitionBy directory becomes a managed dataset with no
@@ -1958,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_schema_evolution": ktk_schema_evolution,
         "ktk_zorder_pruned": ktk_zorder_pruned,
         "ktk_incremental_sync": ktk_incremental_sync,
+        "ktk_incremental_agg": ktk_incremental_agg,
         "ktk_jsonl_roundtrip": ktk_jsonl_roundtrip,
         "ktk_convert_ingest": ktk_convert_ingest,
         "ktk_delete_rows": ktk_delete_rows,
@@ -2306,6 +2350,13 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
        CAST(1 AS BOOLEAN) AS incremental
 FROM customer WHERE c_acctbal > 0.0 GROUP BY c_mktsegment
+""",
+        "ktk_incremental_agg": f"""
+SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({_cents_sql('o_totalprice')}) AS BIGINT) AS total_cents,
+       CAST(max({_cents_sql('o_totalprice')}) AS BIGINT) AS max_cents,
+       CAST(1 AS BOOLEAN) AS incremental
+FROM orders GROUP BY o_orderpriority, o_orderstatus
 """,
         "ktk_index_on": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BOOLEAN) AS sorted_ok FROM orders

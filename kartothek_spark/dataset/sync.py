@@ -113,4 +113,134 @@ def _rows(root: str, uuid: str, spark: SparkSession) -> int:
     return read_table(spark, root, uuid).count()
 
 
-__all__ = ["sync_derived_dataset"]
+__all__ = ["sync_derived_dataset", "sync_aggregate_dataset"]
+
+
+_AGG_SYNC_KEY = "ktk_agg_sync"
+_MERGEABLE = {"sum", "count", "min", "max"}
+
+
+def sync_aggregate_dataset(
+    spark: SparkSession,
+    src_root: str,
+    src_uuid: str,
+    dst_root: str,
+    dst_uuid: str,
+    group_by: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    partition_on: Sequence[str] | None = None,
+) -> dict[str, Any]:
+    """Incrementally-maintained materialized aggregate:
+    ``dst = src.groupBy(group_by).agg(...)`` kept in sync over the
+    snapshot history with PARTITION-GRANULAR rewrites.
+
+    ``aggs`` is ``[(out_col, fn, in_col), ...]`` with ``fn`` one of
+    ``sum | count | min | max`` — the decomposable aggregates whose
+    partials merge associatively (count merges as a sum of partial
+    counts; avg = maintain sum and count, divide at read time). That
+    restriction is what makes the maintenance O(delta): appended rows
+    aggregate alone, and only the groups they touch are rewritten.
+
+    ``partition_on`` (default: first group column) must be a prefix-subset
+    of ``group_by``; it is the rewrite granule. Each sync:
+
+    1. aggregates ONLY the appended files (changes feed),
+    2. reads back just the affected partitions of the materialized view
+       (partition-pruned read),
+    3. re-merges old+delta partials for those groups, and
+    4. commits ``delete_scope=affected ∪ append`` in ONE atomic manifest
+       swap — untouched partitions keep their files byte-identical.
+
+    Dropped source partitions force a full refresh (a lost row cannot be
+    un-summed); sources that delete routinely should partition the view
+    on the source's partition keys so drops map to scope deletes.
+    Returns ``{"mode", "src_version", "groups_rewritten"}``."""
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.dataset.read import diff_versions, read_changes, read_table
+    from kartothek_spark.dataset.write import (
+        delete_dataset,
+        store_dataframe_as_dataset,
+        update_dataset,
+    )
+
+    for _, fn, _ in aggs:
+        if fn not in _MERGEABLE:
+            raise ValueError(
+                f"aggregate {fn!r} is not mergeable; supported: {sorted(_MERGEABLE)}"
+            )
+    group_by = list(group_by)
+    partition_on = list(partition_on) if partition_on is not None else group_by[:1]
+    if partition_on != group_by[: len(partition_on)]:
+        raise ValueError(
+            f"partition_on {partition_on} must be a prefix of group_by {group_by}"
+        )
+
+    def _first_agg(df):
+        return df.groupBy(*group_by).agg(
+            *[
+                (F.count(in_col) if fn == "count" else getattr(F, fn)(in_col)).alias(out)
+                for out, fn, in_col in aggs
+            ]
+        )
+
+    def _merge_agg(df):
+        # partial-merge: count partials re-merge as sums
+        return df.groupBy(*group_by).agg(
+            *[
+                (F.sum(out) if fn in ("sum", "count") else getattr(F, fn)(out)).alias(out)
+                for out, fn, _ in aggs
+            ]
+        )
+
+    src = DatasetManifest.load(src_root, src_uuid)
+    if not src.keep_history:
+        raise ValueError(
+            f"source dataset {src_uuid!r} does not keep history "
+            "(write it with keep_history=True to enable incremental sync)"
+        )
+
+    cursor: int | None = None
+    if DatasetManifest.exists(dst_root, dst_uuid):
+        dst = DatasetManifest.load(dst_root, dst_uuid)
+        meta = dst.metadata.get(_AGG_SYNC_KEY) or {}
+        if meta.get("src_uuid") != src_uuid:
+            raise ValueError(f"dataset {dst_uuid!r} is not an agg-sync target of {src_uuid!r}")
+        cursor = int(meta["src_version"])
+
+    meta = {_AGG_SYNC_KEY: {"src_uuid": src_uuid, "src_version": src.version}}
+
+    def _rebuild(mode: str):
+        if DatasetManifest.exists(dst_root, dst_uuid):
+            delete_dataset(dst_root, dst_uuid)
+        out = _first_agg(read_table(spark, src_root, src_uuid))
+        store_dataframe_as_dataset(
+            spark, out, dst_root, dst_uuid, partition_on=partition_on, metadata=meta
+        )
+        n = read_table(spark, dst_root, dst_uuid).count()
+        return {"mode": mode, "src_version": src.version, "groups_rewritten": n}
+
+    if cursor is None:
+        return _rebuild("initial")
+    if cursor == src.version:
+        return {"mode": "noop", "src_version": src.version, "groups_rewritten": 0}
+    _added, removed = diff_versions(src_root, src_uuid, since=cursor)
+    if removed:
+        return _rebuild("refresh")
+
+    delta = _first_agg(read_changes(spark, src_root, src_uuid, since=cursor))
+    scopes = [row.asDict() for row in delta.select(*partition_on).distinct().collect()]
+    if not scopes:
+        update_dataset(spark, None, dst_root, dst_uuid, metadata=meta)
+        return {"mode": "incremental", "src_version": src.version, "groups_rewritten": 0}
+    preds = [[(c, "==", scope[c]) for c in partition_on] for scope in scopes]
+    old = read_table(spark, dst_root, dst_uuid, predicates=preds)
+    merged = _merge_agg(old.unionByName(delta)).localCheckpoint(eager=True)
+    update_dataset(
+        spark, merged, dst_root, dst_uuid, delete_scope=scopes, metadata=meta
+    )
+    return {
+        "mode": "incremental",
+        "src_version": src.version,
+        "groups_rewritten": merged.count(),
+    }

@@ -79,3 +79,100 @@ def test_sync_guards(spark, tmp_root):
     store_dataframe_as_dataset(spark, cust, tmp_root, "not_a_target")
     with pytest.raises(ValueError, match="not a sync target"):
         sync_derived_dataset(spark, tmp_root, "src2", tmp_root, "not_a_target")
+
+
+def test_sync_aggregate_dataset_incremental(spark, tmp_root):
+    """Materialized groupBy view: after two appends the view equals a
+    full recompute, the second sync runs incrementally, and partitions
+    whose groups were untouched keep their exact file labels."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.sync import sync_aggregate_dataset
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    b1 = orders.where(F.col("o_orderkey") % 3 != 0)
+    b2 = orders.where((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderpriority") == "1-URGENT"))
+
+    store_dataframe_as_dataset(spark, b1, tmp_root, "src", keep_history=True)
+    aggs = [
+        ("n_orders", "count", "*"),
+        ("total_price", "sum", "o_totalprice"),
+        ("max_price", "max", "o_totalprice"),
+    ]
+    r1 = sync_aggregate_dataset(
+        spark, tmp_root, "src", tmp_root, "view",
+        group_by=["o_orderpriority", "o_orderstatus"], aggs=aggs,
+    )
+    assert r1["mode"] == "initial"
+    before = set(DatasetManifest.load(tmp_root, "view").partitions)
+
+    update_dataset(spark, b2, tmp_root, "src")
+    r2 = sync_aggregate_dataset(
+        spark, tmp_root, "src", tmp_root, "view",
+        group_by=["o_orderpriority", "o_orderstatus"], aggs=aggs,
+    )
+    assert r2["mode"] == "incremental"
+    after = set(DatasetManifest.load(tmp_root, "view").partitions)
+
+    # untouched priorities keep their exact files; 1-URGENT was rewritten
+    untouched = {p for p in before if "1-URGENT" not in p}
+    assert untouched <= after
+    assert {p for p in before if "1-URGENT" in p}.isdisjoint(after)
+
+    got = read_table(spark, tmp_root, "view")
+    want = (
+        b1.unionByName(b2)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    g = {tuple(r) for r in got.withColumn("total_price", F.round("total_price", 4)).collect()}
+    w = {tuple(r) for r in want.withColumn("total_price", F.round("total_price", 4)).collect()}
+    assert g == w
+
+    r3 = sync_aggregate_dataset(
+        spark, tmp_root, "src", tmp_root, "view",
+        group_by=["o_orderpriority", "o_orderstatus"], aggs=aggs,
+    )
+    assert r3["mode"] == "noop"
+
+
+def test_sync_aggregate_refresh_on_drop(spark, tmp_root):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.sync import sync_aggregate_dataset
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    store_dataframe_as_dataset(
+        spark, orders, tmp_root, "src", partition_on=["o_orderstatus"], keep_history=True
+    )
+    aggs = [("n", "count", "*")]
+    sync_aggregate_dataset(
+        spark, tmp_root, "src", tmp_root, "view", group_by=["o_orderpriority"], aggs=aggs
+    )
+    update_dataset(spark, None, tmp_root, "src", delete_scope=[{"o_orderstatus": "F"}])
+    r = sync_aggregate_dataset(
+        spark, tmp_root, "src", tmp_root, "view", group_by=["o_orderpriority"], aggs=aggs
+    )
+    assert r["mode"] == "refresh"
+    live = read_table(spark, tmp_root, "src")
+    got = {(r.o_orderpriority, r.n) for r in read_table(spark, tmp_root, "view").collect()}
+    want = {
+        (r.o_orderpriority, r.n)
+        for r in live.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
