@@ -297,3 +297,53 @@ def stream_dedup_index(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_aggregate_view(
+    stream_df: DataFrame,
+    root: str,
+    source_uuid: str,
+    view_uuid: str,
+    group_by: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    view_partition_on: Sequence[str] | None = None,
+    source_partition_on: Sequence[str] = (),
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming materialized aggregate: per micro-batch, commit the batch
+    into a history-keeping source dataset, then advance the incremental
+    groupBy view (:func:`~kartothek_spark.dataset.sync.
+    sync_aggregate_dataset` — delta-aggregate the new files, rewrite only
+    the touched view partitions). Unlike a Structured-Streaming stateful
+    aggregation, the running totals live in a QUERYABLE managed dataset
+    (time-travel, predicates, SQL) rather than in opaque operator state,
+    and a restart needs no state store — the cursor in the view manifest
+    is the only state. Returns the StreamingQuery."""
+    from kartothek_spark.dataset.sync import sync_aggregate_dataset
+
+    spark = stream_df.sparkSession
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if DatasetManifest.exists(root, source_uuid):
+            update_dataset(spark, batch_df, root, source_uuid,
+                           metadata={"last_stream_batch": batch_id})
+        else:
+            store_dataframe_as_dataset(
+                spark, batch_df, root, source_uuid, keep_history=True,
+                partition_on=source_partition_on,
+                metadata={"last_stream_batch": batch_id},
+            )
+        sync_aggregate_dataset(
+            spark, root, source_uuid, root, view_uuid,
+            group_by=group_by, aggs=aggs, partition_on=view_partition_on,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

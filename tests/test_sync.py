@@ -176,3 +176,42 @@ def test_sync_aggregate_refresh_on_drop(spark, tmp_root):
         for r in live.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_stream_aggregate_view_matches_batch(spark, tmp_path):
+    """Replay events as a 3-file stream into a materialized per-type
+    view; after the stream drains the view equals the batch groupBy."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.streaming.update import stream_aggregate_view
+    from tests.conftest import SF_DIR
+
+    ev = (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .where(F.col("user_id") < 100)
+        .select("event_type", "user_id", "value")
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    root = str(tmp_path / "store")
+    q = stream_aggregate_view(
+        stream, root, "events_src", "events_view",
+        group_by=["event_type"],
+        aggs=[("n", "count", "*"), ("users_max", "max", "user_id")],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    got = {(r.event_type, r.n, r.users_max)
+           for r in read_table(spark, root, "events_view").collect()}
+    want = {(r.event_type, r.n, r.users_max)
+            for r in ev.groupBy("event_type").agg(
+                F.count("*").alias("n"), F.max("user_id").alias("users_max")).collect()}
+    assert got == want
