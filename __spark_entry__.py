@@ -1545,6 +1545,15 @@ def corpus_pack(spark, sf_dir):
     return pack_corpus(_t(spark, sf_dir, "documents"), budget_tokens=512, shards=8)
 
 
+def corpus_chunk(spark, sf_dir):
+    """Token-budget document chunking with overlap (RAG / long-context
+    prep): sliding 128-token windows, 32-token overlap, zero shuffle —
+    tokenize once, explode precomputed start offsets, slice."""
+    from kartothek_spark.operators.corpus import chunk_corpus
+
+    return chunk_corpus(_t(spark, sf_dir, "documents"), chunk_tokens=128, overlap=32)
+
+
 def corpus_upsample(spark, sf_dir):
     """Epoch-weighted mixture with upsampling: weights > 1 emit repeated
     copies with an epoch index, fractional parts decided per-(doc, copy)
@@ -2041,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_repetition": corpus_repetition,
         "corpus_decontaminate": corpus_decontaminate,
         "corpus_pack": corpus_pack,
+        "corpus_chunk": corpus_chunk,
         "corpus_upsample": corpus_upsample,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2572,6 +2582,7 @@ enr AS (
             n=8,
         ),
         "corpus_pack": _corpus.pack_corpus_sql("documents", budget_tokens=512, shards=8),
+        "corpus_chunk": _corpus.chunk_corpus_sql("documents", chunk_tokens=128, overlap=32),
         "corpus_upsample": _corpus.upsample_corpus_sql(
             "documents", _UPSAMPLE_WEIGHTS, columns="doc_id, source"
         ),

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kartothek_spark.functions.hashing import h60, h60_sql
+from kartothek_spark.functions.hashing import h60, h60_sql, tokens, tokens_sql
 from kartothek_spark.operators.text import quality_features, quality_features_sql
 
 # hash-threshold denominator: rates are quantized to 1e-6, matching the
@@ -342,3 +342,75 @@ def split_corpus_sql(
         hi += q
         cases.append(f"WHEN ({h} % {_DENOM}) < {hi} THEN '{name}'")
     return f"SELECT {columns}, CASE {' '.join(cases)} END AS split FROM {table}"
+
+
+def chunk_corpus(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap — the
+    RAG / long-context preparation step between cleaning and embedding.
+
+    Sliding windows over the whitespace token stream: chunk ``i`` covers
+    tokens ``[i·step, i·step + chunk_tokens)`` with ``step = chunk_tokens
+    − overlap``; the final chunk may be short, and a document shorter
+    than one chunk yields exactly one chunk. Chunk text is whitespace-
+    normalized (single-space joined tokens) — deterministic and
+    reconstruction-stable, which is what makes the exact DuckDB twin
+    possible. Zero shuffle: tokenize → one ``explode`` of the precomputed
+    start offsets → ``slice``; the token array is built once per row
+    (never per chunk).
+
+    Output: ``(doc_id, chunk_id, n_tokens, chunk_text)`` with ``chunk_id``
+    dense from 0 in document order."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    step = chunk_tokens - overlap
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        base.select("doc_id", "__t", F.explode(starts).alias("__s"))
+        .select(
+            "doc_id",
+            (F.col("__s") / step).cast("long").alias("chunk_id"),
+            F.slice(F.col("__t"), F.col("__s") + 1, chunk_tokens).alias("__c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("__c").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "__c").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_corpus_sql(
+    table: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`chunk_corpus` (value-exact)."""
+    step = chunk_tokens - overlap
+    toks = tokens_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS t FROM {table} WHERE {text_col} IS NOT NULL
+), starts AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 1, 0) + 1, {step})) AS s
+  FROM base
+)
+SELECT doc_id, CAST(s // {step} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(t, s + 1, s + {chunk_tokens})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, s + 1, s + {chunk_tokens}), ' ') AS chunk_text
+FROM starts
+"""

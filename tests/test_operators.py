@@ -727,3 +727,39 @@ def test_trim_duplicated_spans_canonical_keeps_text(spark):
     # untouched doc is fully preserved (token-normalized rendering)
     assert out[3].n_removed == 0
     assert out[3].text_trimmed.startswith("totally different text")
+
+
+def test_chunk_corpus_covers_every_token_and_overlaps(spark):
+    """Every token position is covered; consecutive chunks share exactly
+    `overlap` tokens (except the final short chunk); short docs yield one
+    chunk equal to their whole (normalized) text."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.functions.hashing import tokens
+    from kartothek_spark.operators.corpus import chunk_corpus
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(100)
+    chunks = chunk_corpus(docs, chunk_tokens=32, overlap=8).collect()
+    toks = {
+        r.doc_id: r.t
+        for r in docs.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    step = 32 - 8
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        t = toks[doc_id]
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        rebuilt = []
+        for r in rows:
+            ct = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(ct) == r.n_tokens
+            start = r.chunk_id * step
+            assert ct == t[start : start + 32]
+            rebuilt = rebuilt[:start] + ct
+        assert rebuilt == t
