@@ -185,3 +185,80 @@ def test_mutation_sequences_time_travel_matches_model(spark, tmp_path_factory, o
         want_changes = sorted(r for r in live if added_at[r] > v)
         got_changes = sorted(map(tuple, read_changes(spark, root, uuid, since=v).collect()))
         assert got_changes == want_changes, f"since={v}"
+
+
+agg_ops_st = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.sampled_from(KEYS), st.integers(1, 4)),
+        st.tuples(st.just("delete"), st.sampled_from(KEYS), st.just(0)),
+        st.tuples(st.just("sync"), st.just(""), st.just(0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=agg_ops_st)
+def test_materialized_aggregate_matches_recompute(spark, tmp_path_factory, ops):
+    """After ANY mutation sequence (appends, partition drops, interleaved
+    syncs), one final sync must leave the materialized view equal to a
+    full groupBy recompute of the live source — incremental merge,
+    partition-granular rewrite, and drop-refresh all collapse to the same
+    fixpoint."""
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.sync import sync_aggregate_dataset
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    root = str(tmp_path_factory.mktemp("aggmut"))
+    counter = [0]
+
+    def rows(key, n):
+        out = [(counter[0] + i, key, (counter[0] + i) * 7 % 13) for i in range(n)]
+        counter[0] += n
+        return out
+
+    def df_of(data):
+        return spark.createDataFrame(data, "id long, k string, v long")
+
+    store_dataframe_as_dataset(
+        spark, df_of(rows("a", 2)), root, "src",
+        partition_on=["k"], keep_history=True,
+    )
+    aggs = [("n", "count", "*"), ("sum_v", "sum", "v"), ("min_id", "min", "id")]
+
+    def sync():
+        return sync_aggregate_dataset(
+            spark, root, "src", root, "view", group_by=["k"], aggs=aggs
+        )
+
+    sync()
+    for op, key, n in ops:
+        if op == "append":
+            update_dataset(spark, df_of(rows(key, n)), root, "src")
+        elif op == "delete":
+            update_dataset(spark, None, root, "src", delete_scope=[{"k": key}])
+        else:
+            sync()
+    sync()
+
+    live = read_table(spark, root, "src")
+    want = {
+        (r.k, r.n, r.sum_v, r.min_id)
+        for r in live.groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("id").alias("min_id"),
+        ).collect()
+    }
+    got = {
+        (r.k, r.n, r.sum_v, r.min_id)
+        for r in read_table(spark, root, "view").collect()
+    }
+    assert got == want
