@@ -15,6 +15,7 @@ Determinism strategy for float-free hash parity:
 
 from __future__ import annotations
 
+import datetime
 import os
 import sys
 import tempfile
@@ -828,6 +829,34 @@ def ktk_incremental_agg(spark, sf_dir):
         F.col("max_cents").cast("long").alias("max_cents"),
         F.lit(r2["mode"] == "incremental" and r3["mode"] == "incremental").alias("incremental"),
     )
+
+
+def ktk_hidden_partitioning(spark, sf_dir):
+    """Hidden (Iceberg-style) partition transforms (core/transforms.py):
+    events partition on day(ts) — a column the writer derives, the reader
+    never sees, and a predicate on RAW ts prunes (the planner widens the
+    ts literal through the monotone day transform). The `pruned` flag
+    pins that fewer day partitions than exist were planned; values must
+    equal a plain SQL filter on ts."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    ev = _t(spark, sf_dir, "events")
+    store_dataframe_as_dataset(
+        spark, ev, root, "ev", partition_transforms=[("d", "day", "ts")]
+    )
+    m = DatasetManifest.load(root, "ev")
+    cut = datetime.datetime(2024, 1, 8)
+    preds = [[("ts", "<", cut)]]
+    labels = dispatch_labels(spark, m, preds)
+    got = read_table(spark, root, "ev", predicates=preds)
+    return got.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("value_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    ).withColumn("pruned", F.lit(0 < len(labels) < len(m.partitions)))
 
 
 def ktk_attach_external(spark, sf_dir):
@@ -2011,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_zorder_pruned": ktk_zorder_pruned,
         "ktk_incremental_sync": ktk_incremental_sync,
         "ktk_incremental_agg": ktk_incremental_agg,
+        "ktk_hidden_partitioning": ktk_hidden_partitioning,
         "ktk_jsonl_roundtrip": ktk_jsonl_roundtrip,
         "ktk_convert_ingest": ktk_convert_ingest,
         "ktk_delete_rows": ktk_delete_rows,
@@ -2360,6 +2390,14 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
        CAST(1 AS BOOLEAN) AS incremental
 FROM customer WHERE c_acctbal > 0.0 GROUP BY c_mktsegment
+""",
+        "ktk_hidden_partitioning": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(1 AS BOOLEAN) AS pruned
+FROM events WHERE ts < TIMESTAMP '2024-01-08'
+GROUP BY event_type
 """,
         "ktk_incremental_agg": f"""
 SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,

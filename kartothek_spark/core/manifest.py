@@ -132,6 +132,11 @@ class DatasetManifest:
     # (reader-side row-group skipping for point lookups; recorded so the
     # update path keeps writing them for new files)
     bloom_columns: list[str] = field(default_factory=list)
+    # hidden (Iceberg-style) partition transforms:
+    # {partition_col: {"fn": "day"|"month"|"year"|"truncate:<w>", "src": col}}
+    # — writers derive these columns, readers hide them, and the planner
+    # widens raw-column predicates to partition level (core/transforms.py)
+    partition_transforms: dict[str, dict[str, str]] = field(default_factory=dict)
     # True once this in-memory state corresponds to a committed manifest —
     # the next commit() then advances the version (never serialized)
     _persisted: bool = field(default=False, repr=False, compare=False)
@@ -225,6 +230,11 @@ class DatasetManifest:
             ),
             **({"stats_columns": self.stats_columns} if self.stats_columns else {}),
             **({"bloom_columns": self.bloom_columns} if self.bloom_columns else {}),
+            **(
+                {"partition_transforms": self.partition_transforms}
+                if self.partition_transforms
+                else {}
+            ),
             **({"external_root": self.external_root} if self.external_root else {}),
         }
 
@@ -244,6 +254,7 @@ class DatasetManifest:
             num_buckets=d.get("num_buckets"),
             stats_columns=list(d.get("stats_columns", [])),
             bloom_columns=list(d.get("bloom_columns", [])),
+            partition_transforms=dict(d.get("partition_transforms", {})),
             external_root=d.get("external_root"),
             committed_at=d.get("committed_at"),
             version=int(d.get("version", 1)),

@@ -58,7 +58,15 @@ def dispatch_labels(
 
     surviving: set[str] = set()
     for conj in predicates:
-        labels = set(manifest.query([list(conj)]))
+        conj = list(conj)
+        if manifest.partition_transforms:
+            # hidden partitioning: widen raw-column literals to the
+            # derived partition level (sound: monotone transforms,
+            # additive literals — pruning stays a superset of the filter)
+            from kartothek_spark.core.transforms import widen_conjunction
+
+            conj = conj + widen_conjunction(conj, manifest.partition_transforms)
+        labels = set(manifest.query([conj]))
         if not labels:
             continue
         # group this conjunction's literals by indexed column. A literal
@@ -219,6 +227,11 @@ def empty_dataframe(spark: SparkSession, manifest: DatasetManifest, columns: Seq
     if columns is not None:
         by_name = {f.name: f for f in schema.fields}
         schema = T.StructType([by_name[c] for c in columns])
+    elif manifest.partition_transforms:
+        # match read_table's default projection: hidden derived columns out
+        schema = T.StructType(
+            [f for f in schema.fields if f.name not in manifest.partition_transforms]
+        )
     return spark.createDataFrame([], schema)
 
 
@@ -334,7 +347,16 @@ def read_table(
     # inference, e.g. IntegerType — cast to the normalized schema) and the
     # reference's column order guarantee
     by_name = {f.name: f.dataType for f in manifest.schema.fields}
-    out_cols = list(columns) if columns is not None else [f.name for f in manifest.schema.fields]
+    if columns is not None:
+        out_cols = list(columns)
+    else:
+        # hidden partitioning: derived partition columns stay invisible by
+        # default (they're storage layout, not data) — ask via columns=
+        out_cols = [
+            f.name
+            for f in manifest.schema.fields
+            if f.name not in manifest.partition_transforms
+        ]
     df = df.select(*[F.col(c).cast(by_name[c]).alias(c) for c in out_cols])
 
     if dispatch_by:
@@ -456,7 +478,13 @@ def read_changes(
         return empty_dataframe(spark, new, columns)
     df = _scan_files(spark, new, new.files(added))
     by_name = {f.name: f.dataType for f in new.schema.fields}
-    out_cols = list(columns) if columns is not None else [f.name for f in new.schema.fields]
+    if columns is not None:
+        out_cols = list(columns)
+    else:
+        out_cols = [
+            f.name for f in new.schema.fields
+            if f.name not in new.partition_transforms
+        ]
     return df.select(*[F.col(c).cast(by_name[c]).alias(c) for c in out_cols])
 
 

@@ -281,8 +281,19 @@ def store_dataframe_as_dataset(
     keep_history: bool = False,
     bloom_filter_columns: Sequence[str] = (),
     bloom_ndv: int = 100_000,
+    partition_transforms: Sequence[tuple[str, str, str]] = (),
 ) -> DatasetManifest:
     """Write a DataFrame as a new dataset (reference S13/S14/S16).
+
+    ``partition_transforms`` enables HIDDEN partitioning (Iceberg-style,
+    beyond the reference — see ``core/transforms.py``): each
+    ``(name, fn, src_col)`` derives a partition column ``name =
+    fn(src_col)`` (``fn`` ∈ day/month/year/truncate:<w>) that writers
+    compute automatically, the default read projection hides, and
+    predicates on the RAW source column prune (the planner widens raw
+    literals through the monotone transform). The derived names are
+    appended after ``partition_on``. Transform sources must be non-null
+    (the same null-partition-key rule as ``partition_on``).
     ``table_format="csv"`` selects the CSV serializer (reference S3) —
     no pushdown, no secondary indices, schema restored from the manifest.
     ``table_format="jsonl"`` writes newline-delimited JSON (the standard
@@ -345,6 +356,21 @@ def store_dataframe_as_dataset(
         if bad:
             raise ValueError(f"stats columns not in schema: {bad}")
 
+    transforms: dict[str, dict[str, str]] = {}
+    if partition_transforms:
+        from kartothek_spark.core.transforms import apply_transforms, check_transform
+
+        known = {f.name for f in df.schema.fields}
+        for name, fn, src in partition_transforms:
+            check_transform(fn)
+            if src not in known:
+                raise ValueError(f"transform source column {src!r} not in schema")
+            if name in known or name in transforms:
+                raise ValueError(f"derived partition column {name!r} collides with an existing column")
+            transforms[name] = {"fn": fn, "src": src}
+        df = apply_transforms(df, transforms)
+        partition_on = list(partition_on) + [n for n in transforms if n not in partition_on]
+
     df = normalize_dataframe(df)
 
     manifest = DatasetManifest(
@@ -360,6 +386,7 @@ def store_dataframe_as_dataset(
         stats_columns=list(stats_columns),
         keep_history=keep_history,
         bloom_columns=list(bloom_filter_columns),
+        partition_transforms=transforms,
     )
     _write_files(
         df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets,
@@ -491,6 +518,10 @@ def update_dataset(
     # concurrent commits cannot change what this write depends on.
     new_entries: dict[str, dict[str, Any]] = {}
     if df is not None:
+        if manifest.partition_transforms:
+            from kartothek_spark.core.transforms import apply_transforms
+
+            df = apply_transforms(df, manifest.partition_transforms)
         df = normalize_dataframe(df)
         if schema_evolution:
             missing_keys = [
