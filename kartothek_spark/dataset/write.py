@@ -905,6 +905,7 @@ def copy_dataset(
         stats_columns=list(src.stats_columns),
         keep_history=src.keep_history,
         bloom_columns=list(src.bloom_columns),
+        partition_transforms=dict(src.partition_transforms),
     )
     file_pairs: list[tuple[str, str]] = []
     for label, entry in src.partitions.items():

@@ -107,3 +107,24 @@ def test_unknown_transform_rejected(spark, tmp_root):
         store_dataframe_as_dataset(
             spark, ev, tmp_root, "ev", partition_transforms=[("d", "week", "ts")]
         )
+
+
+def test_compact_and_copy_preserve_transforms(spark, tmp_root):
+    ev = _events(spark)
+    store_dataframe_as_dataset(
+        spark, ev, tmp_root, "ev", partition_transforms=[("d", "day", "ts")]
+    )
+    from kartothek_spark.dataset.write import compact_dataset, copy_dataset
+
+    compact_dataset(spark, tmp_root, "ev")
+    assert DatasetManifest.load(tmp_root, "ev").partition_transforms == {
+        "d": {"fn": "day", "src": "ts"}
+    }
+    copy_dataset(tmp_root, "ev", tmp_root + "/copy", spark=spark)
+    m2 = DatasetManifest.load(tmp_root + "/copy", "ev")
+    assert m2.partition_transforms == {"d": {"fn": "day", "src": "ts"}}
+    lo = ev.agg(F.min("ts")).first()[0]
+    labels = dispatch_labels(
+        spark, m2, [[("ts", "<", lo + datetime.timedelta(hours=30))]]
+    )
+    assert 0 < len(labels) < len(m2.partitions)
