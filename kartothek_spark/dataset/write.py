@@ -945,6 +945,7 @@ __all__ = [
     "copy_dataset",
     "create_empty_dataset_header",
     "expire_snapshots",
+    "expire_partitions",
     "write_single_partition",
     "delete_dataset",
     "garbage_collect_dataset",
@@ -952,3 +953,38 @@ __all__ = [
     "store_dataframe_as_dataset",
     "update_dataset",
 ]
+
+
+def expire_partitions(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    predicates,
+) -> list[str]:
+    """Retention: atomically drop every partition matching a DNF over the
+    PARTITION KEYS (e.g. ``[[("d", "<", date(2024, 1, 1))]]`` on a
+    day-partitioned — or hidden day-TRANSFORM-partitioned — dataset drops
+    all expired days). Purely a manifest operation plus one commit: no
+    data is read or rewritten, dropped files become GC-able orphans, and
+    with ``keep_history`` the pre-expiry snapshot stays time-travelable
+    until ``expire_snapshots``. Predicates touching non-partition columns
+    are rejected — row-level deletion is :func:`kartothek_spark.dataset.
+    dml.delete_rows`' job, not retention's. Returns the dropped labels."""
+    from kartothek_spark.core.predicates import check_predicates
+
+    check_predicates(predicates)
+    manifest = DatasetManifest.load(root, dataset_uuid)
+    pk = set(manifest.partition_keys)
+    bad = {c for conj in predicates for c, _op, _v in conj if c not in pk}
+    if bad:
+        raise ValueError(
+            f"expire_partitions predicates must reference partition keys only; "
+            f"got non-partition columns {sorted(bad)} (use dml.delete_rows for "
+            f"row-level deletes)"
+        )
+    labels = manifest.query(predicates)
+    if not labels:
+        return []
+    scopes = [manifest.partition_values(label) for label in labels]
+    update_dataset(spark, None, root, dataset_uuid, delete_scope=scopes)
+    return sorted(labels)

@@ -128,3 +128,27 @@ def test_compact_and_copy_preserve_transforms(spark, tmp_root):
         spark, m2, [[("ts", "<", lo + datetime.timedelta(hours=30))]]
     )
     assert 0 < len(labels) < len(m2.partitions)
+
+
+def test_expire_partitions_retention(spark, tmp_root):
+    """Retention drop of old day partitions by predicate on the hidden
+    derived column — metadata-only, values equal the complementary
+    filter."""
+    from kartothek_spark.dataset.write import expire_partitions
+
+    ev = _events(spark)
+    store_dataframe_as_dataset(
+        spark, ev, tmp_root, "ev", partition_transforms=[("d", "day", "ts")]
+    )
+    lo = ev.agg(F.min("ts")).first()[0]
+    cutoff = (lo + datetime.timedelta(days=2)).date()
+    dropped = expire_partitions(spark, tmp_root, "ev", [[("d", "<", cutoff)]])
+    assert dropped
+    got = read_table(spark, tmp_root, "ev")
+    want = ev.where(F.to_date("ts") >= F.lit(cutoff))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # content-column predicates are rejected
+    with pytest.raises(ValueError, match="partition keys only"):
+        expire_partitions(spark, tmp_root, "ev", [[("value", ">", 1.0)]])
