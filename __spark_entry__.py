@@ -859,6 +859,28 @@ def ktk_hidden_partitioning(spark, sf_dir):
     ).withColumn("pruned", F.lit(0 < len(labels) < len(m.partitions)))
 
 
+def ktk_retention(spark, sf_dir):
+    """Predicate-based partition retention (expire_partitions): drop all
+    hidden-day partitions before 2024-01-10 in one metadata-only commit;
+    surviving content must equal the complementary SQL filter (whole-day
+    granularity makes the oracle a plain ts >= day-start predicate)."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import expire_partitions, store_dataframe_as_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    ev = _t(spark, sf_dir, "events")
+    store_dataframe_as_dataset(
+        spark, ev, root, "ev", partition_transforms=[("d", "day", "ts")]
+    )
+    dropped = expire_partitions(
+        spark, root, "ev", [[("d", "<", datetime.date(2024, 1, 10))]]
+    )
+    return read_table(spark, root, "ev").groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    ).withColumn("dropped_days", F.lit(len(dropped)).cast("long"))
+
+
 def ktk_attach_external(spark, sf_dir):
     """Zero-copy ATTACH (beyond the reference): a plain
     spark.write.partitionBy directory becomes a managed dataset with no
@@ -2041,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_incremental_sync": ktk_incremental_sync,
         "ktk_incremental_agg": ktk_incremental_agg,
         "ktk_hidden_partitioning": ktk_hidden_partitioning,
+        "ktk_retention": ktk_retention,
         "ktk_jsonl_roundtrip": ktk_jsonl_roundtrip,
         "ktk_convert_ingest": ktk_convert_ingest,
         "ktk_delete_rows": ktk_delete_rows,
@@ -2390,6 +2413,13 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
        CAST(1 AS BOOLEAN) AS incremental
 FROM customer WHERE c_acctbal > 0.0 GROUP BY c_mktsegment
+""",
+        "ktk_retention": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(9 AS BIGINT) AS dropped_days
+FROM events WHERE ts >= TIMESTAMP '2024-01-10'
+GROUP BY event_type
 """,
         "ktk_hidden_partitioning": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
