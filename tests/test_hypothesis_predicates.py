@@ -256,3 +256,92 @@ def test_string_date_literals_match_typed_oracle(spark, datepart_dataset, predic
     got = read_table(spark, root, "dated", predicates=rendered, columns=["id"])
     # oracle evaluates the TYPED form — string rendering must not change results
     assert sorted(r.id for r in got.collect()) == _oracle(rows, predicates)
+
+
+# ---------------------------------------------------------------------------
+# hidden (transform) partitioning: random ts predicates vs the same oracle
+# ---------------------------------------------------------------------------
+
+_TS_DOMAIN = [
+    dt.datetime(2024, 1, 1, 0, 0, 0),
+    dt.datetime(2024, 1, 1, 12, 0, 0),
+    dt.datetime(2024, 1, 2, 6, 30, 0),
+    dt.datetime(2024, 1, 3, 23, 59, 59),
+    dt.datetime(2024, 1, 5, 0, 0, 1),
+    dt.datetime(2024, 2, 1, 8, 0, 0),
+]
+
+
+def _hidden_rows():
+    rng = random.Random(7)
+    return [
+        {"id": k, "ts": rng.choice(_TS_DOMAIN[:-1]), "v": rng.randint(0, 9)}
+        for k in range(120)
+    ]
+
+
+@pytest.fixture(scope="module")
+def hidden_day_dataset(spark, tmp_path_factory):
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = str(tmp_path_factory.mktemp("hypday") / "store")
+    os.makedirs(root, exist_ok=True)
+    df = spark.createDataFrame(_hidden_rows(), "id long, ts timestamp, v long")
+    store_dataframe_as_dataset(
+        spark, df, root, "hday", partition_transforms=[("d", "day", "ts")]
+    )
+    return root, _hidden_rows()
+
+
+ts_lit_st = st.tuples(
+    st.just("ts"),
+    st.sampled_from(["==", "!=", "<", "<=", ">", ">=", "in"]),
+    st.sampled_from(_TS_DOMAIN),
+).map(lambda t: (t[0], t[1], [t[2]] if t[1] == "in" else t[2]))
+
+v_lit_st = st.tuples(
+    st.just("v"), st.sampled_from(["==", "<", ">="]), st.integers(0, 9)
+)
+
+hidden_preds_st = st.lists(
+    st.lists(st.one_of(ts_lit_st, v_lit_st), min_size=1, max_size=2),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(predicates=hidden_preds_st)
+def test_hidden_partition_read_matches_oracle(spark, hidden_day_dataset, predicates):
+    """Random raw-ts predicates over a hidden day-partitioned dataset:
+    transform widening must never change results (values == oracle) —
+    only pruning."""
+    from kartothek_spark.dataset.read import read_table
+
+    root, rows = hidden_day_dataset
+    got = read_table(spark, root, "hday", predicates=predicates, columns=["id"])
+    assert sorted(r.id for r in got.collect()) == _oracle(rows, predicates)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(predicates=hidden_preds_st)
+def test_hidden_partition_pruning_is_superset(spark, hidden_day_dataset, predicates):
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+
+    root, rows = hidden_day_dataset
+    m = DatasetManifest.load(root, "hday")
+    labels = set(dispatch_labels(spark, m, predicates))
+    matching = set(_oracle(rows, predicates))
+    by_id = {r["id"]: r["ts"].date() for r in rows}
+    needed_days = {by_id[i] for i in matching}
+    kept_days = {m.partition_values(lbl)["d"] for lbl in labels}
+    assert needed_days <= kept_days
