@@ -65,8 +65,11 @@ HEADLINE = [
     "corpus_pipeline",       # composed quality→dedup→scrub→rollup plan
     "dedup_span_trim",       # span-level dedup: signal + removal
     "events_attribution",    # keyed interval join (stream-stream shape)
-    # round 2 (cont.): incremental dedup + product quantization
-    "dedup_incremental",     # MinHash signature index, two-commit sync
+    # round 2 (cont.): product quantization. (dedup_incremental is gate-
+    # checked for correctness but not benched: it is a 6-commit lifecycle
+    # op — two corpus stores + two index syncs — whose wall time is commit
+    # overhead, not operator throughput; the per-batch operator cost it
+    # shares with dedup_minhash_lsh is already measured there)
     "ann_ivfpq_recall",      # IVF-PQ train+encode+ADC+re-rank vs brute force
 ]
 

@@ -28,7 +28,7 @@ from kartothek_spark.dataset.read import (
     read_dataset_files,
     read_table,
 )
-from kartothek_spark.dataset.sync import sync_derived_dataset
+from kartothek_spark.dataset.sync import sync_aggregate_dataset, sync_derived_dataset
 from kartothek_spark.dataset.write import (
     attach_dataset,
     commit_dataset,
@@ -36,6 +36,7 @@ from kartothek_spark.dataset.write import (
     convert_dataset,
     copy_dataset,
     delete_dataset,
+    expire_partitions,
     expire_snapshots,
     garbage_collect_dataset,
     store_dataframe_as_dataset,
@@ -76,6 +77,7 @@ __all__ = [
     "delete_dataset",
     "delete_rows",
     "diff_versions",
+    "expire_partitions",
     "expire_snapshots",
     "garbage_collect_dataset",
     "predicates_to_column",
@@ -83,6 +85,7 @@ __all__ = [
     "read_dataset_files",
     "read_table",
     "store_dataframe_as_dataset",
+    "sync_aggregate_dataset",
     "sync_derived_dataset",
     "update_dataset",
     "upsert_dataset",

@@ -236,28 +236,35 @@ def sync_minhash_index(
             F.greatest(F.col("l.__ck"), F.col("r.__ck")).alias("ck_b"),
         )
         .distinct()
+        # three consumers (candidate-ck list, missing-rep list, verify
+        # join) — cut the banding join's lineage so it runs once
+        .localCheckpoint(eager=True)
     )
 
     # ---- exact-Jaccard verification on candidate representatives only ----
     # representative = min doc id per ck; its shingle array is re-derived
     # from the corpus via a candidate-pruned semi-join scan (new-ck reps
     # short-circuit through new_reps, no corpus read for them)
-    all_reps = all_members.groupBy("__ck").agg(F.min("__id").alias("__rid"))
-    cand_cks = cand.select(F.col("ck_a").alias("__ck")).unionByName(
-        cand.select(F.col("ck_b").alias("__ck"))
-    ).distinct()
-    need = all_reps.join(cand_cks, "__ck")
-    have_new = need.join(
-        new_reps.select("__ck", "__sh"), "__ck", "inner"
-    ).select("__ck", "__sh")
-    missing_ids = need.join(new_reps.select("__ck"), "__ck", "left_anti").select(
-        F.col("__rid").alias(id_col)
-    )
-    corpus_live = read_table(spark, corpus_root, corpus_uuid)
-    refetched = _shingled(
-        corpus_live.join(missing_ids, id_col, "left_semi"), text_col, id_col
-    ).select("__ck", "__sh")
-    shingle_sets = have_new.unionByName(refetched)
+    if cursor is None:
+        # initial build: every candidate rep is new — no corpus refetch
+        shingle_sets = new_reps.select("__ck", "__sh")
+    else:
+        all_reps = all_members.groupBy("__ck").agg(F.min("__id").alias("__rid"))
+        cand_cks = cand.select(F.col("ck_a").alias("__ck")).unionByName(
+            cand.select(F.col("ck_b").alias("__ck"))
+        ).distinct()
+        need = all_reps.join(cand_cks, "__ck")
+        have_new = need.join(
+            new_reps.select("__ck", "__sh"), "__ck", "inner"
+        ).select("__ck", "__sh")
+        missing_ids = need.join(new_reps.select("__ck"), "__ck", "left_anti").select(
+            F.col("__rid").alias(id_col)
+        )
+        corpus_live = read_table(spark, corpus_root, corpus_uuid)
+        refetched = _shingled(
+            corpus_live.join(missing_ids, id_col, "left_semi"), text_col, id_col
+        ).select("__ck", "__sh")
+        shingle_sets = have_new.unionByName(refetched)
 
     sa = shingle_sets.select(F.col("__ck").alias("ck_a"), F.col("__sh").alias("sh_a"))
     sb = shingle_sets.select(F.col("__ck").alias("ck_b"), F.col("__sh").alias("sh_b"))
@@ -274,6 +281,10 @@ def sync_minhash_index(
         )
         .where(F.col("jaccard") >= threshold)
         .select("ck_a", "ck_b", "jaccard")
+        # materialize once: the banding join + corpus candidate re-read +
+        # verify chain above feeds BOTH the returned pairs and the ckpairs
+        # dataset commit — without the cut it would run twice more
+        .localCheckpoint(eager=True)
     )
 
     # ---- expand key-level pairs to member pairs (new side required) ----
@@ -330,9 +341,11 @@ def sync_minhash_index(
     pairs = cross.unionByName(intra).distinct().localCheckpoint(eager=True)
 
     # ---- commit: per-doc rows + key pairs + cursor, pairs already safe ----
+    # materialized once: the signature aggregation (one md5 per shingle)
+    # otherwise re-runs for the row count AND again for the write
     new_rows = new_members.join(new_sigs, "__ck").select(
         F.col("__id").alias("doc_id"), F.col("__ck").alias("ck"), "sig"
-    )
+    ).localCheckpoint(eager=True)
     if cursor is None:
         store_dataframe_as_dataset(
             spark, new_rows, index_root, index_uuid, metadata=meta
