@@ -185,6 +185,7 @@ def _write_files(
     zorder_by: Sequence[str] | None = None,
     bloom_filter_columns: Sequence[str] | None = None,
     bloom_ndv: int = 100_000,
+    max_rows_per_file: int | None = None,
 ) -> None:
     out = _guard_null_partition_keys(df, partition_on)
     part_cols = list(partition_on)
@@ -231,6 +232,12 @@ def _write_files(
             # row-group stat locality for later min/max skipping
             out = out.sortWithinPartitions(*sort_partitions_by)
     writer = out.write.mode("append")
+    if max_rows_per_file:
+        # the reference's ParquetSerializer(chunk_size=...) knob
+        # (_parquet.py:100-105: pre-sorted 50k-200k-row row groups): cap
+        # rows per output file so row-group stat locality and scan split
+        # granularity stay controllable independent of task sizing
+        writer = writer.option("maxRecordsPerFile", str(max_rows_per_file))
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     for c in bloom_filter_columns or ():
@@ -282,6 +289,7 @@ def store_dataframe_as_dataset(
     bloom_filter_columns: Sequence[str] = (),
     bloom_ndv: int = 100_000,
     partition_transforms: Sequence[tuple[str, str, str]] = (),
+    max_rows_per_file: int | None = None,
 ) -> DatasetManifest:
     """Write a DataFrame as a new dataset (reference S13/S14/S16).
 
@@ -392,7 +400,7 @@ def store_dataframe_as_dataset(
         df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets,
         table_format=table_format, range_partition_by=range_partition_by,
         zorder_by=zorder_by, bloom_filter_columns=bloom_filter_columns,
-        bloom_ndv=bloom_ndv,
+        bloom_ndv=bloom_ndv, max_rows_per_file=max_rows_per_file,
     )
 
     suffix = format_suffix(table_format)

@@ -435,3 +435,24 @@ def test_copy_carries_stats(spark, tmp_root):
     assert all("stats" in e for e in m2.partitions.values())
     got = read_table(spark, tmp_root, "s2", predicates=[[("s_suppkey", "==", 3)]])
     assert got.count() == sup.where("s_suppkey = 3").count()
+
+
+def test_max_rows_per_file_chunking(spark, tmp_root):
+    """Reference ParquetSerializer(chunk_size=...) parity: cap rows per
+    payload file; content is unchanged, file count grows."""
+    import os
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from tests.conftest import SF_DIR
+
+    nat = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    store_dataframe_as_dataset(spark, nat, tmp_root, "n1")
+    store_dataframe_as_dataset(spark, nat, tmp_root, "n2", max_rows_per_file=5)
+    m1 = DatasetManifest.load(tmp_root, "n1")
+    m2 = DatasetManifest.load(tmp_root, "n2")
+    assert len(m2.partitions) > len(m1.partitions)
+    a = read_table(spark, tmp_root, "n2")
+    assert a.count() == nat.count()
+    assert a.exceptAll(nat).count() == 0
