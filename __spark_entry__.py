@@ -1605,6 +1605,32 @@ def corpus_chunk(spark, sf_dir):
     return chunk_corpus(_t(spark, sf_dir, "documents"), chunk_tokens=128, overlap=32)
 
 
+def corpus_bpe(spark, sf_dir):
+    """BPE tokenizer training + corpus encode (operators/bpe.py): one
+    distributed word-count job, bounded driver-side indexed merge loop
+    (deterministic ties), mapInPandas encode with per-batch word cache.
+    The merge loop is iterative/stateful — NOT SQL-expressible, so this
+    entry is rows-only by design; `tests/test_bpe.py` proves training and
+    encoding against an independent naive-BPE oracle, and the
+    `corpus_bpe_zero` entry gives the encode plumbing a full value
+    oracle."""
+    from kartothek_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(spark, docs, num_merges=200)
+    return bpe_encode(docs, merges)
+
+
+def corpus_bpe_zero(spark, sf_dir):
+    """bpe_encode with an EMPTY merge table has closed-form semantics
+    (every word encodes to its chars + the end-of-word sentinel; no
+    character is 'known') — a full SQL value oracle for the distributed
+    encode path and its tokenizer parity."""
+    from kartothek_spark.operators.bpe import bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"), [])
+
+
 def corpus_upsample(spark, sf_dir):
     """Epoch-weighted mixture with upsampling: weights > 1 emit repeated
     copies with an epoch index, fractional parts decided per-(doc, copy)
@@ -2104,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": corpus_decontaminate,
         "corpus_pack": corpus_pack,
         "corpus_chunk": corpus_chunk,
+        "corpus_bpe": corpus_bpe,
+        "corpus_bpe_zero": corpus_bpe_zero,
         "corpus_upsample": corpus_upsample,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2651,6 +2679,17 @@ enr AS (
         ),
         "corpus_pack": _corpus.pack_corpus_sql("documents", budget_tokens=512, shards=8),
         "corpus_chunk": _corpus.chunk_corpus_sql("documents", chunk_tokens=128, overlap=32),
+        "corpus_bpe_zero": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+)
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(w) + list_aggregate(list_prepend(0, list_transform(w, x -> length(x))), 'sum') AS BIGINT) AS n_tokens,
+       CAST(list_aggregate(list_prepend(0, list_transform(w, x -> length(x))), 'sum') AS BIGINT) AS n_unk_chars
+FROM toks
+""",
         "corpus_upsample": _corpus.upsample_corpus_sql(
             "documents", _UPSAMPLE_WEIGHTS, columns="doc_id, source"
         ),
