@@ -23,10 +23,12 @@ HEADLINE = [
     # round 2: full adapted-TPC-H suite (kartothek_spark/queries/tpch.py);
     # the headline total grows vs round 1 because the query set grew —
     # compare per-query times, not the total
+    "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
+    "q11_important_stock",
     "q13_order_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
@@ -34,6 +36,7 @@ HEADLINE = [
     "q17_small_qty_revenue",
     "q18_large_volume",
     "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
     "q21_late_suppliers",
     "q22_dormant_customers",
     "ktk_read_pruned",

@@ -618,11 +618,187 @@ GROUP BY n_name
 """
 
 
+
+# ---------------------------------------------------------------------------
+# derived partsupp: the testdata ships no partsupp table, so q2/q11/q20
+# run over a DETERMINISTIC derivation from lineitem that both engines
+# compute identically — ps_availqty = Σ qty per (part, supplier),
+# ps_supplycost_cents = min line price in cents. The PLAN SHAPES are the
+# canonical TPC-H ones; only the data source is adapted (q12 alone stays
+# impossible: no shipmode/commit/receipt columns at all).
+# ---------------------------------------------------------------------------
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.sum(_qty()).alias("ps_availqty"),
+        F.min(_cents("l_extendedprice")).alias("ps_supplycost_cents"),
+    )
+
+
+_PARTSUPP_SQL = f"""
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         sum({_QTY_SQL}) AS ps_availqty,
+         min({_cents_sql('l_extendedprice')}) AS ps_supplycost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per qualifying part in a region. Plan shape:
+    correlated scalar-min subquery realized as a per-part window minimum
+    over the region-restricted partsupp join (no re-scan, one shuffle on
+    ps_partkey)."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part").where(
+F.col("p_size").isin(5, 15, 25, 35, 45) & (F.col("p_type") == "LARGE")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    ps = _partsupp(spark, sf_dir)
+
+    joined = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left_semi")
+        .join(part, ps.ps_partkey == part.p_partkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        joined.withColumn("__min_cost", F.min("ps_supplycost_cents").over(w))
+        .where(F.col("ps_supplycost_cents") == F.col("__min_cost"))
+        .select(
+            _cents("s_acctbal").alias("s_acctbal_cents"),
+            "s_name", "n_name", "p_partkey", "p_brand",
+        )
+        .orderBy(
+            F.desc("s_acctbal_cents"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+eligible AS (
+  SELECT ps.*, s.s_acctbal, s.s_name, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+)
+SELECT {_cents_sql('e.s_acctbal')} AS s_acctbal_cents, e.s_name, e.n_name,
+       p.p_partkey, p.p_brand
+FROM eligible e JOIN part p ON e.ps_partkey = p.p_partkey
+WHERE p.p_size IN (5, 15, 25, 35, 45) AND p.p_type = 'LARGE'
+  AND e.ps_supplycost_cents = (
+    SELECT min(e2.ps_supplycost_cents) FROM eligible e2
+    WHERE e2.ps_partkey = e.ps_partkey
+  )
+ORDER BY s_acctbal_cents DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose stock value within one nation exceeds a fraction of
+    that nation's total. Plan shape: two-level aggregation with a
+    broadcast scalar (group HAVING vs global sum)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    ps = _partsupp(spark, sf_dir)
+    base = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
+        .select("ps_partkey", (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("__v"))
+    )
+    per_part = base.groupBy("ps_partkey").agg(F.sum("__v").alias("stock_value_cents"))
+    total = base.agg((F.sum("__v") / 10000).alias("__cut"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("stock_value_cents").cast("double") > F.col("__cut"))
+        .select("ps_partkey", "stock_value_cents")
+        .orderBy(F.desc("stock_value_cents"), F.asc("ps_partkey"))
+    )
+
+
+Q11_SQL = f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+base AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost_cents * ps.ps_availqty AS v
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+)
+SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS stock_value_cents
+FROM base GROUP BY ps_partkey
+HAVING CAST(sum(v) AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) / 10000 FROM base)
+ORDER BY stock_value_cents DESC, ps_partkey
+"""
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers holding excess stock of 'small *' parts. Plan shape: a
+    semi-join CHAIN — lineitem-year aggregate → partsupp threshold filter
+    → supplier semi-join → nation filter."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.sum(_qty()).alias("__shipped"))
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    ps = _partsupp(spark, sf_dir)
+    heavy = (
+        ps.join(part, ps.ps_partkey == part.p_partkey, "left_semi")
+        .join(shipped, ["ps_partkey", "ps_suppkey"], "inner")
+        .where(F.col("ps_availqty") * 2 > F.col("__shipped"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.ps_suppkey, "left_semi")
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+shipped AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, sum({_QTY_SQL}) AS sh
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_name, s.s_suppkey
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_9'
+WHERE s.s_suppkey IN (
+  SELECT ps.ps_suppkey FROM partsupp ps
+  JOIN shipped sh ON ps.ps_partkey = sh.ps_partkey AND ps.ps_suppkey = sh.ps_suppkey
+  WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND ps.ps_availqty * 2 > sh.sh
+)
+ORDER BY s.s_name, s.s_suppkey
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_effect": q14_promo_effect,
     "q15_top_supplier": q15_top_supplier,
@@ -630,15 +806,18 @@ QUERIES = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_large_volume": q18_large_volume,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
     "q21_late_suppliers": q21_late_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,
+    "q11_important_stock": Q11_SQL,
     "q13_order_distribution": Q13_SQL,
     "q14_promo_effect": Q14_SQL,
     "q15_top_supplier": Q15_SQL,
@@ -646,6 +825,7 @@ ORACLES = {
     "q17_small_qty_revenue": Q17_SQL,
     "q18_large_volume": Q18_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
+    "q20_excess_stock_suppliers": Q20_SQL,
     "q21_late_suppliers": Q21_SQL,
     "q22_dormant_customers": Q22_SQL,
 }
