@@ -285,3 +285,27 @@ def test_ivfpq_no_cartesian_and_broadcast_rerank(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan  # encode + ADC score both stream
     assert "BroadcastHashJoin" in plan  # query side of the re-rank
+
+
+def test_hidden_partition_read_keeps_pushdown(spark, tmp_root):
+    """Transform widening happens at the manifest level only — the raw
+    predicates must still reach the parquet scan as PushedFilters."""
+    import datetime
+    import re
+
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    store_dataframe_as_dataset(
+        spark, ev, tmp_root, "ev", partition_transforms=[("d", "day", "ts")]
+    )
+    df = read_table(
+        spark, tmp_root, "ev",
+        predicates=[[("ts", "<", datetime.datetime(2024, 1, 5)), ("value", ">", 0.5)]],
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", _plan(df))
+    assert m, "no PushedFilters in plan"
+    assert "ts" in m.group(1) and "value" in m.group(1)
