@@ -53,6 +53,18 @@ from kartothek_spark.operators._util import scale_out
 from kartothek_spark.operators.similarity import cos_from_ints, qdot, quantize
 
 
+def _sqdist(X, C):
+    """Pairwise squared distances via ‖x‖² − 2x·Cᵀ + ‖c‖²: allocates only
+    the n×k result (the broadcasted (n, k, dim) tensor form costs ~1 GB
+    per iteration at a 65k-row training sample). Clamped at 0 against
+    negative cancellation residue."""
+    import numpy as np
+
+    d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+    np.maximum(d, 0.0, out=d)
+    return d
+
+
 def _np_kmeans(X, k: int, seed: int, iters: int = 12):
     """Seeded, deterministic k-means (numpy): random-row init without
     replacement, empty clusters re-seeded from the farthest points."""
@@ -67,7 +79,7 @@ def _np_kmeans(X, k: int, seed: int, iters: int = 12):
         return C
     C = X[rng.choice(n, size=k, replace=False)].copy()
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        d = _sqdist(X, C)
         a = d.argmin(1)
         far = d[np.arange(n), a].argsort()[::-1]
         fi = 0
@@ -114,7 +126,7 @@ def train_pq(
         sample = sample.sample(False, sample_target / n, seed=seed)
     X = _normalize([np.asarray(r.v, dtype="float64") for r in sample.collect()])
     coarse = _np_kmeans(X, n_centroids, seed=seed)
-    cells = ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)
+    cells = _sqdist(X, coarse).argmin(1)
     R = X - coarse[cells]
     dsub = dim // m
     codebooks = np.stack(
@@ -156,12 +168,17 @@ def encode_pq(
             nrm = np.sqrt((V * V).sum(-1, keepdims=True))
             nrm[nrm == 0] = 1.0
             V = V / nrm
-            cells = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+
+            def sqd(X, Cm):
+                d = (X * X).sum(1)[:, None] - 2.0 * (X @ Cm.T) + (Cm * Cm).sum(1)[None, :]
+                np.maximum(d, 0.0, out=d)
+                return d
+
+            cells = sqd(V, C).argmin(1)
             R = V - C[cells]
             codes = np.empty((len(V), m), dtype="int32")
             for i in range(m):
-                sub = R[:, i * dsub : (i + 1) * dsub]
-                codes[:, i] = ((sub[:, None, :] - B[i][None, :, :]) ** 2).sum(-1).argmin(1)
+                codes[:, i] = sqd(R[:, i * dsub : (i + 1) * dsub], B[i]).argmin(1)
             yield pd.DataFrame(
                 {"id": pdf["id"], "cell": cells.astype("int32"), "codes": list(codes)}
             )
