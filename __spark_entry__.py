@@ -1605,6 +1605,16 @@ def corpus_chunk(spark, sf_dir):
     return chunk_corpus(_t(spark, sf_dir, "documents"), chunk_tokens=128, overlap=32)
 
 
+def corpus_stratified(spark, sf_dir):
+    """Per-source quota sampling: keep the 100 hash-smallest docs of
+    every source — deterministic, growth-stable, one group-key shuffle."""
+    from kartothek_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), "source", quota=100
+    ).select("doc_id", "source")
+
+
 def corpus_bpe(spark, sf_dir):
     """BPE tokenizer training + corpus encode (operators/bpe.py): one
     distributed word-count job, bounded driver-side indexed merge loop
@@ -2130,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": corpus_decontaminate,
         "corpus_pack": corpus_pack,
         "corpus_chunk": corpus_chunk,
+        "corpus_stratified": corpus_stratified,
         "corpus_bpe": corpus_bpe,
         "corpus_bpe_zero": corpus_bpe_zero,
         "corpus_upsample": corpus_upsample,
@@ -2679,6 +2690,9 @@ enr AS (
         ),
         "corpus_pack": _corpus.pack_corpus_sql("documents", budget_tokens=512, shards=8),
         "corpus_chunk": _corpus.chunk_corpus_sql("documents", chunk_tokens=128, overlap=32),
+        "corpus_stratified": _corpus.stratified_sample_sql(
+            "documents", "source", quota=100, columns="doc_id, source"
+        ),
         "corpus_bpe_zero": """
 WITH toks AS (
   SELECT doc_id,

@@ -414,3 +414,45 @@ SELECT doc_id, CAST(s // {step} AS BIGINT) AS chunk_id,
        array_to_string(list_slice(t, s + 1, s + {chunk_tokens}), ' ') AS chunk_text
 FROM starts
 """
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-group quota sampling: keep the ``quota`` hash-smallest rows of
+    every group — the per-SOURCE counterpart of the semantic
+    :func:`~kartothek_spark.operators.similarity.diversity_sample`.
+    Deterministic and growth-stable (a new row can only displace the
+    current hash-largest survivor of its own group); one shuffle on the
+    group key + a rank window."""
+    from pyspark.sql import Window
+
+    h = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(F.asc("__h"), F.asc(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__h", "__rn")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    salt: str = "stratified",
+    columns: str = "*",
+) -> str:
+    h = h60_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {columns} FROM (
+  SELECT *, row_number() OVER (PARTITION BY {group_col} ORDER BY {h} ASC, {id_col} ASC) AS rn
+  FROM {table}
+) WHERE rn <= {quota}
+"""
