@@ -859,6 +859,36 @@ def ktk_hidden_partitioning(spark, sf_dir):
     ).withColumn("pruned", F.lit(0 < len(labels) < len(m.partitions)))
 
 
+def ktk_constraints(spark, sf_dir):
+    """Delta-style CHECK constraints (beyond the reference): recorded in
+    the manifest at create time, enforced on every later write as an
+    assertion riding the write scan. A violating update must fail
+    atomically (nothing committed — the `enforced` flag pins both the
+    raised error and the unchanged version), and the surviving content
+    equals the constraint-satisfying SQL subset."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
+    store_dataframe_as_dataset(
+        spark, li, root, "li", constraints={"positive_qty": "l_quantity > 0"}
+    )
+    v0 = DatasetManifest.load(root, "li").version
+    bad = li.limit(3).withColumn("l_quantity", F.lit(-1.0))
+    caught = False
+    try:
+        update_dataset(spark, bad, root, "li")
+    except ValueError as exc:
+        caught = "positive_qty" in str(exc)
+    unchanged = DatasetManifest.load(root, "li").version == v0
+    return read_table(spark, root, "li").groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("l_extendedprice")).alias("price_cents"),
+    ).withColumn("enforced", F.lit(caught and unchanged))
+
+
 def ktk_retention(spark, sf_dir):
     """Predicate-based partition retention (expire_partitions): drop all
     hidden-day partitions before 2024-01-10 in one metadata-only commit;
@@ -2100,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_incremental_agg": ktk_incremental_agg,
         "ktk_hidden_partitioning": ktk_hidden_partitioning,
         "ktk_retention": ktk_retention,
+        "ktk_constraints": ktk_constraints,
         "ktk_jsonl_roundtrip": ktk_jsonl_roundtrip,
         "ktk_convert_ingest": ktk_convert_ingest,
         "ktk_delete_rows": ktk_delete_rows,
@@ -2452,6 +2483,13 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
        CAST(1 AS BOOLEAN) AS incremental
 FROM customer WHERE c_acctbal > 0.0 GROUP BY c_mktsegment
+""",
+        "ktk_constraints": f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_cents_sql('l_extendedprice')}) AS BIGINT) AS price_cents,
+       CAST(1 AS BOOLEAN) AS enforced
+FROM lineitem WHERE l_orderkey % 5 = 0
+GROUP BY l_returnflag
 """,
         "ktk_retention": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,

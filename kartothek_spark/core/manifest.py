@@ -132,6 +132,11 @@ class DatasetManifest:
     # (reader-side row-group skipping for point lookups; recorded so the
     # update path keeps writing them for new files)
     bloom_columns: list[str] = field(default_factory=list)
+    # CHECK constraints (Delta-style): {name: SQL boolean expression} —
+    # enforced on EVERY write (store/update/upsert/stream ingest) as an
+    # assertion riding the write scan itself; a violating batch fails
+    # before any manifest change, so committed data always satisfies them
+    constraints: dict[str, str] = field(default_factory=dict)
     # hidden (Iceberg-style) partition transforms:
     # {partition_col: {"fn": "day"|"month"|"year"|"truncate:<w>", "src": col}}
     # — writers derive these columns, readers hide them, and the planner
@@ -235,6 +240,7 @@ class DatasetManifest:
                 if self.partition_transforms
                 else {}
             ),
+            **({"constraints": self.constraints} if self.constraints else {}),
             **({"external_root": self.external_root} if self.external_root else {}),
         }
 
@@ -255,6 +261,7 @@ class DatasetManifest:
             stats_columns=list(d.get("stats_columns", [])),
             bloom_columns=list(d.get("bloom_columns", [])),
             partition_transforms=dict(d.get("partition_transforms", {})),
+            constraints=dict(d.get("constraints", {})),
             external_root=d.get("external_root"),
             committed_at=d.get("committed_at"),
             version=int(d.get("version", 1)),

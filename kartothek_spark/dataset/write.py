@@ -66,6 +66,21 @@ def _label_for(rel_file: str) -> str:
 
 
 _NULL_KEY_MSG = "null values in partition keys"
+_CONSTRAINT_MSG = "CHECK constraint violated:"
+
+
+def _guard_constraints(df: DataFrame, constraints: dict[str, str]) -> DataFrame:
+    """CHECK-constraint rider (Delta `ALTER TABLE ADD CONSTRAINT`
+    semantics): each constraint becomes an ``assert_true`` riding the
+    write scan — zero extra passes over the input; a violating row aborts
+    the write before any file becomes part of a commit (the crashed
+    attempt leaves only GC-able orphans, like every failed write). NULL
+    results are treated as violations (a constraint must prove itself)."""
+    for name, expr in constraints.items():
+        cond = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        msg = f"{_CONSTRAINT_MSG} {name}: {expr}"
+        df = df.where(F.assert_true(cond, F.lit(msg)).isNull())
+    return df
 
 # path-encoded hash-bucket hive level (never part of the payload schema)
 BUCKET_COL = "__ktk_bucket"
@@ -258,9 +273,14 @@ def _write_files(
             writer.json("file://" + os.path.abspath(data_root))
         else:
             writer.parquet("file://" + os.path.abspath(data_root))
-    except Exception as exc:  # surface the inline guard as the API error
+    except Exception as exc:  # surface the inline guards as the API error
         if _NULL_KEY_MSG in str(exc):
             raise ValueError(f"{_NULL_KEY_MSG} {list(partition_on)}") from None
+        if _CONSTRAINT_MSG in str(exc):
+            import re as _re
+
+            m = _re.search(rf"{_CONSTRAINT_MSG}[^\n']*", str(exc))
+            raise ValueError(m.group(0) if m else _CONSTRAINT_MSG) from None
         raise
     # drop Spark's _SUCCESS marker; the manifest is the commit marker
     marker = os.path.join(data_root, "_SUCCESS")
@@ -290,6 +310,7 @@ def store_dataframe_as_dataset(
     bloom_ndv: int = 100_000,
     partition_transforms: Sequence[tuple[str, str, str]] = (),
     max_rows_per_file: int | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> DatasetManifest:
     """Write a DataFrame as a new dataset (reference S13/S14/S16).
 
@@ -380,6 +401,10 @@ def store_dataframe_as_dataset(
         partition_on = list(partition_on) + [n for n in transforms if n not in partition_on]
 
     df = normalize_dataframe(df)
+    if constraints:
+        for name, expr in constraints.items():
+            F.expr(expr)  # syntax check up front, clean error
+        df = _guard_constraints(df, dict(constraints))
 
     manifest = DatasetManifest(
         dataset_uuid=dataset_uuid,
@@ -395,6 +420,7 @@ def store_dataframe_as_dataset(
         keep_history=keep_history,
         bloom_columns=list(bloom_filter_columns),
         partition_transforms=transforms,
+        constraints=dict(constraints or {}),
     )
     _write_files(
         df, manifest.data_root, partition_on, sort_partitions_by, bucket_by, num_buckets,
@@ -531,6 +557,8 @@ def update_dataset(
 
             df = apply_transforms(df, manifest.partition_transforms)
         df = normalize_dataframe(df)
+        if manifest.constraints:
+            df = _guard_constraints(df, manifest.constraints)
         if schema_evolution:
             missing_keys = [
                 k
@@ -914,6 +942,7 @@ def copy_dataset(
         keep_history=src.keep_history,
         bloom_columns=list(src.bloom_columns),
         partition_transforms=dict(src.partition_transforms),
+        constraints=dict(src.constraints),
     )
     file_pairs: list[tuple[str, str]] = []
     for label, entry in src.partitions.items():

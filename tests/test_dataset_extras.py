@@ -456,3 +456,54 @@ def test_max_rows_per_file_chunking(spark, tmp_root):
     a = read_table(spark, tmp_root, "n2")
     assert a.count() == nat.count()
     assert a.exceptAll(nat).count() == 0
+
+
+def test_check_constraints_enforced(spark, tmp_root):
+    """Delta-style CHECK constraints: recorded in the manifest, enforced
+    on store AND later updates as a scan-riding assertion; a violating
+    batch fails with the constraint name and commits nothing."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).limit(2000)
+    good = li.where("l_quantity > 0")
+    store_dataframe_as_dataset(
+        spark, good, tmp_root, "li",
+        constraints={"positive_qty": "l_quantity > 0", "has_flag": "l_returnflag IS NOT NULL"},
+    )
+    m = DatasetManifest.load(tmp_root, "li")
+    assert m.constraints == {
+        "positive_qty": "l_quantity > 0",
+        "has_flag": "l_returnflag IS NOT NULL",
+    }
+    n0 = read_table(spark, tmp_root, "li").count()
+
+    bad = good.limit(5).withColumn("l_quantity", F.lit(-1.0))
+    with pytest.raises(ValueError, match="positive_qty"):
+        update_dataset(spark, bad, tmp_root, "li")
+    # nothing committed by the failed update
+    assert read_table(spark, tmp_root, "li").count() == n0
+    assert DatasetManifest.load(tmp_root, "li").version == m.version
+
+    # a valid update still lands
+    update_dataset(spark, good.limit(7), tmp_root, "li")
+    assert read_table(spark, tmp_root, "li").count() == n0 + 7
+
+
+def test_check_constraint_null_is_violation(spark, tmp_root):
+    import pytest
+
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    df = spark.createDataFrame([(1, None), (2, 5)], "id long, v long")
+    with pytest.raises(ValueError, match="v_known"):
+        store_dataframe_as_dataset(
+            spark, df, tmp_root, "d", constraints={"v_known": "v > 0"}
+        )
