@@ -19,6 +19,24 @@ from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dat
 from kartothek_spark.core.manifest import DatasetManifest
 
 
+def quarantine_uuid(dataset_uuid: str) -> str:
+    return f"{dataset_uuid}__quarantine"
+
+
+def _split_on_constraints(batch_df: DataFrame, constraints: dict[str, str]):
+    """(valid, violating) — violating rows carry ``violated_constraint``
+    (the first failing constraint, NULL result counts as failing)."""
+    viol = F.lit(None).cast("string")
+    for name, expr in reversed(list(constraints.items())):
+        ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        viol = F.when(~ok, F.lit(name)).otherwise(viol)
+    tagged = batch_df.withColumn("violated_constraint", viol)
+    return (
+        tagged.where(F.col("violated_constraint").isNull()).drop("violated_constraint"),
+        tagged.where(F.col("violated_constraint").isNotNull()),
+    )
+
+
 def stream_update_dataset(
     stream_df: DataFrame,
     root: str,
@@ -27,6 +45,8 @@ def stream_update_dataset(
     checkpoint_dir: str | None = None,
     trigger: dict[str, Any] | None = None,
     keep_history: bool = False,
+    constraints: dict[str, str] | None = None,
+    quarantine: bool = False,
 ):
     """Write a streaming DataFrame into a managed dataset, one atomic
     commit per micro-batch. Returns the StreamingQuery.
@@ -34,10 +54,33 @@ def stream_update_dataset(
     ``keep_history=True`` snapshots every micro-batch commit: each batch
     becomes a time-travel-able version and downstream consumers can tail
     the stream transactionally via ``read_changes``/``sync_derived_dataset``
-    — streaming ingest and the CDC layer compose."""
+    — streaming ingest and the CDC layer compose.
+
+    ``constraints`` installs CHECK constraints on the dataset at creation.
+    By default a violating batch FAILS the stream (the batch commits
+    nothing — same contract as batch writes); with ``quarantine=True``
+    violating rows are instead routed to the ``<uuid>__quarantine``
+    dead-letter dataset with a ``violated_constraint`` column naming the
+    first failed check, and the stream keeps running — the live-pipeline
+    contract, where one bad record must not stall ingestion."""
     spark = stream_df.sparkSession
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        live = constraints
+        if DatasetManifest.exists(root, dataset_uuid):
+            live = DatasetManifest.load(root, dataset_uuid).constraints or constraints
+        if quarantine and live:
+            batch_df, bad = _split_on_constraints(batch_df, dict(live))
+            if not bad.isEmpty():
+                quuid = quarantine_uuid(dataset_uuid)
+                if DatasetManifest.exists(root, quuid):
+                    update_dataset(spark, bad, root, quuid,
+                                   metadata={"last_stream_batch": batch_id})
+                else:
+                    store_dataframe_as_dataset(
+                        spark, bad, root, quuid,
+                        metadata={"last_stream_batch": batch_id},
+                    )
         if DatasetManifest.exists(root, dataset_uuid):
             update_dataset(spark, batch_df, root, dataset_uuid,
                            metadata={"last_stream_batch": batch_id})
@@ -46,6 +89,7 @@ def stream_update_dataset(
                 spark, batch_df, root, dataset_uuid, partition_on=partition_on,
                 metadata={"last_stream_batch": batch_id},
                 keep_history=keep_history,
+                constraints=constraints,
             )
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")

@@ -225,3 +225,36 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert want.count() > 0
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_ingest_quarantines_violations(spark, tmp_path):
+    """CHECK-constraint quarantine: a stream with bad rows keeps running,
+    the main dataset holds only valid rows, and the dead-letter dataset
+    names the violated constraint per row."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.streaming.update import quarantine_uuid, stream_update_dataset
+
+    rows = [(i, float(i % 7) - 1.0) for i in range(100)]  # v == -1.0 for i%7==0
+    batch = spark.createDataFrame(rows, "id long, v double").localCheckpoint(eager=True)
+    src = str(tmp_path / "src")
+    batch.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    root = str(tmp_path / "store")
+    q = stream_update_dataset(
+        stream, root, "ev",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        constraints={"v_nonneg": "v >= 0"},
+        quarantine=True,
+    )
+    q.awaitTermination(120)
+
+    good = read_table(spark, root, "ev")
+    bad = read_table(spark, root, quarantine_uuid("ev"))
+    assert good.count() == sum(1 for _i, v in rows if v >= 0)
+    assert bad.count() == sum(1 for _i, v in rows if v < 0)
+    assert good.where("v < 0").count() == 0
+    assert {r.violated_constraint for r in bad.collect()} == {"v_nonneg"}
+    assert good.count() + bad.count() == len(rows)
