@@ -889,6 +889,35 @@ def ktk_constraints(spark, sf_dir):
     ).withColumn("enforced", F.lit(caught and unchanged))
 
 
+def ktk_quarantine(spark, sf_dir):
+    """Dead-letter split (streaming/update.py:_split_on_constraints — the
+    same splitter quarantine-mode streaming ingest uses, driven in batch
+    form): events split on two CHECK constraints, both sides land in
+    managed datasets, and the union read-back must reproduce the SQL
+    CASE classification exactly (first failing constraint wins)."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from kartothek_spark.streaming.update import _split_on_constraints
+
+    root = tempfile.mkdtemp(prefix="ktk_q_")
+    ev = _t(spark, sf_dir, "events")
+    good, bad = _split_on_constraints(
+        ev, {"value_pos": "value > 2.0", "early_jan": "ts < TIMESTAMP '2024-01-20'"}
+    )
+    store_dataframe_as_dataset(spark, good, root, "ev")
+    store_dataframe_as_dataset(spark, bad, root, "ev__quarantine")
+    g = read_table(spark, root, "ev").select(
+        "user_id", "ts", F.lit(None).cast("string").alias("violated_constraint")
+    )
+    b = read_table(spark, root, "ev__quarantine").select(
+        "user_id", "ts", "violated_constraint"
+    )
+    return g.unionByName(b).groupBy("violated_constraint").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 def ktk_retention(spark, sf_dir):
     """Predicate-based partition retention (expire_partitions): drop all
     hidden-day partitions before 2024-01-10 in one metadata-only commit;
@@ -2131,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_hidden_partitioning": ktk_hidden_partitioning,
         "ktk_retention": ktk_retention,
         "ktk_constraints": ktk_constraints,
+        "ktk_quarantine": ktk_quarantine,
         "ktk_jsonl_roundtrip": ktk_jsonl_roundtrip,
         "ktk_convert_ingest": ktk_convert_ingest,
         "ktk_delete_rows": ktk_delete_rows,
@@ -2483,6 +2513,14 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        CAST(sum({_cents_sql('c_acctbal')}) AS DOUBLE) / 100 AS total_acctbal,
        CAST(1 AS BOOLEAN) AS incremental
 FROM customer WHERE c_acctbal > 0.0 GROUP BY c_mktsegment
+""",
+        "ktk_quarantine": """
+SELECT CASE WHEN NOT coalesce(value > 2.0, FALSE) THEN 'value_pos'
+            WHEN NOT coalesce(ts < TIMESTAMP '2024-01-20', FALSE) THEN 'early_jan'
+            ELSE NULL END AS violated_constraint,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
 """,
         "ktk_constraints": f"""
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
