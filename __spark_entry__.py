@@ -1453,6 +1453,16 @@ def events_top_users(spark, sf_dir):
     )
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase, strictly increasing
+    time, first qualifying occurrence per step): k co-partitioned
+    conditional-min aggregates on the user key — no per-user sort, no
+    collected event lists. Oracle: recursive conditional-min CTEs."""
+    from kartothek_spark.operators.temporal import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
 def events_asof(spark, sf_dir):
     """Distributed as-of join: attribute each purchase to the user's most
     recent page view at-or-before it (union + keyed window, one shuffle).
@@ -2184,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": events_quantiles,
         "events_top_users": events_top_users,
         "events_asof": events_asof,
+        "events_funnel": events_funnel,
         "events_range_join": events_range_join,
         "events_attribution": events_attribution,
         "text_analyze": text_analyze,
@@ -2236,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from kartothek_spark.operators import corpus as _corpus
+    from kartothek_spark.operators import temporal as _temporal
     from kartothek_spark.queries.tpch import ORACLES as _tpch_oracles
     from kartothek_spark.operators.dedup import (
         apply_dedup_sql,
@@ -2651,6 +2663,7 @@ FROM v JOIN p USING (user_id)
 WHERE p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTE
 GROUP BY user_id
 """,
+        "events_funnel": _temporal.funnel_sql("events", ["view", "click", "purchase"]),
         "events_asof": """
 WITH l AS (
   SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value

@@ -20,6 +20,8 @@ DuckDB's native ``ASOF JOIN`` is the value-exact oracle (see the
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -127,3 +129,80 @@ def range_join(
         .where((F.col(on) >= F.col(start)) & (F.col(on) <= F.col(end)))
         .drop("__b")
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each prefix of ``steps``, how many
+    users performed the steps IN ORDER (strictly increasing event time,
+    first qualifying occurrence of each step — the standard product-
+    analytics funnel).
+
+    Plan shape: one conditional min-aggregate per step over the same
+    ``user_col`` shuffle key — k co-partitioned groupBys joined on user id
+    (Catalyst reuses the exchange), never a per-user sort or a collected
+    event list. Output: ``(step_index, step, n_users)`` with
+    ``step_index`` 1-based; counts are non-increasing by construction."""
+    from functools import reduce
+
+    t_prev = None
+    reached = df.select(F.col(user_col).alias("__u")).distinct()
+    out = []
+    for i, step in enumerate(steps):
+        ev = df.select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("__ts"),
+            F.col(type_col).alias("__et"),
+        ).where(F.col(type_col) == step)
+        if t_prev is None:
+            t = ev.groupBy("__u").agg(F.min("__ts").alias(f"__t{i}"))
+        else:
+            t = (
+                ev.join(t_prev, "__u")
+                .where(F.col("__ts") > F.col(f"__t{i-1}"))
+                .groupBy("__u", f"__t{i-1}")
+                .agg(F.min("__ts").alias(f"__t{i}"))
+            )
+        t_prev = t
+        out.append(
+            t.agg(F.count("*").alias("n_users")).select(
+                F.lit(i + 1).cast("long").alias("step_index"),
+                F.lit(step).alias("step"),
+                F.col("n_users").cast("long"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def funnel_sql(
+    table: str,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`funnel` (recursive conditional-min CTEs)."""
+    ctes = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT {user_col} AS u, min({ts_col}) AS t0 FROM {table} "
+                f"WHERE {type_col} = '{step}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.{user_col} AS u, min(e.{ts_col}) AS t{i} "
+                f"FROM {table} e JOIN s{i-1} p ON e.{user_col} = p.u "
+                f"WHERE e.{type_col} = '{step}' AND e.{ts_col} > p.t{i-1} GROUP BY 1)"
+            )
+    selects = [
+        f"SELECT CAST({i + 1} AS BIGINT) AS step_index, '{step}' AS step, "
+        f"CAST((SELECT count(*) FROM s{i}) AS BIGINT) AS n_users"
+        for i, step in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -763,3 +763,33 @@ def test_chunk_corpus_covers_every_token_and_overlaps(spark):
             assert ct == t[start : start + 32]
             rebuilt = rebuilt[:start] + ct
         assert rebuilt == t
+
+
+def test_funnel_counts_monotone_and_hand_checked(spark):
+    """Funnel on a hand-built event log: exact stage membership."""
+    import datetime as dt
+
+    from kartothek_spark.operators.temporal import funnel
+
+    def e(u, t, et):
+        return (u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=t), et)
+
+    rows = [
+        # u1 completes in order
+        e(1, 0, "view"), e(1, 5, "click"), e(1, 9, "purchase"),
+        # u2 clicks BEFORE viewing → stops at view
+        e(2, 3, "click"), e(2, 4, "view"),
+        # u3 views + clicks, purchase before click → stops at click
+        e(3, 0, "view"), e(3, 1, "purchase"), e(3, 2, "click"),
+        # u4 only purchases
+        e(4, 0, "purchase"),
+        # u5: first click precedes view, second click after → full funnel
+        e(5, 0, "click"), e(5, 1, "view"), e(5, 2, "click"), e(5, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.step_index: r.n_users
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    # view: u1,u2,u3,u5; view→click: u1,u3,u5; full: u1,u5
+    assert got == {1: 4, 2: 3, 3: 2}
