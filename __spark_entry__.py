@@ -1928,6 +1928,16 @@ def ann_ivf_exhaustive(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, dim=EMB_DIM, n_centroids=8, nprobe=8)
 
 
+def embedding_drift_stats(spark, sf_dir):
+    """Per-(label, dimension) exact fixed-point embedding sums — the
+    corpus-drift monitor (compare two snapshots' outputs to quantify
+    per-group centroid movement). Map-side-combined posexplode, shuffle
+    on the tiny (group × dim) key space."""
+    from kartothek_spark.operators.similarity import embedding_group_stats
+
+    return embedding_group_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def ann_ivfpq_recall(spark, sf_dir):
     """Recall@5 of IVF-PQ (operators/pq.py: coarse quantizer + product-
     quantized codes + ADC shortlist + exact cosine re-rank) vs brute
@@ -2232,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diverse_sample": corpus_diverse_sample,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_recall": ann_lsh_recall,
+        "embedding_drift_stats": embedding_drift_stats,
         "ann_ivfpq_recall": ann_ivfpq_recall,
         "ann_ivfpq_planted": ann_ivfpq_planted,
         "ann_pq_index_search": ann_pq_index_search,
@@ -2247,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from kartothek_spark.operators import corpus as _corpus
+    from kartothek_spark.operators import similarity as _sim
     from kartothek_spark.operators import temporal as _temporal
     from kartothek_spark.queries.tpch import ORACLES as _tpch_oracles
     from kartothek_spark.operators.dedup import (
@@ -2816,6 +2828,7 @@ FROM toks
         "dedup_simhash": simhash_pairs_sql("documents", "text", "doc_id", max_hamming=6),
         "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", "text", "doc_id", n=4, threshold=0.35),
         "embedding_dups": embedding_dup_pairs_sql("embeddings", threshold=0.3, dim=EMB_DIM),
+        "embedding_drift_stats": _sim.embedding_group_stats_sql("embeddings", dim=EMB_DIM),
         "dedup_semantic": apply_dedup_sql(
             "embeddings",
             embedding_dup_pairs_sql("embeddings", threshold=0.38, dim=EMB_DIM),

@@ -709,3 +709,42 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
     )
+
+
+def embedding_group_stats(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(group, dimension) embedding statistics — the corpus-drift
+    monitor: ``(group, dim, n, sum_q)`` where ``sum_q`` is the exact
+    fixed-point (2^24) component sum, so centroids are ``sum_q / n /
+    2^24`` with zero float-accumulation divergence between engines or
+    runs. One posexplode (map-side combined) + a shuffle on the tiny
+    (group × dim) key space; comparing two snapshots' outputs (e.g. via
+    the changes feed) quantifies embedding drift per group."""
+    return (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.posexplode(quantize(F.col(vec_col))).alias("dim", "__q"),
+        )
+        .groupBy("group", "dim")
+        .agg(F.count("*").alias("n"), F.sum("__q").alias("sum_q"))
+        .select("group", F.col("dim").cast("long").alias("dim"), "n", "sum_q")
+    )
+
+
+def embedding_group_stats_sql(
+    table: str,
+    dim: int,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`embedding_group_stats`."""
+    return f"""
+SELECT {group_col} AS group, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({quantize_sql(vec_col)}[i]) AS BIGINT) AS sum_q
+FROM {table} CROSS JOIN generate_series(1, {dim}) AS t(i)
+GROUP BY 1, 2
+"""
