@@ -1463,6 +1463,22 @@ def events_funnel(spark, sf_dir):
     return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
 
 
+def events_json_props(spark, sf_dir):
+    """Semi-structured columns: the event `props` JSON string parses
+    JVM-side (`get_json_object` — codegen'd JsonPath, no Python) and the
+    extracted field aggregates like any typed column. The pattern for
+    sidecar metadata at scale: keep rarely-used attributes as JSON, pay
+    the parse only in queries that touch them."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def events_asof(spark, sf_dir):
     """Distributed as-of join: attribute each purchase to the user's most
     recent page view at-or-before it (union + keyed window, one shuffle).
@@ -2205,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": events_top_users,
         "events_asof": events_asof,
         "events_funnel": events_funnel,
+        "events_json_props": events_json_props,
         "events_range_join": events_range_join,
         "events_attribution": events_attribution,
         "text_analyze": text_analyze,
@@ -2676,6 +2693,13 @@ WHERE p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTE
 GROUP BY user_id
 """,
         "events_funnel": _temporal.funnel_sql("events", ["view", "click", "purchase"]),
+        "events_json_props": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
         "events_asof": """
 WITH l AS (
   SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
