@@ -39,7 +39,7 @@ _WIDEN_OPS = {"==": "==", "<": "<=", "<=": "<=", ">": ">=", ">=": ">=", "in": "i
 
 
 def check_transform(fn: str) -> None:
-    if fn in ("day", "month", "year"):
+    if fn in ("hour", "day", "month", "year"):
         return
     if fn.startswith("truncate:"):
         try:
@@ -50,13 +50,16 @@ def check_transform(fn: str) -> None:
             return
         raise ValueError(f"truncate width must be a positive int: {fn!r}")
     raise ValueError(
-        f"unknown partition transform {fn!r} (supported: day, month, year, truncate:<w>)"
+        f"unknown partition transform {fn!r} "
+        f"(supported: hour, day, month, year, truncate:<w>)"
     )
 
 
 def transform_column(fn: str, src: str) -> Column:
     """Spark expression computing a datelike derived partition value
     (truncate needs the source dtype — see ``_truncate_column``)."""
+    if fn == "hour":
+        return F.date_trunc("hour", F.col(src))
     if fn == "day":
         return F.to_date(F.col(src))
     if fn == "month":
@@ -78,11 +81,13 @@ def _truncate_column(src: str, w: int, dt: T.DataType) -> Column:
 
 def derived_field(fn: str, src_field: T.StructField, name: str) -> T.StructField:
     """Schema field of the derived partition column."""
-    if fn in ("day", "month", "year"):
+    if fn in ("hour", "day", "month", "year"):
         if not isinstance(src_field.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             raise ValueError(
                 f"transform {fn!r} needs a timestamp/date source, got {src_field.dataType}"
             )
+        if fn == "hour":
+            return T.StructField(name, src_field.dataType)
         return T.StructField(name, T.DateType())
     check_transform(fn)
     return T.StructField(name, src_field.dataType)
@@ -109,6 +114,10 @@ def apply_transforms(df: DataFrame, transforms: dict[str, dict[str, str]]) -> Da
 
 def transform_value_py(fn: str, v: Any) -> Any:
     """Driver-side twin of :func:`transform_column` for literal widening."""
+    if fn == "hour":
+        if isinstance(v, datetime.datetime):
+            return v.replace(minute=0, second=0, microsecond=0)
+        return datetime.datetime(v.year, v.month, v.day)
     if fn == "day":
         if isinstance(v, datetime.datetime):
             return v.date()

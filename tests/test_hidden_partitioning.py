@@ -152,3 +152,19 @@ def test_expire_partitions_retention(spark, tmp_root):
     # content-column predicates are rejected
     with pytest.raises(ValueError, match="partition keys only"):
         expire_partitions(spark, tmp_root, "ev", [[("value", ">", 1.0)]])
+
+
+def test_hour_transform(spark, tmp_root):
+    ev = _events(spark).limit(2000)
+    store_dataframe_as_dataset(
+        spark, ev, tmp_root, "evh", partition_transforms=[("h", "hour", "ts")]
+    )
+    m = DatasetManifest.load(tmp_root, "evh")
+    lo = ev.agg(F.min("ts")).first()[0]
+    cut = lo + datetime.timedelta(hours=3)
+    labels = dispatch_labels(spark, m, [[("ts", "<", cut)]])
+    assert 0 < len(labels) < len(m.partitions)
+    got = read_table(spark, tmp_root, "evh", predicates=[[("ts", "<", cut)]])
+    want = ev.where(F.col("ts") < F.lit(cut))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
