@@ -558,6 +558,17 @@ def update_dataset(
             df = apply_transforms(df, manifest.partition_transforms)
         df = normalize_dataframe(df)
         if manifest.constraints:
+            # fail-closed with a clean error when an (evolved) write omits
+            # a column a CHECK constraint references — a missing column
+            # would land as NULL, which the constraint cannot prove
+            for cname, expr in manifest.constraints.items():
+                try:
+                    df.select(F.expr(expr))
+                except Exception:
+                    raise SchemaIncompatible(
+                        f"write omits column(s) referenced by CHECK constraint "
+                        f"{cname!r} ({expr}); drop the constraint or supply the column"
+                    ) from None
             df = _guard_constraints(df, manifest.constraints)
         if schema_evolution:
             missing_keys = [

@@ -507,3 +507,16 @@ def test_check_constraint_null_is_violation(spark, tmp_root):
         store_dataframe_as_dataset(
             spark, df, tmp_root, "d", constraints={"v_known": "v > 0"}
         )
+
+
+def test_constraint_referencing_omitted_column_fails_cleanly(spark, tmp_root):
+    import pytest
+
+    from kartothek_spark.core.schema import SchemaIncompatible
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    df = spark.createDataFrame([(1, 5)], "id long, v long")
+    store_dataframe_as_dataset(spark, df, tmp_root, "d", constraints={"v_pos": "v > 0"})
+    evolved = spark.createDataFrame([(2,)], "id long")
+    with pytest.raises(SchemaIncompatible, match="v_pos"):
+        update_dataset(spark, evolved, tmp_root, "d", schema_evolution=True)
