@@ -74,6 +74,13 @@ HEADLINE = [
     # overhead, not operator throughput; the per-batch operator cost it
     # shares with dedup_minhash_lsh is already measured there)
     "ann_ivfpq_recall",      # IVF-PQ train+encode+ADC+re-rank vs brute force
+    # round 2 (cont.): analytics + corpus additions
+    "events_funnel",         # ordered funnel (co-partitioned conditional mins)
+    "events_json_props",     # JVM-side JSON sidecar extraction + aggregation
+    "embedding_drift_stats",  # per-(group, dim) exact fixed-point sums
+    "corpus_chunk",          # token-budget chunking with overlap
+    "corpus_stratified",     # per-source quota sampling
+    "corpus_bpe",            # BPE train (word counts + merge loop) + encode
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
