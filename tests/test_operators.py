@@ -793,3 +793,53 @@ def test_funnel_counts_monotone_and_hand_checked(spark):
     }
     # view: u1,u2,u3,u5; view→click: u1,u3,u5; full: u1,u5
     assert got == {1: 4, 2: 3, 3: 2}
+
+
+def test_chunk_corpus_reconstruction_any_params(spark):
+    """Property: for ANY (chunk_tokens, overlap) the chunk set tiles the
+    token stream exactly — stitching chunks at their offsets reproduces
+    every document's token list."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.functions.hashing import tokens
+    from kartothek_spark.operators.corpus import chunk_corpus
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(40)
+    toks = {
+        r.doc_id: r.t
+        for r in docs.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        chunk=st.integers(2, 64),
+        overlap_frac=st.floats(0.0, 0.9),
+    )
+    def prop(chunk, overlap_frac):
+        overlap = min(int(chunk * overlap_frac), chunk - 1)
+        step = chunk - overlap
+        rows = chunk_corpus(docs, chunk_tokens=chunk, overlap=overlap).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, rs in by_doc.items():
+            rs.sort(key=lambda r: r.chunk_id)
+            t = toks[doc_id]
+            rebuilt = []
+            for r in rs:
+                ct = r.chunk_text.split(" ") if r.chunk_text else []
+                assert len(ct) == r.n_tokens <= chunk
+                start = r.chunk_id * step
+                assert ct == t[start : start + chunk]
+                rebuilt = rebuilt[:start] + ct
+            assert rebuilt == t
+
+    prop()
