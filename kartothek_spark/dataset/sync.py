@@ -154,6 +154,12 @@ def sync_aggregate_dataset(
     Dropped source partitions force a full refresh (a lost row cannot be
     un-summed); sources that delete routinely should partition the view
     on the source's partition keys so drops map to scope deletes.
+
+    Group columns in the ``partition_on`` prefix must be NON-NULL: group
+    values become the view's partition keys (non-nullable by engine
+    contract) and scope predicates cannot address a null label. A null
+    group value fails the sync with an actionable error — COALESCE in the
+    source or choose a different ``partition_on`` prefix.
     Returns ``{"mode", "src_version", "groups_rewritten"}``."""
     from pyspark.sql import functions as F
 
@@ -230,6 +236,19 @@ def sync_aggregate_dataset(
 
     delta = _first_agg(read_changes(spark, src_root, src_uuid, since=cursor))
     scopes = [row.asDict() for row in delta.select(*partition_on).distinct().collect()]
+    # group values become the view's partition keys, which are non-nullable
+    # by engine contract (null-key raise, reference metapartition parity) —
+    # and a (col, '==', None) scope predicate would never match a label.
+    # Fail the sync with an actionable error instead of stalling on the
+    # write's generic null-key abort.
+    null_scopes = [s for s in scopes if any(v is None for v in s.values())]
+    if null_scopes:
+        raise ValueError(
+            f"sync_aggregate_dataset: NULL value in group column(s) used as view "
+            f"partition keys {partition_on} (e.g. {null_scopes[0]}); filter or "
+            f"COALESCE nulls in the source, or choose a non-null partition_on "
+            f"prefix of group_by"
+        )
     if not scopes:
         update_dataset(spark, None, dst_root, dst_uuid, metadata=meta)
         return {"mode": "incremental", "src_version": src.version, "groups_rewritten": 0}

@@ -555,6 +555,18 @@ def update_dataset(
         if manifest.partition_transforms:
             from kartothek_spark.core.transforms import apply_transforms
 
+            # Hidden derived partition columns are engine-owned: drop any
+            # caller-supplied column of the same name and re-derive from the
+            # source column. Trusting caller values would let inconsistent
+            # rows land in partitions violating the transform invariant,
+            # after which widen_conjunction-based pruning silently drops
+            # matching rows. Internal rewrite paths (compact, sync) read the
+            # dataset with transform columns hidden, so re-derivation is the
+            # path they already take; derivation is a cheap deterministic
+            # column expression either way.
+            present = [c for c in manifest.partition_transforms if c in df.columns]
+            if present:
+                df = df.drop(*present)
             df = apply_transforms(df, manifest.partition_transforms)
         df = normalize_dataframe(df)
         if manifest.constraints:

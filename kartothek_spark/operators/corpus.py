@@ -373,8 +373,12 @@ def chunk_corpus(
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
     )
+    # the last start is bounded at size - overlap - 1: a later start would
+    # produce a chunk made entirely of tokens the previous chunk already
+    # covers (e.g. chunk_tokens=128, overlap=32, n=97 must yield ONE chunk,
+    # not a second chunk of pure overlap)
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(step)
+        F.lit(0), F.greatest(F.size("__t") - overlap - 1, F.lit(0)), F.lit(step)
     )
     return (
         base.select("doc_id", "__t", F.explode(starts).alias("__s"))
@@ -406,7 +410,7 @@ def chunk_corpus_sql(
 WITH base AS (
   SELECT {id_col} AS doc_id, {toks} AS t FROM {table} WHERE {text_col} IS NOT NULL
 ), starts AS (
-  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 1, 0) + 1, {step})) AS s
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - {overlap} - 1, 0) + 1, {step})) AS s
   FROM base
 )
 SELECT doc_id, CAST(s // {step} AS BIGINT) AS chunk_id,

@@ -14,6 +14,17 @@ One shuffle, sort within partitions, O(1) state per row in the running
 window — the same cost profile as a groupBy over (key, time), at any
 scale. Skewed keys are AQE's problem, same as any keyed window.
 
+The KEYLESS form (``by=None``) cannot use a keyed window (an empty
+``partitionBy`` serializes both inputs through ONE task — a hang at
+100 TB). It is instead a range-partitioned prefix scan: range-shuffle
+the union on the time column, fill within each range partition with the
+same running window keyed on the physical partition id, then repair the
+per-partition prefix with a boundary exchange — the last right row of
+every partition (one tiny P-row frame) is carried forward and
+broadcast-joined back, so a left row whose predecessor lives in an
+earlier partition still matches. Two aggregates over one shuffle, all
+partitions parallel, no global sort.
+
 DuckDB's native ``ASOF JOIN`` is the value-exact oracle (see the
 ``events_asof`` gate entry in ``__spark_entry__``).
 """
@@ -34,57 +45,111 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row joined to the latest ``right``
-    row with ``right.on <= left.on`` (ties match), matched within ``by``
-    keys; unmatched left rows keep NULL right columns.
+    row with ``right.on <= left.on`` (``direction='backward'``; ties
+    match), or the earliest with ``right.on >= left.on``
+    (``direction='forward'``), matched within ``by`` keys; unmatched left
+    rows keep NULL right columns.
+
+    The matched right payload is carried as ONE struct, so the joined
+    right columns always come from the SAME right row even when some of
+    its payload values are NULL (per-column fill would stitch columns
+    from different rows — DuckDB ASOF joins whole rows).
 
     Contract: ``right`` must be unique per (by, on) — with duplicates
     "the most recent right row" is ill-defined (DuckDB's ASOF JOIN has
     the same ambiguity); pre-aggregate the right side. Payload column
     names must not collide between the two inputs (rename before joining
-    — explicit beats silent suffixing). Only ``direction='backward'`` is
-    implemented; forward is the mirror image with a descending sort.
-    """
-    if direction != "backward":
-        raise NotImplementedError("asof_join: only direction='backward' is implemented")
+    — explicit beats silent suffixing).
+
+    ``by=None`` uses the range-partitioned prefix scan described in the
+    module docstring — never a single global window."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
     by = [by] if isinstance(by, str) else list(by or [])
     l_payload = [c for c in left.columns if c not in by + [on]]
     r_payload = [c for c in right.columns if c not in by + [on]]
     clash = set(l_payload) & set(r_payload)
     if clash:
         raise ValueError(f"asof_join: column collision {sorted(clash)}; rename before joining")
+    if not r_payload:
+        # nothing to attach — the as-of join is the identity on left
+        return left.select(*by, F.col(on), *l_payload)
 
-    r_types = {f.name: f.dataType for f in right.schema.fields}
-    l_types = {f.name: f.dataType for f in left.schema.fields}
-    # one unified layout; the missing side's payload is NULL. __is_l also
-    # breaks the sort tie so a right row at the same timestamp sorts
-    # FIRST and is visible to the left row (ASOF's <= semantics).
+    r_struct_t = ", ".join(
+        f"`{f.name}`:{f.dataType.simpleString()}"
+        for f in right.schema.fields
+        if f.name in r_payload
+    )
+    # one unified layout; right payload rides in a single nullable struct
+    # __r (non-null exactly on right rows). __is_l breaks the sort tie so
+    # a right row at the same timestamp sorts FIRST in traversal order
+    # and is visible to the left row (ASOF's <=|>= includes equality).
     lu = left.select(
         *by,
         F.col(on),
         F.lit(1).alias("__is_l"),
         *[F.col(c) for c in l_payload],
-        *[F.lit(None).cast(r_types[c]).alias(c) for c in r_payload],
+        F.lit(None).cast(f"struct<{r_struct_t}>").alias("__r"),
     )
     ru = right.select(
         *by,
         F.col(on),
         F.lit(0).alias("__is_l"),
-        *[F.lit(None).cast(l_types[c]).alias(c) for c in l_payload],
-        *[F.col(c) for c in r_payload],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_payload],
+        F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
+    )
+    u = lu.unionByName(ru)
+    # traversal order: ascending time for backward ("latest at-or-before"
+    # = last right seen), descending for forward (the mirror image)
+    ord_on = F.col(on).desc() if direction == "forward" else F.col(on).asc()
+
+    def _explode(df: DataFrame) -> DataFrame:
+        return df.where(F.col("__is_l") == 1).select(
+            *by,
+            F.col(on),
+            *[F.col(c) for c in l_payload],
+            *[F.col("__r").getField(c).alias(c) for c in r_payload],
+        )
+
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(ord_on, F.col("__is_l").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return _explode(u.withColumn("__r", F.last("__r", ignorenulls=True).over(w)))
+
+    # ---- keyless: range-partitioned prefix scan + boundary exchange ----
+    part = u.repartitionByRange(ord_on, F.col("__is_l").asc()).withColumn(
+        "__pid", F.spark_partition_id()
     )
     w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__is_l").asc())
+        Window.partitionBy("__pid")
+        .orderBy(ord_on, F.col("__is_l").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = lu.unionByName(ru).select(
-        *by,
-        F.col(on),
-        "__is_l",
-        *[F.col(c) for c in l_payload],
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_payload],
+    within = part.withColumn("__fill", F.last("__r", ignorenulls=True).over(w))
+    # last right row of each range partition in traversal order (max time
+    # for backward, min for forward); right rows are unique per `on` by
+    # contract, so the pick is well-defined
+    last_by = F.max_by if direction == "backward" else F.min_by
+    is_r = F.col("__is_l") == 0
+    lasts = part.groupBy("__pid").agg(
+        last_by(
+            F.when(is_r, F.col("__r")), F.when(is_r, F.col(on))
+        ).alias("__pl")
     )
-    return filled.where(F.col("__is_l") == 1).drop("__is_l")
+    # running carry across the P-row partition summary (tiny frame — a
+    # single-task window over ~shuffle.partitions rows, not over data)
+    wc = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    carry = lasts.select(
+        "__pid", F.last("__pl", ignorenulls=True).over(wc).alias("__carry")
+    )
+    out = (
+        within.join(F.broadcast(carry), "__pid")
+        .withColumn("__r", F.coalesce("__fill", "__carry"))
+    )
+    return _explode(out)
 
 
 def range_join(
@@ -151,7 +216,6 @@ def funnel(
     from functools import reduce
 
     t_prev = None
-    reached = df.select(F.col(user_col).alias("__u")).distinct()
     out = []
     for i, step in enumerate(steps):
         ev = df.select(

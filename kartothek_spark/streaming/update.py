@@ -23,6 +23,22 @@ def quarantine_uuid(dataset_uuid: str) -> str:
     return f"{dataset_uuid}__quarantine"
 
 
+def _batch_already_committed(root: str, dataset_uuid: str, batch_id: int) -> bool:
+    """True iff this micro-batch already landed in the dataset's manifest.
+
+    The standard ``foreachBatch`` exactly-once pattern: every commit stamps
+    ``last_stream_batch`` into the manifest metadata, and a retried batch
+    (same ``batch_id``, delivered again after a crash between the commit and
+    the checkpoint advance) is detected here and skipped — without this, the
+    at-least-once contract of ``foreachBatch`` would re-append the batch's
+    rows. ``batch_id`` is monotonically increasing per checkpoint, so an
+    equality match can only mean a retry of the most recent batch."""
+    if not DatasetManifest.exists(root, dataset_uuid):
+        return False
+    last = DatasetManifest.load(root, dataset_uuid).metadata.get("last_stream_batch")
+    return last is not None and int(last) >= int(batch_id)
+
+
 def _split_on_constraints(batch_df: DataFrame, constraints: dict[str, str]):
     """(valid, violating) — violating rows carry ``violated_constraint``
     (the first failing constraint, NULL result counts as failing)."""
@@ -66,6 +82,8 @@ def stream_update_dataset(
     spark = stream_df.sparkSession
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _batch_already_committed(root, dataset_uuid, batch_id):
+            return  # retry of an already-landed batch — exactly-once no-op
         live = constraints
         if DatasetManifest.exists(root, dataset_uuid):
             live = DatasetManifest.load(root, dataset_uuid).constraints or constraints
@@ -73,7 +91,9 @@ def stream_update_dataset(
             batch_df, bad = _split_on_constraints(batch_df, dict(live))
             if not bad.isEmpty():
                 quuid = quarantine_uuid(dataset_uuid)
-                if DatasetManifest.exists(root, quuid):
+                if _batch_already_committed(root, quuid, batch_id):
+                    pass  # quarantine landed, main commit crashed — don't re-append
+                elif DatasetManifest.exists(root, quuid):
                     update_dataset(spark, bad, root, quuid,
                                    metadata={"last_stream_batch": batch_id})
                 else:
@@ -301,13 +321,14 @@ def stream_dedup_index(
     output over everything ingested — the streaming form of corpus dedup
     with per-batch cost O(batch), never a history re-scan.
 
-    Consistency: the corpus commit is the transaction of record — a batch
-    retried after its corpus commit landed syncs as a no-op (the index
-    cursor already covers it). The index/pairs commits are downstream
-    derivations; a crash BETWEEN corpus commit and pairs append loses that
-    batch's pair rows, which a restartable pipeline repairs by rebuilding
-    the index (delete index + pairs datasets, one catch-up sync). Returns
-    the StreamingQuery."""
+    Consistency: the corpus commit is the transaction of record and is
+    idempotent — a batch retried after its corpus commit landed is detected
+    via the ``last_stream_batch`` manifest stamp and skips the re-append,
+    so the subsequent index sync sees no new files and emits zero pairs
+    (exactly-once end to end). A crash BETWEEN corpus commit and pairs
+    append loses that batch's pair rows, which a restartable pipeline
+    repairs by rebuilding the index (delete index + pairs datasets, one
+    catch-up sync). Returns the StreamingQuery."""
     from kartothek_spark.operators.dedup_index import sync_minhash_index
 
     spark = stream_df.sparkSession
@@ -315,7 +336,9 @@ def stream_dedup_index(
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if DatasetManifest.exists(root, corpus_uuid):
+        if _batch_already_committed(root, corpus_uuid, batch_id):
+            pass  # retried batch: corpus already landed; sync below is a no-op
+        elif DatasetManifest.exists(root, corpus_uuid):
             update_dataset(spark, batch_df, root, corpus_uuid,
                            metadata={"last_stream_batch": batch_id})
         else:
@@ -370,6 +393,15 @@ def stream_aggregate_view(
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if _batch_already_committed(root, source_uuid, batch_id):
+            # retried batch: source already landed; the view sync below is
+            # cursor-idempotent, so re-running it just catches up if the
+            # crash hit between source commit and view rewrite
+            sync_aggregate_dataset(
+                spark, root, source_uuid, root, view_uuid,
+                group_by=group_by, aggs=aggs, partition_on=view_partition_on,
+            )
             return
         if DatasetManifest.exists(root, source_uuid):
             update_dataset(spark, batch_df, root, source_uuid,

@@ -352,8 +352,77 @@ def test_asof_join_guards(spark):
     df = spark.createDataFrame([(1, 1, 2.0)], "k long, ts long, x double")
     with _pytest.raises(ValueError, match="collision"):
         asof_join(df, df, on="ts", by="k")
-    with _pytest.raises(NotImplementedError):
-        asof_join(df, df.withColumnRenamed("x", "y"), on="ts", by="k", direction="forward")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(df, df.withColumnRenamed("x", "y"), on="ts", by="k", direction="sideways")
+
+
+def test_asof_join_forward(spark):
+    """Forward as-of: EARLIEST right row at-or-after each left row."""
+    import datetime as dt
+
+    from kartothek_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(20), "b"), (2, t(5), "c"), (1, t(50), "late")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(15), 150.0), (2, t(9), 900.0)],
+        "k long, ts timestamp, rv double",
+    )
+    got = {
+        r.lv: r.rv
+        for r in asof_join(left, right, on="ts", by="k", direction="forward").collect()
+    }
+    assert got == {
+        "a": 100.0,    # tie at ts=10 matches (>= semantics)
+        "b": None,     # nothing after ts=20 for k=1
+        "c": 900.0,    # earliest at-or-after t=5
+        "late": None,
+    }
+
+
+def test_asof_join_keyless_matches_naive(spark):
+    """Keyless as-of (range-partitioned prefix scan) == the naive python
+    reference, for both directions, including matches that cross range-
+    partition boundaries; plan uses the __pid window, never a global one."""
+    import random
+
+    from kartothek_spark.operators.temporal import asof_join
+
+    rng = random.Random(7)
+    lrows = sorted(rng.sample(range(0, 100_000), 400))
+    rrows = sorted(rng.sample(range(0, 100_000), 120))
+    left = spark.createDataFrame([(t, f"l{t}") for t in lrows], "ts long, lv string")
+    right = spark.createDataFrame([(t, float(t)) for t in rrows], "ts long, rv double")
+
+    for direction in ("backward", "forward"):
+        out = asof_join(left, right, on="ts", direction=direction)
+        assert "__pid" in out._jdf.queryExecution().executedPlan().toString()
+        got = {r.lv: r.rv for r in out.collect()}
+
+        def ref(t):
+            cands = [r for r in rrows if (r <= t if direction == "backward" else r >= t)]
+            if not cands:
+                return None
+            return float(max(cands) if direction == "backward" else min(cands))
+
+        assert got == {f"l{t}": ref(t) for t in lrows}
+
+
+def test_asof_join_struct_fill_row_consistent(spark):
+    """A right row with a NULL payload value must NOT be patched with an
+    older row's value — the joined columns come from one right row."""
+    from kartothek_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 30, "x")], "k long, ts long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "old"), (1, 20, None, "new")],
+        "k long, ts long, rv double, tag string",
+    )
+    row = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert row.tag == "new" and row.rv is None
 
 
 def test_range_join_matches_naive_and_includes_boundaries(spark):

@@ -1,0 +1,154 @@
+"""Round-3 regression tests: exactly-once micro-batch retry, hidden
+partition-column re-derivation on update, chunk_corpus trailing-overlap
+chunk, and null group keys in the incremental aggregate view."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kartothek_spark.core.manifest import DatasetManifest
+from kartothek_spark.dataset.read import read_table
+from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+
+def test_stream_retry_of_committed_batch_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a crash between the dataset
+    commit and the checkpoint advance by deleting the checkpoint's commit
+    marker for the last batch and restarting — the re-delivered batch must
+    NOT re-append its rows (last_stream_batch manifest stamp)."""
+    from kartothek_spark.streaming.update import stream_update_dataset
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.range(90).selectExpr("id", "id % 4 AS k")
+    for i in range(3):
+        batch.where(F.col("id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, k long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_update_dataset(
+            stream, root, "ev", checkpoint_dir=ckpt,
+            trigger={"availableNow": True}, keep_history=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert read_table(spark, root, "ev").count() == 90
+    v_before = DatasetManifest.load(root, "ev").version
+
+    # crash window: checkpoint says batch 2 never finished → re-delivered
+    os.remove(os.path.join(ckpt, "commits", "2"))
+    crc = os.path.join(ckpt, "commits", ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert read_table(spark, root, "ev").count() == 90  # no duplicate rows
+    assert DatasetManifest.load(root, "ev").version == v_before  # no extra commit
+
+
+def test_batch_already_committed_guard(tmp_path, spark):
+    from kartothek_spark.streaming.update import _batch_already_committed
+
+    root = str(tmp_path)
+    assert not _batch_already_committed(root, "nope", 0)
+    df = spark.createDataFrame([Row(a=1)])
+    store_dataframe_as_dataset(
+        spark, df, root, "ds", metadata={"last_stream_batch": 5}
+    )
+    assert _batch_already_committed(root, "ds", 5)
+    assert _batch_already_committed(root, "ds", 4)  # earlier batch: landed too
+    assert not _batch_already_committed(root, "ds", 6)
+
+
+def test_update_rederives_inconsistent_hidden_partition_column(spark, tmp_root):
+    """A caller-supplied column shadowing a hidden derived partition column
+    is dropped and re-derived — wrong values must not land rows in
+    partitions that violate the transform invariant (which would make
+    widened pruning silently skip them)."""
+    import datetime as dt
+
+    ts = lambda d, h: dt.datetime(2024, 1, d, h)
+    base = spark.createDataFrame(
+        [Row(user_id=1, ts=ts(1, 10), v=1.0)], "user_id long, ts timestamp, v double"
+    )
+    store_dataframe_as_dataset(
+        spark, base, tmp_root, "ev", partition_transforms=[("d", "day", "ts")]
+    )
+    # poisoned frame: 'd' claims Jan 5 for a Jan 2 timestamp
+    bad = spark.createDataFrame(
+        [Row(user_id=2, ts=ts(2, 11), v=2.0, d=dt.date(2024, 1, 5))],
+        "user_id long, ts timestamp, v double, d date",
+    )
+    update_dataset(spark, bad, tmp_root, "ev")
+    # raw-timestamp predicate widens to d == 2024-01-02; the row must be found
+    got = read_table(
+        spark, tmp_root, "ev", predicates=[[("ts", "==", ts(2, 11))]]
+    ).collect()
+    assert [r.user_id for r in got] == [2]
+    # and the physical partition is the derived one, not the poisoned one
+    m = DatasetManifest.load(tmp_root, "ev")
+    assert any("d=2024-01-02" in lbl for lbl in m.partitions)
+    assert not any("d=2024-01-05" in lbl for lbl in m.partitions)
+
+
+def test_chunk_corpus_no_trailing_pure_overlap_chunk(spark):
+    """A doc with n <= last_start + overlap tokens must not emit a final
+    chunk made entirely of already-covered overlap tokens."""
+    from kartothek_spark.operators.corpus import chunk_corpus
+
+    def doc(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(97, doc(97)), (128, doc(128)), (129, doc(129)), (96, doc(96))],
+        "doc_id long, text string",
+    )
+    rows = chunk_corpus(df, chunk_tokens=128, overlap=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 97 tokens < one chunk → exactly one chunk (the r2 bug emitted two)
+    assert len(by_doc[97]) == 1 and by_doc[97][0].n_tokens == 97
+    assert len(by_doc[128]) == 1
+    assert len(by_doc[96]) == 1
+    # 129 tokens needs a second chunk carrying 1 new + 32 overlap tokens
+    two = sorted(by_doc[129], key=lambda r: r.chunk_id)
+    assert len(two) == 2 and two[1].n_tokens == 33
+    # invariant: every non-first chunk contributes at least one new token
+    for rs in by_doc.values():
+        for r in rs:
+            if r.chunk_id > 0:
+                assert r.n_tokens > 32
+
+
+def test_sync_aggregate_null_group_key_raises_clearly(spark, tmp_root):
+    from kartothek_spark.dataset.sync import sync_aggregate_dataset
+
+    src = spark.createDataFrame(
+        [Row(g="a", v=1.0), Row(g="b", v=2.0)], "g string, v double"
+    )
+    store_dataframe_as_dataset(spark, src, tmp_root, "src", keep_history=True)
+    sync_aggregate_dataset(
+        spark, tmp_root, "src", tmp_root, "view",
+        group_by=["g"], aggs=[("s", "sum", "v")],
+    )
+    # incremental batch with a NULL group key → actionable error, not the
+    # write layer's generic null-partition-key abort
+    update_dataset(
+        spark,
+        spark.createDataFrame([Row(g=None, v=9.0)], "g string, v double"),
+        tmp_root,
+        "src",
+    )
+    with pytest.raises(ValueError, match="NULL value in group column"):
+        sync_aggregate_dataset(
+            spark, tmp_root, "src", tmp_root, "view",
+            group_by=["g"], aggs=[("s", "sum", "v")],
+        )
