@@ -431,17 +431,48 @@ def stratified_sample(
     every group — the per-SOURCE counterpart of the semantic
     :func:`~kartothek_spark.operators.similarity.diversity_sample`.
     Deterministic and growth-stable (a new row can only displace the
-    current hash-largest survivor of its own group); one shuffle on the
-    group key + a rank window."""
+    current hash-largest survivor of its own group).
+
+    TWO-PHASE plan (mega-group-proof): a single rank window keyed on the
+    group would serialize an entire group through one task — with one
+    source at 95% of a 100 TB corpus, that task sorts billions of rows to
+    keep ``quota``. Instead phase 1 windows over (group, hash-shard),
+    keeping the quota hash-smallest per shard (the full-data shuffle is
+    the same volume as the naive plan, just on a balanced key), and
+    phase 2 runs the final rank window over the ≤ shards×quota surviving
+    candidates per group. Every global winner is among its own shard's
+    quota smallest, so the output is EXACTLY the single-window selection
+    — the SQL twin is unchanged."""
+    return _two_phase_quota(
+        df,
+        group_cols=[group_col],
+        quota=quota,
+        h=h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        id_col=id_col,
+    )
+
+
+def _two_phase_quota(
+    df: DataFrame,
+    group_cols: list[str],
+    quota: int,
+    h,
+    id_col: str,
+    shards: int = 64,
+) -> DataFrame:
+    """Keep the ``quota`` (h, id)-smallest rows per group, two-phase."""
     from pyspark.sql import Window
 
-    h = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(F.asc("__h"), F.asc(id_col))
+    w1 = Window.partitionBy(*group_cols, "__shard").orderBy(F.asc("__h"), F.asc(id_col))
+    w2 = Window.partitionBy(*group_cols).orderBy(F.asc("__h"), F.asc(id_col))
     return (
         df.withColumn("__h", h)
-        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__shard", F.pmod(F.col("__h"), F.lit(shards)))
+        .withColumn("__rn", F.row_number().over(w1))
         .where(F.col("__rn") <= quota)
-        .drop("__h", "__rn")
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= quota)
+        .drop("__h", "__shard", "__rn")
     )
 
 

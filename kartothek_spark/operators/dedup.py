@@ -48,6 +48,31 @@ SIMHASH_BITS = 60
 SIMHASH_BAND_BITS = 15
 SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 
+# Band buckets larger than this are dropped from candidate generation.
+# The rep-collapse guard removes IDENTICAL documents before banding, but a
+# mega-cluster of NEAR-identical boilerplate (one token differing) still
+# lands d distinct signatures in shared band keys → d²/2 join candidates
+# through one task. Capping trades recall for a hard blowup bound: members
+# of a dropped bucket can still pair via their other (colder) bands, and
+# their exact-duplicate cores are paired by the rep-collapse regardless.
+MAX_BAND_BUCKET = 8192
+
+
+def _cap_band_buckets(banded: DataFrame, max_band_bucket: int | None) -> DataFrame:
+    """Drop (band, key) buckets with more than ``max_band_bucket`` members.
+
+    One windowed count over the same (band, key) shuffle the candidate
+    self-join needs anyway (exchange reuse); the count task over a hot
+    bucket is O(d), never O(d²) — the whole point of the cap."""
+    if max_band_bucket is None:
+        return banded
+    wbk = Window.partitionBy("band", "key")
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(wbk))
+        .where(F.col("__bsz") <= max_band_bucket)
+        .drop("__bsz")
+    )
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -117,8 +142,12 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = MINHASH_NUM_HASHES,
     bands: int = MINHASH_BANDS,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
+
+    ``max_band_bucket`` caps candidate generation per (band, key) bucket —
+    see :data:`MAX_BAND_BUCKET` for the recall tradeoff; ``None`` disables.
 
     Plan shape (the 100 TB shape): explode shingles → ONE md5 per shingle
     → groupBy(id) with ``min(h XOR K_i)`` per permutation (map-side
@@ -199,6 +228,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _cap_band_buckets(banded, max_band_bucket)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -386,10 +416,13 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs whose SimHashes differ in <= max_hamming bits.
     Candidates come from equality on one of 4 15-bit bands (pigeonhole:
     any pair within hamming 3 shares at least one exact band).
+    ``max_band_bucket`` caps candidate generation per (band, key) bucket —
+    see :data:`MAX_BAND_BUCKET`; ``None`` disables.
 
     Hot-band skew guard (same shape as minhash_lsh_pairs): documents with
     IDENTICAL fingerprints collapse to one representative before banding —
@@ -423,6 +456,7 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("__id", "__sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _cap_band_buckets(banded, max_band_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     rep_pairs = (
         l.join(

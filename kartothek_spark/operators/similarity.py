@@ -511,20 +511,25 @@ def diversity_sample(
     ``quota`` hash-smallest by the cross-engine 60-bit id hash — so the
     selection is partitioning-, retry-, and cluster-size-invariant, and
     stable under corpus growth (a new row only ever displaces the current
-    hash-largest survivor of its own bucket). One shuffle on the bucket
-    id + a per-bucket rank window. Size ``planes`` so 2^planes ≈ N/quota:
-    the bucket count bounds both output size (≤ 2^planes·quota) and the
-    per-bucket sort a hot bucket pays in the window."""
+    hash-largest survivor of its own bucket). Size ``planes`` so
+    2^planes ≈ N/quota: the bucket count bounds output size
+    (≤ 2^planes·quota).
+
+    The rank runs as the same TWO-PHASE (bucket, hash-shard) →
+    bucket plan as :func:`~kartothek_spark.operators.corpus.
+    stratified_sample` — a boilerplate mega-bucket never serializes
+    through one window task, and the selection is bit-identical to the
+    single-window form (the SQL twin is unchanged)."""
     from kartothek_spark.functions.hashing import h60
+    from kartothek_spark.operators.corpus import _two_phase_quota
 
     h = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-    w = Window.partitionBy("__bucket").orderBy(F.asc("__h"), F.asc(id_col))
-    out = (
-        df.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, planes))
-        .withColumn("__h", h)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= quota)
-        .drop("__h", "__rn")
+    out = _two_phase_quota(
+        df.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, planes)),
+        group_cols=["__bucket"],
+        quota=quota,
+        h=h,
+        id_col=id_col,
     )
     if keep_bucket:
         return out.withColumnRenamed("__bucket", "bucket")

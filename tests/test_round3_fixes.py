@@ -128,6 +128,97 @@ def test_chunk_corpus_no_trailing_pure_overlap_chunk(spark):
                 assert r.n_tokens > 32
 
 
+def _near_dup_cluster(spark, n, base_tokens=40):
+    """n documents sharing base_tokens tokens, each with ONE unique token —
+    distinct content keys (no rep-collapse), near-identical signatures."""
+    common = " ".join(f"w{i}" for i in range(base_tokens))
+    return spark.createDataFrame(
+        [(i, f"{common} unique{i}") for i in range(n)], "doc_id long, text string"
+    )
+
+
+def test_minhash_hot_band_cap_bounds_near_dup_mega_cluster(spark):
+    """The rep-collapse guard only catches IDENTICAL docs; a near-identical
+    cluster shares band keys with d distinct signatures. The bucket cap
+    must bound the d² candidate blowup (recall tradeoff, documented)."""
+    from kartothek_spark.operators.dedup import minhash_lsh_pairs
+
+    # uncapped small cluster: full quadratic pair set survives verification
+    small = _near_dup_cluster(spark, 30)
+    full = minhash_lsh_pairs(small, threshold=0.5, max_band_bucket=None).count()
+    assert full == 30 * 29 // 2
+
+    # capped mega-cluster: every band bucket is hot → dropped → bounded
+    mega = _near_dup_cluster(spark, 300)
+    capped = minhash_lsh_pairs(mega, threshold=0.5, max_band_bucket=50).count()
+    assert capped == 0
+    # and the cap leaves genuinely-identical docs paired (rep-collapse path)
+    ident = spark.createDataFrame(
+        [(i, "same text for everyone") for i in range(10)], "doc_id long, text string"
+    )
+    assert minhash_lsh_pairs(ident, threshold=0.5, max_band_bucket=50).count() == 45
+
+
+def test_simhash_hot_band_cap(spark):
+    from kartothek_spark.operators.dedup import simhash_pairs
+
+    mega = _near_dup_cluster(spark, 300)
+    full = simhash_pairs(mega, max_hamming=10, max_band_bucket=None).count()
+    got = simhash_pairs(mega, max_hamming=10, max_band_bucket=50).count()
+    # the cluster is all-pairs near-dup when uncapped; with the cap, the
+    # hot band buckets (DISTINCT near-identical fingerprints) are dropped
+    # and only the rep-collapse intra pairs (identical fingerprints, exact
+    # by construction) remain — bounded far below the uncapped quadratic
+    assert full > 20_000  # near-quadratic when uncapped
+    assert 0 < got < full // 4
+
+
+def test_stratified_sample_two_phase_mega_group(spark):
+    """One group holding 95% of rows must not serialize through a single
+    window task: the plan shards phase 1 on (group, __shard), and the
+    selection equals the single-window reference bit for bit."""
+    from pyspark.sql import Window
+
+    from kartothek_spark.functions.hashing import h60
+    from kartothek_spark.operators.corpus import stratified_sample
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 20 == 0, F.lit("rare")).otherwise(F.lit("mega")).alias("src"),
+    )
+    out = stratified_sample(df, "src", quota=37)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in plan  # phase-1 window is sharded, never group-only
+
+    # single-window reference (the semantics the SQL oracle pins)
+    h = h60(F.concat(F.lit("stratified:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("src").orderBy(F.asc("__h"), F.asc("doc_id"))
+    ref = (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 37)
+        .drop("__h", "__rn")
+    )
+    got = sorted((r.doc_id, r.src) for r in out.collect())
+    want = sorted((r.doc_id, r.src) for r in ref.collect())
+    assert got == want and len(got) == 74
+
+
+def test_diversity_sample_two_phase(spark):
+    import os
+
+    from kartothek_spark.operators.similarity import diversity_sample
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).limit(3000)
+    out = diversity_sample(emb, quota=5, keep_bucket=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in plan
+    # per-bucket cap holds
+    sizes = out.groupBy("bucket").count().agg(F.max("count")).first()[0]
+    assert sizes <= 5
+
+
 def test_sync_aggregate_null_group_key_raises_clearly(spark, tmp_root):
     from kartothek_spark.dataset.sync import sync_aggregate_dataset
 
