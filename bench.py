@@ -84,8 +84,10 @@ HEADLINE = [
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
-# background maintenance whose JVM can collide with a single timing
-BEST_OF = 2
+# background maintenance whose JVM can collide with a single timing, and
+# run 1 of a gate also pays its (session-cached) fixture build — best-of-3
+# reports the warm operator cost, which is what the query measures
+BEST_OF = 3
 
 
 def main() -> None:
@@ -114,8 +116,18 @@ def main() -> None:
     for _ in range(2):  # enough lambda invocations to trigger C2 JIT
         emb.select(fold.alias("d")).agg(F.sum("d")).count()
 
+    # attribution hygiene: SPARK_GRAFT_BENCH_ONLY="q6_forecast_revenue,..."
+    # times just those queries in an otherwise-identical session, so a
+    # full-suite number can be cross-checked against a (near-)single-query
+    # run — if they differ beyond noise, the suite is contending, not the
+    # query regressing
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+    headline = [n for n in HEADLINE if not only or n in only]
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         best, n = None, 0
         for _ in range(BEST_OF):
@@ -153,42 +165,47 @@ def main() -> None:
     from kartothek_spark.core.manifest import DatasetManifest
     from kartothek_spark.dataset.read import dispatch_labels
 
-    mroot = tempfile.mkdtemp(prefix="bench_manifest_")
     schema = T.StructType(
         [T.StructField("p", T.IntegerType()), T.StructField("v", T.DoubleType())]
     )
-    big = DatasetManifest(
-        dataset_uuid="big", root=mroot, schema=schema,
-        partition_keys=["p"], storage_format="zstd",
-    )
-    for i in range(20_000):
-        big.partitions[f"p={i}/part-{i:05d}.parquet"] = {
-            "file": f"big/table/p={i}/part-{i:05d}.parquet"
-        }
-    big.commit()
-    best = None
-    for _ in range(BEST_OF):
-        t0 = time.perf_counter()
-        m2 = DatasetManifest.load(mroot, "big")
-        labels = dispatch_labels(spark, m2, [[("p", "==", 12_345 % 20_000)]])
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    assert len(labels) == 1
-    timings["manifest_plan_20k"] = round(best, 3)
-    print(f"# manifest_plan_20k: {timings['manifest_plan_20k']}s", file=sys.stderr)
-
-    # commit latency at the same scale (the other half of the reference's
-    # asv write.py:56-75 workload): serialize + zstd + conflict check +
-    # atomic swap of a 20k-partition manifest
-    best = None
-    for i in range(BEST_OF):
-        t0 = time.perf_counter()
-        big.metadata["bench_touch"] = i
+    # 20k = the reference asv scale; 200k = 10x headroom probe (a 100 TB
+    # dataset at ~512 MB/file is ~200k files). Threshold: if plan latency
+    # ever exceeds ~1 s at 200k, shard the partition list into a parquet
+    # sidecar (Delta checkpoint analog) — documented in README/SURVEY.
+    for label, n_parts in (("20k", 20_000), ("200k", 200_000)):
+        mroot = tempfile.mkdtemp(prefix="bench_manifest_")
+        big = DatasetManifest(
+            dataset_uuid="big", root=mroot, schema=schema,
+            partition_keys=["p"], storage_format="zstd",
+        )
+        for i in range(n_parts):
+            big.partitions[f"p={i}/part-{i:05d}.parquet"] = {
+                "file": f"big/table/p={i}/part-{i:05d}.parquet"
+            }
         big.commit()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    timings["manifest_commit_20k"] = round(best, 3)
-    print(f"# manifest_commit_20k: {timings['manifest_commit_20k']}s", file=sys.stderr)
+        best = None
+        for _ in range(BEST_OF):
+            t0 = time.perf_counter()
+            m2 = DatasetManifest.load(mroot, "big")
+            labels = dispatch_labels(spark, m2, [[("p", "==", 12_345 % n_parts)]])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        assert len(labels) == 1
+        timings[f"manifest_plan_{label}"] = round(best, 3)
+        print(f"# manifest_plan_{label}: {best:.3f}s", file=sys.stderr)
+
+        # commit latency at the same scale (the other half of the
+        # reference's asv write.py:56-75 workload): serialize + zstd +
+        # conflict check + atomic swap
+        best = None
+        for i in range(BEST_OF):
+            t0 = time.perf_counter()
+            big.metadata["bench_touch"] = i
+            big.commit()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[f"manifest_commit_{label}"] = round(best, 3)
+        print(f"# manifest_commit_{label}: {best:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:

@@ -85,9 +85,10 @@ class DatasetManifest:
     indices: dict[str, str] = field(default_factory=dict)
     metadata: dict[str, Any] = field(default_factory=dict)
     metadata_version: int = METADATA_VERSION
-    # payload file format: "parquet" (default) or "csv" (reference S3/S4
-    # format dispatch, serialization/_generic.py:37-154 — CSV keeps parity
-    # with the reference: no pushdown, schema supplied by the manifest)
+    # payload file format: "parquet" (default), "csv", "csv.gz" (gzip CSV)
+    # or "jsonl" (reference S3/S4 format dispatch,
+    # serialization/_generic.py:37-154 — CSV keeps parity with the
+    # reference: no pushdown, schema supplied by the manifest)
     table_format: str = "parquet"
     # hash-bucketing spec (reference S20 `_hash_bucket`, _shuffle.py:23-37):
     # rows are hash-distributed on bucket_by into num_buckets path-encoded
@@ -124,9 +125,13 @@ class DatasetManifest:
     stats_columns: list[str] = field(default_factory=list)
     # zero-copy EXTERNAL dataset (attach_dataset): payload files live in a
     # pre-existing directory outside <root>/<uuid>/table; entries store
-    # absolute paths, scans anchor basePath here, and the engine never
-    # deletes external payload files (GC walks only <root>/<uuid>;
-    # delete_dataset removes metadata/indices only — a zero-copy detach)
+    # data_root-relative paths, scans anchor basePath here, and the engine
+    # never deletes external payload files (GC walks only <root>/<uuid>;
+    # delete_dataset removes metadata/indices only — a zero-copy detach).
+    # The value is root-RELATIVE when the external dir lives under root
+    # (relocatable dataset), absolute otherwise; legacy manifests with
+    # absolute file entries keep resolving (os.path.join passes absolutes
+    # through unchanged)
     external_root: str | None = None
     # columns with parquet bloom filters embedded in every payload file
     # (reader-side row-group skipping for point lookups; recorded so the
@@ -155,16 +160,18 @@ class DatasetManifest:
     @property
     def data_root(self) -> str:
         if self.external_root:
-            return self.external_root
+            # relative external roots anchor at root (relocatable attach)
+            return os.path.join(self.root, self.external_root)
         return os.path.join(self.root, self.dataset_uuid, TABLE)
 
     def payload_entry(self, rel: str) -> str:
         """The value stored in a partition entry's ``file`` field for a
         payload file at ``rel`` under :attr:`data_root` — root-relative
-        for managed datasets, absolute for external ones (``file_path``
-        resolves both: ``os.path.join`` yields an absolute path as-is)."""
+        for managed datasets, data_root-relative for external ones
+        (``file_path`` resolves both; legacy absolute entries pass
+        through ``os.path.join`` unchanged)."""
         if self.external_root:
-            return os.path.join(self.external_root, rel)
+            return rel
         return os.path.join(self.dataset_uuid, TABLE, rel)
 
     @property
@@ -182,6 +189,8 @@ class DatasetManifest:
         return os.path.join(self.history_root, f"_v{version:08d}.manifest{suffix}")
 
     def file_path(self, label: str) -> str:
+        if self.external_root:
+            return os.path.join(self.data_root, self.partitions[label]["file"])
         return os.path.join(self.root, self.partitions[label]["file"])
 
     def files(self, labels: list[str] | None = None) -> list[str]:

@@ -130,7 +130,12 @@ def upsert_dataset(
     existing = read_table(
         spark, root, dataset_uuid, predicates=_scope_predicates(manifest, scopes)
     )
-    keys = df.select(*merge_keys).dropDuplicates()
+    # broadcast the anti-join's key side: one upsert batch's merge keys are
+    # small relative to the partitions they touch, and broadcasting them
+    # means the existing rows are never shuffled — the dominant cost of a
+    # copy-on-write merge. (A pathological multi-GB key batch should be
+    # split into several upserts; the hint is deliberate, not size-gated.)
+    keys = F.broadcast(df.select(*merge_keys).dropDuplicates())
     survivors = existing.join(keys, list(merge_keys), "left_anti")
     merged = survivors.unionByName(df.select(*existing.columns))
     return update_dataset(

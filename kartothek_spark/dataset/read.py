@@ -252,9 +252,12 @@ def _scan_files(spark: SparkSession, manifest: DatasetManifest, files: list[str]
     registry, serialization/_generic.py:37-154)."""
     base = "file:" + os.path.abspath(manifest.data_root)
     uris = ["file:" + os.path.abspath(p) for p in files]
-    if manifest.table_format == "csv":
+    if manifest.table_format in ("csv", "csv.gz"):
         # CSV payload files hold the non-partition columns in schema order;
-        # partition columns are reconstructed from the hive paths
+        # partition columns are reconstructed from the hive paths. gzip
+        # members decompress transparently off the .csv.gz suffix (one
+        # stream per file — a gzip CSV file is a single non-splittable
+        # task, same as the reference's per-partition files)
         payload = T.StructType(
             [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
         )

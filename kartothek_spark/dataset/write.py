@@ -49,7 +49,10 @@ def _enumerate_parquet(data_root: str, suffix: str = ".parquet") -> list[str]:
     return sorted(out)
 
 
-_FORMAT_SUFFIX = {"parquet": ".parquet", "csv": ".csv", "jsonl": ".json"}
+# "csv.gz" = gzip-compressed CSV (reference kartothek reads/writes .csv.gz
+# through the same serializer, serialization/_csv.py:25-120 + the suffix
+# registry in serialization/_generic.py:37-154)
+_FORMAT_SUFFIX = {"parquet": ".parquet", "csv": ".csv", "csv.gz": ".csv.gz", "jsonl": ".json"}
 
 
 def format_suffix(table_format: str) -> str:
@@ -59,7 +62,8 @@ def format_suffix(table_format: str) -> str:
 def _label_for(rel_file: str) -> str:
     """Partition label = hive dirs + file stem (mirrors the reference's
     ``K1=V1/K2=V2/<partition_uuid>`` labels)."""
-    for suf in _FORMAT_SUFFIX.values():
+    # longest suffix first so ".csv.gz" strips before ".csv" matches
+    for suf in sorted(_FORMAT_SUFFIX.values(), key=len, reverse=True):
         if rel_file.endswith(suf):
             return rel_file[: -len(suf)]
     return rel_file
@@ -263,9 +267,12 @@ def _write_files(
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv))
     try:
-        if table_format == "csv":
+        if table_format in ("csv", "csv.gz"):
             # reference CSV serializer (_csv.py:25-120): no pushdown, types
-            # restored from the manifest schema on read
+            # restored from the manifest schema on read; "csv.gz" adds the
+            # reference's gzip codec (files land as part-*.csv.gz)
+            if table_format == "csv.gz":
+                writer = writer.option("compression", "gzip")
             writer.option("header", "false").csv("file://" + os.path.abspath(data_root))
         elif table_format == "jsonl":
             # newline-delimited JSON — the lingua franca of LLM corpus
@@ -324,7 +331,9 @@ def store_dataframe_as_dataset(
     appended after ``partition_on``. Transform sources must be non-null
     (the same null-partition-key rule as ``partition_on``).
     ``table_format="csv"`` selects the CSV serializer (reference S3) —
-    no pushdown, no secondary indices, schema restored from the manifest.
+    no pushdown, no secondary indices, schema restored from the manifest;
+    ``"csv.gz"`` is the same serializer with the reference's gzip codec
+    (``.csv.gz`` files, serialization/_csv.py:25-120).
     ``table_format="jsonl"`` writes newline-delimited JSON (the standard
     LLM-corpus interchange format) under the same manifest/mutation
     machinery — no pushdown, schema restored from the manifest on read.
@@ -808,6 +817,12 @@ def attach_dataset(
     data_path = os.path.abspath(data_path)
     if not os.path.isdir(data_path):
         raise ValueError(f"data_path {data_path!r} is not a directory")
+    # store root-relative when the external dir lives under root, so the
+    # whole root directory stays relocatable (rename/copy-safe)
+    stored_root = data_path
+    abs_root = os.path.abspath(root)
+    if data_path == abs_root or data_path.startswith(abs_root + os.sep):
+        stored_root = os.path.relpath(data_path, abs_root)
     rels = _enumerate_parquet(data_path, ".parquet")
     if not rels:
         raise ValueError(f"no parquet files under {data_path!r}")
@@ -833,7 +848,7 @@ def attach_dataset(
         schema=schema,
         partition_keys=list(partition_keys),
         metadata=dict(metadata or {}),
-        external_root=data_path,
+        external_root=stored_root,
         stats_columns=list(stats_columns),
     )
     for rel in rels:

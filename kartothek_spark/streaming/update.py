@@ -351,6 +351,9 @@ def stream_dedup_index(
             text_col=text_col, id_col=id_col, threshold=threshold,
         )
         if DatasetManifest.exists(root, pairs_uuid):
+            # count is driver-cheap here: sync_minhash_index returns an
+            # eagerly localCheckpoint-ed frame, so this reads materialized
+            # blocks rather than re-running the banding job
             n = pairs.count()
             update_dataset(spark, pairs if n else None, root, pairs_uuid,
                            metadata={"last_stream_batch": batch_id})

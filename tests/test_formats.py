@@ -20,6 +20,31 @@ def _docs(spark):
     return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
 
 
+def test_csv_gz_roundtrip_with_mutations(spark, tmp_root):
+    """gzip CSV format (reference .csv.gz): payload files carry the
+    .csv.gz suffix and ARE gzip streams; labels strip the full suffix;
+    delete_scope + pruned read behave exactly like plain csv."""
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    store_dataframe_as_dataset(
+        spark, orders, tmp_root, "ogz", partition_on=["o_orderstatus"],
+        table_format="csv.gz",
+    )
+    m = DatasetManifest.load(tmp_root, "ogz")
+    assert m.partitions, "no partitions committed"
+    for label, entry in m.partitions.items():
+        assert entry["file"].endswith(".csv.gz")
+        assert not label.endswith(".gz"), "label must strip the FULL suffix"
+        with open(m.file_path(label), "rb") as fh:
+            assert fh.read(2) == b"\x1f\x8b", "payload is not a gzip stream"
+    update_dataset(spark, None, tmp_root, "ogz", delete_scope=[{"o_orderstatus": "P"}])
+    got = read_table(spark, tmp_root, "ogz", predicates=[[("o_orderkey", "<", 100)]])
+    want = orders.where("o_orderstatus <> 'P' AND o_orderkey < 100")
+    assert got.count() == want.count()
+    assert got.select(*want.columns).exceptAll(want).count() == 0
+
+
 def test_jsonl_roundtrip_with_mutations(spark, tmp_root):
     docs = _docs(spark)
     store_dataframe_as_dataset(

@@ -1,0 +1,130 @@
+"""Format-stability suite: committed golden artifacts pin the on-disk
+formats — manifest JSON, zstd manifest, history snapshots, the index
+parquet layout, and payload parquet written by an earlier pyarrow — so an
+accidental format change between rounds fails HERE instead of surfacing
+as a cross-version read failure in production.
+
+Engine analog of the reference's ``reference-data/arrow-compat/*`` +
+``tests/serialization/test_arrow_compat.py``. Regenerate DELIBERATE
+format changes with ``python tests/golden/make_goldens.py``.
+"""
+
+import json
+import os
+
+import pytest
+
+from kartothek_spark.core.manifest import DatasetManifest
+from tests.golden.make_goldens import COMMITTED_AT, expected_manifest_dict, golden_schema
+
+GOLDEN_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def _expected():
+    d = expected_manifest_dict()
+    d["schema"] = json.loads(golden_schema().json())
+    return d
+
+
+def test_reader_loads_golden_json_manifest():
+    """The READ path must keep understanding previously-written manifests
+    — full semantic equality, not just 'loads without raising'."""
+    m = DatasetManifest.load(GOLDEN_ROOT, "golden")
+    assert m.storage_format == "json"
+    assert m.to_dict() == _expected()
+
+
+def test_reader_loads_golden_zstd_manifest(tmp_path):
+    """zstd manifest codec: same content through the compressed path."""
+    import shutil
+
+    # isolate: load() prefers the plain-JSON twin if it sees one
+    root = str(tmp_path)
+    shutil.copy2(
+        os.path.join(GOLDEN_ROOT, "golden.by-dataset-metadata.json.zst"),
+        os.path.join(root, "golden.by-dataset-metadata.json.zst"),
+    )
+    m = DatasetManifest.load(root, "golden")
+    assert m.storage_format == "zstd"
+    assert m.to_dict() == _expected()
+
+
+def test_writer_emits_byte_identical_manifest(tmp_path):
+    """The WRITE path must keep producing the committed bytes for the same
+    logical content — any serializer drift (key order, separators, type
+    rendering) fails byte-for-byte here."""
+    m = DatasetManifest.from_dict(_expected(), root=str(tmp_path))
+    m.committed_at = COMMITTED_AT
+    m.storage_format = "json"
+    out = os.path.join(str(tmp_path), "out.json")
+    m._write_blob(out)
+    with open(out, "rb") as fh:
+        got = fh.read()
+    with open(os.path.join(GOLDEN_ROOT, "golden.by-dataset-metadata.json"), "rb") as fh:
+        want = fh.read()
+    assert got == want
+
+
+def test_zstd_payload_is_canonical_json():
+    """The zstd blob's DECOMPRESSED payload is pinned (compressed bytes
+    may differ across zstd lib versions; the plaintext must not)."""
+    import pyarrow as pa
+
+    with open(os.path.join(GOLDEN_ROOT, "golden.by-dataset-metadata.json.zst"), "rb") as fh:
+        blob = fh.read()
+    size = int.from_bytes(blob[:8], "little")
+    raw = pa.Codec("zstd").decompress(blob[8:], asbytes=True, decompressed_size=size)
+    assert json.loads(raw) == _expected()
+    assert raw.decode() == json.dumps(_expected(), default=str, separators=(",", ":"))
+
+
+def test_golden_history_snapshot_loads():
+    m = DatasetManifest.load(GOLDEN_ROOT, "golden", version=1)
+    assert m.to_dict() == _expected()
+
+
+def test_golden_dataset_reads_end_to_end(spark):
+    """A dataset written by an earlier engine/pyarrow must read end to end:
+    partition pruning, hidden-transform widening, stats, and content."""
+    from kartothek_spark.dataset.read import read_table
+
+    got = read_table(spark, GOLDEN_ROOT, "golden")
+    rows = sorted((r.name, r.v) for r in got.collect())
+    assert rows == [("alpha", 1), ("ant", 2), ("bee", 3)]
+    # the hidden truncate:1 transform hides k and widens name-predicates
+    assert sorted(got.columns) == ["name", "v"]
+    pruned = read_table(
+        spark, GOLDEN_ROOT, "golden", predicates=[[("name", "==", "bee")]]
+    )
+    assert [(r.name, r.v) for r in pruned.collect()] == [("bee", 3)]
+
+
+def test_golden_index_parquet_layout(spark):
+    """The committed index parquet (directory of (value, partitions))
+    keeps loading and serving index-pruned dispatch; newly-written
+    indices keep the same schema."""
+    from kartothek_spark.core.index import build_index, load_index
+    from kartothek_spark.dataset.read import dispatch_labels
+
+    m = DatasetManifest.load(GOLDEN_ROOT, "golden")
+    idx = load_index(spark, m, "name")
+    assert [f.name for f in idx.schema.fields] == ["value", "partitions"]
+    got = {r.value: sorted(r.partitions) for r in idx.collect()}
+    assert got == {
+        "alpha": ["k=a/part-0"],
+        "ant": ["k=a/part-0"],
+        "bee": ["k=b/part-0"],
+    }
+    labels = dispatch_labels(spark, m, [[("name", "==", "bee")]])
+    assert labels == ["k=b/part-0"]
+
+    # freshly-built index: same two-column layout (schema drift fails)
+    rel = build_index(spark, m, "v")
+    fresh = spark.read.parquet(os.path.join(GOLDEN_ROOT, rel))
+    try:
+        assert [f.name for f in fresh.schema.fields] == ["value", "partitions"]
+        assert fresh.schema.fields[1].dataType.simpleString() == "array<string>"
+    finally:
+        import shutil
+
+        shutil.rmtree(os.path.join(GOLDEN_ROOT, rel), ignore_errors=True)

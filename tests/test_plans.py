@@ -261,13 +261,16 @@ def test_scrub_pii_no_shuffle(spark):
     assert "Exchange" not in plan  # pure projection, linear at any scale
 
 
-def test_diversity_sample_single_bucket_shuffle(spark):
+def test_diversity_sample_two_phase_shuffles(spark):
     from kartothek_spark.operators.similarity import diversity_sample
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     plan = _plan(diversity_sample(emb, quota=5, dim=64, planes=4))
-    # exactly one exchange: hash by bucket for the rank window
-    assert plan.count("Exchange hashpartitioning") == 1
+    # two-phase rank: the FULL-data shuffle keys on (bucket, hash-shard)
+    # so a mega-bucket spreads over shards; the second exchange re-keys
+    # only the <= shards*quota survivors per bucket for the final rank
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "__shard" in plan
 
 
 def test_ivfpq_no_cartesian_and_broadcast_rerank(spark):
