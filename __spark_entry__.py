@@ -1880,6 +1880,32 @@ def corpus_stratified(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def corpus_shard(spark, sf_dir):
+    """Deterministic balanced shard export (operators/corpus.py
+    shard_corpus): hash-assigned shard ids + stable pseudo-random
+    within-shard order — the training-export "global shuffle" with ONE
+    balanced shuffle and no global sort. Gate output: per-shard counts
+    plus an order-sensitive checksum of the within-shard sequence (sum of
+    pos_rank·doc_id), so both the assignment AND the shuffle order are
+    value-pinned against the SQL twin."""
+    from pyspark.sql import Window
+
+    from kartothek_spark.operators.corpus import shard_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sharded = shard_corpus(docs, n_shards=16)
+    w = Window.partitionBy("shard").orderBy(F.asc("shard_pos"), F.asc("doc_id"))
+    return (
+        sharded.withColumn("pos_rank", F.row_number().over(w).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_id"),
+            F.sum(F.col("pos_rank") * F.col("doc_id")).alias("order_checksum"),
+        )
+    )
+
+
 def corpus_bpe(spark, sf_dir):
     """BPE tokenizer training + corpus encode (operators/bpe.py): one
     distributed word-count job, bounded driver-side indexed merge loop
@@ -2434,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": corpus_pack,
         "corpus_chunk": corpus_chunk,
         "corpus_stratified": corpus_stratified,
+        "corpus_shard": corpus_shard,
         "corpus_bpe": corpus_bpe,
         "corpus_bpe_zero": corpus_bpe_zero,
         "corpus_upsample": corpus_upsample,
@@ -2988,6 +3015,17 @@ FROM ({scrub_sql})
             columns="doc_id, source, lang, n_chars",
         ),
         "corpus_rollup": _corpus.corpus_stats_sql("documents"),
+        "corpus_shard": f"""
+WITH sharded AS ({_corpus.shard_corpus_sql('documents', n_shards=16, columns='doc_id')}),
+ranked AS (
+  SELECT shard, doc_id,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY shard_pos ASC, doc_id ASC) AS BIGINT) AS pos_rank
+  FROM sharded
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(sum(pos_rank * doc_id) AS BIGINT) AS order_checksum
+FROM ranked GROUP BY shard
+""",
         "corpus_pipeline": f"""
 WITH q AS ({_corpus.quality_filter_sql('documents', min_chars=120, min_mean_token_len=4.2, min_alpha_ratio=0.81)}),
 keepids AS ({__import__('kartothek_spark.operators.dedup', fromlist=['dedup_exact_keep_sql']).dedup_exact_keep_sql('q', 'text', 'doc_id')}),

@@ -491,3 +491,52 @@ SELECT {columns} FROM (
   FROM {table}
 ) WHERE rn <= {quota}
 """
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    shuffle_within: bool = True,
+) -> DataFrame:
+    """Deterministic balanced sharding for training export: assign every
+    row a ``shard`` in ``[0, n_shards)`` by content-independent id hash,
+    and (optionally) a stable pseudo-random ``shard_pos`` order within the
+    shard — the "global shuffle" a training run needs, without a global
+    sort. Rows land in the same shard on every run, at any parallelism,
+    under any partitioning of the input (the hash is the assignment), so
+    an export is reproducible and resumable per shard.
+
+    Plan: pure projection + ONE shuffle keyed by the (uniform) hash shard
+    — balanced by construction, no skew, no global ordering stage. Write
+    the result with ``df.repartition(n_shards, "shard").
+    sortWithinPartitions("shard_pos").write...`` for one file per shard at
+    any scale.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    out = df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("long"))
+    if shuffle_within:
+        # an independent hash (different salt) so within-shard order is
+        # uncorrelated with the shard assignment
+        pos = h60(F.concat(F.lit(salt + "#pos:"), F.col(id_col).cast("string")))
+        out = out.withColumn("shard_pos", pos)
+    return out
+
+
+def shard_corpus_sql(
+    table: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    columns: str = "*",
+) -> str:
+    """DuckDB twin of :func:`shard_corpus` (shuffle_within included)."""
+    h = h60_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    pos = h60_sql(f"'{salt}#pos:' || CAST({id_col} AS VARCHAR)")
+    return (
+        f"SELECT {columns}, CAST(({h}) % {n_shards} AS BIGINT) AS shard, "
+        f"{pos} AS shard_pos FROM {table}"
+    )

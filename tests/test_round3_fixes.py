@@ -219,6 +219,32 @@ def test_diversity_sample_two_phase(spark):
     assert sizes <= 5
 
 
+def test_shard_corpus_balanced_deterministic(spark):
+    """Training-export sharding: assignment is partitioning-invariant,
+    shards are balanced, within-shard order is stable, and the operator
+    itself adds NO shuffle (the caller keys the write on `shard`)."""
+    from kartothek_spark.operators.corpus import shard_corpus
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    a = shard_corpus(df, n_shards=16)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+
+    counts = {r.shard: r["count"] for r in a.groupBy("shard").count().collect()}
+    assert set(counts) == set(range(16))
+    expected = 20_000 / 16
+    assert all(abs(c - expected) < expected * 0.15 for c in counts.values())
+
+    # partitioning-invariance: same assignment under a different layout
+    b = shard_corpus(df.repartition(7), n_shards=16)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # shard_pos is uncorrelated with doc order: the hash-smallest doc ids
+    # must not simply be the smallest shard_pos values
+    rows = a.where("shard = 0").orderBy("shard_pos").limit(10).collect()
+    assert [r.doc_id for r in rows] != sorted(r.doc_id for r in rows)
+
+
 def test_sync_aggregate_null_group_key_raises_clearly(spark, tmp_root):
     from kartothek_spark.dataset.sync import sync_aggregate_dataset
 
