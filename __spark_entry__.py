@@ -1684,6 +1684,46 @@ def events_asof(spark, sf_dir):
     )
 
 
+def events_asof_keyless(spark, sf_dir):
+    """KEYLESS as-of join (the range-partitioned prefix-scan path — no
+    per-key window exists to hide in): attribute each purchase to the
+    most recent view across ALL users. Exercises the boundary carry
+    exchange; oracled by DuckDB's keyless ASOF LEFT JOIN."""
+    from kartothek_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "ts", F.col("event_id").alias("purchase_id")
+    )
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    out = asof_join(left, right, on="ts")
+    return out.select("purchase_id", "ts", "view_ts", "view_id")
+
+
+def events_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (mirror traversal): pair each view with the
+    same user's EARLIEST purchase at-or-after it."""
+    from kartothek_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id", direction="forward")
+    return out.select("view_id", "user_id", "ts", "purchase_ts", "purchase_value")
+
+
 def events_range_join(spark, sf_dir):
     """Bucketed range join: place each purchase inside the gap-session
     interval containing it. Sessions partition a user's events, so every
@@ -2440,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": events_quantiles,
         "events_top_users": events_top_users,
         "events_asof": events_asof,
+        "events_asof_keyless": events_asof_keyless,
+        "events_asof_forward": events_asof_forward,
         "events_funnel": events_funnel,
         "events_json_props": events_json_props,
         "events_range_join": events_range_join,
@@ -2938,6 +2980,26 @@ WITH l AS (
 )
 SELECT purchase_id, l.user_id, l.ts, r.view_ts, r.view_value, purchase_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "events_asof_keyless": """
+WITH l AS (
+  SELECT ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT ts, ts AS view_ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY ts
+)
+SELECT purchase_id, l.ts, r.view_ts, r.view_id
+FROM l ASOF LEFT JOIN r ON l.ts >= r.ts
+""",
+        "events_asof_forward": """
+WITH l AS (
+  SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'
+), r AS (
+  SELECT user_id, ts, ts AS purchase_ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT view_id, l.user_id, l.ts, r.purchase_ts, r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
 """,
         "events_range_join": """
 WITH marked AS (
