@@ -29,13 +29,20 @@ def normalize_type(dt: T.DataType) -> T.DataType:
         return T.DoubleType()
     if isinstance(dt, T.TimestampType):
         return T.TimestampType()  # Spark timestamps are µs natively — matches the reference's us coercion
+    # nested nullability is normalized AWAY (containsNull/valueContainsNull
+    # → true): parquet round-trips do not preserve it, so a manifest that
+    # recorded a non-null element type would fail the read-back cast of the
+    # exact data it described (observed with expression-derived arrays,
+    # whose containsNull=false survives to the manifest but not to disk).
+    # Same philosophy as the reference's width normalization: nullability
+    # is an encoding detail, not part of the logical type.
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(normalize_type(dt.elementType), dt.containsNull)
+        return T.ArrayType(normalize_type(dt.elementType), True)
     if isinstance(dt, T.MapType):
-        return T.MapType(normalize_type(dt.keyType), normalize_type(dt.valueType), dt.valueContainsNull)
+        return T.MapType(normalize_type(dt.keyType), normalize_type(dt.valueType), True)
     if isinstance(dt, T.StructType):
         return T.StructType(
-            [T.StructField(f.name, normalize_type(f.dataType), f.nullable) for f in dt.fields]
+            [T.StructField(f.name, normalize_type(f.dataType), True) for f in dt.fields]
         )
     return dt
 

@@ -41,13 +41,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kartothek_spark.core.manifest import DatasetManifest
-from kartothek_spark.functions.hashing import h60, shingles_from_tokens, tokens
+from kartothek_spark.functions.hashing import shingles_from_tokens, tokens
 from kartothek_spark.operators._util import scale_out
 from kartothek_spark.operators.dedup import (
     MINHASH_BANDS,
     MINHASH_NUM_HASHES,
     MINHASH_SHINGLE_WORDS,
-    _perm_key,
 )
 
 _INDEX_KEY = "ktk_minhash_index"
@@ -83,19 +82,12 @@ def _shingled(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _signatures(reps: DataFrame, num_hashes: int) -> DataFrame:
-    """(__ck, sig) from (__ck, __sh): ONE md5 per shingle, map-side
-    combined mins per permutation — the aggregation form, never a
-    per-(permutation, shingle) expression tree."""
-    hashed = reps.select("__ck", F.explode("__sh").alias("__s")).select(
-        "__ck", h60(F.col("__s")).alias("__h")
-    )
-    sig = hashed.groupBy("__ck").agg(
-        *[
-            F.min(F.col("__h").bitwiseXOR(F.lit(_perm_key(j)))).alias(f"__m{j}")
-            for j in range(num_hashes)
-        ]
-    )
-    return sig.select("__ck", F.array(*[f"__m{j}" for j in range(num_hashes)]).alias("sig"))
+    """(__ck, sig) from (__ck, __sh): ONE md5 per shingle via the
+    zero-shuffle per-row fold shared with the batch operator
+    (:func:`kartothek_spark.operators.dedup.minhash_sig_expr`)."""
+    from kartothek_spark.operators.dedup import minhash_sig_expr
+
+    return reps.select("__ck", minhash_sig_expr("__sh", num_hashes).alias("sig"))
 
 
 def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
