@@ -126,22 +126,35 @@ def minhash_signature(col, num_hashes: int = MINHASH_NUM_HASHES, shingle_words: 
     )
 
 
+def hashed_shingles(toks: F.Column, n: int) -> F.Column:
+    """60-bit hashes of the word n-gram shingles (one md5 per shingle).
+    All downstream MinHash stages — signature fold, Jaccard verification —
+    run on these longs instead of the ~20-bytes-per-shingle strings:
+    persisted/shuffled shingle state shrinks ~4×, set operations compare
+    longs, and values stay identical to string-shingle semantics (the
+    hash is injective modulo 60-bit md5 collisions, and the DuckDB twin
+    applies the identical hash — so the comparison is bit-exact across
+    engines either way)."""
+    return F.transform(shingles_from_tokens(toks, n), lambda s: h60(s))
+
+
 def minhash_sig_expr(sh_col: str, num_hashes: int = MINHASH_NUM_HASHES) -> F.Column:
     """MinHash signature (array<bigint>, one min per permutation) as ONE
-    per-row SQL higher-order fold over an existing shingle-array column —
-    no explode, no groupBy, no shuffle. Measured ~30× faster at sf0.1
-    than the explode → groupBy(num_hashes min-aggregates) shape, which
-    shuffled an (id, hash) row per shingle. One md5 per shingle, XOR'd
-    against each permutation key in a zip_with; value-identical to the
-    aggregation form and to :func:`minhash_signature_sql`."""
+    per-row SQL higher-order fold over a HASHED shingle-array column
+    (:func:`hashed_shingles`) — no explode, no groupBy, no shuffle.
+    Measured ~30× faster at sf0.1 than the explode →
+    groupBy(num_hashes min-aggregates) shape, which shuffled an
+    (id, hash) row per shingle. Each hash is XOR'd against each
+    permutation key in a zip_with; value-identical to the aggregation
+    form and to :func:`minhash_signature_sql`."""
     keys = ", ".join(f"{_perm_key(j)}L" for j in range(num_hashes))
     # sentinel above any 60-bit value; callers guarantee non-empty shingle
     # arrays (empty docs shingle to [""]), so it never survives
     return F.expr(f"""
 aggregate(
-  transform(`{sh_col}`, s -> conv(substring(md5(s), 1, 15), 16, 10)),
+  `{sh_col}`,
   array_repeat({1 << 62}L, {num_hashes}),
-  (acc, hs) -> zip_with(acc, array({keys}), (m, k) -> least(m, cast(hs as bigint) ^ k))
+  (acc, hs) -> zip_with(acc, array({keys}), (m, k) -> least(m, hs ^ k))
 )""")
 
 
@@ -200,12 +213,15 @@ def minhash_lsh_pairs(
     # pairs them and verification yields jaccard exactly 1 — output is
     # identical to naive banding either way. Hashing the token concat
     # instead of the (3× larger) shingle concat is ~3× cheaper per row.
+    # __sh carries HASHED shingles (array<bigint>, see hashed_shingles):
+    # persisted base shrinks ~4×, and signature fold + Jaccard set ops run
+    # on longs — value-identical, twin-mirrored
     base = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
         .select(
             "__id",
-            shingles_from_tokens(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"),
+            hashed_shingles(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"),
             F.md5(F.concat_ws("\x01", "__t")).alias("__ck"),
         )
         .persist()
@@ -322,7 +338,9 @@ def minhash_lsh_pairs_sql(
     sh = word_shingles_sql(text_col, MINHASH_SHINGLE_WORDS)
     return f"""
 WITH base AS (
-  SELECT {id_col} AS id, {sig} AS sig, {sh} AS sh FROM {table}
+  SELECT {id_col} AS id, {sig} AS sig,
+         list_transform({sh}, s -> {h60_sql('s')}) AS sh
+  FROM {table}
   WHERE len({sh}) > 0
 ), banded AS (
   SELECT id, b.band AS band,

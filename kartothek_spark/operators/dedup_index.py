@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kartothek_spark.core.manifest import DatasetManifest
-from kartothek_spark.functions.hashing import shingles_from_tokens, tokens
+from kartothek_spark.functions.hashing import tokens
 from kartothek_spark.operators._util import scale_out
 from kartothek_spark.operators.dedup import (
     MINHASH_BANDS,
@@ -66,13 +66,16 @@ def _pairs_suffix(index_uuid: str) -> str:
 
 def _shingled(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(__id, __sh, __ck) — identical staging to the batch operator so the
-    incremental pair set is bit-identical to ``minhash_lsh_pairs``."""
+    incremental pair set is bit-identical to ``minhash_lsh_pairs``;
+    ``__sh`` carries HASHED shingles (dedup.hashed_shingles)."""
+    from kartothek_spark.operators.dedup import hashed_shingles
+
     return (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
         .select(
             "__id",
-            shingles_from_tokens(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"),
+            hashed_shingles(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"),
             # token-stream content key, same rationale as the batch
             # operator (dedup.py minhash_lsh_pairs): refines the shingle
             # set, 3× cheaper than hashing the shingle concat
