@@ -55,6 +55,59 @@ class CommitConflict(RuntimeError):
     (:func:`kartothek_spark.dataset.write.update_dataset`)."""
 
 
+_SAFE_SEGMENT = None  # compiled lazily (regex import cost at module load)
+
+
+def _equality_segments(predicates, casters) -> list[list[str]] | None:
+    """For a DNF of pure partition-key equality conjunctions whose
+    literals render into the path-escaping identity charset, return the
+    ``"k=v/"``-style segments to string-match; None → use the parse loop.
+
+    Renderings mirror the hive writer exactly for the supported types:
+    int → decimal string, date → ISO, str → itself (safe chars only).
+    bool/float/timestamp render differently than ``str()`` and are left
+    to the strict path. The literal's python type must agree with the
+    column's type class — a mismatched literal must keep flowing into the
+    strict path so the type-stability guard raises, not silently match."""
+    import datetime
+    import re
+
+    global _SAFE_SEGMENT
+    if _SAFE_SEGMENT is None:
+        _SAFE_SEGMENT = re.compile(r"[A-Za-z0-9_.\-]+\Z")
+    if not predicates:
+        return None
+    segs_dnf: list[list[str]] = []
+    for conj in predicates:
+        segs = []
+        for item in conj:
+            if len(item) != 3:
+                return None
+            k, op, v = item
+            dt = casters.get(k)
+            if op != "==" or dt is None or isinstance(v, bool):
+                return None
+            if isinstance(v, int) and isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                s = str(v)
+            elif (
+                isinstance(v, datetime.date)
+                and not isinstance(v, datetime.datetime)
+                and isinstance(dt, T.DateType)
+            ):
+                s = v.isoformat()
+            elif isinstance(v, str) and isinstance(dt, T.StringType):
+                s = v
+            else:
+                return None
+            if not _SAFE_SEGMENT.match(s):
+                return None
+            segs.append(f"/{k}={s}/")
+        segs_dnf.append(segs)
+    return segs_dnf
+
+
 def _typed_value(raw: str, dt: T.DataType) -> Any:
     """Cast a path-string partition value to its schema type (primary-index
     reconstruction; reference ``metapartition.py:920-980``)."""
@@ -206,7 +259,17 @@ class DatasetManifest:
     def query(self, predicates=None, **kwargs: Any) -> list[str]:
         """Partition labels surviving partition-key predicate evaluation
         (reference ``core/dataset.py:317-347``). ``kwargs`` are equality
-        shorthands (``delete_scope`` style)."""
+        shorthands (``delete_scope`` style).
+
+        Driver-side planning must stay sub-second at 100 TB manifest
+        scale (200k+ files — see BENCH_NOTES.md), so the loop avoids
+        per-label overhead: the schema caster map is hoisted out of the
+        loop, percent-decoding runs only on values that contain '%', and
+        labels sharing one hive directory evaluate ONCE (the per-dir
+        decision is cached — with f files per partition dir this divides
+        the work by f)."""
+        from urllib.parse import unquote
+
         from kartothek_spark.core.predicates import evaluate_predicates_py
 
         if kwargs:
@@ -216,10 +279,55 @@ class DatasetManifest:
             ]
         if not self.partition_keys or predicates is None:
             return list(self.partitions)
+
+        by_name = {f.name: f.dataType for f in self.schema.fields}
+        key_set = set(self.partition_keys)
+        casters = {k: by_name[k] for k in self.partition_keys if k in by_name}
+
+        # ==-only fast path (the dominant shape at manifest scale: point
+        # dispatch, delete_scope resolution): render each literal to its
+        # path segment and match whole segments by string containment —
+        # no per-label parse at all. Only taken when every rendered value
+        # is in the identity charset of the writer's path escaping
+        # (ints, dates, plain strings); anything else falls through to
+        # the parsing loop, so the fast path can never change results.
+        segs_dnf = _equality_segments(predicates, casters)
+        if segs_dnf is not None:
+            # "/k=v/" can only match a directory segment (the trailing
+            # file segment has no terminating slash), so prefixing one
+            # slash is enough — no per-label split
+            if len(segs_dnf) == 1 and len(segs_dnf[0]) == 1:
+                seg = segs_dnf[0][0]  # single point predicate: tightest loop
+                return [lbl for lbl in self.partitions if seg in "/" + lbl]
+            return [
+                lbl
+                for lbl in self.partitions
+                if any(all(seg in "/" + lbl for seg in conj) for conj in segs_dnf)
+            ]
+
+        decisions: dict[str, bool] = {}
         out = []
         for label in self.partitions:
-            values = self.partition_values(label)
-            if evaluate_predicates_py(predicates, values):
+            prefix = label.rpartition("/")[0]
+            dec = decisions.get(prefix)
+            if dec is None:
+                values: dict[str, Any] = {}
+                for seg in prefix.split("/"):
+                    eq = seg.find("=")
+                    if eq > 0:
+                        k = seg[:eq]
+                        if k in key_set:
+                            v = seg[eq + 1:]
+                            if "%" in v:
+                                v = unquote(v)
+                            values[k] = _typed_value(v, casters[k])
+                if len(values) < len(key_set):
+                    # fall back to the strict parser (raises with the
+                    # missing-keys message) for malformed labels
+                    values = self.partition_values(label)
+                dec = bool(evaluate_predicates_py(predicates, values))
+                decisions[prefix] = dec
+            if dec:
                 out.append(label)
         return out
 
