@@ -1535,6 +1535,41 @@ def ktk_zorder_pruned(spark, sf_dir):
     ).withColumn("pruned", F.lit(len(labels) < len(m.partitions)))
 
 
+def ktk_cluster_zorder(spark, sf_dir):
+    """Post-hoc z-order re-clustering of a LIVE dataset (cluster_dataset,
+    Delta OPTIMIZE ZORDER analog): a dataset originally written with no
+    layout gets rewritten into the interleaved-quantile order + per-file
+    stats in one atomic swap; a 2-column conjunction must then plan to a
+    strict subset of files (`pruned`) with exact value parity."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+    from kartothek_spark.dataset.write import cluster_dataset, store_dataframe_as_dataset
+
+    def build(root):
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+        try:
+            store_dataframe_as_dataset(
+                spark, _t(spark, sf_dir, "lineitem"), root, "lc"
+            )
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+    root = _fixture_clone(sf_dir, "li_uncstats", build)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
+    try:
+        cluster_dataset(spark, root, "lc", zorder_by=["l_orderkey", "l_partkey"])
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    m = DatasetManifest.load(root, "lc")
+    preds = [[("l_orderkey", "<", 500), ("l_partkey", "<", 100)]]
+    labels = dispatch_labels(spark, m, preds)
+    got = read_table(spark, root, "lc", predicates=preds)
+    return got.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("sum_qty"),
+    ).withColumn("pruned", F.lit(0 < len(labels) < len(m.partitions)))
+
+
 def ktk_hash_dataset(spark, sf_dir):
     """hash_dataset analog (A6): canonical per-group content hash
     (40-bit md5 residues summed — order-independent, overflow-safe)."""
@@ -2451,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_read_changes": ktk_read_changes,
         "ktk_schema_evolution": ktk_schema_evolution,
         "ktk_zorder_pruned": ktk_zorder_pruned,
+        "ktk_cluster_zorder": ktk_cluster_zorder,
         "ktk_incremental_sync": ktk_incremental_sync,
         "ktk_incremental_agg": ktk_incremental_agg,
         "ktk_hidden_partitioning": ktk_hidden_partitioning,
@@ -2665,6 +2701,13 @@ FROM lineitem WHERE l_orderkey < 500
 GROUP BY l_returnflag
 """,
         "ktk_zorder_pruned": f"""
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum({qty}) AS BIGINT) AS sum_qty,
+       CAST(1 AS BOOLEAN) AS pruned
+FROM lineitem WHERE l_orderkey < 500 AND l_partkey < 100
+GROUP BY l_returnflag
+""",
+        "ktk_cluster_zorder": f"""
 SELECT l_returnflag, count(*) AS n,
        CAST(sum({qty}) AS BIGINT) AS sum_qty,
        CAST(1 AS BOOLEAN) AS pruned

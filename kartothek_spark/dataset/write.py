@@ -528,6 +528,7 @@ def update_dataset(
     metadata: dict[str, Any] | None = None,
     schema_evolution: bool = False,
     max_conflict_retries: int = 3,
+    zorder_by: Sequence[str] | None = None,
 ) -> DatasetManifest:
     """Append + delete partitions in ONE atomic commit (reference
     ``update_dataset_from_ddf`` / ``update_dataset_from_partitions``,
@@ -605,9 +606,15 @@ def update_dataset(
             validate_compatible([manifest.schema, df.schema])
         suffix = format_suffix(manifest.table_format)
         before = set(_enumerate_parquet(manifest.data_root, suffix))
+        if zorder_by:
+            # appended files get the interleaved-quantile layout and their
+            # min/max recorded, so stats pruning covers the new files too
+            # (cluster_dataset rewrites everything through this path)
+            manifest.stats_columns = sorted(set(manifest.stats_columns) | set(zorder_by))
         _write_files(df, manifest.data_root, manifest.partition_keys, sort_partitions_by,
                      manifest.bucket_by, manifest.num_buckets,
                      table_format=manifest.table_format,
+                     zorder_by=list(zorder_by) if zorder_by else None,
                      bloom_filter_columns=manifest.bloom_columns)
         for rel in _enumerate_parquet(manifest.data_root, suffix):
             if rel not in before:
@@ -626,6 +633,10 @@ def update_dataset(
     for attempt in range(max(0, max_conflict_retries) + 1):
         if attempt:
             manifest = DatasetManifest.load(root, dataset_uuid)
+            if zorder_by:  # re-apply the layout metadata on rebase
+                manifest.stats_columns = sorted(
+                    set(manifest.stats_columns) | set(zorder_by)
+                )
         if df is not None:
             if schema_evolution:
                 from kartothek_spark.core.schema import evolve_schema
@@ -725,6 +736,34 @@ def compact_dataset(
         dataset_uuid,
         delete_scope=[{}],  # every existing partition label
         sort_partitions_by=sort_partitions_by,
+    )
+
+
+def cluster_dataset(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    zorder_by: Sequence[str],
+) -> DatasetManifest:
+    """Re-cluster an EXISTING dataset into a z-order layout (Delta
+    ``OPTIMIZE ... ZORDER BY`` analog; beyond the reference): one
+    distributed read→write job rewrites every payload file through the
+    interleaved-quantile layout, records per-file min/max for the z-order
+    columns in the manifest, and swaps atomically — after which range
+    conjunctions on those columns plan to a strict file subset via stats
+    pruning (same machinery as ``store_dataframe_as_dataset(zorder_by=)``,
+    now available post-hoc for datasets whose query pattern emerged after
+    the initial write). Replaced files become GC-able orphans; with
+    ``keep_history`` the pre-cluster snapshot stays time-travelable."""
+    from kartothek_spark.dataset.read import read_table
+
+    return update_dataset(
+        spark,
+        read_table(spark, root, dataset_uuid),
+        root,
+        dataset_uuid,
+        delete_scope=[{}],  # every existing partition label
+        zorder_by=list(zorder_by),
     )
 
 

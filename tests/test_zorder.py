@@ -71,3 +71,37 @@ def test_zorder_rejects_string_and_range_combo(spark, tmp_root):
             spark, li, tmp_root, "bad2",
             zorder_by=["l_orderkey"], range_partition_by=["l_partkey"],
         )
+
+
+def test_cluster_dataset_reclusters_live_dataset(spark, tmp_root):
+    """cluster_dataset (Delta OPTIMIZE ZORDER analog): an unclustered
+    dataset gains stats columns + a skipping layout post-hoc, in one
+    atomic swap that preserves content exactly."""
+    from kartothek_spark.dataset.write import cluster_dataset
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "500")
+    try:
+        store_dataframe_as_dataset(spark, li, tmp_root, "lc")
+        before = DatasetManifest.load(tmp_root, "lc")
+        assert not before.stats_columns
+        # unclustered: a conjunction prunes nothing
+        assert len(dispatch_labels(
+            spark, before, [[("l_orderkey", "<", 300)]]
+        )) == len(before.partitions)
+
+        cluster_dataset(spark, tmp_root, "lc", zorder_by=["l_orderkey", "l_partkey"])
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+    m = DatasetManifest.load(tmp_root, "lc")
+    assert set(m.stats_columns) == {"l_orderkey", "l_partkey"}
+    n_files = len(m.partitions)
+    preds = [[("l_orderkey", "<", 300), ("l_partkey", "<", 40)]]
+    labels = dispatch_labels(spark, m, preds)
+    assert 0 < len(labels) < n_files
+    got = read_table(spark, tmp_root, "lc", predicates=preds)
+    exp = li.where("l_orderkey < 300 AND l_partkey < 40")
+    assert got.count() == exp.count()
+    # full content preserved by the rewrite
+    assert read_table(spark, tmp_root, "lc").count() == li.count()
