@@ -2382,6 +2382,46 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+def multimodal_resize(spark, sf_dir):
+    """resize_images plumbing: the typed metadata update is real (target
+    dims recorded, mime/duration preserved), content passes through the
+    stub untouched — pinned by byte length + dims per media row."""
+    from kartothek_spark.operators.multimodal import make_media_df, resize_images
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = resize_images(make_media_df(docs, "doc_id", "text", kind="image"), 224, 224)
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.octet_length(F.col("content")).cast("long").alias("n_bytes"),
+    )
+
+
+def multimodal_frames(spark, sf_dir):
+    """sample_frames plumbing: one row per sampled timestamp, frame payload
+    stubbed as a deterministic slice — the explode shape, timestamp grid,
+    and per-frame fingerprint are all value-pinned (duration synthesized
+    from the payload length so the oracle can mirror it)."""
+    from kartothek_spark.operators.multimodal import make_media_df, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = make_media_df(docs, "doc_id", "text", kind="video").withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            (F.octet_length("content") * 10).cast("long").alias("duration_ms"),
+        ),
+    )
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", "ts_ms", F.md5(F.col("frame")).alias("frame_md5")
+    )
+
+
 def stream_windowed_update(spark, sf_dir):
     """Structured Streaming: micro-batch ingest of events into a managed
     dataset via foreachBatch + atomic manifest commits, then windowed agg
@@ -2567,6 +2607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exhaustive": ann_ivf_exhaustive,
         "multimodal_plumbing": multimodal_plumbing,
         "multimodal_features": multimodal_features,
+        "multimodal_resize": multimodal_resize,
+        "multimodal_frames": multimodal_frames,
         "stream_windowed_update": stream_windowed_update,
         "stream_sessionize": stream_sessionize,
     }
@@ -3251,6 +3293,25 @@ FROM documents
         # byte positions; testdata text is pure ASCII (asserted by the
         # octet_length guard), so char positions == byte positions and the
         # whole thing is SQL — a FULL value oracle for the mapInPandas op
+        "multimodal_resize": """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(224 AS INTEGER) AS width, CAST(224 AS INTEGER) AS height,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 200
+""",
+        "multimodal_frames": """
+WITH m AS (
+  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) * 10 AS dur
+  FROM documents WHERE doc_id < 200
+), grid AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(CAST(dur // 1000 AS BIGINT) - 1, 0) + 1)) AS i
+  FROM m
+)
+SELECT doc_id AS media_id, CAST(i * 1000 AS BIGINT) AS ts_ms,
+       md5(substr(text, 1, 64)) AS frame_md5
+FROM grid
+""",
         "multimodal_features": """
 WITH guard AS (
   SELECT CASE WHEN (SELECT count(*) FROM documents
