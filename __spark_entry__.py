@@ -79,17 +79,27 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _code_tag() -> str:
-    """Cache-busting tag: the repo commit (fixture layouts follow code)."""
+    """Cache-busting tag: repo commit + a digest of any UNCOMMITTED diff,
+    so editing the library in a dirty tree invalidates cached fixtures
+    immediately (a stale fixture would validate the pre-edit writer's
+    artifacts and mask a write-path regression until the next commit)."""
     try:
+        import hashlib
         import subprocess
 
-        out = subprocess.run(
-            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
-             "rev-parse", "--short", "HEAD"],
+        repo = os.path.dirname(os.path.abspath(__file__))
+        head = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip()
-        if out:
-            return out
+        if head:
+            diff = subprocess.run(
+                ["git", "-C", repo, "diff", "HEAD"],
+                capture_output=True, timeout=30,
+            ).stdout
+            if diff:
+                head += "+" + hashlib.md5(diff).hexdigest()[:8]
+            return head
     except Exception:
         pass
     return "nogit"
@@ -3305,7 +3315,7 @@ WITH m AS (
   FROM documents WHERE doc_id < 200
 ), grid AS (
   SELECT doc_id, text,
-         unnest(range(0, greatest(CAST(dur // 1000 AS BIGINT) - 1, 0) + 1)) AS i
+         unnest(range(0, greatest(CAST((dur - 1) // 1000 AS BIGINT), 0) + 1)) AS i
   FROM m
 )
 SELECT doc_id AS media_id, CAST(i * 1000 AS BIGINT) AS ts_ms,

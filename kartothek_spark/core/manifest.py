@@ -290,8 +290,12 @@ class DatasetManifest:
         # no per-label parse at all. Only taken when every rendered value
         # is in the identity charset of the writer's path escaping
         # (ints, dates, plain strings); anything else falls through to
-        # the parsing loop, so the fast path can never change results.
-        segs_dnf = _equality_segments(predicates, casters)
+        # the parsing loop, so the fast path cannot change results.
+        # EXTERNAL (attached) datasets never take it: a foreign hive
+        # writer may use non-canonical renderings (zero-padded ints,
+        # unpadded dates) that parse to the same typed value but would
+        # not string-match — only the engine's own labels are canonical.
+        segs_dnf = None if self.external_root else _equality_segments(predicates, casters)
         if segs_dnf is not None:
             # "/k=v/" can only match a directory segment (the trailing
             # file segment has no terminating slash), so prefixing one

@@ -87,6 +87,7 @@ def upsert_dataset(
     root: str,
     dataset_uuid: str,
     merge_keys: Sequence[str],
+    broadcast_keys: bool = True,
     **update_kwargs: Any,
 ) -> DatasetManifest:
     """MERGE-style upsert: rows in ``df`` replace existing rows with the
@@ -95,9 +96,13 @@ def upsert_dataset(
 
     Affected partitions are the distinct partition-key values present in
     ``df`` (one metadata-cheap ``collect`` of that bounded set); existing
-    rows there are anti-joined on the merge keys against the (broadcast
-    when small) incoming keys, unioned with the new rows, and swapped in
-    ONE atomic commit. Requires partition keys in ``df``; matched rows in
+    rows there are anti-joined on the merge keys against the incoming
+    keys — BROADCAST by default (``broadcast_keys=True``), which keeps the
+    existing rows un-shuffled; a batch whose distinct merge keys approach
+    Spark's broadcast limit (8 GB / driver memory) should pass
+    ``broadcast_keys=False`` to take a shuffle anti-join instead, or be
+    split into several upserts. Results union with the new rows and swap
+    in ONE atomic commit. Requires partition keys in ``df``; matched rows in
     partitions ``df`` does not touch cannot exist when the partition keys
     are part of the merge identity — callers merging across partition
     values (a row "moved" to a new date) should delete first, then upsert,
@@ -133,9 +138,10 @@ def upsert_dataset(
     # broadcast the anti-join's key side: one upsert batch's merge keys are
     # small relative to the partitions they touch, and broadcasting them
     # means the existing rows are never shuffled — the dominant cost of a
-    # copy-on-write merge. (A pathological multi-GB key batch should be
-    # split into several upserts; the hint is deliberate, not size-gated.)
-    keys = F.broadcast(df.select(*merge_keys).dropDuplicates())
+    # copy-on-write merge. broadcast_keys=False opts out for giant batches.
+    keys = df.select(*merge_keys).dropDuplicates()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
     survivors = existing.join(keys, list(merge_keys), "left_anti")
     merged = survivors.unionByName(df.select(*existing.columns))
     return update_dataset(

@@ -220,9 +220,21 @@ def sync_aggregate_dataset(
         if DatasetManifest.exists(dst_root, dst_uuid):
             delete_dataset(dst_root, dst_uuid)
         out = _first_agg(read_table(spark, src_root, src_uuid))
-        store_dataframe_as_dataset(
-            spark, out, dst_root, dst_uuid, partition_on=partition_on, metadata=meta
-        )
+        try:
+            store_dataframe_as_dataset(
+                spark, out, dst_root, dst_uuid, partition_on=partition_on, metadata=meta
+            )
+        except ValueError as exc:
+            # translate the write layer's generic null-partition-key abort
+            # into the same actionable message the incremental path raises
+            if "null values in partition keys" in str(exc):
+                raise ValueError(
+                    f"sync_aggregate_dataset: NULL value in group column(s) used "
+                    f"as view partition keys {partition_on}; filter or COALESCE "
+                    f"nulls in the source, or choose a non-null partition_on "
+                    f"prefix of group_by"
+                ) from None
+            raise
         n = read_table(spark, dst_root, dst_uuid).count()
         return {"mode": mode, "src_version": src.version, "groups_rewritten": n}
 

@@ -332,30 +332,58 @@ def minhash_lsh_pairs_sql(
     threshold: float = 0.5,
     num_hashes: int = MINHASH_NUM_HASHES,
     bands: int = MINHASH_BANDS,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> str:
     rows = num_hashes // bands
     sig = minhash_signature_sql(text_col, num_hashes)
     sh = word_shingles_sql(text_col, MINHASH_SHINGLE_WORDS)
+    toks = tokens_sql(text_col)
+    jac = (
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
+    )
+    cap = "" if max_band_bucket is None else f"WHERE bsz <= {max_band_bucket}"
+    intra = (
+        ""
+        if threshold > 1.0
+        else """
+  UNION ALL
+  SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM base a JOIN base b ON a.ck = b.ck AND a.id < b.id"""
+    )
+    # mirrors the operator STRUCTURALLY, not just its output: identical
+    # rep-collapse on the content key and the same per-(band, key) bucket
+    # cap, so capped results stay bit-identical across engines
     return f"""
 WITH base AS (
-  SELECT {id_col} AS id, {sig} AS sig,
+  SELECT {id_col} AS id, md5(array_to_string({toks}, chr(1))) AS ck, {sig} AS sig,
          list_transform({sh}, s -> {h60_sql('s')}) AS sh
   FROM {table}
   WHERE len({sh}) > 0
+), reps AS (
+  SELECT ck, min(id) AS rid, any_value(sig) AS sig, any_value(sh) AS sh
+  FROM base GROUP BY ck
 ), banded AS (
-  SELECT id, b.band AS band,
+  SELECT rid, ck, b.band AS band,
          array_to_string(list_slice(sig, b.band * {rows} + 1, (b.band + 1) * {rows}), '_') AS key
-  FROM base, (SELECT unnest(range(0, {bands})) AS band) b
+  FROM reps, (SELECT unnest(range(0, {bands})) AS band) b
+), capped AS (
+  SELECT rid, ck, band, key FROM (
+    SELECT rid, ck, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+    FROM banded
+  ) {cap}
 ), cand AS (
-  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+  SELECT DISTINCT l.ck AS ck_a, r.ck AS ck_b
+  FROM capped l JOIN capped r ON l.band = r.band AND l.key = r.key AND l.rid < r.rid
+), ver AS (
+  SELECT c.ck_a, c.ck_b, {jac} AS jaccard
+  FROM cand c JOIN reps a ON c.ck_a = a.ck JOIN reps b ON c.ck_b = b.ck
+  WHERE {jac} >= {threshold}
+), out AS (
+  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, v.jaccard
+  FROM ver v JOIN base ma ON v.ck_a = ma.ck JOIN base mb ON v.ck_b = mb.ck{intra}
 )
-SELECT c.id_a, c.id_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
-FROM cand c JOIN base a ON c.id_a = a.id JOIN base b ON c.id_b = b.id
-WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= {threshold}
+SELECT id_a, id_b, jaccard FROM out
 """
 
 
@@ -525,19 +553,43 @@ def simhash_pairs(
     return out
 
 
-def simhash_pairs_sql(table: str, text_col: str, id_col: str, max_hamming: int = 3) -> str:
+def simhash_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> str:
     sim = simhash_sql(text_col)
     mask = (1 << SIMHASH_BAND_BITS) - 1
+    cap = "" if max_band_bucket is None else f"WHERE bsz <= {max_band_bucket}"
+    # structural mirror of simhash_pairs: rep-collapse on the fingerprint,
+    # per-(band, key) bucket cap, member re-expansion, intra pairs
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {sim} AS sim FROM {table}
+), reps AS (
+  SELECT sim, min(id) AS rid FROM base GROUP BY sim
 ), banded AS (
-  SELECT id, sim, b.band AS band, (sim >> (b.band * {SIMHASH_BAND_BITS})) & {mask} AS key
-  FROM base, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) b
+  SELECT rid, sim, b.band AS band, (sim >> (b.band * {SIMHASH_BAND_BITS})) & {mask} AS key
+  FROM reps, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) b
+), capped AS (
+  SELECT rid, sim, band, key FROM (
+    SELECT rid, sim, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+    FROM banded
+  ) {cap}
+), rep_pairs AS (
+  SELECT DISTINCT l.sim AS sim_a, r.sim AS sim_b, bit_count(xor(l.sim, r.sim)) AS hamming
+  FROM capped l JOIN capped r ON l.band = r.band AND l.key = r.key AND l.rid < r.rid
+  WHERE bit_count(xor(l.sim, r.sim)) <= {max_hamming}
+), out AS (
+  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, p.hamming
+  FROM rep_pairs p JOIN base ma ON p.sim_a = ma.sim JOIN base mb ON p.sim_b = mb.sim
+  UNION ALL
+  SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INTEGER) AS hamming
+  FROM base a JOIN base b ON a.sim = b.sim AND a.id < b.id
 )
-SELECT DISTINCT l.id AS id_a, r.id AS id_b, bit_count(xor(l.sim, r.sim)) AS hamming
-FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.id < r.id
-WHERE bit_count(xor(l.sim, r.sim)) <= {max_hamming}
+SELECT id_a, id_b, hamming FROM out
 """
 
 

@@ -21,9 +21,16 @@ are likewise persisted copy-on-write datasets, kartothek/core/index.py):
 Incremental invariant (tested in ``tests/test_dedup_index.py``): the
 union of pair sets returned by successive syncs equals the batch
 operator's output over the live corpus, for ANY split of the corpus into
-append batches. This holds because band keys and Jaccard depend only on
-the shingle SET (equal for all members of a ``ck``), so verification
-outcome is representative-independent.
+append batches — for corpora whose band buckets stay under the batch
+operator's ``max_band_bucket`` hot-bucket cap. This holds because band
+keys and Jaccard depend only on the shingle SET (equal for all members
+of a ``ck``), so verification outcome is representative-independent.
+The incremental path deliberately applies NO bucket cap: the cap is
+history-dependent (a bucket crosses the limit at some sync, after
+earlier syncs already emitted its pairs), so a capped incremental union
+could never equal a capped batch run — instead the index keeps full
+recall and callers who need the blowup bound cap at query time on the
+emitted pair stream.
 
 Per-sync cost is O(new docs + candidate pairs): signatures are computed
 for new documents only, the banding join is (new content keys) ×

@@ -124,11 +124,21 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: emits one row per sampled timestamp
-    with a stubbed frame payload (deterministic slice of the source blob)."""
+    (every ``every_ms`` starting at 0, for every timestamp strictly below
+    the duration — the final PARTIAL interval still yields its frame)
+    with a stubbed frame payload (deterministic slice of the source blob).
+    Zero/unknown duration emits the single t=0 frame."""
     frames = F.transform(
         F.sequence(
             F.lit(0),
-            F.greatest((F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast("long") - 1, F.lit(0)),
+            # last index with i*every < duration  ⇔  (duration-1) div every
+            # (e.g. duration 1570 / every 1000 → indices 0 and 1)
+            F.greatest(
+                F.floor(
+                    (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1) / every_ms
+                ).cast("long"),
+                F.lit(0),
+            ),
         ),
         lambda i: F.struct(
             (i * every_ms).cast("long").alias("ts_ms"),

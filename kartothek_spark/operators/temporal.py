@@ -120,8 +120,19 @@ def asof_join(
         return _explode(u.withColumn("__r", F.last("__r", ignorenulls=True).over(w)))
 
     # ---- keyless: range-partitioned prefix scan + boundary exchange ----
-    part = u.repartitionByRange(ord_on, F.col("__is_l").asc()).withColumn(
-        "__pid", F.spark_partition_id()
+    # the partition id is MATERIALIZED once (eager localCheckpoint): three
+    # subplans consume `part` (within-fill, per-partition lasts, carry
+    # join-back), and relying on exchange reuse to keep
+    # spark_partition_id() consistent across recomputations would be
+    # fragile (reuse can be disabled or defeated by AQE re-planning; the
+    # range sampler reseeds per RDD instantiation). One linear
+    # materialization of the union buys deterministic pids — and the
+    # keyless form is the small-side case anyway (the keyed window is the
+    # 100 TB path)
+    part = (
+        u.repartitionByRange(ord_on, F.col("__is_l").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("__pid")

@@ -23,20 +23,40 @@ def quarantine_uuid(dataset_uuid: str) -> str:
     return f"{dataset_uuid}__quarantine"
 
 
-def _batch_already_committed(root: str, dataset_uuid: str, batch_id: int) -> bool:
+def _batch_already_committed(
+    root: str, dataset_uuid: str, batch_id: int, txn_id: str | None
+) -> bool:
     """True iff this micro-batch already landed in the dataset's manifest.
 
-    The standard ``foreachBatch`` exactly-once pattern: every commit stamps
-    ``last_stream_batch`` into the manifest metadata, and a retried batch
-    (same ``batch_id``, delivered again after a crash between the commit and
-    the checkpoint advance) is detected here and skipped — without this, the
-    at-least-once contract of ``foreachBatch`` would re-append the batch's
-    rows. ``batch_id`` is monotonically increasing per checkpoint, so an
-    equality match can only mean a retry of the most recent batch."""
-    if not DatasetManifest.exists(root, dataset_uuid):
+    The standard ``foreachBatch`` exactly-once pattern (Delta's
+    txnAppId/txnVersion): every commit stamps ``(txn_id, batch_id)`` into
+    the manifest metadata, and a retried batch (same ids, delivered again
+    after a crash between the commit and the checkpoint advance) is
+    detected here and skipped — without this, the at-least-once contract
+    of ``foreachBatch`` would re-append the batch's rows.
+
+    ``batch_id`` alone is NOT enough: ids restart at 0 when a stream is
+    restarted with a fresh checkpoint, and a bare ``last >= batch_id``
+    check would then silently DISCARD real data. The stamp therefore
+    carries the transaction identity (the checkpoint location by default);
+    a differing or absent identity means "not a retry" and the commit
+    proceeds. Without a checkpoint there are no retries to dedupe (a
+    restart reprocesses from scratch by design), so ``txn_id=None``
+    disables the guard."""
+    if txn_id is None or not DatasetManifest.exists(root, dataset_uuid):
         return False
-    last = DatasetManifest.load(root, dataset_uuid).metadata.get("last_stream_batch")
+    md = DatasetManifest.load(root, dataset_uuid).metadata
+    if md.get("last_stream_txn") != txn_id:
+        return False
+    last = md.get("last_stream_batch")
     return last is not None and int(last) >= int(batch_id)
+
+
+def _batch_stamp(batch_id: int, txn_id: str | None) -> dict[str, Any]:
+    stamp: dict[str, Any] = {"last_stream_batch": batch_id}
+    if txn_id is not None:
+        stamp["last_stream_txn"] = txn_id
+    return stamp
 
 
 def _split_on_constraints(batch_df: DataFrame, constraints: dict[str, str]):
@@ -80,9 +100,10 @@ def stream_update_dataset(
     first failed check, and the stream keeps running — the live-pipeline
     contract, where one bad record must not stall ingestion."""
     spark = stream_df.sparkSession
+    txn_id = checkpoint_dir  # transaction identity for the retry guard
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if _batch_already_committed(root, dataset_uuid, batch_id):
+        if _batch_already_committed(root, dataset_uuid, batch_id, txn_id):
             return  # retry of an already-landed batch — exactly-once no-op
         live = constraints
         if DatasetManifest.exists(root, dataset_uuid):
@@ -91,23 +112,23 @@ def stream_update_dataset(
             batch_df, bad = _split_on_constraints(batch_df, dict(live))
             if not bad.isEmpty():
                 quuid = quarantine_uuid(dataset_uuid)
-                if _batch_already_committed(root, quuid, batch_id):
+                if _batch_already_committed(root, quuid, batch_id, txn_id):
                     pass  # quarantine landed, main commit crashed — don't re-append
                 elif DatasetManifest.exists(root, quuid):
                     update_dataset(spark, bad, root, quuid,
-                                   metadata={"last_stream_batch": batch_id})
+                                   metadata=_batch_stamp(batch_id, txn_id))
                 else:
                     store_dataframe_as_dataset(
                         spark, bad, root, quuid,
-                        metadata={"last_stream_batch": batch_id},
+                        metadata=_batch_stamp(batch_id, txn_id),
                     )
         if DatasetManifest.exists(root, dataset_uuid):
             update_dataset(spark, batch_df, root, dataset_uuid,
-                           metadata={"last_stream_batch": batch_id})
+                           metadata=_batch_stamp(batch_id, txn_id))
         else:
             store_dataframe_as_dataset(
                 spark, batch_df, root, dataset_uuid, partition_on=partition_on,
-                metadata={"last_stream_batch": batch_id},
+                metadata=_batch_stamp(batch_id, txn_id),
                 keep_history=keep_history,
                 constraints=constraints,
             )
@@ -332,19 +353,20 @@ def stream_dedup_index(
     from kartothek_spark.operators.dedup_index import sync_minhash_index
 
     spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if _batch_already_committed(root, corpus_uuid, batch_id):
+        if _batch_already_committed(root, corpus_uuid, batch_id, txn_id):
             pass  # retried batch: corpus already landed; sync below is a no-op
         elif DatasetManifest.exists(root, corpus_uuid):
             update_dataset(spark, batch_df, root, corpus_uuid,
-                           metadata={"last_stream_batch": batch_id})
+                           metadata=_batch_stamp(batch_id, txn_id))
         else:
             store_dataframe_as_dataset(
                 spark, batch_df, root, corpus_uuid, keep_history=True,
-                metadata={"last_stream_batch": batch_id},
+                metadata=_batch_stamp(batch_id, txn_id),
             )
         pairs = sync_minhash_index(
             spark, root, corpus_uuid, root, index_uuid,
@@ -356,10 +378,10 @@ def stream_dedup_index(
             # blocks rather than re-running the banding job
             n = pairs.count()
             update_dataset(spark, pairs if n else None, root, pairs_uuid,
-                           metadata={"last_stream_batch": batch_id})
+                           metadata=_batch_stamp(batch_id, txn_id))
         else:
             store_dataframe_as_dataset(spark, pairs, root, pairs_uuid,
-                                       metadata={"last_stream_batch": batch_id})
+                                       metadata=_batch_stamp(batch_id, txn_id))
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
     if checkpoint_dir:
@@ -393,11 +415,12 @@ def stream_aggregate_view(
     from kartothek_spark.dataset.sync import sync_aggregate_dataset
 
     spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if _batch_already_committed(root, source_uuid, batch_id):
+        if _batch_already_committed(root, source_uuid, batch_id, txn_id):
             # retried batch: source already landed; the view sync below is
             # cursor-idempotent, so re-running it just catches up if the
             # crash hit between source commit and view rewrite
@@ -408,12 +431,12 @@ def stream_aggregate_view(
             return
         if DatasetManifest.exists(root, source_uuid):
             update_dataset(spark, batch_df, root, source_uuid,
-                           metadata={"last_stream_batch": batch_id})
+                           metadata=_batch_stamp(batch_id, txn_id))
         else:
             store_dataframe_as_dataset(
                 spark, batch_df, root, source_uuid, keep_history=True,
                 partition_on=source_partition_on,
-                metadata={"last_stream_batch": batch_id},
+                metadata=_batch_stamp(batch_id, txn_id),
             )
         sync_aggregate_dataset(
             spark, root, source_uuid, root, view_uuid,

@@ -57,14 +57,51 @@ def test_batch_already_committed_guard(tmp_path, spark):
     from kartothek_spark.streaming.update import _batch_already_committed
 
     root = str(tmp_path)
-    assert not _batch_already_committed(root, "nope", 0)
+    assert not _batch_already_committed(root, "nope", 0, "ck")
     df = spark.createDataFrame([Row(a=1)])
     store_dataframe_as_dataset(
-        spark, df, root, "ds", metadata={"last_stream_batch": 5}
+        spark, df, root, "ds",
+        metadata={"last_stream_batch": 5, "last_stream_txn": "ck"},
     )
-    assert _batch_already_committed(root, "ds", 5)
-    assert _batch_already_committed(root, "ds", 4)  # earlier batch: landed too
-    assert not _batch_already_committed(root, "ds", 6)
+    assert _batch_already_committed(root, "ds", 5, "ck")
+    assert _batch_already_committed(root, "ds", 4, "ck")  # earlier: landed too
+    assert not _batch_already_committed(root, "ds", 6, "ck")
+    # a DIFFERENT transaction identity (fresh checkpoint) is never a retry
+    assert not _batch_already_committed(root, "ds", 0, "other-ck")
+    assert not _batch_already_committed(root, "ds", 0, None)
+
+
+def test_stream_restart_with_fresh_checkpoint_is_not_discarded(spark, tmp_path):
+    """Restarting ingestion with a NEW checkpoint restarts batch_ids at 0;
+    the retry guard must key on the transaction identity, not the bare
+    batch id — otherwise the restart's batches would be silently dropped
+    (the at-least-once reprocessing a fresh checkpoint implies must land)."""
+    from kartothek_spark.streaming.update import stream_update_dataset
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "store")
+    batch = spark.range(90).selectExpr("id", "id % 4 AS k")
+    for i in range(3):
+        batch.where(F.col("id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("id long, k long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_update_dataset(
+            stream, root, "ev", checkpoint_dir=ckpt,
+            trigger={"availableNow": True}, keep_history=True,
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    assert read_table(spark, root, "ev").count() == 90
+    # fresh checkpoint: the source replays from scratch (batch ids 0..2);
+    # stored last_stream_batch=2 must NOT suppress them
+    run(str(tmp_path / "ckpt2"))
+    assert read_table(spark, root, "ev").count() == 180
 
 
 def test_update_rederives_inconsistent_hidden_partition_column(spark, tmp_root):
@@ -96,6 +133,30 @@ def test_update_rederives_inconsistent_hidden_partition_column(spark, tmp_root):
     m = DatasetManifest.load(tmp_root, "ev")
     assert any("d=2024-01-02" in lbl for lbl in m.partitions)
     assert not any("d=2024-01-05" in lbl for lbl in m.partitions)
+
+
+def test_attached_foreign_labels_skip_equality_fast_path(spark, tmp_path):
+    """A foreign hive writer may zero-pad values; the dispatch fast path
+    must not string-match against non-canonical labels — attached
+    datasets always take the strict parse loop."""
+    import os
+
+    from kartothek_spark.dataset.write import attach_dataset
+
+    root = str(tmp_path)
+    raw = os.path.join(root, "raw")
+    # non-canonical int rendering a foreign tool might produce
+    os.makedirs(os.path.join(raw, "month=01"))
+    os.makedirs(os.path.join(raw, "month=11"))
+    spark.createDataFrame([Row(v=1.0)]).coalesce(1).write.parquet(
+        os.path.join(raw, "month=01"), mode="overwrite"
+    )
+    spark.createDataFrame([Row(v=2.0)]).coalesce(1).write.parquet(
+        os.path.join(raw, "month=11"), mode="overwrite"
+    )
+    m = attach_dataset(spark, root, "ext", raw)
+    got = m.query(predicates=[[("month", "==", 1)]])
+    assert len(got) == 1 and "month=01" in got[0]
 
 
 def test_chunk_corpus_no_trailing_pure_overlap_chunk(spark):
@@ -157,6 +218,35 @@ def test_minhash_hot_band_cap_bounds_near_dup_mega_cluster(spark):
         [(i, "same text for everyone") for i in range(10)], "doc_id long, text string"
     )
     assert minhash_lsh_pairs(ident, threshold=0.5, max_band_bucket=50).count() == 45
+
+
+def test_capped_minhash_matches_duckdb_twin(spark):
+    """The SQL twin structurally mirrors rep-collapse + bucket cap, so
+    capped results stay bit-identical across engines — even on the
+    near-dup mega-cluster the cap exists for."""
+    import duckdb
+
+    from kartothek_spark.operators.dedup import minhash_lsh_pairs, minhash_lsh_pairs_sql
+
+    mega = _near_dup_cluster(spark, 120).unionByName(
+        spark.createDataFrame(
+            [(1000 + i, "same text for everyone") for i in range(10)],
+            "doc_id long, text string",
+        )
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(mega, threshold=0.2, max_band_bucket=30).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", mega.toPandas())
+    want = {
+        tuple(r)
+        for r in con.execute(
+            minhash_lsh_pairs_sql("docs", "text", "doc_id", threshold=0.2, max_band_bucket=30)
+        ).fetchall()
+    }
+    assert got == want and len(want) == 45  # only the identical-doc cluster survives
 
 
 def test_simhash_hot_band_cap(spark):
@@ -245,6 +335,23 @@ def test_shard_corpus_balanced_deterministic(spark):
     assert [r.doc_id for r in rows] != sorted(r.doc_id for r in rows)
 
 
+def test_sample_frames_includes_final_partial_interval(spark):
+    from kartothek_spark.operators.multimodal import make_media_df, sample_frames
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x" * 157)])
+    media = make_media_df(df, "doc_id", "text", kind="video").withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.lit(1570).cast("long").alias("duration_ms"),  # 1.57 s
+        ),
+    )
+    ts = sorted(r.ts_ms for r in sample_frames(media, every_ms=1000).collect())
+    assert ts == [0, 1000]  # the frame inside the final partial interval
+
+
 def test_sync_aggregate_null_group_key_raises_clearly(spark, tmp_root):
     from kartothek_spark.dataset.sync import sync_aggregate_dataset
 
@@ -267,5 +374,15 @@ def test_sync_aggregate_null_group_key_raises_clearly(spark, tmp_root):
     with pytest.raises(ValueError, match="NULL value in group column"):
         sync_aggregate_dataset(
             spark, tmp_root, "src", tmp_root, "view",
+            group_by=["g"], aggs=[("s", "sum", "v")],
+        )
+    # the INITIAL build path raises the same actionable error
+    src2 = spark.createDataFrame(
+        [Row(g=None, v=1.0), Row(g="b", v=2.0)], "g string, v double"
+    )
+    store_dataframe_as_dataset(spark, src2, tmp_root, "src2", keep_history=True)
+    with pytest.raises(ValueError, match="NULL value in group column"):
+        sync_aggregate_dataset(
+            spark, tmp_root, "src2", tmp_root, "view2",
             group_by=["g"], aggs=[("s", "sum", "v")],
         )
