@@ -1601,6 +1601,27 @@ def events_hourly(spark, sf_dir):
     return out.select("window_start", "event_type", "n_events")
 
 
+def events_sliding(spark, sf_dir):
+    """SLIDING-window counts (1 h window, 15 min slide): each event lands
+    in 4 overlapping windows — the generate-per-event expansion whose
+    fan-out is a constant of the window spec."""
+    from kartothek_spark.streaming.update import windowed_event_counts
+
+    ev = _events(spark, sf_dir)
+    out = windowed_event_counts(
+        ev, window_duration="1 hour", slide_duration="15 minutes"
+    )
+    return out.select("window_start", "window_end", "event_type", "n_events")
+
+
+def events_cohorts(spark, sf_dir):
+    """Cohort retention matrix (operators/temporal.py cohort_retention):
+    users keyed by first-activity week, counted per returning week."""
+    from kartothek_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), period="week")
+
+
 def events_attribution(spark, sf_dir):
     """Keyed interval join (stream-stream-capable shape, batch form):
     every purchase paired with the same user's views in the preceding 30
@@ -2560,6 +2581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_compact": ktk_compact,
         "ktk_cli_lifecycle": ktk_cli_lifecycle,
         "events_hourly": events_hourly,
+        "events_sliding": events_sliding,
+        "events_cohorts": events_cohorts,
         "events_sessionize": events_sessionize,
         "events_dedup": events_dedup,
         "events_user_value": events_user_value,
@@ -3001,6 +3024,33 @@ SELECT p_partkey, p_brand, p_size FROM part WHERE p_size = 10
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
 FROM events GROUP BY 1, 2
+""",
+        "events_sliding": """
+WITH expanded AS (
+  SELECT event_type,
+         CAST(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - i.i * 900) AS TIMESTAMP) AS window_start,
+         ts
+  FROM events, (SELECT unnest(range(0, 4)) AS i) i
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n_events
+FROM expanded
+WHERE ts < window_start + INTERVAL 1 HOUR AND ts >= window_start
+GROUP BY 1, 2, 3
+""",
+        "events_cohorts": """
+WITH activity AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS activity_start FROM events
+), cohorts AS (
+  SELECT u, min(activity_start) AS cohort_start FROM activity GROUP BY u
+)
+SELECT a.cohort_start, a.activity_start,
+       CAST((epoch(a.activity_start) - epoch(a.cohort_start)) // 604800 AS BIGINT)
+         AS period_index,
+       CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+FROM (SELECT activity.*, cohorts.cohort_start
+      FROM activity JOIN cohorts USING (u)) a
+GROUP BY 1, 2
 """,
         "events_sessionize": """
 WITH marked AS (

@@ -281,3 +281,75 @@ def funnel_sql(
         for i, step in enumerate(steps)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST activity
+    period (the cohort), counted in every later period they return —
+    the standard product-analytics retention triangle.
+
+    Plan shape: one distinct over (user, period) — the only row-count
+    reduction that matters, done first so everything downstream is
+    user-period sized, not event sized — then a min-aggregate per user
+    for the cohort assignment, a broadcast-friendly join back, and the
+    final (cohort, period) count. Two shuffles on the user key (Catalyst
+    reuses the exchange between the distinct and the min) plus one on
+    the (cohort, period) pair; no window over events, no per-user sort.
+
+    Output: ``(cohort_start, activity_start, period_index, n_users)``
+    with ``period_index`` = whole periods since the cohort start (0 for
+    the cohort's own period; counts at index 0 equal cohort sizes)."""
+    per = F.date_trunc(period, F.col(ts_col))
+    seconds = {"week": 7 * 86400, "day": 86400}.get(period)
+    activity = df.select(
+        F.col(user_col).alias("__u"), per.alias("activity_start")
+    ).distinct()
+    cohorts = activity.groupBy("__u").agg(F.min("activity_start").alias("cohort_start"))
+    joined = activity.join(cohorts, "__u")
+    if seconds is not None:
+        idx = (
+            (F.col("activity_start").cast("long") - F.col("cohort_start").cast("long"))
+            / seconds
+        ).cast("long")
+    else:  # month periods are not fixed-width
+        idx = (
+            (F.year("activity_start") - F.year("cohort_start")) * 12
+            + (F.month("activity_start") - F.month("cohort_start"))
+        ).cast("long")
+    return (
+        joined.groupBy("cohort_start", "activity_start")
+        .agg(F.countDistinct("__u").cast("long").alias("n_users"))
+        .withColumn("period_index", idx)
+        .select("cohort_start", "activity_start", "period_index", "n_users")
+    )
+
+
+def cohort_retention_sql(
+    table: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period: str = "week",
+) -> str:
+    """DuckDB twin of :func:`cohort_retention` (value-exact; both engines
+    truncate weeks to Monday 00:00)."""
+    seconds = {"week": 7 * 86400, "day": 86400}[period]
+    return f"""
+WITH activity AS (
+  SELECT DISTINCT {user_col} AS u, date_trunc('{period}', {ts_col}) AS activity_start
+  FROM {table}
+), cohorts AS (
+  SELECT u, min(activity_start) AS cohort_start FROM activity GROUP BY u
+)
+SELECT a.cohort_start, a.activity_start,
+       CAST((epoch(a.activity_start) - epoch(a.cohort_start)) // {seconds} AS BIGINT)
+         AS period_index,
+       CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+FROM (SELECT activity.*, cohorts.cohort_start
+      FROM activity JOIN cohorts USING (u)) a
+GROUP BY 1, 2
+"""

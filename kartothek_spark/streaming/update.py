@@ -147,15 +147,25 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     group_cols: Sequence[str] = ("event_type",),
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts with late-data watermarking. Works on both
-    batch and streaming frames (same plan; watermark is a no-op in batch,
-    so batch backfill and the live stream share one definition)."""
+    """Tumbling-window counts with late-data watermarking; pass
+    ``slide_duration`` for SLIDING windows (every event lands in
+    duration/slide overlapping windows — Spark's generate-per-event
+    expansion, the same shape at any scale because the fan-out factor is
+    a constant of the window spec, not of the data). Works on both batch
+    and streaming frames (same plan; watermark is a no-op in batch, so
+    batch backfill and the live stream share one definition)."""
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
-        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_cols)
+        df.groupBy(win.alias("w"), *group_cols)
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(F.col("value").cast("double")), 4).alias("sum_value"),

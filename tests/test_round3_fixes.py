@@ -335,6 +335,34 @@ def test_shard_corpus_balanced_deterministic(spark):
     assert [r.doc_id for r in rows] != sorted(r.doc_id for r in rows)
 
 
+def test_cohort_retention_hand_checked(spark):
+    """Retention triangle on a hand-built log: cohort = first-activity
+    week, index-0 counts equal cohort sizes, returners land at the right
+    period index."""
+    import datetime as dt
+
+    from kartothek_spark.operators.temporal import cohort_retention
+
+    d = lambda day, h=12: dt.datetime(2024, 1, day, h)  # Jan 1 2024 is a Monday
+    rows = [
+        (1, d(1)), (1, d(3)),    # u1: week0 cohort, active week0 only
+        (2, d(2)), (2, d(9)),    # u2: week0 cohort, returns week1
+        (3, d(8)),               # u3: week1 cohort
+        (2, d(16)),              # u2 returns again week2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_start.date().isoformat(), r.period_index): r.n_users
+        for r in cohort_retention(df, period="week").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # u1+u2 cohort week
+        ("2024-01-01", 1): 1,  # u2 returned
+        ("2024-01-01", 2): 1,  # u2 again
+        ("2024-01-08", 0): 1,  # u3 cohort week
+    }
+
+
 def test_sample_frames_includes_final_partial_interval(spark):
     from kartothek_spark.operators.multimodal import make_media_df, sample_frames
 
