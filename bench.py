@@ -81,6 +81,12 @@ HEADLINE = [
     "corpus_chunk",          # token-budget chunking with overlap
     "corpus_stratified",     # per-source quota sampling
     "corpus_bpe",            # BPE train (word counts + merge loop) + encode
+    # round 3: retrofitted clustering, shard export, asof variants, analytics
+    "ktk_cluster_zorder",    # post-hoc OPTIMIZE ZORDER rewrite + pruned read
+    "corpus_shard",          # deterministic balanced training-shard export
+    "events_asof_keyless",   # range-partitioned prefix-scan asof (no key)
+    "events_sliding",        # overlapping-window counts (1h / 15min)
+    "events_cohorts",        # cohort retention matrix
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -9,7 +9,7 @@ columns. Physical partitioning of every member dataset is
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 KTK_CUBE_UUID_SEPARATOR = "++"

@@ -41,8 +41,6 @@ re-reads ONLY the candidate partner representatives from the corpus
 
 from __future__ import annotations
 
-from typing import Any
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T

@@ -19,7 +19,6 @@ operators use. Ties rank by (score DESC, doc id ASC).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
