@@ -137,6 +137,21 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    """OPTIMIZE ZORDER: rewrite the dataset into a z-order layout on the
+    given columns so later range conjunctions prune files via stats."""
+    from kartothek_spark.dataset.write import cluster_dataset
+
+    cols = [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+    m = cluster_dataset(_spark(), args.root, args.dataset, zorder_by=cols)
+    print(json.dumps({
+        "partitions": len(m.partitions),
+        "version": m.version,
+        "stats_columns": m.stats_columns,
+    }))
+    return 0
+
+
 def cmd_expire(args) -> int:
     from kartothek_spark.dataset.write import expire_snapshots
 
@@ -291,6 +306,7 @@ def main(argv=None) -> int:
         ("index", cmd_index, ["columns!"]),
         ("copy", cmd_copy, ["target-root!", "target-uuid"]),
         ("compact", cmd_compact, []),
+        ("cluster", cmd_cluster, ["zorder-by!"]),
         ("expire", cmd_expire, ["keep-last!"]),
         ("attach", cmd_attach, ["data-path!"]),
         ("convert", cmd_convert, ["target-uuid!", "format"]),

@@ -233,3 +233,28 @@ def test_package_api_and_temp_views(spark, tmp_root):
     ).first()
     exp = df.where("P = 1")
     assert (got.n, got.s) == (exp.count(), exp.agg(F.sum("V")).first()[0])
+
+
+def test_cli_cluster_zorder(spark, tmp_root, capsys):
+    """`cluster` CLI: post-hoc z-order rewrite records stats columns and
+    the dataset keeps serving exact content."""
+    from kartothek_spark import cli
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    df = spark.createDataFrame(
+        [Row(a=i, b=(i * 37) % 100, v=float(i)) for i in range(2000)]
+    )
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "200")
+    try:
+        store_dataframe_as_dataset(spark, df, tmp_root, "dz")
+        assert cli.main([
+            "cluster", "--root", tmp_root, "--dataset", "dz",
+            "--zorder-by", "a,b",
+        ]) == 0
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    out = json.loads(capsys.readouterr().out)
+    assert out["stats_columns"] == ["a", "b"] and out["version"] == 2
+    got = read_table(spark, tmp_root, "dz", predicates=[[("a", "<", 100), ("b", "<", 20)]])
+    assert got.count() == df.where("a < 100 AND b < 20").count()

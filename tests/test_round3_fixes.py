@@ -414,3 +414,68 @@ def test_sync_aggregate_null_group_key_raises_clearly(spark, tmp_root):
             spark, tmp_root, "src2", tmp_root, "view2",
             group_by=["g"], aggs=[("s", "sum", "v")],
         )
+
+
+def test_asof_join_property_random_inputs(spark):
+    """Property: for random keyed/keyless inputs and both directions, the
+    as-of join equals a brute-force python reference (latest-at-or-before
+    / earliest-at-or-after per key, whole-row payload)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kartothek_spark.operators.temporal import asof_join
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lts=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+            min_size=1, max_size=40,
+        ),
+        rts=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+            min_size=0, max_size=40, unique=True,
+        ),
+        keyed=st.booleans(),
+        direction=st.sampled_from(["backward", "forward"]),
+    )
+    def prop(lts, rts, keyed, direction):
+        # keyless mode ignores the key; right must be unique per (by, on)
+        if keyed:
+            rset = {(k, t) for k, t in rts}
+        else:
+            seen, rset = set(), set()
+            for k, t in rts:
+                if t not in seen:
+                    seen.add(t)
+                    rset.add((k, t))
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lts)], "k long, ts long, lid long"
+        )
+        right = spark.createDataFrame(
+            [(k, t, float(t)) for k, t in sorted(rset)], "k long, ts long, rv double"
+        ) if rset else spark.createDataFrame([], "k long, ts long, rv double")
+        if not keyed:
+            # keyless mode treats every column as payload — drop the key
+            # from one side to avoid the (documented) collision error
+            right = right.drop("k")
+        out = asof_join(
+            left, right, on="ts", by="k" if keyed else None, direction=direction
+        )
+        got = {r.lid: r.rv for r in out.collect()}
+
+        def ref(k, t):
+            cands = [
+                rt for rk, rt in rset
+                if (rk == k or not keyed)
+                and (rt <= t if direction == "backward" else rt >= t)
+            ]
+            if not cands:
+                return None
+            return float(max(cands) if direction == "backward" else min(cands))
+
+        assert got == {i: ref(k, t) for i, (k, t) in enumerate(lts)}
+
+    prop()
