@@ -1545,6 +1545,36 @@ def ktk_zorder_pruned(spark, sf_dir):
     ).withColumn("pruned", F.lit(len(labels) < len(m.partitions)))
 
 
+def ktk_metadata_count(spark, sf_dir):
+    """Metadata-only COUNT (Delta numRecords / Iceberg record_count
+    analog): write-time footer row counts recorded alongside stats answer
+    partition-key-filtered counts with ZERO Spark jobs —
+    ``allow_scan=False`` pins that the metadata path really served every
+    number."""
+    from kartothek_spark.dataset.read import count_rows
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    def build(root):
+        store_dataframe_as_dataset(
+            spark, _t(spark, sf_dir, "orders"), root, "o",
+            partition_on=["o_orderstatus"], stats_columns=["o_totalprice"],
+        )
+
+    root = _fixture(sf_dir, "orders_status_stats", build)
+    per = [
+        (status, count_rows(
+            spark, root, "o",
+            predicates=[[("o_orderstatus", "==", status)]], allow_scan=False,
+        ))
+        for status in ("F", "O", "P")
+    ]
+    total = count_rows(spark, root, "o", allow_scan=False)
+    return spark.createDataFrame(
+        [(s, n, total) for s, n in per],
+        "o_orderstatus string, n long, total long",
+    )
+
+
 def ktk_cluster_zorder(spark, sf_dir):
     """Post-hoc z-order re-clustering of a LIVE dataset (cluster_dataset,
     Delta OPTIMIZE ZORDER analog): a dataset originally written with no
@@ -2558,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_schema_evolution": ktk_schema_evolution,
         "ktk_zorder_pruned": ktk_zorder_pruned,
         "ktk_cluster_zorder": ktk_cluster_zorder,
+        "ktk_metadata_count": ktk_metadata_count,
         "ktk_incremental_sync": ktk_incremental_sync,
         "ktk_incremental_agg": ktk_incremental_agg,
         "ktk_hidden_partitioning": ktk_hidden_partitioning,
@@ -2781,6 +2812,12 @@ SELECT l_returnflag, count(*) AS n,
        CAST(1 AS BOOLEAN) AS pruned
 FROM lineitem WHERE l_orderkey < 500 AND l_partkey < 100
 GROUP BY l_returnflag
+""",
+        "ktk_metadata_count": """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS total
+FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+GROUP BY o_orderstatus
 """,
         "ktk_cluster_zorder": f"""
 SELECT l_returnflag, count(*) AS n,

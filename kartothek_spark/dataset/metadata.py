@@ -92,12 +92,13 @@ def collect_file_stats(
     labels: list[str],
     columns: list[str],
 ) -> dict[str, dict[str, Any]]:
-    """Per-file column min/max/null-count from parquet footers, as a
-    DISTRIBUTED job over the (manifest-supplied) file list — the write-time
-    half of manifest data skipping. Returns {label: {col: {"min", "max",
-    "nulls"}}}; a column is omitted for a file whose footer lacks usable
-    min/max (e.g. all-null, or a writer that truncated string stats), which
-    downstream pruning treats as "cannot skip".
+    """Per-file column min/max/null-count AND row count from parquet
+    footers, as a DISTRIBUTED job over the (manifest-supplied) file list —
+    the write-time half of manifest data skipping. Returns
+    {label: ({col: {"min", "max", "nulls"}}, n_rows)}; a column is omitted
+    for a file whose footer lacks usable min/max (e.g. all-null, or a
+    writer that truncated string stats), which downstream pruning treats
+    as "cannot skip".
 
     Values are rendered JSON-safe task-side (dates/timestamps → ISO
     strings); the planner re-types them against the manifest schema when
@@ -144,7 +145,7 @@ def collect_file_stats(
                     nulls += st.null_count or 0
                 if ok and lo is not None:
                     out[col] = {"min": lo, "max": hi, "nulls": nulls}
-            yield label, out
+            yield label, (out, meta.num_rows)
 
     n_slices = min(len(items), max(spark.sparkContext.defaultParallelism, 1) * 2)
     pairs = (

@@ -523,7 +523,55 @@ def read_dataset_as_iterator(
         ).toPandas()
 
 
+def count_rows(
+    spark: SparkSession,
+    root: str,
+    dataset_uuid: str,
+    predicates: Predicates | None = None,
+    allow_scan: bool = True,
+    as_of: int | None = None,
+) -> int:
+    """COUNT(*) over the dataset, metadata-only when possible — Delta's
+    numRecords / Iceberg's record_count analog.
+
+    When every surviving partition entry carries a write-time ``rows``
+    footer count (recorded whenever the dataset declares
+    ``stats_columns``) AND the predicate is exactly label-resolvable
+    (every referenced column is a partition key, so per-label DNF
+    evaluation is exact — not merely the superset that index/stats/bucket
+    pruning guarantees), the answer is a driver-side sum with ZERO Spark
+    jobs. Otherwise it falls back to a pruned scan + count;
+    ``allow_scan=False`` raises instead, for callers that require the
+    metadata path (dashboards, admission control)."""
+    from kartothek_spark.core.predicates import coerce_predicate_literals
+
+    manifest = DatasetManifest.load(root, dataset_uuid, version=as_of)
+    exact = True
+    if predicates is not None:
+        predicates = coerce_predicate_literals(predicates, manifest.schema)
+        keys = set(manifest.partition_keys)
+        cols = {c for conj in predicates for (c, _op, _v) in conj}
+        exact = bool(keys) and cols <= keys
+        labels = manifest.query(predicates=predicates) if exact else dispatch_labels(
+            spark, manifest, predicates
+        )
+    else:
+        labels = list(manifest.partitions)
+    if exact:
+        counts = [manifest.partitions[lbl].get("rows") for lbl in labels]
+        if all(c is not None for c in counts):
+            return int(sum(counts))
+    if not allow_scan:
+        raise ValueError(
+            "count_rows: metadata-only count unavailable "
+            + ("(predicate references non-partition-key columns)" if not exact
+               else "(dataset lacks write-time row counts; write with stats_columns)")
+        )
+    return read_table(spark, root, dataset_uuid, predicates=predicates, as_of=as_of).count()
+
+
 __all__ = [
+    "count_rows",
     "diff_versions",
     "dispatch_labels",
     "empty_dataframe",

@@ -180,16 +180,20 @@ def _guard_null_partition_keys(df: DataFrame, partition_on: Sequence[str]) -> Da
 def _attach_file_stats(
     spark: SparkSession, manifest: DatasetManifest, labels: Sequence[str]
 ) -> None:
-    """Collect + attach per-file column stats for ``labels`` (no-op when
-    the manifest declares no stats columns)."""
+    """Collect + attach per-file column stats AND row counts for
+    ``labels`` (no-op when the manifest declares no stats columns).
+    Recorded ``rows`` enable metadata-only COUNT answering
+    (:func:`kartothek_spark.dataset.read.count_rows`) — Delta's
+    ``numRecords`` analog."""
     if not manifest.stats_columns or not labels:
         return
     from kartothek_spark.dataset.metadata import collect_file_stats
 
     stats = collect_file_stats(spark, manifest, list(labels), manifest.stats_columns)
-    for lbl, st in stats.items():
+    for lbl, (st, n_rows) in stats.items():
         if st:
             manifest.partitions[lbl]["stats"] = st
+        manifest.partitions[lbl]["rows"] = n_rows
 
 
 def _write_files(

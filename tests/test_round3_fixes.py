@@ -335,6 +335,41 @@ def test_shard_corpus_balanced_deterministic(spark):
     assert [r.doc_id for r in rows] != sorted(r.doc_id for r in rows)
 
 
+def test_count_rows_metadata_only_and_fallback(spark, tmp_root):
+    """count_rows: exact metadata sums for partition-key predicates +
+    mutations; scan fallback for residual predicates; allow_scan=False
+    pins which path served."""
+    from kartothek_spark.dataset.read import count_rows
+
+    df = spark.createDataFrame(
+        [Row(k=i % 3, v=float(i)) for i in range(90)], "k long, v double"
+    )
+    store_dataframe_as_dataset(
+        spark, df, tmp_root, "ds", partition_on=["k"], stats_columns=["v"]
+    )
+    assert count_rows(spark, tmp_root, "ds", allow_scan=False) == 90
+    assert count_rows(
+        spark, tmp_root, "ds", predicates=[[("k", "==", 1)]], allow_scan=False
+    ) == 30
+    # appended files get counts too (same stats job)
+    update_dataset(spark, spark.createDataFrame([Row(k=1, v=9.0)]), tmp_root, "ds")
+    assert count_rows(
+        spark, tmp_root, "ds", predicates=[[("k", "==", 1)]], allow_scan=False
+    ) == 31
+    # residual predicate (non-key column): metadata path must refuse...
+    with pytest.raises(ValueError, match="metadata-only count unavailable"):
+        count_rows(
+            spark, tmp_root, "ds", predicates=[[("v", "<", 10.0)]], allow_scan=False
+        )
+    # ...and the scan fallback answers exactly (10 originals + the 9.0 append)
+    assert count_rows(spark, tmp_root, "ds", predicates=[[("v", "<", 10.0)]]) == 11
+    # dataset without stats_columns has no counts: refuse / fall back
+    store_dataframe_as_dataset(spark, df, tmp_root, "nostats", partition_on=["k"])
+    with pytest.raises(ValueError, match="lacks write-time row counts"):
+        count_rows(spark, tmp_root, "nostats", allow_scan=False)
+    assert count_rows(spark, tmp_root, "nostats") == 90
+
+
 def test_cohort_retention_hand_checked(spark):
     """Retention triangle on a hand-built log: cohort = first-activity
     week, index-0 counts equal cohort sizes, returners land at the right
