@@ -101,6 +101,23 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_count(args) -> int:
+    """COUNT(*), metadata-only when the dataset records row counts and
+    the condition touches only partition keys (zero Spark jobs)."""
+    from kartothek_spark.core.conditions import parse_conjunction
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import count_rows
+
+    predicates = None
+    if args.condition:
+        predicates = parse_conjunction(args.condition).predicate
+        m = DatasetManifest.load(args.root, args.dataset)
+        predicates = _coerce_predicates(predicates, m)
+    n = count_rows(_spark(), args.root, args.dataset, predicates=predicates)
+    print(json.dumps({"rows": n}))
+    return 0
+
+
 def cmd_versions(args) -> int:
     from kartothek_spark.core.manifest import DatasetManifest
 
@@ -302,6 +319,7 @@ def main(argv=None) -> int:
         ("info", cmd_info, []),
         ("stats", cmd_stats, []),
         ("query", cmd_query, ["condition", "columns", "limit", "as-of"]),
+        ("count", cmd_count, ["condition"]),
         ("versions", cmd_versions, []),
         ("index", cmd_index, ["columns!"]),
         ("copy", cmd_copy, ["target-root!", "target-uuid"]),

@@ -258,3 +258,19 @@ def test_cli_cluster_zorder(spark, tmp_root, capsys):
     assert out["stats_columns"] == ["a", "b"] and out["version"] == 2
     got = read_table(spark, tmp_root, "dz", predicates=[[("a", "<", 100), ("b", "<", 20)]])
     assert got.count() == df.where("a < 100 AND b < 20").count()
+
+
+def test_cli_count(spark, tmp_root, capsys):
+    from kartothek_spark import cli
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    df = spark.createDataFrame([Row(P=p % 2, V=float(p)) for p in range(10)])
+    store_dataframe_as_dataset(
+        spark, df, tmp_root, "dc", partition_on=["P"], stats_columns=["V"]
+    )
+    assert cli.main(["count", "--root", tmp_root, "--dataset", "dc"]) == 0
+    assert json.loads(capsys.readouterr().out) == {"rows": 10}
+    assert cli.main([
+        "count", "--root", tmp_root, "--dataset", "dc", "--condition", "P == 1",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out) == {"rows": 5}
