@@ -520,6 +520,108 @@ def ktk_csv_gz_roundtrip(spark, sf_dir):
     ).withColumn("gz_files", F.lit(gz_ok))
 
 
+def ktk_import_reference(spark, sf_dir):
+    """Reference on-disk interop (metadata v4 — core/dataset.py:208-236,
+    naming.py:7-62 in /root/reference): hand-build a kartothek-layout
+    dataset from orders (payload files without the partition column,
+    explicit partitions that EXCLUDE a planted orphan file, an embedded
+    secondary index on o_orderpriority), import it zero-copy via
+    import_kartothek_dataset, and run a partition- AND index-pruned read.
+    Flags pin the layout facts the values can't show: the planted orphan
+    stayed invisible (explicit partitions honored) and the secondary
+    index arrived converted."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.interop import import_kartothek_dataset
+    from kartothek_spark.dataset.read import read_table
+
+    def build(root):
+        import glob
+        import shutil
+        from urllib.parse import unquote, urlparse
+
+        src = os.path.join(root, "src")
+        table_dir = os.path.join(src, "refords", "table")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        orders.write.partitionBy("o_orderstatus").parquet("file:" + table_dir)
+        for junk in glob.glob(os.path.join(table_dir, "_SUCCESS")):
+            os.remove(junk)
+        rels = sorted(
+            os.path.relpath(p, table_dir)
+            for p in glob.glob(os.path.join(table_dir, "*", "*.parquet"))
+        )
+        partitions = {
+            rel[: -len(".parquet")]: {"files": {"table": f"refords/table/{rel}"}}
+            for rel in rels
+        }
+        # embedded secondary index (value -> [labels]) BEFORE planting the
+        # orphan, which must never surface anywhere
+        pairs = (
+            spark.read.option("basePath", "file:" + table_dir)
+            .parquet("file:" + table_dir)
+            .select("o_orderpriority", F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        index_dct: dict[str, list[str]] = {}
+        for r in pairs:
+            path = unquote(urlparse(r["f"]).path)
+            label = os.path.relpath(path, table_dir)[: -len(".parquet")]
+            index_dct.setdefault(r["o_orderpriority"], []).append(label)
+        index_dct = {k: sorted(v) for k, v in index_dct.items()}
+        shutil.copy2(
+            os.path.join(table_dir, rels[0]),
+            os.path.join(os.path.dirname(os.path.join(table_dir, rels[0])), "orphan.parquet"),
+        )
+        payload_schema = _pq.read_schema(os.path.join(table_dir, rels[0]))
+        full = pa.schema(
+            [pa.field("o_orderstatus", pa.string())]
+            + [payload_schema.field(i) for i in range(len(payload_schema.names))]
+        )
+        _pq.write_metadata(full, os.path.join(table_dir, "_common_metadata"))
+        with open(os.path.join(src, "refords.by-dataset-metadata.json"), "w") as fh:
+            _json.dump(
+                {
+                    "dataset_metadata_version": 4,
+                    "dataset_uuid": "refords",
+                    "metadata": {"creation_time": "2026-01-01T00:00:00"},
+                    "partitions": partitions,
+                    "indices": {"o_orderpriority": index_dct, "o_orderstatus": {}},
+                    "partition_keys": ["o_orderstatus"],
+                },
+                fh,
+            )
+        import_kartothek_dataset(spark, root, "iords", src, source_uuid="refords")
+        _put_flags(root, n_parts=len(partitions))
+
+    root = _fixture(sf_dir, "ref_import", build)
+    m = DatasetManifest.load(root, "iords")
+    flags = _get_flags(root)
+    orphan_hidden = len(m.partitions) == flags["n_parts"]
+    index_converted = set(m.indices) == {"o_orderpriority"}
+    got = read_table(
+        spark,
+        root,
+        "iords",
+        predicates=[[("o_orderstatus", "==", "F"), ("o_orderpriority", "==", "1-URGENT")]],
+    )
+    return (
+        got.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("o_totalprice")).cast("double") / 100).alias("total"),
+        )
+        .withColumn("orphan_hidden", F.lit(orphan_hidden))
+        .withColumn("index_converted", F.lit(index_converted))
+    )
+
+
 def ktk_collect_metadata(spark, sf_dir):
     """Parquet footer stats (S25): distributed row-group metadata read;
     per-partition row counts recovered from footers alone must equal the
@@ -2569,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_stats_pruned": ktk_stats_pruned,
         "ktk_csv_roundtrip": ktk_csv_roundtrip,
         "ktk_csv_gz_roundtrip": ktk_csv_gz_roundtrip,
+        "ktk_import_reference": ktk_import_reference,
         "ktk_collect_metadata": ktk_collect_metadata,
         "ktk_merge_datasets": ktk_merge_datasets,
         "ktk_filter_query": ktk_filter_query,
@@ -2851,6 +2954,13 @@ SELECT o_orderstatus, count(*) AS n,
        TRUE AS gz_files
 FROM orders WHERE o_orderstatus <> 'P' AND o_totalprice > 100000.0
 GROUP BY o_orderstatus
+""",
+        "ktk_import_reference": f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) / 100 AS total,
+       TRUE AS orphan_hidden, TRUE AS index_converted
+FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus, o_orderpriority
 """,
         "ktk_collect_metadata": """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows

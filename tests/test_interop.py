@@ -1,0 +1,217 @@
+"""Reference-layout interop: import a kartothek-written dataset in place,
+export reference-readable metadata for an engine dataset.
+
+The fixture below hand-writes a metadata-v4 dataset following the
+reference's documented format (core/dataset.py:208-236, naming.py:7-62,
+partition.py:46-48, index.py:_index_dct_to_table,
+common_metadata.py:362-391) — no reference code executed or copied."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from kartothek_spark.core.manifest import DatasetManifest
+from kartothek_spark.dataset.interop import (
+    export_kartothek_metadata,
+    import_kartothek_dataset,
+    load_reference_metadata,
+    reference_tables,
+)
+from kartothek_spark.dataset.read import dispatch_labels, read_table
+from kartothek_spark.dataset.write import (
+    delete_dataset,
+    garbage_collect_dataset,
+    store_dataframe_as_dataset,
+)
+
+
+@pytest.fixture()
+def reference_store(tmp_path):
+    """A reference-layout store with one partitioned dataset `refds`:
+
+    * partition key `status` with values "A" and "B C" (URL-quoted label);
+    * payload files store data columns only (id, category, amount);
+    * one orphan parquet on disk NOT listed in the metadata (explicit
+      partitions must hide it);
+    * an embedded JSON index on `category` and an external index parquet
+      on `id` (reference [column, partition] layout);
+    * `_common_metadata` schema sidecar incl. the partition column.
+    """
+    store = str(tmp_path / "ref_store")
+    table_dir = os.path.join(store, "refds", "table")
+    rows = {
+        "status=A/part-1": {"id": [1, 2], "category": ["x", "y"], "amount": [10.0, 20.0]},
+        "status=B%20C/part-2": {"id": [3], "category": ["x"], "amount": [30.0]},
+    }
+    payload_schema = pa.schema(
+        [
+            pa.field("id", pa.int64()),
+            pa.field("category", pa.string()),
+            pa.field("amount", pa.float64()),
+        ]
+    )
+    partitions = {}
+    for label, data in rows.items():
+        rel = label + ".parquet"
+        path = os.path.join(table_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.table(data, schema=payload_schema), path)
+        partitions[label] = {"files": {"table": f"refds/table/{rel}"}}
+    # orphan from an aborted reference write: on disk, not in metadata
+    orphan = os.path.join(table_dir, "status=A", "orphan.parquet")
+    pq.write_table(
+        pa.table({"id": [99], "category": ["z"], "amount": [0.0]}, schema=payload_schema),
+        orphan,
+    )
+    # full schema incl. partition column, partition keys first
+    # (common_metadata.py:151-215 ordering)
+    full_schema = pa.schema([pa.field("status", pa.string())] + list(payload_schema))
+    pq.write_metadata(full_schema, os.path.join(table_dir, "_common_metadata"))
+    # external index on id: [<column>, partition: list<string>]
+    idx_key = "refds/indices/id/2026-01-01T00%3A00%3A00.by-dataset-index.parquet"
+    idx_path = os.path.join(store, idx_key)
+    os.makedirs(os.path.dirname(idx_path), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([1, 2, 3], type=pa.int64()),
+                pa.array(
+                    [["status=A/part-1"], ["status=A/part-1"], ["status=B%20C/part-2"]],
+                    type=pa.list_(pa.string()),
+                ),
+            ],
+            names=["id", "partition"],
+        ),
+        idx_path,
+    )
+    meta = {
+        "dataset_metadata_version": 4,
+        "dataset_uuid": "refds",
+        "metadata": {"creation_time": "2026-01-01T00:00:00"},
+        "partitions": partitions,
+        "indices": {
+            "id": idx_key,
+            "category": {"x": ["status=A/part-1", "status=B%20C/part-2"], "y": ["status=A/part-1"]},
+            "status": {},  # unloaded primary index, as the reference serializes it
+        },
+        "partition_keys": ["status"],
+    }
+    with open(os.path.join(store, "refds.by-dataset-metadata.json"), "w") as f:
+        json.dump(meta, f)
+    return store, orphan
+
+
+def test_import_reads_in_place(spark, tmp_path, reference_store):
+    store, orphan = reference_store
+    root = str(tmp_path / "engine_root")
+    os.makedirs(root)
+    m = import_kartothek_dataset(spark, root, "imported", store, source_uuid="refds")
+
+    # explicit partitions: the orphan is invisible
+    assert sorted(m.partitions) == ["status=A/part-1", "status=B%20C/part-2"]
+    assert set(m.indices) == {"id", "category"}  # primary index skipped
+    assert [f.name for f in m.schema.fields][:1] == ["status"]
+
+    df = read_table(spark, root, "imported")
+    got = {tuple(r) for r in df.select("id", "status", "amount").collect()}
+    assert got == {(1, "A", 10.0), (2, "A", 20.0), (3, "B C", 30.0)}
+
+    # partition-key pruning on the quoted value
+    labels = dispatch_labels(spark, m, [[("status", "==", "B C")]])
+    assert labels == ["status=B%20C/part-2"]
+    # secondary-index pruning through both converted indices
+    assert dispatch_labels(spark, m, [[("id", "==", 2)]]) == ["status=A/part-1"]
+    assert dispatch_labels(spark, m, [[("category", "==", "y")]]) == ["status=A/part-1"]
+
+    # predicate read end-to-end
+    out = read_table(spark, root, "imported", predicates=[[("id", "in", [1, 3])]])
+    assert {r["id"] for r in out.collect()} == {1, 3}
+
+
+def test_import_is_zero_copy_and_detach_safe(spark, tmp_path, reference_store):
+    store, orphan = reference_store
+    root = str(tmp_path / "engine_root")
+    os.makedirs(root)
+    m = import_kartothek_dataset(spark, root, "imported", store, source_uuid="refds")
+    payload = [os.path.join(m.data_root, e["file"]) for e in m.partitions.values()]
+    # GC never reclaims external payload (nor the unlisted orphan)
+    garbage_collect_dataset(root, "imported")
+    assert all(os.path.exists(p) for p in payload) and os.path.exists(orphan)
+    # delete is a metadata-only detach
+    delete_dataset(root, "imported")
+    assert all(os.path.exists(p) for p in payload) and os.path.exists(orphan)
+    assert not DatasetManifest.exists(root, "imported")
+
+
+def test_import_validations(spark, tmp_path, reference_store):
+    store, _ = reference_store
+    root = str(tmp_path / "engine_root")
+    os.makedirs(root)
+    with pytest.raises(FileNotFoundError):
+        import_kartothek_dataset(spark, root, "x", store, source_uuid="nope")
+    with pytest.raises(ValueError, match="table 'wrong' not in"):
+        import_kartothek_dataset(
+            spark, root, "x", store, source_uuid="refds", table="wrong"
+        )
+    bad = json.load(open(os.path.join(store, "refds.by-dataset-metadata.json")))
+    bad["dataset_metadata_version"] = 3
+    with open(os.path.join(store, "bad.by-dataset-metadata.json"), "w") as f:
+        json.dump({**bad, "dataset_uuid": "bad"}, f)
+    with pytest.raises(ValueError, match="metadata version"):
+        import_kartothek_dataset(spark, root, "x", store, source_uuid="bad")
+
+
+def test_export_roundtrip(spark, tmp_path):
+    """Engine dataset → reference metadata → re-import reads identically."""
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [(1, "A", 1.5), (2, "A", 2.5), (3, "B", 3.5)], "id long, grp string, v double"
+    )
+    store_dataframe_as_dataset(
+        spark, df, root, "mine", partition_on=["grp"], secondary_indices=["id"]
+    )
+    legacy = str(tmp_path / "legacy_view")
+    with pytest.raises(ValueError, match="target_root must differ"):
+        export_kartothek_metadata(root, "mine", root)
+    out = export_kartothek_metadata(root, "mine", legacy)
+    # engine manifest untouched by the export
+    assert DatasetManifest.load(root, "mine").partitions
+    meta = load_reference_metadata(legacy, "mine")
+    assert meta["dataset_metadata_version"] == 4
+    assert reference_tables(meta) == ["table"]
+    assert meta["partition_keys"] == ["grp"]
+    # every exported partition resolves through its payload symlink
+    for part in meta["partitions"].values():
+        p = os.path.join(legacy, part["files"]["table"])
+        assert os.path.islink(p) and os.path.exists(p)
+    # exported index is reference-shaped
+    idx = pq.read_table(os.path.join(legacy, meta["indices"]["id"]))
+    assert idx.column_names == ["id", "partition"]
+    # schema sidecar exists with pandas metadata and partition col
+    sidecar = pq.read_schema(os.path.join(legacy, "mine", "table", "_common_metadata"))
+    assert b"pandas" in (sidecar.metadata or {})
+    assert "grp" in sidecar.names
+    assert out.endswith("mine.by-dataset-metadata.json")
+
+    # round-trip: import the exported legacy view as a new dataset
+    m2 = import_kartothek_dataset(spark, root, "back", legacy, source_uuid="mine")
+    a = {tuple(r) for r in read_table(spark, root, "mine").select("id", "grp", "v").collect()}
+    b = {tuple(r) for r in read_table(spark, root, "back").select("id", "grp", "v").collect()}
+    assert a == b == {(1, "A", 1.5), (2, "A", 2.5), (3, "B", 3.5)}
+    assert dispatch_labels(spark, m2, [[("id", "==", 3)]]) == dispatch_labels(
+        spark, DatasetManifest.load(root, "mine"), [[("id", "==", 3)]]
+    )
+
+
+def test_export_rejects_unrepresentable(spark, tmp_path):
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    store_dataframe_as_dataset(spark, df, root, "csvds", table_format="csv")
+    with pytest.raises(ValueError, match="table_format"):
+        export_kartothek_metadata(root, "csvds", str(tmp_path / "legacy"))
