@@ -1991,6 +1991,24 @@ def corpus_search(spark, sf_dir):
     return bm25_search(_t(spark, sf_dir, "documents"), _SEARCH_TERMS, k=25)
 
 
+def corpus_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval (RAG pattern): BM25 lexical pass + dense cosine
+    top-k pass over the document embeddings, reciprocal-rank fused
+    (rrf_k=60) into the final top-15. Full value oracle: both legs and
+    the fusion arithmetic are SQL-expressible."""
+    from kartothek_spark.operators.search import hybrid_search
+
+    return hybrid_search(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _SEARCH_TERMS,
+        query_vec_id=7,
+        k=15,
+        depth=40,
+        dim=EMB_DIM,
+    )
+
+
 def corpus_vocabulary(spark, sf_dir):
     """Top-200 corpus tokens with counts (vocabulary building)."""
     from kartothek_spark.operators.text import top_tokens
@@ -2732,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analyze": text_analyze,
         "text_scrub": text_scrub,
         "corpus_search": corpus_search,
+        "corpus_hybrid_search": corpus_hybrid_search,
         "corpus_vocabulary": corpus_vocabulary,
         "corpus_heavy_hitters": corpus_heavy_hitters,
         "corpus_sample": corpus_sample,
@@ -3349,6 +3368,12 @@ FROM ({scrub_sql})
         "corpus_search": __import__(
             "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
         ).bm25_search_sql("documents", _SEARCH_TERMS, k=25),
+        "corpus_hybrid_search": __import__(
+            "kartothek_spark.operators.search", fromlist=["hybrid_search_sql"]
+        ).hybrid_search_sql(
+            "documents", "embeddings", _SEARCH_TERMS,
+            query_vec_id=7, k=15, dim=EMB_DIM, depth=40,
+        ),
         "corpus_vocabulary": __import__(
             "kartothek_spark.operators.text", fromlist=["top_tokens_sql"]
         ).top_tokens_sql("documents", n=200, min_count=2),

@@ -150,4 +150,134 @@ SELECT id AS {id_col}, score, rank FROM (
 """
 
 
-__all__ = ["bm25_search", "bm25_search_sql"]
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked candidate lists (Cormack et al.):
+    ``score(d) = Σ_lists 1 / (rrf_k + rank_list(d))``, lists where ``d``
+    is absent contributing 0. Returns ``(id, rrf_score, rank)`` for the
+    top k.
+
+    Scale shape: every input list is already top-depth truncated by its
+    retriever, so the fusion operates on ≤ Σ depth_i rows — the final
+    global rank window is bounded by construction, never by corpus size.
+    Determinism: contributions are added left-to-right in list order
+    (fixed expression tree), score rounded to 6 decimals, ties rank by
+    id ascending."""
+    if not ranked:
+        raise ValueError("ranked must contain at least one list")
+    fused: DataFrame | None = None
+    for i, r in enumerate(ranked):
+        contrib = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank").cast("double"))).alias(
+                f"__c{i}"
+            ),
+        )
+        fused = contrib if fused is None else fused.join(contrib, id_col, "full_outer")
+    total = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(ranked)):
+        total = total + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.select(id_col, F.round(total, 6).alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Hybrid retrieval — the standard RAG pattern: a lexical BM25 pass
+    and a dense cosine top-k pass each retrieve ``depth`` candidates,
+    fused by reciprocal-rank fusion into the final top ``k``.
+
+    ``query_vec_id`` names the query's dense representation in
+    ``embeddings`` (joinable to ``docs`` on id); both retrievers are the
+    scale-validated operators (:func:`bm25_search` — query-term-restricted
+    explode, no inverted index; ``brute_force_topk`` — broadcast query
+    row, one matmul pass). Swap in the LSH/IVF ANN operators for the
+    dense leg past brute-force scale; the fusion contract is just
+    ``(id, rank)`` lists."""
+    from kartothek_spark.operators.similarity import brute_force_topk
+
+    bm = bm25_search(docs, query_terms, k=depth, text_col=text_col, id_col=id_col)
+    qdf = embeddings.where(F.col(vec_id_col) == query_vec_id)
+    vec = brute_force_topk(
+        embeddings, qdf, k=depth, id_col=vec_id_col, vec_col=vec_col, dim=dim
+    )
+    return rrf_fuse(
+        [
+            bm.select(F.col(id_col), "rank"),
+            vec.select(F.col("neighbor_id").alias(id_col), "rank"),
+        ],
+        k=k,
+        rrf_k=rrf_k,
+        id_col=id_col,
+    )
+
+
+def hybrid_search_sql(
+    docs_table: str,
+    emb_table: str,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int,
+    dim: int,
+    depth: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    from kartothek_spark.operators.similarity import brute_force_topk_sql
+
+    bm = bm25_search_sql(docs_table, query_terms, k=depth, text_col=text_col, id_col=id_col)
+    vec = brute_force_topk_sql(
+        emb_table,
+        f"{vec_id_col} = {query_vec_id}",
+        k=depth,
+        dim=dim,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    )
+    return f"""
+WITH bm AS ({bm}), vec AS ({vec}),
+bmc AS (SELECT {id_col} AS id, 1.0 / ({rrf_k} + CAST(rank AS DOUBLE)) AS c0 FROM bm),
+vc AS (SELECT neighbor_id AS id, 1.0 / ({rrf_k} + CAST(rank AS DOUBLE)) AS c1 FROM vec),
+fused AS (
+  SELECT COALESCE(bmc.id, vc.id) AS id,
+         round(COALESCE(c0, 0.0) + COALESCE(c1, 0.0), 6) AS rrf_score
+  FROM bmc FULL OUTER JOIN vc ON bmc.id = vc.id
+)
+SELECT id AS {id_col}, rrf_score, rank FROM (
+  SELECT id, rrf_score,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, id ASC) AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
+__all__ = [
+    "bm25_search",
+    "bm25_search_sql",
+    "hybrid_search",
+    "hybrid_search_sql",
+    "rrf_fuse",
+]

@@ -673,6 +673,88 @@ def test_bm25_ranks_relevance_and_breaks_ties(spark):
     assert a == b
 
 
+def test_rrf_fuse_hand_computed(spark):
+    """RRF arithmetic against hand-computed scores: list order, absent-list
+    zero contribution, rounding, and id tie-break."""
+    from kartothek_spark.operators.search import rrf_fuse
+
+    l1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    l2 = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank long")
+    out = rrf_fuse([l1, l2], k=10, rrf_k=60).collect()
+    got = {r.doc_id: (r.rrf_score, r.rank) for r in out}
+    assert got[2] == (round(1 / 62 + 1 / 61, 6), 1)
+    assert got[1] == (round(1 / 61, 6), 2)
+    assert got[4] == (round(1 / 62, 6), 3)
+    assert got[3] == (round(1 / 63, 6), 4)
+    # k truncation
+    assert [r.doc_id for r in rrf_fuse([l1, l2], k=2, rrf_k=60).collect()] == [2, 1]
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=2)
+
+
+def test_hybrid_search_fuses_both_legs(spark):
+    """A doc that is mediocre in each leg but present in both must outrank
+    docs that only one retriever surfaces."""
+    import numpy as np
+
+    from kartothek_spark.operators.search import hybrid_search
+
+    rng = np.random.default_rng(11)
+    docs, vecs = [], []
+    for i in range(12):
+        text = "spark engine " * (12 - i) + "filler words galore"
+        docs.append(Row(doc_id=i, text=text))
+        v = rng.normal(size=8)
+        vecs.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # make vec 5 the near-duplicate of the query vector (id 0)
+    vecs[5] = Row(vec_id=5, embedding=[x + 0.01 for x in vecs[0].embedding])
+    ddf, vdf = spark.createDataFrame(docs), spark.createDataFrame(vecs)
+    out = hybrid_search(
+        ddf, vdf, ["spark"], query_vec_id=0, k=12, depth=5, dim=8
+    ).collect()
+    ranks = {r.doc_id: r.rank for r in out}
+    # the dense near-duplicate must surface even though it is lexically weak
+    assert 5 in ranks
+
+    # wiring oracle: run each leg separately and fuse in plain Python
+    from kartothek_spark.operators.search import bm25_search
+    from kartothek_spark.operators.similarity import brute_force_topk
+
+    bm = {r.doc_id: r.rank for r in bm25_search(ddf, ["spark"], k=5).collect()}
+    vec = {
+        r.neighbor_id: r.rank
+        for r in brute_force_topk(
+            vdf, vdf.where("vec_id = 0"), k=5, dim=8
+        ).collect()
+    }
+    expected = {}
+    for d in set(bm) | set(vec):
+        expected[d] = round(
+            (1 / (60 + bm[d]) if d in bm else 0.0)
+            + (1 / (60 + vec[d]) if d in vec else 0.0),
+            6,
+        )
+    order = sorted(expected, key=lambda d: (-expected[d], d))
+    assert [(r.doc_id, r.rrf_score) for r in out] == [
+        (d, expected[d]) for d in order
+    ]
+    # deterministic under repartition
+    a = [tuple(r) for r in out]
+    b = [
+        tuple(r)
+        for r in hybrid_search(
+            spark.createDataFrame(docs).repartition(5),
+            spark.createDataFrame(vecs).repartition(3),
+            ["spark"],
+            query_vec_id=0,
+            k=12,
+            depth=5,
+            dim=8,
+        ).collect()
+    ]
+    assert a == b
+
+
 def test_knn_join_equals_brute_force_any_blocking(spark):
     """knn_join (both sides distributed, block-matrix) must equal
     brute_force_topk (broadcast-queries) for the same query set, for any
