@@ -2009,6 +2009,47 @@ def corpus_hybrid_search(spark, sf_dir):
     )
 
 
+_CLF_WEIGHTS = [((i * 40503) % 2001) - 1000 for i in range(256)]
+
+
+def corpus_classifier_score(spark, sf_dir):
+    """Linear quality-classifier scoring (hashed token features, broadcast
+    int-micro weight table, exact integer sums): per-doc score + predicted
+    label under a fixed 256-feature weight vector. Full value oracle —
+    the integer-micro discipline makes the scores bit-identical across
+    engines."""
+    from kartothek_spark.operators.classify import score_documents
+
+    return score_documents(
+        _t(spark, sf_dir, "documents"), _CLF_WEIGHTS, bias_micro=137
+    )
+
+
+def corpus_classifier_train(spark, sf_dir):
+    """Batch-gradient logistic training (BPE-style bounded driver loop,
+    deterministic micro-quantized gradients) on lang=='en' labels, then
+    self-scoring; per-(lang, predicted) counts. Iterative — no SQL twin
+    (rows-only gate), value behavior pinned by tests/test_classify.py."""
+    from kartothek_spark.operators.classify import (
+        score_documents,
+        train_text_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    w, b = train_text_classifier(
+        docs, "label", n_features=512, iters=3, lr=1.0, id_col="doc_id"
+    )
+    scored = score_documents(docs, w, b)
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def corpus_vocabulary(spark, sf_dir):
     """Top-200 corpus tokens with counts (vocabulary building)."""
     from kartothek_spark.operators.text import top_tokens
@@ -2751,6 +2792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": text_scrub,
         "corpus_search": corpus_search,
         "corpus_hybrid_search": corpus_hybrid_search,
+        "corpus_classifier_score": corpus_classifier_score,
+        "corpus_classifier_train": corpus_classifier_train,
         "corpus_vocabulary": corpus_vocabulary,
         "corpus_heavy_hitters": corpus_heavy_hitters,
         "corpus_sample": corpus_sample,
@@ -3374,6 +3417,9 @@ FROM ({scrub_sql})
             "documents", "embeddings", _SEARCH_TERMS,
             query_vec_id=7, k=15, dim=EMB_DIM, depth=40,
         ),
+        "corpus_classifier_score": __import__(
+            "kartothek_spark.operators.classify", fromlist=["score_documents_sql"]
+        ).score_documents_sql("documents", _CLF_WEIGHTS, bias_micro=137),
         "corpus_vocabulary": __import__(
             "kartothek_spark.operators.text", fromlist=["top_tokens_sql"]
         ).top_tokens_sql("documents", n=200, min_count=2),

@@ -87,6 +87,11 @@ HEADLINE = [
     "events_asof_keyless",   # range-partitioned prefix-scan asof (no key)
     "events_sliding",        # overlapping-window counts (1h / 15min)
     "events_cohorts",        # cohort retention matrix
+    # round 3 (cont.): interop + retrieval + classification
+    "ktk_import_reference",  # reference-layout zero-copy import + pruned read
+    "corpus_hybrid_search",  # BM25 + dense cosine legs, RRF fusion
+    "corpus_classifier_score",  # hashed-feature linear scoring (int micros)
+    "corpus_classifier_train",  # 6-iteration batch-gradient logistic train
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
