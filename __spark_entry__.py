@@ -2050,6 +2050,19 @@ def corpus_classifier_train(spark, sf_dir):
     )
 
 
+def corpus_perplexity(spark, sf_dir):
+    """CCNet-style perplexity QC: self-train a stupid-backoff bigram LM
+    on the corpus (capped vocab, df-capped bigrams) and score every
+    document's negative avg log-prob. Full value oracle: integer counts
+    + per-position round-6 log-probs + document-ordered fold make the
+    scores bit-identical across engines."""
+    from kartothek_spark.operators.lm import perplexity_score, train_ngram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_ngram_lm(docs, min_count=2, max_vocab=50000)
+    return perplexity_score(docs, lm)
+
+
 def corpus_vocabulary(spark, sf_dir):
     """Top-200 corpus tokens with counts (vocabulary building)."""
     from kartothek_spark.operators.text import top_tokens
@@ -2794,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hybrid_search": corpus_hybrid_search,
         "corpus_classifier_score": corpus_classifier_score,
         "corpus_classifier_train": corpus_classifier_train,
+        "corpus_perplexity": corpus_perplexity,
         "corpus_vocabulary": corpus_vocabulary,
         "corpus_heavy_hitters": corpus_heavy_hitters,
         "corpus_sample": corpus_sample,
@@ -3420,6 +3434,9 @@ FROM ({scrub_sql})
         "corpus_classifier_score": __import__(
             "kartothek_spark.operators.classify", fromlist=["score_documents_sql"]
         ).score_documents_sql("documents", _CLF_WEIGHTS, bias_micro=137),
+        "corpus_perplexity": __import__(
+            "kartothek_spark.operators.lm", fromlist=["perplexity_self_score_sql"]
+        ).perplexity_self_score_sql("documents", min_count=2, max_vocab=50000),
         "corpus_vocabulary": __import__(
             "kartothek_spark.operators.text", fromlist=["top_tokens_sql"]
         ).top_tokens_sql("documents", n=200, min_count=2),

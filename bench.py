@@ -91,7 +91,8 @@ HEADLINE = [
     "ktk_import_reference",  # reference-layout zero-copy import + pruned read
     "corpus_hybrid_search",  # BM25 + dense cosine legs, RRF fusion
     "corpus_classifier_score",  # hashed-feature linear scoring (int micros)
-    "corpus_classifier_train",  # 6-iteration batch-gradient logistic train
+    "corpus_classifier_train",  # 3-iteration batch-gradient logistic train
+    "corpus_perplexity",     # bigram-LM self-train + stupid-backoff scoring
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
