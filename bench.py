@@ -180,11 +180,12 @@ def main() -> None:
     schema = T.StructType(
         [T.StructField("p", T.IntegerType()), T.StructField("v", T.DoubleType())]
     )
-    # 20k = the reference asv scale; 200k = 10x headroom probe (a 100 TB
-    # dataset at ~512 MB/file is ~200k files). Threshold: if plan latency
-    # ever exceeds ~1 s at 200k, shard the partition list into a parquet
-    # sidecar (Delta checkpoint analog) — documented in README/SURVEY.
-    for label, n_parts in (("20k", 20_000), ("200k", 200_000)):
+    # 20k = the reference asv scale; 200k = a 100 TB dataset at ~512
+    # MB/file; 1m = 10x past that. At >= SIDECAR_THRESHOLD (100k) the
+    # partition list shards into a parquet sidecar (Delta checkpoint
+    # analog) automatically, so 200k/1m measure the sidecar path and 20k
+    # the inline-JSON path.
+    for label, n_parts in (("20k", 20_000), ("200k", 200_000), ("1m", 1_000_000)):
         mroot = tempfile.mkdtemp(prefix="bench_manifest_")
         big = DatasetManifest(
             dataset_uuid="big", root=mroot, schema=schema,

@@ -41,6 +41,16 @@ METADATA_SUFFIX = ".by-dataset-metadata.json"
 # ~10x smaller, one object, still a single atomic put. JSON stays the
 # default for debuggability (SURVEY §4.2 choice).
 METADATA_SUFFIX_ZST = METADATA_SUFFIX + ".zst"
+# Partition-list sidecar (Delta checkpoint analog): at ~1M partitions even
+# the zstd JSON manifest spends its load time parsing the partition map.
+# At or above this count commit() shards the partition list into a
+# columnar parquet sidecar (<uuid>/_manifest/_partitions_v<N>.parquet,
+# underscore-named so GC's bookkeeping rule skips it) and the manifest
+# JSON keeps a pointer + count. Load reads it back with pyarrow —
+# columnar decode instead of 1M-entry JSON parse. One sidecar per
+# version; history snapshots of the same version share it.
+SIDECAR_THRESHOLD = 100_000
+SIDECAR_DIR = "_manifest"
 
 
 class CommitConflict(RuntimeError):
@@ -200,9 +210,17 @@ class DatasetManifest:
     # — writers derive these columns, readers hide them, and the planner
     # widens raw-column predicates to partition level (core/transforms.py)
     partition_transforms: dict[str, dict[str, str]] = field(default_factory=dict)
+    # True once the partition list lives in a parquet sidecar (set
+    # automatically at SIDECAR_THRESHOLD; sticky so the layout never
+    # flaps back to inline on a shrink)
+    partitions_sidecar: bool = field(default=False, compare=False)
     # True once this in-memory state corresponds to a committed manifest —
     # the next commit() then advances the version (never serialized)
     _persisted: bool = field(default=False, repr=False, compare=False)
+    # root-relative path of the sidecar for the version being written
+    # (set by commit(); never serialized as state — the serialized form
+    # is the "partitions_ref" pointer itself)
+    _sidecar_ref: str | None = field(default=None, repr=False, compare=False)
 
     # -- paths --------------------------------------------------------------
     @property
@@ -337,13 +355,18 @@ class DatasetManifest:
 
     # -- (de)serialization ---------------------------------------------------
     def to_dict(self) -> dict[str, Any]:
+        parts = (
+            {"partitions_ref": self._sidecar_ref, "n_partitions": len(self.partitions)}
+            if self._sidecar_ref
+            else {"partitions": self.partitions}
+        )
         return {
             "dataset_metadata_version": self.metadata_version,
             "dataset_uuid": self.dataset_uuid,
             "metadata": self.metadata,
             "partition_keys": self.partition_keys,
             "schema": json.loads(self.schema.json()),
-            "partitions": self.partitions,
+            **parts,
             "indices": self.indices,
             "format": self.table_format,
             "version": self.version,
@@ -367,12 +390,25 @@ class DatasetManifest:
 
     @classmethod
     def from_dict(cls, d: dict[str, Any], root: str) -> "DatasetManifest":
+        if d.get("partitions_ref"):
+            partitions = _read_partitions_sidecar(
+                os.path.join(root, d["partitions_ref"])
+            )
+            if len(partitions) != int(d.get("n_partitions", len(partitions))):
+                raise ValueError(
+                    f"partition sidecar {d['partitions_ref']!r} holds "
+                    f"{len(partitions)} entries, manifest says "
+                    f"{d.get('n_partitions')} — corrupt or truncated"
+                )
+        else:
+            partitions = dict(d.get("partitions", {}))
         return cls(
             dataset_uuid=d["dataset_uuid"],
             root=root,
             schema=T.StructType.fromJson(d["schema"]),
             partition_keys=list(d.get("partition_keys", [])),
-            partitions=dict(d.get("partitions", {})),
+            partitions=partitions,
+            partitions_sidecar=bool(d.get("partitions_ref")),
             indices=dict(d.get("indices", {})),
             metadata=dict(d.get("metadata", {})),
             metadata_version=d.get("dataset_metadata_version", METADATA_VERSION),
@@ -390,16 +426,13 @@ class DatasetManifest:
         )
 
     @classmethod
-    def load(cls, root: str, dataset_uuid: str, version: int | None = None) -> "DatasetManifest":
-        if version is not None:
-            return cls._load_snapshot(root, dataset_uuid, version)
+    def _load_raw_dict(cls, root: str, dataset_uuid: str) -> tuple[dict[str, Any], str]:
+        """The manifest dict as stored, plus its codec — no sidecar
+        resolution (that happens in ``from_dict``)."""
         path = os.path.join(root, dataset_uuid + METADATA_SUFFIX)
         if os.path.exists(path):
             with open(path) as fh:
-                m = cls.from_dict(json.load(fh), root)
-                m.storage_format = "json"
-                m._persisted = True
-                return m
+                return json.load(fh), "json"
         zpath = os.path.join(root, dataset_uuid + METADATA_SUFFIX_ZST)
         import pyarrow as pa
 
@@ -409,8 +442,19 @@ class DatasetManifest:
         # needs the exact output size)
         size = int.from_bytes(blob[:8], "little")
         raw = pa.Codec("zstd").decompress(blob[8:], asbytes=True, decompressed_size=size)
-        m = cls.from_dict(json.loads(raw), root)
-        m.storage_format = "zstd"
+        return json.loads(raw), "zstd"
+
+    @classmethod
+    def _peek_version(cls, root: str, dataset_uuid: str) -> int:
+        return int(cls._load_raw_dict(root, dataset_uuid)[0].get("version", 1))
+
+    @classmethod
+    def load(cls, root: str, dataset_uuid: str, version: int | None = None) -> "DatasetManifest":
+        if version is not None:
+            return cls._load_snapshot(root, dataset_uuid, version)
+        d, codec = cls._load_raw_dict(root, dataset_uuid)
+        m = cls.from_dict(d, root)
+        m.storage_format = codec
         m._persisted = True
         return m
 
@@ -509,11 +553,15 @@ class DatasetManifest:
                         f"dataset {self.dataset_uuid!r} was created concurrently"
                     )
             elif disk_exists:
-                disk = type(self).load(self.root, self.dataset_uuid)
-                if disk.version != self.version:
+                # version-only peek: skips the partition map (and any
+                # sidecar read) — the conditional-put analog needs only
+                # the version tag, and at 1M partitions a full load here
+                # would double the commit cost
+                disk_version = type(self)._peek_version(self.root, self.dataset_uuid)
+                if disk_version != self.version:
                     raise CommitConflict(
                         f"dataset {self.dataset_uuid!r}: expected on-disk "
-                        f"version v{self.version}, found v{disk.version} — "
+                        f"version v{self.version}, found v{disk_version} — "
                         "a concurrent writer committed; reload and rebase"
                     )
         if self._persisted:
@@ -522,6 +570,20 @@ class DatasetManifest:
 
         self.committed_at = _dt.datetime.now(_dt.timezone.utc).isoformat()
         os.makedirs(self.root, exist_ok=True)
+        # partition-list sidecar (Delta checkpoint analog): written BEFORE
+        # the snapshot/live manifests that point at it; a crash in between
+        # leaves an underscore-named orphan the next commit of this
+        # version atomically replaces
+        if self.partitions_sidecar or len(self.partitions) >= SIDECAR_THRESHOLD:
+            self.partitions_sidecar = True
+            self._sidecar_ref = os.path.join(
+                self.dataset_uuid, SIDECAR_DIR, f"_partitions_v{self.version:08d}.parquet"
+            )
+            _write_partitions_sidecar(
+                os.path.join(self.root, self._sidecar_ref), self.partitions
+            )
+        else:
+            self._sidecar_ref = None
         if self.keep_history:
             # snapshot BEFORE the live swap: once readers can see version N
             # they can also time-travel to it; a crash in between leaves an
@@ -537,6 +599,17 @@ class DatasetManifest:
                 os.unlink(tmp)
             raise
         self._persisted = True
+        if self._sidecar_ref and not self.keep_history:
+            # no time travel -> superseded sidecars are unreferenced now;
+            # with keep_history, expire_snapshots owns their lifetime
+            sdir = os.path.join(self.root, self.dataset_uuid, SIDECAR_DIR)
+            keep = os.path.basename(self._sidecar_ref)
+            for name in os.listdir(sdir):
+                if name.startswith("_partitions_v") and name != keep:
+                    try:
+                        os.unlink(os.path.join(sdir, name))
+                    except OSError:
+                        pass
 
     def _write_blob(self, path: str) -> None:
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
@@ -561,6 +634,82 @@ class DatasetManifest:
         else:
             with os.fdopen(fd, "w") as fh:
                 json.dump(self.to_dict(), fh, default=str)
+
+
+def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) -> None:
+    """Columnar partition list: (label, file, rows, stats_json, extra_json).
+    Common fields get real columns (fast columnar decode); rarely-present
+    keys ride as JSON strings. Atomic tmp + rename, zstd parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    known = {"file", "rows", "stats"}
+    entries = list(partitions.values())
+    labels = list(partitions.keys())
+    files = [e.get("file") for e in entries]
+    rows = [e.get("rows") for e in entries]
+    stats = [
+        None if "stats" not in e else json.dumps(e["stats"], default=str)
+        for e in entries
+    ]
+    extra = [
+        None
+        if e.keys() <= known
+        else json.dumps(
+            {k: v for k, v in e.items() if k not in known}, default=str
+        )
+        for e in entries
+    ]
+    table = pa.table(
+        {
+            "label": pa.array(labels, type=pa.string()),
+            "file": pa.array(files, type=pa.string()),
+            "rows": pa.array(rows, type=pa.int64()),
+            "stats": pa.array(stats, type=pa.string()),
+            "extra": pa.array(extra, type=pa.string()),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _read_partitions_sidecar(path: str) -> dict[str, dict[str, Any]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    n = t.num_rows
+    labels = t.column("label").to_pylist()
+    files = t.column("file").to_pylist()
+    # fast path: the optional columns are usually all-null — check the
+    # arrow null counts instead of testing 1M python values
+    if (
+        t.column("rows").null_count == n
+        and t.column("stats").null_count == n
+        and t.column("extra").null_count == n
+    ):
+        return {label: {"file": f} for label, f in zip(labels, files)}
+    rows = t.column("rows").to_pylist()
+    stats = t.column("stats").to_pylist()
+    extra = t.column("extra").to_pylist()
+    out: dict[str, dict[str, Any]] = {}
+    for i, label in enumerate(labels):
+        entry: dict[str, Any] = {"file": files[i]}
+        if rows[i] is not None:
+            entry["rows"] = rows[i]
+        if stats[i] is not None:
+            entry["stats"] = json.loads(stats[i])
+        if extra[i] is not None:
+            entry.update(json.loads(extra[i]))
+        out[label] = entry
+    return out
 
 
 def new_uuid() -> str:

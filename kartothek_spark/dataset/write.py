@@ -955,11 +955,22 @@ def expire_snapshots(root: str, dataset_uuid: str, keep_last: int = 1) -> list[i
         if name.startswith("_v") and ".manifest" in name
     )
     victims = snaps[: max(0, len(snaps) - keep_last)]
+    from kartothek_spark.core.manifest import SIDECAR_DIR
+
     for v in victims:
         for suffix in (".json", ".json.zst"):
             p = os.path.join(hist, f"_v{v:08d}.manifest{suffix}")
             if os.path.exists(p):
                 os.unlink(p)
+        # the expired version's partition-list sidecar goes with it —
+        # EXCEPT the live version's, which the live manifest still points
+        # at (keep_last=0 expires the live snapshot but not the live state)
+        if v != manifest.version:
+            sc = os.path.join(
+                root, dataset_uuid, SIDECAR_DIR, f"_partitions_v{v:08d}.parquet"
+            )
+            if os.path.exists(sc):
+                os.unlink(sc)
     return victims
 
 
