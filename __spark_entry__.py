@@ -2465,6 +2465,18 @@ def ann_ivf_exhaustive(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, dim=EMB_DIM, n_centroids=8, nprobe=8)
 
 
+def embedding_pca(spark, sf_dir):
+    """PCA fit over the embedding table (k=8): the distributed part —
+    exact integer mean/covariance moments via chunked int64 partials —
+    is the value-oracle surface (per-dim n/s1/s2 vs DuckDB); the 64x64
+    driver-side eigh + projection algebra is pinned by tests/test_pca.py
+    (SQL engines cannot eigendecompose)."""
+    from kartothek_spark.operators.embeddings import pca_moments_df, train_pca
+
+    model = train_pca(_t(spark, sf_dir, "embeddings"), k=8)
+    return pca_moments_df(spark, model)
+
+
 def embedding_drift_stats(spark, sf_dir):
     """Per-(label, dimension) exact fixed-point embedding sums — the
     corpus-drift monitor (compare two snapshots' outputs to quantify
@@ -2842,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_recall": ann_lsh_recall,
         "embedding_drift_stats": embedding_drift_stats,
+        "embedding_pca": embedding_pca,
         "ann_ivfpq_recall": ann_ivfpq_recall,
         "ann_ivfpq_planted": ann_ivfpq_planted,
         "ann_pq_index_search": ann_pq_index_search,
@@ -3534,6 +3547,9 @@ FROM toks
         "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", "text", "doc_id", n=4, threshold=0.35),
         "embedding_dups": embedding_dup_pairs_sql("embeddings", threshold=0.3, dim=EMB_DIM),
         "embedding_drift_stats": _sim.embedding_group_stats_sql("embeddings", dim=EMB_DIM),
+        "embedding_pca": __import__(
+            "kartothek_spark.operators.embeddings", fromlist=["pca_moments_sql"]
+        ).pca_moments_sql("embeddings", dim=EMB_DIM),
         "dedup_semantic": apply_dedup_sql(
             "embeddings",
             embedding_dup_pairs_sql("embeddings", threshold=0.38, dim=EMB_DIM),

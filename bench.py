@@ -93,6 +93,7 @@ HEADLINE = [
     "corpus_classifier_score",  # hashed-feature linear scoring (int micros)
     "corpus_classifier_train",  # 3-iteration batch-gradient logistic train
     "corpus_perplexity",     # bigram-LM self-train + stupid-backoff scoring
+    "embedding_pca",         # exact-integer covariance moments + driver eigh
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -190,6 +190,35 @@ def cmd_attach(args) -> int:
     return 0
 
 
+def cmd_import_kartothek(args) -> int:
+    """Zero-copy import of a reference-written (kartothek metadata-v4)
+    dataset — the one-command migration path."""
+    from kartothek_spark.dataset.interop import import_kartothek_dataset
+
+    m = import_kartothek_dataset(
+        _spark(), args.root, args.dataset, args.source_root,
+        source_uuid=args.source_uuid, table=args.table,
+    )
+    print(json.dumps({
+        "dataset_uuid": m.dataset_uuid,
+        "imported_from": m.metadata.get("imported_from"),
+        "partition_keys": m.partition_keys,
+        "partitions": len(m.partitions),
+        "indices": sorted(m.indices),
+    }, indent=2))
+    return 0
+
+
+def cmd_export_kartothek(args) -> int:
+    """Write a reference-readable legacy view (metadata + symlinked
+    payload) of an engine dataset under --target-root."""
+    from kartothek_spark.dataset.interop import export_kartothek_metadata
+
+    path = export_kartothek_metadata(args.root, args.dataset, args.target_root)
+    print(json.dumps({"metadata": path}))
+    return 0
+
+
 def cmd_convert(args) -> int:
     from kartothek_spark.dataset.write import convert_dataset
 
@@ -337,6 +366,8 @@ def main(argv=None) -> int:
         ("cluster", cmd_cluster, ["zorder-by!"]),
         ("expire", cmd_expire, ["keep-last!"]),
         ("attach", cmd_attach, ["data-path!"]),
+        ("import-kartothek", cmd_import_kartothek, ["source-root!", "source-uuid", "table"]),
+        ("export-kartothek", cmd_export_kartothek, ["target-root!"]),
         ("convert", cmd_convert, ["target-uuid!", "format"]),
         ("check", cmd_check, []),
         ("gc", cmd_gc, []),

@@ -208,6 +208,40 @@ def test_export_roundtrip(spark, tmp_path):
     )
 
 
+def test_cli_import_export_kartothek(spark, tmp_path, reference_store, capsys):
+    import json as _json
+
+    from kartothek_spark import cli
+
+    store, _ = reference_store
+    root = str(tmp_path / "engine_root")
+    os.makedirs(root)
+    assert cli.main([
+        "import-kartothek", "--root", root, "--dataset", "imp",
+        "--source-root", store, "--source-uuid", "refds",
+    ]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["partitions"] == 2 and out["indices"] == ["category", "id"]
+    assert read_table(spark, root, "imp").count() == 3
+
+    legacy = str(tmp_path / "legacy")
+    # external (imported-in-place) datasets cannot be exported as views
+    with pytest.raises(ValueError, match="external"):
+        cli.main([
+            "export-kartothek", "--root", root, "--dataset", "imp",
+            "--target-root", legacy,
+        ])
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    store_dataframe_as_dataset(spark, df, root, "own")
+    assert cli.main([
+        "export-kartothek", "--root", root, "--dataset", "own",
+        "--target-root", legacy,
+    ]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metadata"].endswith("own.by-dataset-metadata.json")
+    assert load_reference_metadata(legacy, "own")["dataset_metadata_version"] == 4
+
+
 def test_export_rejects_unrepresentable(spark, tmp_path):
     root = str(tmp_path / "root")
     os.makedirs(root)
