@@ -286,9 +286,15 @@ def import_kartothek_dataset(
     )
 
     if convert_indices:
+        schema_cols = {f.name for f in schema.fields}
         for column, idx in (meta.get("indices") or {}).items():
             if column in partition_keys:
                 continue  # primary index: reconstructed from labels (X4)
+            if column not in schema_cols:
+                # multi-table reference datasets carry dataset-level
+                # indices; one indexed only in ANOTHER table is
+                # meaningless for this import — skip, don't crash
+                continue
             if isinstance(idx, str):
                 manifest.indices[column] = _import_external_index(
                     spark, manifest, column, source_root, idx
@@ -391,25 +397,39 @@ def export_kartothek_metadata(
     indices_out: dict[str, Any] = {}
     for column, rel in manifest.indices.items():
         # convert engine index parquet [value, partitions] back to the
-        # reference layout [<column>, partition] as a single file
+        # reference layout [<column>, partition]. The reference reads the
+        # index as ONE store object, so the output is necessarily a
+        # single file — but it is written row-group by row-group
+        # (bounded memory), never materialized whole on the driver.
         src_dir = os.path.join(root, rel)
         table_files = [
             os.path.join(src_dir, f)
             for f in sorted(os.listdir(src_dir))
             if f.endswith(".parquet")
         ]
-        tables = [pq.read_table(f) for f in table_files]
-        merged = pa.concat_tables(tables) if tables else None
+        if not table_files:
+            continue  # empty index (e.g. all-null column): nothing to export
         key = f"{target_uuid}/indices/{column}/exported{REF_INDEX_SUFFIX}"
         dest = os.path.join(target_root, key)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
-        if merged is not None:
-            out = pa.Table.from_arrays(
-                [merged.column("value"), merged.column("partitions")],
-                names=[column, "partition"],
-            )
-            pq.write_table(out, dest)
-        indices_out[column] = key
+        writer = None
+        try:
+            for f in table_files:
+                pf = pq.ParquetFile(f)
+                for rg in range(pf.num_row_groups):
+                    chunk = pf.read_row_group(rg)
+                    out = pa.Table.from_arrays(
+                        [chunk.column("value"), chunk.column("partitions")],
+                        names=[column, "partition"],
+                    )
+                    if writer is None:
+                        writer = pq.ParquetWriter(dest, out.schema)
+                    writer.write_table(out)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is not None:
+            indices_out[column] = key
 
     dct: dict[str, Any] = {
         "dataset_metadata_version": 4,

@@ -775,16 +775,36 @@ def delete_dataset(root: str, dataset_uuid: str) -> None:
     """Delete files then metadata — reverse commit order (reference S22),
     so a crash mid-delete never leaves a manifest pointing at nothing.
     For an external (attached) dataset this removes metadata + indices
-    only — the external payload directory is not owned by the engine."""
-    from kartothek_spark.core.manifest import METADATA_SUFFIX, METADATA_SUFFIX_ZST
+    only — the external payload directory is not owned by the engine.
 
+    Sidecar-promoted datasets invert the order: their partition list
+    lives INSIDE the data dir, so rmtree-first would leave a live
+    manifest that cannot even be loaded after a crash; unlinking the
+    manifest first leaves only orphaned payload, which is the
+    recoverable direction (re-create or remove the directory)."""
+    from kartothek_spark.core.manifest import (
+        METADATA_SUFFIX,
+        METADATA_SUFFIX_ZST,
+        DatasetManifest,
+    )
+
+    def _unlink_manifests() -> None:
+        for suffix in (METADATA_SUFFIX, METADATA_SUFFIX_ZST):
+            manifest_path = os.path.join(root, dataset_uuid + suffix)
+            if os.path.exists(manifest_path):
+                os.unlink(manifest_path)
+
+    try:
+        raw, _codec = DatasetManifest._load_raw_dict(root, dataset_uuid)
+        sidecar = bool(raw.get("partitions_ref"))
+    except Exception:
+        sidecar = False
+    if sidecar:
+        _unlink_manifests()
     data_dir = os.path.join(root, dataset_uuid)
     if os.path.isdir(data_dir):
         shutil.rmtree(data_dir)
-    for suffix in (METADATA_SUFFIX, METADATA_SUFFIX_ZST):
-        manifest_path = os.path.join(root, dataset_uuid + suffix)
-        if os.path.exists(manifest_path):
-            os.unlink(manifest_path)
+    _unlink_manifests()
 
 
 def garbage_collect_dataset(root: str, dataset_uuid: str) -> list[str]:

@@ -35,9 +35,11 @@ from pyspark.sql import functions as F
 
 from kartothek_spark.operators.similarity import QUANT, quantize
 
-# rows per int64 partial-sum chunk: with |x| <= 2 quantized at 2^24,
-# sum of 2^15 squares stays < 2^15 * (2*2^24)^2 = 2^65 / 8 < 2^63
-_CHUNK_ROWS = 1 << 15
+# rows per int64 partial-sum chunk: with |x| <= 2 quantized at 2^24 the
+# largest square is (2^25)^2 = 2^50, so a chunk of 2^12 rows sums to at
+# most 2^62 < int64 max. Each chunk emits its OWN partial row (no
+# cross-chunk int64 accumulation — the driver reduces with python ints).
+_CHUNK_ROWS = 1 << 12
 
 
 @dataclass
@@ -64,23 +66,23 @@ def _moment_partials(df: DataFrame, vec_col: str) -> list:
             if len(pdf) == 0:
                 continue
             X = np.array([np.asarray(v, dtype="int64") for v in pdf["q"]], dtype="int64")
-            n_total = 0
-            s1 = None
-            s2 = None
+            if np.abs(X).max(initial=0) > (1 << 25):
+                # the chunk bound assumes |value| <= 2.0; fail loudly
+                # instead of wrapping int64 silently
+                raise ValueError(
+                    "embedding magnitude exceeds 2.0 — rescale before PCA "
+                    "(fixed-point moment bound would overflow)"
+                )
             for lo in range(0, len(X), _CHUNK_ROWS):
                 C = X[lo : lo + _CHUNK_ROWS]
-                cs1 = C.sum(axis=0)
-                cs2 = C.T @ C  # int64-safe by _CHUNK_ROWS bound
-                n_total += len(C)
-                s1 = cs1 if s1 is None else s1 + cs1
-                s2 = cs2 if s2 is None else s2 + cs2
-            yield pd.DataFrame(
-                {
-                    "n": [n_total],
-                    "s1": [s1.tolist()],
-                    "s2": [s2.reshape(-1).tolist()],
-                }
-            )
+                yield pd.DataFrame(
+                    {
+                        "n": [len(C)],
+                        "s1": [C.sum(axis=0).tolist()],
+                        # int64-safe by the _CHUNK_ROWS bound
+                        "s2": [(C.T @ C).reshape(-1).tolist()],
+                    }
+                )
 
     return qdf.mapInPandas(
         gen, "n long, s1 array<long>, s2 array<long>"

@@ -63,16 +63,20 @@ def train_ngram_lm(
     would otherwise dominate table size). ``n_tokens`` counts the FULL
     stream, not just retained vocab, so out-of-vocabulary mass is real."""
     toks = df.select(tokens(F.col(text_col)).alias("__t"))
-    n_tokens = toks.select(F.sum(F.size("__t")).alias("n")).collect()[0]["n"] or 0
-    if n_tokens == 0:
-        raise ValueError("empty corpus")
-    uni = (
+    # one pre-cap unigram aggregation serves BOTH n_tokens (sum of all
+    # counts — the full stream incl. what the cap drops) and the capped
+    # vocabulary; persisting the vocab-sized table saves a corpus scan
+    wc = (
         toks.select(F.explode("__t").alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("c"))
-        .orderBy(F.desc("c"), F.asc("token"))
-        .limit(max_vocab)
+        .persist()
     )
+    n_tokens = wc.select(F.sum("c").alias("n")).collect()[0]["n"] or 0
+    if n_tokens == 0:
+        wc.unpersist()
+        raise ValueError("empty corpus")
+    uni = wc.orderBy(F.desc("c"), F.asc("token")).limit(max_vocab)
     pairs = toks.where(F.size("__t") >= 2).select(
         F.explode(
             F.transform(

@@ -163,6 +163,20 @@ def test_import_validations(spark, tmp_path, reference_store):
         json.dump({**bad, "dataset_uuid": "bad"}, f)
     with pytest.raises(ValueError, match="metadata version"):
         import_kartothek_dataset(spark, root, "x", store, source_uuid="bad")
+    # a dataset-level index on a column this table does not have (the
+    # multi-table case) is skipped, not a crash or a dangling index
+    other = json.load(open(os.path.join(store, "refds.by-dataset-metadata.json")))
+    other["dataset_uuid"] = "oth"
+    other["indices"]["from_other_table"] = {"v": ["status=A/part-1"]}
+    for part in other["partitions"].values():
+        part["files"] = {
+            "table": part["files"]["table"].replace("refds/", "oth/", 1)
+        }
+    with open(os.path.join(store, "oth.by-dataset-metadata.json"), "w") as f:
+        json.dump(other, f)
+    os.symlink(os.path.join(store, "refds"), os.path.join(store, "oth"))
+    m = import_kartothek_dataset(spark, root, "oth_imp", store, source_uuid="oth")
+    assert "from_other_table" not in m.indices and set(m.indices) == {"id", "category"}
 
 
 def test_export_roundtrip(spark, tmp_path):

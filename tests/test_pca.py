@@ -59,6 +59,11 @@ def test_pca_validations(spark):
     df = _df(spark, np.zeros((3, 4)))
     with pytest.raises(ValueError, match="k must be"):
         train_pca(df, k=9)
+    # magnitude guard: values past the fixed-point bound fail loudly
+    # instead of wrapping the int64 moment sums
+    big = _df(spark, np.full((4, 4), 3.0))
+    with pytest.raises(Exception, match="magnitude"):
+        train_pca(big, k=2)
     with pytest.raises(ValueError, match="at least 2"):
         train_pca(_df(spark, np.zeros((1, 4))), k=2)
     with pytest.raises(ValueError, match="empty"):
