@@ -6,9 +6,12 @@ audits ("show me the docs about X") and quality-weighted source selection.
 Scale shape: the query term list is tiny and inlined as a literal filter,
 so the corpus-side cost is one tokenize + explode restricted to matching
 terms (everything else drops at the scan projection), one combinable
-``(doc, term) -> tf`` aggregation, one ``term -> df`` aggregation over
-that (vocabulary-of-the-query sized), and a broadcast join back. No
-all-terms inverted index is materialized.
+``(doc, term) -> tf`` aggregation that carries the per-document length
+along (constant per doc — no corpus-sized doc-length frame is ever
+joined, let alone broadcast), one ``term -> df`` aggregation over that
+(vocabulary-of-the-query sized, the only broadcast), and a distributed
+``TakeOrderedAndProject`` top-k — no global single-partition window ever
+sees more than ``k`` rows. No all-terms inverted index is materialized.
 
 Determinism: IDF/TF arithmetic is fixed-order — per-document term scores
 are folded LEFT-TO-RIGHT in sorted term order (floating-point addition is
@@ -44,21 +47,27 @@ def bm25_search(
         raise ValueError("query_terms must be non-empty")
 
     base = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
-    lens = base.select("__id", F.size("__t").cast("double").alias("__dl"))
     # one small driver-side agg for N and avgdl (two scalars — the only
     # driver values; both are exact integers so cross-engine safe)
-    row = lens.agg(
-        F.count("*").alias("n"), F.sum("__dl").alias("total")
+    row = base.agg(
+        F.count("*").alias("n"), F.sum(F.size("__t")).alias("total")
     ).collect()[0]
     n_docs, total_len = int(row["n"]), float(row["total"] or 0.0)
     if n_docs == 0:
         raise ValueError("empty corpus")
     avgdl = total_len / n_docs
 
+    # __dl rides along through the explode + tf aggregation: it is
+    # functionally dependent on __id, so adding it to the grouping keys
+    # costs nothing and saves the per-document length join entirely
     tf = (
-        base.select("__id", F.explode("__t").alias("__term"))
+        base.select(
+            "__id",
+            F.size("__t").cast("double").alias("__dl"),
+            F.explode("__t").alias("__term"),
+        )
         .where(F.col("__term").isin(terms))
-        .groupBy("__id", "__term")
+        .groupBy("__id", "__dl", "__term")
         .agg(F.count("*").cast("double").alias("__tf"))
     )
     dfreq = tf.groupBy("__term").agg(F.count("*").cast("double").alias("__df"))
@@ -68,7 +77,6 @@ def bm25_search(
     )
     scored = (
         tf.join(F.broadcast(dfreq.select("__term", idf.alias("__idf"))), "__term")
-        .join(F.broadcast(lens), "__id")
         .select(
             "__id",
             "__term",
@@ -98,10 +106,13 @@ def bm25_search(
             ).alias("score"),
         )
     )
+    # distributed top-k (TakeOrderedAndProject): per-partition heaps, one
+    # driver merge of <= k * n_partitions rows; the rank window only ever
+    # sees the <= k survivors, never the corpus
+    top = folded.orderBy(F.desc("score"), F.asc("__id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("__id"))
     return (
-        folded.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(F.col("__id").alias(id_col), "score", "rank")
     )
 

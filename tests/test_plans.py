@@ -312,3 +312,23 @@ def test_hidden_partition_read_keeps_pushdown(spark, tmp_root):
     m = re.search(r"PushedFilters: \[([^\]]*)\]", _plan(df))
     assert m, "no PushedFilters in plan"
     assert "ts" in m.group(1) and "value" in m.group(1)
+
+
+def test_bm25_no_corpus_broadcast_distributed_topk(spark):
+    """BM25 at 100 TB: the per-document length rides through the tf
+    aggregation (never a corpus-sized frame join, never a broadcast of
+    one), the only BroadcastExchange is the query-vocabulary-sized df
+    table, and the top-k is a distributed TakeOrderedAndProject — the
+    rank window sees at most k rows."""
+    from kartothek_spark.operators.search import bm25_search
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(bm25_search(docs, ["data", "model", "the"], k=10))
+    assert plan.count("BroadcastExchange") <= 1  # dfreq only, never lens
+    assert "TakeOrderedAndProject" in plan
+    # the single-partition exchange feeding the rank window must sit
+    # ABOVE the take (parents print first in the top-down plan string)
+    if "Exchange SinglePartition" in plan:
+        assert plan.index("Exchange SinglePartition") < plan.index(
+            "TakeOrderedAndProject"
+        )
