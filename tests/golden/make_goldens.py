@@ -69,6 +69,46 @@ def golden_schema():
     )
 
 
+SIDECAR_REL = "golden_sidecar/_manifest/_partitions_v00000001.parquet"
+
+
+def expected_sidecar_partitions() -> dict:
+    """Partition map of the sidecar golden — exercises every sidecar
+    column: plain ``file``, ``rows``, nested ``stats`` (JSON column) and
+    an unknown key riding in ``extra``."""
+    return {
+        "k=a/part-0": {
+            "file": "golden_sidecar/table/k=a/part-0.parquet",
+            "rows": 2,
+            "stats": {"v": {"min": 1, "max": 2, "nulls": 0}},
+        },
+        "k=b/part-0": {
+            "file": "golden_sidecar/table/k=b/part-0.parquet",
+            "rows": 1,
+            "origin": "compat-suite",
+        },
+    }
+
+
+def expected_sidecar_manifest_dict() -> dict:
+    """The sidecar-layout manifest CONTENT: the partition list lives in a
+    versioned parquet sidecar; the manifest keeps a pointer + count."""
+    return {
+        "dataset_metadata_version": 4,
+        "dataset_uuid": "golden_sidecar",
+        "metadata": {"creator": "format-stability-suite"},
+        "partition_keys": ["k"],
+        "schema": None,  # filled from the Spark schema
+        "partitions_ref": SIDECAR_REL,
+        "n_partitions": 2,
+        "indices": {},
+        "format": "parquet",
+        "version": 1,
+        "committed_at": COMMITTED_AT,
+        "stats_columns": ["v"],
+    }
+
+
 def make() -> None:
     import json
 
@@ -126,6 +166,40 @@ def make() -> None:
     os.makedirs(hist)
     m.storage_format = "json"
     m._write_blob(os.path.join(hist, "_v00000001.manifest.json"))
+
+    # ---- sidecar-layout golden: the partition list promoted to the
+    # versioned parquet sidecar (core/manifest.py SIDECAR_THRESHOLD
+    # path), threshold irrelevant here — the layout is forced so drift
+    # in EITHER the sidecar parquet codec or the pointer manifest fails
+    from kartothek_spark.core.manifest import _write_partitions_sidecar
+
+    sd = expected_sidecar_manifest_dict()
+    sparts = expected_sidecar_partitions()
+    for rel, pdf in (
+        ("golden_sidecar/table/k=a/part-0.parquet",
+         pd.DataFrame({"name": ["alpha", "ant"], "v": [1, 2]})),
+        ("golden_sidecar/table/k=b/part-0.parquet",
+         pd.DataFrame({"name": ["bee"], "v": [3]})),
+    ):
+        path = os.path.join(HERE, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    _write_partitions_sidecar(os.path.join(HERE, SIDECAR_REL), sparts)
+    sm = DatasetManifest(
+        dataset_uuid="golden_sidecar",
+        root=HERE,
+        schema=schema,
+        partition_keys=["k"],
+        partitions=sparts,
+        partitions_sidecar=True,
+        metadata={"creator": "format-stability-suite"},
+        stats_columns=["v"],
+        version=1,
+    )
+    sm.committed_at = COMMITTED_AT
+    sm._sidecar_ref = SIDECAR_REL
+    sm.storage_format = "json"
+    sm._write_blob(os.path.join(HERE, "golden_sidecar.by-dataset-metadata.json"))
     print("goldens written under", HERE)
 
 

@@ -128,3 +128,75 @@ def test_golden_index_parquet_layout(spark):
         import shutil
 
         shutil.rmtree(os.path.join(GOLDEN_ROOT, rel), ignore_errors=True)
+
+
+# ---- partition-list sidecar layout (core/manifest.py SIDECAR_THRESHOLD) ----
+
+def _sidecar_expected():
+    from tests.golden.make_goldens import expected_sidecar_manifest_dict
+
+    d = expected_sidecar_manifest_dict()
+    d["schema"] = json.loads(golden_schema().json())
+    return d
+
+
+def test_reader_loads_sidecar_golden_manifest():
+    """A manifest whose partition list lives in the versioned parquet
+    sidecar must load with full semantic equality: pointer resolved, all
+    sidecar columns (file/rows/stats/extra) decoded, layout stickiness
+    preserved."""
+    from tests.golden.make_goldens import expected_sidecar_partitions
+
+    m = DatasetManifest.load(GOLDEN_ROOT, "golden_sidecar")
+    assert m.partitions_sidecar is True
+    assert m.partitions == expected_sidecar_partitions()
+    # to_dict() of a LOADED manifest is the inline form (the pointer is
+    # re-derived per version at commit time) — everything except the
+    # pointer fields must round-trip exactly
+    e = _sidecar_expected()
+    e.pop("partitions_ref")
+    e.pop("n_partitions")
+    e["partitions"] = expected_sidecar_partitions()
+    assert m.to_dict() == e
+
+
+def test_sidecar_parquet_writer_byte_stable(tmp_path):
+    """The sidecar WRITE path must keep producing the committed bytes for
+    the same partition map — column set, ordering, JSON side-channel
+    rendering, and parquet codec are all pinned."""
+    from kartothek_spark.core.manifest import _write_partitions_sidecar
+    from tests.golden.make_goldens import SIDECAR_REL, expected_sidecar_partitions
+
+    out = os.path.join(str(tmp_path), "side.parquet")
+    _write_partitions_sidecar(out, expected_sidecar_partitions())
+    with open(out, "rb") as fh:
+        got = fh.read()
+    with open(os.path.join(GOLDEN_ROOT, SIDECAR_REL), "rb") as fh:
+        want = fh.read()
+    assert got == want
+
+
+def test_sidecar_truncation_detected():
+    """n_partitions in the pointer manifest is a corruption check: a
+    sidecar holding a different entry count must refuse to load."""
+    with open(
+        os.path.join(GOLDEN_ROOT, "golden_sidecar.by-dataset-metadata.json")
+    ) as fh:
+        d = json.load(fh)
+    d["n_partitions"] = 3
+    with pytest.raises(ValueError, match="corrupt or truncated"):
+        DatasetManifest.from_dict(d, root=GOLDEN_ROOT)
+
+
+def test_sidecar_golden_reads_end_to_end(spark):
+    """read_table over the sidecar-layout golden: partition pruning and
+    content must work identically to the inline-manifest layout."""
+    from kartothek_spark.dataset.read import read_table
+
+    got = read_table(spark, GOLDEN_ROOT, "golden_sidecar")
+    rows = sorted((r.k, r.name, r.v) for r in got.collect())
+    assert rows == [("a", "alpha", 1), ("a", "ant", 2), ("b", "bee", 3)]
+    pruned = read_table(
+        spark, GOLDEN_ROOT, "golden_sidecar", predicates=[[("k", "==", "b")]]
+    )
+    assert [(r.name, r.v) for r in pruned.collect()] == [("bee", 3)]
