@@ -2016,6 +2016,40 @@ def corpus_hybrid_search(spark, sf_dir):
     )
 
 
+def corpus_hybrid_ann(spark, sf_dir):
+    """Hybrid retrieval with the ANN dense leg — the past-brute-force
+    scale path hybrid_search's contract promises: BM25 lexical candidates
+    + multi-table LSH ANN dense candidates, RRF-fused. The gate fuses the
+    SAME lexical list with (a) the LSH ANN dense top-40 and (b) the exact
+    brute-force dense top-40 and measures the fused-top-10 overlap
+    (deterministic: fixed planes, fixed-point cosine, fixed-order RRF);
+    the 0.5 floor sits far below measured overlap (0.70-0.90 across
+    sf0.001-0.1)."""
+    from kartothek_spark.operators.search import bm25_search, rrf_fuse
+    from kartothek_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 7)
+    bm = bm25_search(docs, _SEARCH_TERMS, k=40).select(F.col("doc_id"), "rank")
+    ann = lsh_topk(emb, qv, k=40, dim=EMB_DIM, planes=4, tables=16).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    exact = brute_force_topk(emb, qv, k=40, dim=EMB_DIM).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused_ann = rrf_fuse([bm, ann], k=10).select(
+        "doc_id", F.lit(1).alias("_hit")
+    )
+    fused_exact = rrf_fuse([bm, exact], k=10).select("doc_id")
+    return fused_exact.join(fused_ann, "doc_id", "left").agg(
+        F.count("*").cast("long").alias("n_results"),
+        (
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")) >= 0.5
+        ).alias("recall_ok"),
+    )
+
+
 _CLF_WEIGHTS = [((i * 40503) % 2001) - 1000 for i in range(256)]
 
 
@@ -2865,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": text_scrub,
         "corpus_search": corpus_search,
         "corpus_hybrid_search": corpus_hybrid_search,
+        "corpus_hybrid_ann": corpus_hybrid_ann,
         "corpus_classifier_score": corpus_classifier_score,
         "corpus_classifier_train": corpus_classifier_train,
         "corpus_perplexity": corpus_perplexity,
@@ -3624,6 +3659,12 @@ FROM toks
         "ann_lsh_recall": """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < 10
+""",
+        # hybrid-ANN composition gate: the fused list is k=10 by
+        # construction (80 candidates feed the fusion) and the 0.5
+        # overlap floor sits far below the measured 0.70-0.90
+        "corpus_hybrid_ann": """
+SELECT CAST(10 AS BIGINT) AS n_results, CAST(1 AS BOOLEAN) AS recall_ok
 """,
         "ann_ivfpq_recall": """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok

@@ -226,17 +226,26 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # the stdout line can exceed a log collector's tail window at 70+
+    # queries; persist the identical JSON next to the script so the
+    # numbers stay reproducible from the repo regardless of capture size
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+            "w",
+        ) as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

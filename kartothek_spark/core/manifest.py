@@ -118,9 +118,18 @@ def _equality_segments(predicates, casters) -> list[list[str]] | None:
     return segs_dnf
 
 
-def _typed_value(raw: str, dt: T.DataType) -> Any:
+def _typed_value(raw: str, dt: T.DataType, binary_codec: str = "hex") -> Any:
     """Cast a path-string partition value to its schema type (primary-index
-    reconstruction; reference ``metapartition.py:920-980``)."""
+    reconstruction; reference ``metapartition.py:920-980``).
+
+    ``binary_codec`` selects the path rendering of BinaryType keys:
+    ``"hex"`` is the engine's own layout (``x`` + lowercase hex — inert
+    under Spark's path escaping, immune to partition type inference, and
+    order-preserving); ``"percent"`` is the reference's layout (URL
+    percent-encoding of the raw bytes), used for imported-in-place
+    datasets (``external_root``) — the surrogateescape str from
+    :func:`kartothek_spark.core.urlencode.unquote` re-encodes to the
+    exact original bytes."""
     import datetime
 
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
@@ -133,6 +142,17 @@ def _typed_value(raw: str, dt: T.DataType) -> Any:
         return datetime.date.fromisoformat(raw)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return datetime.datetime.fromisoformat(raw.replace(" ", "T"))
+    if isinstance(dt, T.BinaryType):
+        if binary_codec == "percent":
+            # mirror of urlencode.unquote's surrogateescape: recovers
+            # the exact original bytes of a reference-layout value
+            return raw.encode("utf-8", "surrogateescape")
+        if not raw.startswith("x"):
+            raise ValueError(
+                f"binary partition value {raw!r} lacks the engine's "
+                "x<hex> rendering"
+            )
+        return bytes.fromhex(raw[1:])
     return raw
 
 
@@ -272,7 +292,11 @@ class DatasetManifest:
     def partition_values(self, label: str) -> dict[str, Any]:
         raw = parse_partition_values(label, self.partition_keys)
         by_name = {f.name: f.dataType for f in self.schema.fields}
-        return {k: _typed_value(v, by_name[k]) for k, v in raw.items()}
+        codec = "percent" if self.external_root else "hex"
+        return {
+            k: _typed_value(v, by_name[k], binary_codec=codec)
+            for k, v in raw.items()
+        }
 
     def query(self, predicates=None, **kwargs: Any) -> list[str]:
         """Partition labels surviving partition-key predicate evaluation
@@ -286,9 +310,8 @@ class DatasetManifest:
         labels sharing one hive directory evaluate ONCE (the per-dir
         decision is cached — with f files per partition dir this divides
         the work by f)."""
-        from urllib.parse import unquote
-
         from kartothek_spark.core.predicates import evaluate_predicates_py
+        from kartothek_spark.core.urlencode import unquote
 
         if kwargs:
             extra = [[(k, "==", v) for k, v in kwargs.items()]]
@@ -342,7 +365,13 @@ class DatasetManifest:
                             v = seg[eq + 1:]
                             if "%" in v:
                                 v = unquote(v)
-                            values[k] = _typed_value(v, casters[k])
+                            values[k] = _typed_value(
+                                v,
+                                casters[k],
+                                binary_codec="percent"
+                                if self.external_root
+                                else "hex",
+                            )
                 if len(values) < len(key_set):
                     # fall back to the strict parser (raises with the
                     # missing-keys message) for malformed labels

@@ -20,7 +20,13 @@ def quote(value: Any) -> str:
 
 
 def unquote(value: str) -> str:
-    return urllib.parse.unquote(value)
+    # surrogateescape keeps non-UTF8 BYTES reversible through the str
+    # round-trip: a binary partition value decodes to surrogates here and
+    # _typed_value re-encodes them to the exact original bytes (the
+    # default errors='replace' would corrupt them to U+FFFD). For valid
+    # UTF-8 (every other dtype's rendering) this is byte-for-byte
+    # identical to the default behavior.
+    return urllib.parse.unquote(value, errors="surrogateescape")
 
 
 def partition_dirname(keys: list[str], values: list[Any]) -> str:

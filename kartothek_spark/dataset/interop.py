@@ -378,6 +378,18 @@ def export_kartothek_metadata(
     own_prefix = f"{dataset_uuid}/{TABLE}{os.sep}"
     target_table = os.path.join(target_root, target_uuid, TABLE)
     os.makedirs(target_table, exist_ok=True)
+    # BinaryType partition keys use the engine's x<hex> directory
+    # rendering, which reference readers would mis-decode; the exported
+    # VIEW re-renders those labels (and symlink paths) into the
+    # reference's percent-encoded raw-bytes layout. relabel maps
+    # engine label -> exported label for the index conversion below.
+    binary_keys = [
+        f.name
+        for f in manifest.schema.fields
+        if f.name in manifest.partition_keys
+        and isinstance(f.dataType, T.BinaryType)
+    ]
+    relabel: dict[str, str] = {}
     parts: dict[str, Any] = {}
     for label, entry in manifest.partitions.items():
         stored = entry["file"]
@@ -387,12 +399,24 @@ def export_kartothek_metadata(
                 "managed <uuid>/table/ layout; cannot export"
             )
         rel = stored[len(own_prefix):]
+        if binary_keys:
+            from kartothek_spark.core.urlencode import quote
+
+            values = manifest.partition_values(label)
+            dirs = "/".join(
+                f"{k}={quote(values[k])}" for k in manifest.partition_keys
+            )
+            out_label = f"{dirs}/{label.rsplit('/', 1)[-1]}"
+            rel = f"{dirs}/{os.path.basename(rel)}"
+        else:
+            out_label = label
+        relabel[label] = out_label
         link = os.path.join(target_table, rel)
         os.makedirs(os.path.dirname(link), exist_ok=True)
         if os.path.islink(link) or os.path.exists(link):
             os.remove(link)
         os.symlink(os.path.abspath(os.path.join(root, stored)), link)
-        parts[label] = {"files": {TABLE: f"{target_uuid}/{TABLE}/{rel}"}}
+        parts[out_label] = {"files": {TABLE: f"{target_uuid}/{TABLE}/{rel}"}}
 
     indices_out: dict[str, Any] = {}
     for column, rel in manifest.indices.items():
@@ -418,8 +442,18 @@ def export_kartothek_metadata(
                 pf = pq.ParquetFile(f)
                 for rg in range(pf.num_row_groups):
                     chunk = pf.read_row_group(rg)
+                    parts_col = chunk.column("partitions")
+                    if binary_keys:
+                        # per-row-group label remap (bounded memory)
+                        parts_col = pa.array(
+                            [
+                                [relabel.get(lbl, lbl) for lbl in lst]
+                                for lst in parts_col.to_pylist()
+                            ],
+                            type=pa.list_(pa.string()),
+                        )
                     out = pa.Table.from_arrays(
-                        [chunk.column("value"), chunk.column("partitions")],
+                        [chunk.column("value"), parts_col],
                         names=[column, "partition"],
                     )
                     if writer is None:

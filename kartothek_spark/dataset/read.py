@@ -143,12 +143,68 @@ def _prune_stats(manifest: DatasetManifest, conj, labels: set) -> set:
     return out
 
 
+def _binary_partition_keys(manifest) -> dict[str, str]:
+    """BinaryType partition keys → their path codec: ``"hex"`` for the
+    engine layout (``x<hex>`` directory rendering, see ``_write_files``),
+    ``"percent"`` for imported-in-place reference datasets. Spark's hive
+    inference surfaces these directories as STRINGS; read_table re-types
+    them (unhex / Latin-1 byte recovery) and predicate literals are
+    translated into the same string domain so pushdown still prunes —
+    both renderings are order-preserving over the raw bytes."""
+    return {
+        f.name: ("percent" if manifest.external_root else "hex")
+        for f in manifest.schema.fields
+        if f.name in manifest.partition_keys
+        and isinstance(f.dataType, T.BinaryType)
+    }
+
+
+def _binary_scan_literal(v, codec: str):
+    if isinstance(v, (list, tuple, set)):
+        return [_binary_scan_literal(x, codec) for x in v]
+    if not isinstance(v, (bytes, bytearray)):
+        return v
+    b = bytes(v)
+    if codec == "hex":
+        return "x" + b.hex()
+    # Spark's path unescaping maps each %XX to the code point XX, so the
+    # inferred string is the Latin-1 view of the raw bytes
+    return b.decode("ISO-8859-1")
+
+
+def _translate_binary_predicates(predicates, binkeys: dict[str, str]):
+    """Rewrite binary partition-key literals into the scan's string
+    domain (the hive-inferred column is a string; comparing it against a
+    binary literal would silently match nothing)."""
+    if not predicates or not binkeys:
+        return predicates
+    return [
+        [
+            (c, op, _binary_scan_literal(v, binkeys[c])) if c in binkeys else (c, op, v)
+            for (c, op, v) in conj
+        ]
+        for conj in predicates
+    ]
+
+
+def _retyped_col(c: str, dt, binkeys: dict[str, str]):
+    """Manifest-schema re-typing of one output column; binary partition
+    keys decode from their path rendering instead of a plain cast."""
+    if c in binkeys:
+        if binkeys[c] == "hex":
+            return F.unhex(F.expr(f"substring(`{c}`, 2)")).alias(c)
+        return F.encode(F.col(c), "ISO-8859-1").alias(c)
+    return F.col(c).cast(dt).alias(c)
+
+
 def _stats_may_match(lits, stats, by_name) -> bool:
     for col, op, val in lits:
         s = stats.get(col)
         if not s:
             continue
         dt = by_name[col]
+        if isinstance(dt, T.BinaryType):
+            continue  # path-rendered; scan filter owns binary predicates
         try:
             lo = _stats_typed(s["min"], dt)
             hi = _stats_typed(s["max"], dt)
@@ -338,11 +394,14 @@ def read_table(
         return empty_dataframe(spark, manifest, columns)
 
     df = _scan_files(spark, manifest, manifest.files(labels))
+    binkeys = _binary_partition_keys(manifest)
 
     if predicates is not None:
         # full DNF pushed to Catalyst: row-group stats pruning + residual
         # filtering happen JVM-side (PushedFilters in the plan)
-        df = df.where(predicates_to_column(predicates))
+        df = df.where(
+            predicates_to_column(_translate_binary_predicates(predicates, binkeys))
+        )
     if filter_query is not None:
         df = df.where(F.expr(filter_query))
 
@@ -360,7 +419,7 @@ def read_table(
             for f in manifest.schema.fields
             if f.name not in manifest.partition_transforms
         ]
-    df = df.select(*[F.col(c).cast(by_name[c]).alias(c) for c in out_cols])
+    df = df.select(*[_retyped_col(c, by_name[c], binkeys) for c in out_cols])
 
     if dispatch_by:
         df = df.repartition(*[F.col(c) for c in dispatch_by])
@@ -480,6 +539,7 @@ def read_changes(
     if not added:
         return empty_dataframe(spark, new, columns)
     df = _scan_files(spark, new, new.files(added))
+    binkeys = _binary_partition_keys(new)
     by_name = {f.name: f.dataType for f in new.schema.fields}
     if columns is not None:
         out_cols = list(columns)
@@ -488,7 +548,7 @@ def read_changes(
             f.name for f in new.schema.fields
             if f.name not in new.partition_transforms
         ]
-    return df.select(*[F.col(c).cast(by_name[c]).alias(c) for c in out_cols])
+    return df.select(*[_retyped_col(c, by_name[c], binkeys) for c in out_cols])
 
 
 def read_dataset_as_iterator(
@@ -518,9 +578,14 @@ def read_dataset_as_iterator(
                 df = df.withColumn(k, F.lit(v))
         if predicates is not None:
             df = df.where(predicates_to_column(predicates))
-        yield label, df.select(
-            *[F.col(c).cast(by_name[c]).alias(c) for c in out_cols]
-        ).toPandas()
+        out = df.select(*[F.col(c).cast(by_name[c]).alias(c) for c in out_cols])
+        # Arrow transfer + self_destruct: the arrow buffers are released
+        # column-by-column as the pandas frame is built, so driver peak
+        # memory for a wide partition is ~1x the frame instead of the 2x
+        # a plain toPandas() conversion holds (arrow copy + pandas copy)
+        yield label, out.toArrow().to_pandas(
+            self_destruct=True, split_blocks=True, use_threads=False
+        )
 
 
 def count_rows(

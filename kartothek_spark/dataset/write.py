@@ -225,6 +225,23 @@ def _write_files(
             F.pmod(F.xxhash64(*[F.col(c) for c in bucket_by]), F.lit(num_buckets)),
         )
         part_cols.append(BUCKET_COL)
+    # BinaryType partition keys: Spark's own hive-path rendering
+    # stringifies binary UTF-8-lossily (non-UTF8 bytes become U+FFFD in
+    # the directory name — silent corruption). Render them ourselves as
+    # "x" + lowercase hex BEFORE partitionBy (and AFTER bucket hashing,
+    # which must see the raw bytes): inert under Spark's path escaping,
+    # never captured by partition type inference (the "x" prefix keeps
+    # "0102" from becoming the integer 102), and order-preserving (fixed
+    # two chars per byte), so range predicates translate. Decoded by
+    # _typed_value (manifest) and read_table's unhex re-typing.
+    from pyspark.sql import types as T_
+
+    by_name = {f.name: f.dataType for f in out.schema.fields}
+    for c in partition_on:
+        if isinstance(by_name.get(c), T_.BinaryType):
+            out = out.withColumn(
+                c, F.concat(F.lit("x"), F.lower(F.hex(F.col(c))))
+            )
     # AQE rebalance instead of a plain repartition: a hot partition
     # value (or bucket) is SPLIT across tasks by advisory size and
     # small values coalesce — plain repartition(keys) pins each value

@@ -213,6 +213,7 @@ def hybrid_search(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    dense: str = "brute",
 ) -> DataFrame:
     """Hybrid retrieval — the standard RAG pattern: a lexical BM25 pass
     and a dense cosine top-k pass each retrieve ``depth`` candidates,
@@ -221,17 +222,38 @@ def hybrid_search(
     ``query_vec_id`` names the query's dense representation in
     ``embeddings`` (joinable to ``docs`` on id); both retrievers are the
     scale-validated operators (:func:`bm25_search` — query-term-restricted
-    explode, no inverted index; ``brute_force_topk`` — broadcast query
-    row, one matmul pass). Swap in the LSH/IVF ANN operators for the
-    dense leg past brute-force scale; the fusion contract is just
-    ``(id, rank)`` lists."""
-    from kartothek_spark.operators.similarity import brute_force_topk
+    explode, no inverted index; the dense leg per ``dense``). The fusion
+    contract is just ``(id, rank)`` lists.
+
+    ``dense`` selects the dense retriever: ``"brute"`` (exact — broadcast
+    query row, one matmul pass; the small/medium-corpus default),
+    ``"lsh"`` (multi-table random-hyperplane LSH — the billion-vector
+    scale path; candidates are bucket-joined, never a full scan per
+    query) or ``"ivf"`` (inverted-file coarse quantizer — probe-pruned
+    cells). The ANN composition's fused-recall floor is pinned by the
+    ``corpus_hybrid_ann`` gate."""
+    from kartothek_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
 
     bm = bm25_search(docs, query_terms, k=depth, text_col=text_col, id_col=id_col)
     qdf = embeddings.where(F.col(vec_id_col) == query_vec_id)
-    vec = brute_force_topk(
-        embeddings, qdf, k=depth, id_col=vec_id_col, vec_col=vec_col, dim=dim
-    )
+    if dense == "brute":
+        vec = brute_force_topk(
+            embeddings, qdf, k=depth, id_col=vec_id_col, vec_col=vec_col, dim=dim
+        )
+    elif dense == "lsh":
+        vec = lsh_topk(
+            embeddings, qdf, k=depth, dim=dim, id_col=vec_id_col, vec_col=vec_col
+        )
+    elif dense == "ivf":
+        vec = ivf_topk(
+            embeddings, qdf, k=depth, dim=dim, id_col=vec_id_col, vec_col=vec_col
+        )
+    else:
+        raise ValueError(f"dense must be brute|lsh|ivf, got {dense!r}")
     return rrf_fuse(
         [
             bm.select(F.col(id_col), "rank"),

@@ -62,7 +62,21 @@ def asof_join(
     — explicit beats silent suffixing).
 
     ``by=None`` uses the range-partitioned prefix scan described in the
-    module docstring — never a single global window."""
+    module docstring — never a single global window.
+
+    Skew stance (keyed form): the per-key window is a running
+    O(1)-state scan, so a hot key costs its one task a LINEAR pass over
+    that key's rows — never a candidate explosion or an executor-memory
+    buffer (nothing is collected per key). That serialization is
+    inherent to keyed as-of semantics — some task must traverse the
+    key's timeline in order — and AQE cannot split a window partition
+    the way it splits skewed joins. For a pathologically hot key (a
+    meaningful fraction of 100 TB in ONE key), split it out and run the
+    hot slice through the keyless prefix-scan path, which parallelizes
+    a single timeline across range partitions with a boundary carry:
+    ``asof_join(l.where(hot), r.where(hot), on=on, by=None)`` unioned
+    with the keyed join of the remainder. Pinned by
+    ``tests/test_operators.py::test_asof_join_keyed_skew``."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
     by = [by] if isinstance(by, str) else list(by or [])

@@ -71,3 +71,36 @@ def test_train_validations(spark):
         train_text_classifier(df.where("doc_id < 0"), "label", iters=1)
     with pytest.raises(ValueError, match="non-empty"):
         score_documents(df, [])
+
+
+def test_train_generalizes_to_held_out_split(spark):
+    """Held-out AUC check: a silent arithmetic regression that still
+    produces plausible row counts (wrong gradient sign, broken sigmoid,
+    weight truncation) cannot keep ranking UNSEEN positive docs above
+    unseen negative docs. Train on 80% of planted-vocabulary docs, score
+    the held-out 20%, require pairwise ranking AUC >= 0.95."""
+    pos = ["excellent", "wonderful", "brilliant", "superb", "delightful", "lucid"]
+    neg = ["spam", "junk", "garbage", "scam", "clickbait", "sludge"]
+    rows = []
+    for i in range(60):
+        rows.append(
+            Row(doc_id=i, text=" ".join(pos[(i + j) % 6] for j in range(8)), label=1)
+        )
+        rows.append(
+            Row(doc_id=1000 + i, text=" ".join(neg[(i + j) % 6] for j in range(8)), label=0)
+        )
+    df = spark.createDataFrame(rows)
+    train = df.where("doc_id % 5 != 0")
+    held = df.where("doc_id % 5 = 0")
+    w, b = train_text_classifier(train, "label", n_features=128, iters=12, lr=1.0)
+    scored = {
+        r.doc_id: r.score_micro for r in score_documents(held, w, b).collect()
+    }
+    labels = {r.doc_id: r.label for r in held.collect()}
+    pos_scores = [s for d, s in scored.items() if labels[d] == 1]
+    neg_scores = [s for d, s in scored.items() if labels[d] == 0]
+    assert pos_scores and neg_scores
+    wins = sum(1 for p in pos_scores for n in neg_scores if p > n)
+    ties = sum(1 for p in pos_scores for n in neg_scores if p == n)
+    auc = (wins + 0.5 * ties) / (len(pos_scores) * len(neg_scores))
+    assert auc >= 0.95, f"held-out AUC {auc:.3f}"

@@ -82,3 +82,39 @@ def test_lm_caps(spark):
     assert {(r.prev, r.cur) for r in lm.bigrams.collect()} == {("common", "common")}
     with pytest.raises(ValueError, match="empty"):
         train_ngram_lm(df.where("doc_id < 0"))
+
+
+def test_perplexity_ranks_in_domain_below_gibberish(spark):
+    """Perplexity-ordering check on held-out docs: a regression that
+    preserves row counts but breaks the probability arithmetic (wrong
+    backoff mass, inverted logs, count corruption) cannot keep every
+    UNSEEN in-domain document scoring lower perplexity than every
+    gibberish document under a model trained on the in-domain corpus."""
+    base = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog ran home",
+        "the dog ran to the mat",
+        "a cat ran on the rug",
+    ]
+    train_rows = [
+        Row(doc_id=i, text=base[i % len(base)]) for i in range(40)
+    ]
+    held_in = [
+        Row(doc_id=1000, text="the cat ran on the mat"),
+        Row(doc_id=1001, text="a dog sat on the mat"),
+    ]
+    gibberish = [
+        Row(doc_id=2000, text="qzx glorp wibble snark blort"),
+        Row(doc_id=2001, text="frobnitz zyzzyva quux blargh krex"),
+    ]
+    lm = train_ngram_lm(spark.createDataFrame(train_rows), min_count=1)
+    scored = {
+        r.doc_id: r.nll
+        for r in perplexity_score(
+            spark.createDataFrame(held_in + gibberish), lm
+        ).collect()
+    }
+    worst_in = max(scored[r.doc_id] for r in held_in)
+    best_gib = min(scored[r.doc_id] for r in gibberish)
+    assert worst_in < best_gib, scored

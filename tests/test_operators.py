@@ -994,3 +994,80 @@ def test_chunk_corpus_reconstruction_any_params(spark):
             assert rebuilt == t
 
     prop()
+
+
+def test_asof_join_keyed_skew(spark):
+    """One key holding 90% of the rows must complete with exact results
+    through the keyed window (linear single-task scan of the hot key's
+    timeline — the documented stance in asof_join's docstring) and the
+    plan must shuffle ONCE on the by-key, with the hot-slice escape hatch
+    (keyless prefix scan on the hot key) agreeing with the keyed answer."""
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.temporal import asof_join
+
+    n = 50_000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 3).cast("string")))
+        .alias("k"),
+        F.col("id").alias("ts"),
+        F.col("id").alias("lv"),
+    )
+    keys = [("hot",), ("c0",), ("c1",), ("c2",)]
+    grid = spark.createDataFrame(keys, "k string").crossJoin(
+        spark.range(0, n, 100).select((F.col("id")).alias("ts"))
+    )
+    right = grid.select("k", "ts", F.col("ts").alias("rv"))
+
+    joined = asof_join(left, right, on="ts", by="k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan  # the one keyed shuffle
+    # every left ts matches the floor-to-100 right row of ITS key
+    bad = joined.where(
+        F.col("rv").isNull() | (F.col("rv") != (F.col("ts") - F.col("ts") % 100))
+    ).count()
+    assert bad == 0
+    assert joined.count() == n
+
+    # hot-slice escape hatch: keyless prefix scan over the hot key only
+    # must agree exactly with the keyed window's hot-key slice
+    hot_keyless = asof_join(
+        left.where(F.col("k") == "hot").drop("k"),
+        right.where(F.col("k") == "hot").drop("k"),
+        on="ts",
+        by=None,
+    )
+    mism = (
+        hot_keyless.select("ts", F.col("rv").alias("rv2"))
+        .join(joined.where(F.col("k") == "hot"), "ts")
+        .where(F.col("rv2") != F.col("rv"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_hybrid_search_dense_leg_switch(spark):
+    """dense="lsh"/"ivf" route the dense leg through the ANN operators
+    (the past-brute-force scale path) and still return a full fused
+    top-k; an unknown selector raises."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.search import hybrid_search
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    for dense in ("lsh", "ivf"):
+        got = hybrid_search(
+            docs, emb, ["data", "model"], query_vec_id=7, k=5, depth=20,
+            dim=64, dense=dense,
+        )
+        rows = got.collect()
+        assert len(rows) == 5
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="dense"):
+        hybrid_search(docs, emb, ["data"], query_vec_id=7, dense="nope")
