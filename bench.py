@@ -89,7 +89,9 @@ HEADLINE = [
     "events_cohorts",        # cohort retention matrix
     # round 3 (cont.): interop + retrieval + classification
     "ktk_import_reference",  # reference-layout zero-copy import + pruned read
+    "corpus_search",  # BM25 top-k (distributed TakeOrdered, no corpus broadcast)
     "corpus_hybrid_search",  # BM25 + dense cosine legs, RRF fusion
+    "corpus_hybrid_ann",  # BM25 + LSH-ANN dense leg, fused-recall floor
     "corpus_classifier_score",  # hashed-feature linear scoring (int micros)
     "corpus_classifier_train",  # 3-iteration batch-gradient logistic train
     "corpus_perplexity",     # bigram-LM self-train + stupid-backoff scoring

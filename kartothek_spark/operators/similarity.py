@@ -456,6 +456,75 @@ def _plane_weight(p: int, j: int, table: int = 0) -> float:
     return (h / float((1 << 60) - 1)) * 2.0 - 1.0
 
 
+def _lsh_index_side(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int,
+    tables: int,
+    out_id: str,
+    out_q: str,
+) -> DataFrame:
+    """One Arrow-batched pass producing the LSH index rows of one side:
+    ``(out_id, out_q array<long>, __t int, __b long)`` — the fixed-point
+    quantized vector plus one (table, bucket) row per table.
+
+    Bit-parity contract: the plane dot accumulates SEQUENTIALLY over the
+    dimension index in float64 (``acc = acc + x_j * w_j``), the exact
+    IEEE op sequence of the :func:`lsh_bucket` fold expression and its
+    SQL twin, so a bucket can never differ between the batched and the
+    expression rendering; quantization is the same
+    ``floor(x * 2^24 + 0.5)``."""
+    import numpy as np
+
+    spark = df.sparkSession
+    W = np.array(
+        [
+            [[_plane_weight(p, j, t) for j in range(dim)] for p in range(planes)]
+            for t in range(tables)
+        ],
+        dtype="float64",
+    )
+    bc = spark.sparkContext.broadcast(W)
+
+    def gen(batches):
+        # self-contained closure: executors don't need kartothek_spark
+        import numpy as np
+        import pandas as pd
+
+        Wl = bc.value
+        T, P, _D = Wl.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            q = np.floor(X * (1 << 24) + 0.5).astype("int64")
+            buckets = np.zeros((len(X), T), dtype="int64")
+            for t in range(T):
+                for p in range(P):
+                    acc = np.zeros(len(X), dtype="float64")
+                    w = Wl[t, p]
+                    for j in range(X.shape[1]):
+                        acc = acc + X[:, j] * w[j]
+                    buckets[:, t] += np.where(acc >= 0.0, 1 << p, 0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "q": [row.tolist() for row in q],
+                    "bs": [row.tolist() for row in buckets],
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    enc = src.mapInPandas(gen, "id long, q array<long>, bs array<long>")
+    return enc.select(
+        F.col("id").alias(out_id),
+        F.col("q").alias(out_q),
+        F.posexplode("bs").alias("__t", "__b"),
+    )
+
+
 def lsh_bucket(vec: Column, dim: int, planes: int = LSH_PLANES, table: int = 0) -> Column:
     """Sign-bucket id: bit p = (vec · plane_p) >= 0. Integer in
     [0, 2^planes); plane weights are literal constant arrays folded with
@@ -578,31 +647,23 @@ def lsh_topk(
     cos-0.95 pair is ~1-(1-θ/π)^planes ≈ 0.57 at 8 planes; eight tables
     drive it to 0.57^8 ≈ 1%. The scale path — the join key is (table,
     bucket), the corpus is scanned once producing ``tables`` index rows
-    per vector, and the N×Q cross-join never materializes."""
-    tbl_buckets = lambda col: F.array(  # noqa: E731
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                lsh_bucket(col, dim, planes, table=t).alias("b"),
-            )
-            for t in range(tables)
-        ]
+    per vector, and the N×Q cross-join never materializes.
+
+    Buckets + fixed-point quantization are computed in ONE Arrow-batched
+    pass (``_lsh_index_side``): tables×planes interpreted HOF folds per
+    row would dominate the corpus scan by >10×, while the batched NumPy
+    form accumulates each plane dot in the SAME j-sequential IEEE order
+    as the :func:`lsh_bucket` expression, so bucket ids stay bit-identical
+    to the SQL-twin rendering (pinned by
+    ``tests/test_operators.py::test_lsh_batch_matches_expression``)."""
+    c = _lsh_index_side(
+        scale_out(df), id_col, vec_col, dim, planes, tables, "neighbor_id", "__cq"
     )
-    c = (
-        scale_out(df)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            quantize(F.col(vec_col)).alias("__cq"),
-            F.explode(tbl_buckets(F.col(vec_col))).alias("__tb"),
-        )
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        quantize(F.col(vec_col)).alias("__qq"),
-        F.explode(tbl_buckets(F.col(vec_col))).alias("__tb"),
+    q = _lsh_index_side(
+        queries, id_col, vec_col, dim, planes, tables, "query_id", "__qq"
     )
     sims = (
-        c.join(F.broadcast(q), "__tb")
+        c.join(F.broadcast(q), ["__t", "__b"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__qq", "__cq")
         .dropDuplicates(["query_id", "neighbor_id"])  # union over tables

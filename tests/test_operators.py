@@ -1071,3 +1071,38 @@ def test_hybrid_search_dense_leg_switch(spark):
         assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
     with pytest.raises(ValueError, match="dense"):
         hybrid_search(docs, emb, ["data"], query_vec_id=7, dense="nope")
+
+
+def test_lsh_batch_matches_expression(spark):
+    """The Arrow-batched LSH index pass must produce bit-identical
+    buckets AND quantized vectors to the lsh_bucket / quantize column
+    expressions (the SQL-twin rendering) — the j-sequential accumulation
+    contract."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.similarity import (
+        _lsh_index_side,
+        lsh_bucket,
+        quantize,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).limit(300)
+    tables, planes = 6, 4
+    batch = {
+        (r["neighbor_id"], r["__t"]): (tuple(r["__cq"]), r["__b"])
+        for r in _lsh_index_side(
+            emb, "vec_id", "embedding", 64, planes, tables, "neighbor_id", "__cq"
+        ).collect()
+    }
+    expr = {}
+    for t in range(tables):
+        for r in emb.select(
+            "vec_id",
+            quantize(F.col("embedding")).alias("q"),
+            lsh_bucket(F.col("embedding"), 64, planes, table=t).alias("b"),
+        ).collect():
+            expr[(r.vec_id, t)] = (tuple(r.q), r.b)
+    assert batch == expr
