@@ -247,7 +247,23 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass
-    print(json.dumps(result))
+    # stdout line: keep under ~1.9 KB so a 2000-char log capture still
+    # parses (r04's artifact was truncated mid-key and unparseable).
+    # Full precision + full query set always live in BENCH_LAST.json.
+    out = dict(result)
+    out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1950:
+        kept = dict(out["queries"])
+        for k, _v in sorted(timings.items(), key=lambda kv: kv[1]):
+            if len(line) <= 1950:
+                break
+            del kept[k]
+            out["queries"] = kept
+            out["queries_omitted"] = len(timings) - len(kept)
+            out["detail"] = "BENCH_LAST.json"
+            line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
