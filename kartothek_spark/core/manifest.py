@@ -288,13 +288,22 @@ class DatasetManifest:
         labels = list(self.partitions) if labels is None else labels
         return [self.file_path(lbl) for lbl in labels]
 
+    @property
+    def binary_codec(self) -> str:
+        """Path rendering of BinaryType partition keys: ``"hex"`` for the
+        engine's own layout (``x<hex>`` directory segments), ``"percent"``
+        for attached-in-place reference datasets (``external_root``). The
+        SINGLE source of truth — the planner (:meth:`query`), the label
+        parser (:meth:`partition_values`) and the read paths all consult
+        this so label encoding and decoding can never diverge."""
+        return "percent" if self.external_root else "hex"
+
     # -- primary index (partition values parsed from labels) ----------------
     def partition_values(self, label: str) -> dict[str, Any]:
         raw = parse_partition_values(label, self.partition_keys)
         by_name = {f.name: f.dataType for f in self.schema.fields}
-        codec = "percent" if self.external_root else "hex"
         return {
-            k: _typed_value(v, by_name[k], binary_codec=codec)
+            k: _typed_value(v, by_name[k], binary_codec=self.binary_codec)
             for k, v in raw.items()
         }
 
@@ -366,11 +375,7 @@ class DatasetManifest:
                             if "%" in v:
                                 v = unquote(v)
                             values[k] = _typed_value(
-                                v,
-                                casters[k],
-                                binary_codec="percent"
-                                if self.external_root
-                                else "hex",
+                                v, casters[k], binary_codec=self.binary_codec
                             )
                 if len(values) < len(key_set):
                     # fall back to the strict parser (raises with the

@@ -152,7 +152,7 @@ def _binary_partition_keys(manifest) -> dict[str, str]:
     translated into the same string domain so pushdown still prunes —
     both renderings are order-preserving over the raw bytes."""
     return {
-        f.name: ("percent" if manifest.external_root else "hex")
+        f.name: manifest.binary_codec
         for f in manifest.schema.fields
         if f.name in manifest.partition_keys
         and isinstance(f.dataType, T.BinaryType)
@@ -568,17 +568,29 @@ def read_dataset_as_iterator(
     predicates = coerce_predicate_literals(predicates, manifest.schema)
     labels = dispatch_labels(spark, manifest, predicates)
     by_name = {f.name: f.dataType for f in manifest.schema.fields}
+    binkeys = _binary_partition_keys(manifest)
     out_cols = list(columns) if columns is not None else [f.name for f in manifest.schema.fields]
     for label in labels:
         df = _scan_files(spark, manifest, [manifest.file_path(label)])
         # re-inject partition values (a single file loses hive inference
         # context when the path is the basePath anchor itself)
+        inferred = set(df.columns)
         for k, v in manifest.partition_values(label).items():
-            if k not in df.columns:
+            if k not in inferred:
                 df = df.withColumn(k, F.lit(v))
+        # binary keys that came from hive inference are STRING renderings:
+        # filter in the translated string domain and decode on the way out
+        # (same as read_table); injected keys are already typed — leave them
+        hive_binkeys = {k: c for k, c in binkeys.items() if k in inferred}
         if predicates is not None:
-            df = df.where(predicates_to_column(predicates))
-        out = df.select(*[F.col(c).cast(by_name[c]).alias(c) for c in out_cols])
+            df = df.where(
+                predicates_to_column(
+                    _translate_binary_predicates(predicates, hive_binkeys)
+                )
+            )
+        out = df.select(
+            *[_retyped_col(c, by_name[c], hive_binkeys) for c in out_cols]
+        )
         # Arrow transfer + self_destruct: the arrow buffers are released
         # column-by-column as the pandas frame is built, so driver peak
         # memory for a wide partition is ~1x the frame instead of the 2x

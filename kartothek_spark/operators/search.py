@@ -245,6 +245,11 @@ def hybrid_search(
             embeddings, qdf, k=depth, id_col=vec_id_col, vec_col=vec_col, dim=dim
         )
     elif dense == "lsh":
+        if dim is None:
+            # brute/ivf tolerate dim=None (inferred / unused); the LSH leg
+            # sizes its constant hyperplane tensor from it — fail clearly
+            # instead of a TypeError deep inside the plane generator
+            raise ValueError("dim is required when dense='lsh'")
         vec = lsh_topk(
             embeddings, qdf, k=depth, dim=dim, id_col=vec_id_col, vec_col=vec_col
         )

@@ -456,6 +456,34 @@ def _plane_weight(p: int, j: int, table: int = 0) -> float:
     return (h / float((1 << 60) - 1)) * 2.0 - 1.0
 
 
+_PLANE_BC: dict = {}
+
+
+def _lsh_planes_broadcast(spark, dim: int, planes: int, tables: int):
+    """One broadcast of the (tables, planes, dim) hyperplane tensor per
+    SparkContext + shape. The tensor is a pure function of its shape
+    (deterministic :func:`_plane_weight` hashes), so every ``lsh_topk``
+    call — and BOTH sides within one call — share a single handle instead
+    of rebuilding the Python triple loop and leaking a fresh broadcast
+    per side per call in a long-lived session."""
+    import numpy as np
+
+    sc = spark.sparkContext
+    key = (sc.applicationId, dim, planes, tables)
+    bc = _PLANE_BC.get(key)
+    if bc is None:
+        W = np.array(
+            [
+                [[_plane_weight(p, j, t) for j in range(dim)] for p in range(planes)]
+                for t in range(tables)
+            ],
+            dtype="float64",
+        )
+        bc = sc.broadcast(W)
+        _PLANE_BC[key] = bc
+    return bc
+
+
 def _lsh_index_side(
     df: DataFrame,
     id_col: str,
@@ -476,17 +504,8 @@ def _lsh_index_side(
     SQL twin, so a bucket can never differ between the batched and the
     expression rendering; quantization is the same
     ``floor(x * 2^24 + 0.5)``."""
-    import numpy as np
-
     spark = df.sparkSession
-    W = np.array(
-        [
-            [[_plane_weight(p, j, t) for j in range(dim)] for p in range(planes)]
-            for t in range(tables)
-        ],
-        dtype="float64",
-    )
-    bc = spark.sparkContext.broadcast(W)
+    bc = _lsh_planes_broadcast(spark, dim, planes, tables)
 
     def gen(batches):
         # self-contained closure: executors don't need kartothek_spark
@@ -516,8 +535,11 @@ def _lsh_index_side(
                 }
             )
 
+    # preserve the caller's id type (string uuids, ints, …) — hardcoding
+    # ``long`` would crash or mangle non-bigint ids at Arrow conversion
+    id_dt = df.schema[id_col].dataType.simpleString()
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    enc = src.mapInPandas(gen, "id long, q array<long>, bs array<long>")
+    enc = src.mapInPandas(gen, f"id {id_dt}, q array<long>, bs array<long>")
     return enc.select(
         F.col("id").alias(out_id),
         F.col("q").alias(out_q),

@@ -64,6 +64,34 @@ def test_iterator_backend(spark, tmp_root, df):
     assert all("P=1" not in lbl for lbl in seen)
 
 
+def test_iterator_binary_partition_key(spark, tmp_root):
+    """Regression: the iterator path must decode hive-inferred binary
+    partition keys (x<hex> string labels) and translate binary predicate
+    literals into the scan's string domain — exactly like read_table.
+    Before the fix it cast the label straight to BinaryType (silent
+    corruption: pk=b'x0102' instead of b'\\x01\\x02') and compared the
+    string column against a binary literal (silently empty)."""
+    vals = [b"\x01\x02", b"zz", bytes([0xFF, 0xFE])]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "pk binary, v long"
+    )
+    store_dataframe_as_dataset(spark, df, tmp_root, "dbin", partition_on=["pk"])
+    got = sorted(
+        (bytes(pdf["pk"][j]), int(pdf["v"][j]))
+        for _, pdf in read_dataset_as_iterator(spark, tmp_root, "dbin")
+        for j in range(len(pdf))
+    )
+    assert got == sorted((v, i) for i, v in enumerate(vals))
+    hit = [
+        (bytes(pdf["pk"][j]), int(pdf["v"][j]))
+        for _, pdf in read_dataset_as_iterator(
+            spark, tmp_root, "dbin", predicates=[[("pk", "==", b"\x01\x02")]]
+        )
+        for j in range(len(pdf))
+    ]
+    assert hit == [(b"\x01\x02", 0)]
+
+
 def test_collect_metadata_and_stats(spark, tmp_root, df):
     store_dataframe_as_dataset(spark, df, tmp_root, "ds", partition_on=["P"])
     md = collect_dataset_metadata(spark, tmp_root, "ds")
