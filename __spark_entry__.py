@@ -2420,6 +2420,49 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=4, threshold=0.35)
 
 
+def dedup_fuzzy_pairs(spark, sf_dir):
+    """EXACT edit-distance pairs (levenshtein <= 2) on the 24-char leading
+    snippet via complete SymSpell deletion-neighborhood blocking — the
+    oracle is the brute-force quadratic join the blocking provably
+    equals."""
+    from kartothek_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("key")
+    )
+    return edit_distance_pairs(docs, max_dist=2, string_col="key", id_col="doc_id")
+
+
+def corpus_fuzzy_join(spark, sf_dir):
+    """Two-sided fuzzy join: a 'dirty' probe feed (every 7th doc's snippet
+    with one char deleted) matched back against the corpus snippets at
+    levenshtein <= 2 — record linkage without an N x M cross join."""
+    from kartothek_spark.operators.dedup import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("key")
+    )
+    probes = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.expr(
+                "concat(substring(text, 1, 10), substring(text, 12, 13))"
+            ).alias("qkey"),
+        )
+    )
+    return fuzzy_join(
+        docs,
+        probes,
+        max_dist=2,
+        left_on="key",
+        right_on="qkey",
+        left_id="doc_id",
+        right_id="probe_id",
+    )
+
+
 def embedding_dups(spark, sf_dir):
     """Exact all-pairs near-dup via the distributed block-matrix self-join;
     blocks=4 pinned so the gate always exercises the multi-block shuffle
@@ -2930,6 +2973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "dedup_span_trim": dedup_span_trim,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_fuzzy_pairs": dedup_fuzzy_pairs,
+        "corpus_fuzzy_join": corpus_fuzzy_join,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
         "ann_knn_join": ann_knn_join,
@@ -2962,6 +3007,8 @@ def oracle_sql() -> dict[str, str]:
         apply_dedup_sql,
         duplicate_clusters_sql,
         duplicated_spans_sql,
+        edit_distance_pairs_sql,
+        fuzzy_join_sql,
         trim_duplicated_spans_sql,
         minhash_lsh_pairs_sql,
         ngram_jaccard_pairs_sql,
@@ -3630,6 +3677,19 @@ FROM toks
         ),
         "dedup_simhash": simhash_pairs_sql("documents", "text", "doc_id", max_hamming=6),
         "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", "text", "doc_id", n=4, threshold=0.35),
+        "dedup_fuzzy_pairs": edit_distance_pairs_sql(
+            "documents", 2, "substr(text, 1, 24)", "doc_id"
+        ),
+        "corpus_fuzzy_join": fuzzy_join_sql(
+            "(SELECT doc_id, substr(text, 1, 24) AS key FROM documents)",
+            "(SELECT doc_id AS probe_id, substr(text, 1, 10) || substr(text, 12, 13) AS qkey"
+            " FROM documents WHERE doc_id % 7 = 0)",
+            2,
+            "key",
+            "qkey",
+            "doc_id",
+            "probe_id",
+        ),
         "embedding_dups": embedding_dup_pairs_sql("embeddings", threshold=0.3, dim=EMB_DIM),
         "embedding_drift_stats": _sim.embedding_group_stats_sql("embeddings", dim=EMB_DIM),
         "embedding_pca": __import__(

@@ -96,6 +96,9 @@ HEADLINE = [
     "corpus_classifier_train",  # 3-iteration batch-gradient logistic train
     "corpus_perplexity",     # bigram-LM self-train + stupid-backoff scoring
     "embedding_pca",         # exact-integer covariance moments + driver eigh
+    # round 5: exact fuzzy matching (complete deletion-neighborhood blocking)
+    "dedup_fuzzy_pairs",     # levenshtein<=2 near-dup pairs on snippet keys
+    "corpus_fuzzy_join",     # dirty-probe record linkage, no N x M join
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

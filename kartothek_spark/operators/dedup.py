@@ -1010,3 +1010,315 @@ SELECT t2.doc_id,
        CAST(len(t2.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
 FROM t t2 LEFT JOIN agg USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# edit-distance (fuzzy) pairs / join — SymSpell deletion-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+def _deletion_blocks(df: DataFrame, max_dist: int, max_len: int) -> DataFrame:
+    """``(__id, __blk)`` — one row per deletion variant of ``__s``.
+
+    SymSpell blocking: if ``levenshtein(a, b) <= d`` then deleting at most
+    ``d`` characters from each reaches a COMMON string, so the size-<=d
+    deletion neighborhoods intersect — blocking on them is COMPLETE (no
+    missed pair), and the exact ``levenshtein`` verify removes the false
+    candidates (hash collisions only ever ADD candidates, never hide a
+    pair). Fan-out is ~len^d/d! variants per row (d=2, len 24 → 301):
+    this is a SHORT-KEY operator (titles, URLs, leading snippets) by
+    contract, enforced row-wise against ``max_len``.
+
+    Variants are generated as one vectorized Arrow-batched pass — same
+    precedent as the LSH index pass (``similarity._lsh_index_side``):
+    nested Catalyst HOF ``transform`` is interpreted, not codegen'd, and
+    measured ~10x slower than NumPy here. Each variant becomes a 64-bit
+    positional polynomial hash (``sum(ord(c_j) * B^j)`` in wraparound
+    uint64, vectorized ``np.delete`` + dot per deletion position), so the
+    shuffle carries 8-byte keys and variant STRINGS never exist. The hash
+    is position-consistent across lengths (deleting the only char of
+    ``"a"`` hashes like the empty string), which the completeness proof
+    needs."""
+    import numpy as np
+
+    id_dt = df.schema["__id"].dataType.simpleString()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = np.uint64(1099511628211)  # FNV-1a prime, odd → full-period mod 2^64
+        powers = np.empty(max_len + 1, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for p in range(1, max_len + 1):
+            powers[p] = powers[p - 1] * B
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["__id"]
+            s_list = pdf["__s"].tolist()
+            by_len: dict[int, list[int]] = {}
+            for k, s in enumerate(s_list):
+                if len(s) > max_len:
+                    raise ValueError(
+                        f"edit_distance key longer than max_len={max_len}: "
+                        f"{s[:64]!r}"
+                    )
+                by_len.setdefault(len(s), []).append(k)
+            out_idx: list[np.ndarray] = []
+            out_blk: list[np.ndarray] = []
+            with np.errstate(over="ignore"):
+                for L, idxs in by_len.items():
+                    rows = np.asarray(idxs)
+                    M = np.array(
+                        [[ord(c) for c in s_list[k]] for k in idxs],
+                        dtype=np.uint64,
+                    ).reshape(len(idxs), L)
+                    cuts = [()]
+                    if L >= 1:
+                        cuts += [(i,) for i in range(L)]
+                    if max_dist == 2 and L >= 2:
+                        cuts += [(i, j) for i in range(L - 1) for j in range(i + 1, L)]
+                    for cut in cuts:
+                        V = np.delete(M, cut, axis=1) if cut else M
+                        h = V @ powers[: V.shape[1]]
+                        out_idx.append(rows)
+                        out_blk.append(h)
+            if not out_idx:
+                continue
+            idx = np.concatenate(out_idx)
+            yield pd.DataFrame(
+                {
+                    "__id": ids.iloc[idx].to_numpy(),
+                    "__blk": np.concatenate(out_blk).astype(np.int64),
+                }
+            )
+
+    return df.select("__id", "__s").mapInPandas(gen, f"__id {id_dt}, __blk long")
+
+
+def _check_fuzzy_args(max_dist: int) -> None:
+    if max_dist not in (1, 2):
+        # the deletion neighborhood is ~len^d/d! per row — d>2 explodes the
+        # block fan-out; use minhash_lsh_pairs/ngram_jaccard for looser
+        # similarity instead
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 2,
+    string_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 48,
+    eager: bool = True,
+) -> DataFrame:
+    """All pairs ``(id_a, id_b, dist)`` with ``levenshtein <= max_dist``
+    over a SHORT string key — near-duplicate titles / URLs / leading
+    snippets, the record-linkage step of corpus curation. ``id_col`` must
+    be unique; ``id_a < id_b``; null keys never pair.
+
+    EXACT (unlike the MinHash/SimHash families): the deletion-neighborhood
+    blocking of :func:`_deletion_blocks` is complete for Levenshtein
+    distance, so the result equals the brute-force quadratic join — which
+    is exactly the DuckDB twin (:func:`edit_distance_pairs_sql`) — while
+    the plan never materializes N x N: the ONLY wide shuffles are keyed by
+    the 8-byte block key / the short key itself, whose cardinality grows
+    with the corpus so partitions stay bounded, then candidates (<< all
+    pairs) verify with the JVM ``levenshtein``. Reference has no analog;
+    the blocking scheme is the public SymSpell/FastSS construction.
+
+    Rep-collapse (the same guard the MinHash/SimHash banding uses):
+    blocking runs over DISTINCT keys only — m copies of one boilerplate
+    key would otherwise push m x ~len²/2 variant rows through the block
+    join and pair m²/2 times via EVERY shared block. Identical-key
+    (dist=0) pairs come from a plain equi-join on the key instead, and
+    distinct-key pairs expand to id pairs through two output-bounded hash
+    joins. Pair ENUMERATION over a mega-duplicate group is inherently
+    m²/2 output rows — for corpora like that, :func:`dedup_exact` /
+    :func:`apply_dedup` (representatives, no pair list) is the right
+    tool; this operator's contract is the explicit pair list.
+
+    ``eager=False`` skips the persist + localCheckpoint pins and returns
+    the LAZY plan (branches recompute): for plan inspection and for
+    composing into a pipeline that pins caching itself."""
+    _check_fuzzy_args(max_dist)
+    # persisted: base feeds FOUR branches (reps, the expansion's two
+    # sides, the exact self-join) — left lazy, the scan + variant pass
+    # re-run per branch (measured ~2.5x wall on the sf0.1 bench before
+    # this pin; same shape as simhash_pairs)
+    base = (
+        scale_out(df)
+        .select(F.col(id_col).alias("__id"), F.col(string_col).alias("__s"))
+        .where(F.col("__s").isNotNull())
+    )
+    if eager:
+        base = base.persist()
+    # one representative per distinct key (map-side-combined min)
+    reps = base.groupBy("__s").agg(F.min("__id").alias("__id"))
+    if eager:
+        reps = reps.persist()
+    blocks = _deletion_blocks(reps, max_dist, max_len)
+    # candidate generation is ONE shuffle (groupBy the 8-byte block key),
+    # not a self-join that shuffles the block rows twice and sorts both
+    # sides; per-block member sets are bounded by the number of DISTINCT
+    # keys sharing a variant (rep-collapse above), and the pair expansion
+    # is an in-memory combination over those small sorted sets
+    key_pairs = (
+        blocks.groupBy("__blk")
+        .agg(F.sort_array(F.collect_set("__id")).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) -> "
+                    "transform(slice(__ids, i + 2, size(__ids)), "
+                    "y -> named_struct('__ra', x, '__rb', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.__ra", "p.__rb")
+        .dropDuplicates(["__ra", "__rb"])
+        .join(reps.select(F.col("__id").alias("__ra"), F.col("__s").alias("__sa")), "__ra")
+        .join(reps.select(F.col("__id").alias("__rb"), F.col("__s").alias("__sb")), "__rb")
+        .withColumn("dist", F.levenshtein("__sa", "__sb").cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select("__sa", "__sb", "dist")
+    )
+    # distinct-key pairs → id pairs (distinct keys ⇒ disjoint id sets,
+    # so least/greatest restores the id_a < id_b contract)
+    ma = base.select(F.col("__id").alias("__ia"), F.col("__s").alias("__sa"))
+    mb = base.select(F.col("__id").alias("__ib"), F.col("__s").alias("__sb"))
+    cross = key_pairs.join(ma, "__sa").join(mb, "__sb").select(
+        F.least("__ia", "__ib").alias("id_a"),
+        F.greatest("__ia", "__ib").alias("id_b"),
+        "dist",
+    )
+    exact = (
+        base.alias("x")
+        .join(base.alias("y"), "__s")
+        .where(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    out = cross.unionByName(exact)
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        for frame in (reps, base):
+            frame.unpersist()
+    return out
+
+
+def edit_distance_pairs_sql(
+    table: str,
+    max_dist: int = 2,
+    key_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs`: the brute-force
+    quadratic join the blocking provably equals (length filter only cuts
+    the oracle's own cost; levenshtein is the same standard definition in
+    both engines)."""
+    return f"""
+WITH k AS (
+  SELECT {id_col} AS id, {key_expr} AS s FROM {table}
+  WHERE {key_expr} IS NOT NULL
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM k a JOIN k b
+  ON a.id < b.id
+ AND abs(length(a.s) - length(b.s)) <= {max_dist}
+ AND levenshtein(a.s, b.s) <= {max_dist}
+"""
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_dist: int = 2,
+    left_on: str = "text",
+    right_on: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    max_len: int = 48,
+) -> DataFrame:
+    """Two-sided edit-distance join: ``(left_id, right_id, dist)`` for
+    every cross pair with ``levenshtein <= max_dist`` — matching a dirty
+    feed (OCR'd titles, user queries) against a canonical table without
+    an N x M cross join. Same complete deletion-neighborhood blocking and
+    rep-collapse as :func:`edit_distance_pairs` (blocking over distinct
+    keys per side; identical-key matches via a plain equi-join); output
+    ids keep the callers' column names (they must differ)."""
+    _check_fuzzy_args(max_dist)
+    if left_id == right_id:
+        raise ValueError("left_id and right_id must differ in the output")
+    lb = (
+        scale_out(left)
+        .select(F.col(left_id).alias("__id"), F.col(left_on).alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .persist()
+    )
+    rb = (
+        right.select(F.col(right_id).alias("__id"), F.col(right_on).alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .persist()
+    )
+    lreps = lb.groupBy("__s").agg(F.min("__id").alias("__id")).persist()
+    rreps = rb.groupBy("__s").agg(F.min("__id").alias("__id")).persist()
+    key_pairs = (
+        _deletion_blocks(lreps, max_dist, max_len).alias("a")
+        .join(_deletion_blocks(rreps, max_dist, max_len).alias("b"), "__blk")
+        .select(F.col("a.__id").alias("__ra"), F.col("b.__id").alias("__rb"))
+        .dropDuplicates(["__ra", "__rb"])
+        .join(lreps.select(F.col("__id").alias("__ra"), F.col("__s").alias("__sa")), "__ra")
+        .join(rreps.select(F.col("__id").alias("__rb"), F.col("__s").alias("__sb")), "__rb")
+        .where(F.col("__sa") != F.col("__sb"))  # dist=0 comes from the equi path
+        .withColumn("dist", F.levenshtein("__sa", "__sb").cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select("__sa", "__sb", "dist")
+    )
+    ma = lb.select(F.col("__id").alias("__ia"), F.col("__s").alias("__sa"))
+    mb = rb.select(F.col("__id").alias("__ib"), F.col("__s").alias("__sb"))
+    cross = key_pairs.join(ma, "__sa").join(mb, "__sb").select(
+        F.col("__ia").alias(left_id),
+        F.col("__ib").alias(right_id),
+        "dist",
+    )
+    exact = (
+        lb.alias("x")
+        .join(rb.alias("y"), "__s")
+        .select(
+            F.col("x.__id").alias(left_id),
+            F.col("y.__id").alias(right_id),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    out = cross.unionByName(exact).localCheckpoint(eager=True)
+    for frame in (lreps, rreps, lb, rb):
+        frame.unpersist()
+    return out
+
+
+def fuzzy_join_sql(
+    left_table: str,
+    right_table: str,
+    max_dist: int = 2,
+    left_key: str = "text",
+    right_key: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`fuzzy_join` (brute-force cross verify)."""
+    return f"""
+WITH l AS (SELECT {left_id} AS lid, {left_key} AS s FROM {left_table}
+           WHERE {left_key} IS NOT NULL),
+     r AS (SELECT {right_id} AS rid, {right_key} AS s FROM {right_table}
+           WHERE {right_key} IS NOT NULL)
+SELECT l.lid AS {left_id}, r.rid AS {right_id},
+       CAST(levenshtein(l.s, r.s) AS BIGINT) AS dist
+FROM l JOIN r
+  ON abs(length(l.s) - length(r.s)) <= {max_dist}
+ AND levenshtein(l.s, r.s) <= {max_dist}
+"""

@@ -1106,3 +1106,87 @@ def test_lsh_batch_matches_expression(spark):
         ).collect():
             expr[(r.vec_id, t)] = (tuple(r.q), r.b)
     assert batch == expr
+
+
+# ---------------------------------------------------------------------------
+# edit-distance pairs / fuzzy join
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    """Reference DP Levenshtein for brute-force oracles."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("max_dist", [1, 2])
+def test_edit_distance_pairs_complete_vs_bruteforce(spark, max_dist):
+    """The deletion-neighborhood blocking must be COMPLETE: over random
+    short strings on a tiny alphabet (dense near-miss space), the operator
+    equals the quadratic brute force exactly — no missed pair, no false
+    pair, correct distances. Includes empty and 1-char strings."""
+    import random
+
+    from kartothek_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(20260815 + max_dist)
+    rows = [(i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 8))))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = sorted(
+        tuple(r)
+        for r in edit_distance_pairs(
+            df, max_dist=max_dist, string_col="k", id_col="doc_id"
+        ).collect()
+    )
+    want = sorted(
+        (ia, ib, _lev(sa, sb))
+        for ia, sa in rows
+        for ib, sb in rows
+        if ia < ib and _lev(sa, sb) <= max_dist
+    )
+    assert got == want
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    import random
+
+    from kartothek_spark.operators.dedup import fuzzy_join
+
+    rng = random.Random(7)
+    left = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(1, 6))))
+            for i in range(60)]
+    right = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(1, 6))))
+             for i in range(40)]
+    ldf = spark.createDataFrame(left, "lid long, k string")
+    rdf = spark.createDataFrame(right, "rid long, q string")
+    got = sorted(
+        tuple(r)
+        for r in fuzzy_join(
+            ldf, rdf, max_dist=1, left_on="k", right_on="q",
+            left_id="lid", right_id="rid",
+        ).collect()
+    )
+    want = sorted(
+        (il, ir, _lev(sl, sr))
+        for il, sl in left
+        for ir, sr in right
+        if _lev(sl, sr) <= 1
+    )
+    assert got == want
+
+
+def test_edit_distance_pairs_guards(spark):
+    from kartothek_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "x" * 60), (2, "y")], "doc_id long, k string")
+    with pytest.raises(Exception, match="max_len"):
+        edit_distance_pairs(df, string_col="k", id_col="doc_id").collect()
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(df, max_dist=3, string_col="k", id_col="doc_id")

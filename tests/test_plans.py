@@ -332,3 +332,22 @@ def test_bm25_no_corpus_broadcast_distributed_topk(spark):
         assert plan.index("Exchange SinglePartition") < plan.index(
             "TakeOrderedAndProject"
         )
+
+
+def test_edit_distance_pairs_no_cartesian(spark):
+    """Fuzzy pairing must be the block-key equi-join, never a quadratic
+    join: no CartesianProduct/BNLJ anywhere in the plan."""
+    from kartothek_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("key")
+    )
+    plan = _plan(
+        edit_distance_pairs(
+            docs, max_dist=2, string_col="key", id_col="doc_id", eager=False
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # verify stays JVM-side: the levenshtein filter is a Catalyst expression
+    assert "levenshtein" in plan
