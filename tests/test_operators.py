@@ -1190,3 +1190,31 @@ def test_edit_distance_pairs_guards(spark):
         edit_distance_pairs(df, string_col="k", id_col="doc_id").collect()
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_pairs(df, max_dist=3, string_col="k", id_col="doc_id")
+
+
+def test_edit_distance_pairs_unicode(spark):
+    """Codepoint-level contract: the variant hashing operates on unicode
+    codepoints (not bytes), matching Spark's codepoint-based levenshtein —
+    multi-byte chars must neither split nor alias."""
+    import random
+
+    from kartothek_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(99)
+    alpha = "aé漢\U0001F600"  # 1-, 2-, 3-, 4-byte UTF-8 codepoints
+    rows = [(i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 6))))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = sorted(
+        tuple(r)
+        for r in edit_distance_pairs(
+            df, max_dist=2, string_col="k", id_col="doc_id"
+        ).collect()
+    )
+    want = sorted(
+        (ia, ib, _lev(sa, sb))
+        for ia, sa in rows
+        for ib, sb in rows
+        if ia < ib and _lev(sa, sb) <= 2
+    )
+    assert got == want
