@@ -1047,10 +1047,11 @@ def _deletion_blocks(df: DataFrame, max_dist: int, max_len: int) -> DataFrame:
         import pandas as pd
 
         B = np.uint64(1099511628211)  # FNV-1a prime, odd → full-period mod 2^64
-        powers = np.empty(max_len + 1, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        for p in range(1, max_len + 1):
-            powers[p] = powers[p - 1] * B
+        with np.errstate(over="ignore"):  # wraparound mod 2^64 is the design
+            powers = np.empty(max_len + 1, dtype=np.uint64)
+            powers[0] = np.uint64(1)
+            for p in range(1, max_len + 1):
+                powers[p] = powers[p - 1] * B
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1205,9 +1206,14 @@ def edit_distance_pairs(
     )
     out = cross.unionByName(exact)
     if eager:
-        out = out.localCheckpoint(eager=True)
-        for frame in (reps, base):
-            frame.unpersist()
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            # unpersist on failure too (e.g. the max_len guard raising
+            # mid-checkpoint) — otherwise the pins leak executor storage
+            # for the life of the session
+            for frame in (reps, base):
+                frame.unpersist()
     return out
 
 
@@ -1218,9 +1224,13 @@ def edit_distance_pairs_sql(
     id_col: str = "doc_id",
 ) -> str:
     """DuckDB twin of :func:`edit_distance_pairs`: the brute-force
-    quadratic join the blocking provably equals (length filter only cuts
-    the oracle's own cost; levenshtein is the same standard definition in
-    both engines)."""
+    quadratic join the blocking provably equals (the length filter only
+    cuts the oracle's own cost). ASCII-KEY contract: DuckDB's
+    ``levenshtein`` is BYTE-based while Spark's is codepoint-based, so
+    the twin agrees with the operator only when every key is single-byte
+    UTF-8 (true of the gate fixtures); the operator's own codepoint
+    semantics on non-ASCII keys are pinned by
+    ``tests/test_operators.py::test_edit_distance_pairs_unicode``."""
     return f"""
 WITH k AS (
   SELECT {id_col} AS id, {key_expr} AS s FROM {table}
@@ -1243,6 +1253,7 @@ def fuzzy_join(
     left_id: str = "doc_id",
     right_id: str = "doc_id",
     max_len: int = 48,
+    eager: bool = True,
 ) -> DataFrame:
     """Two-sided edit-distance join: ``(left_id, right_id, dist)`` for
     every cross pair with ``levenshtein <= max_dist`` — matching a dirty
@@ -1250,7 +1261,8 @@ def fuzzy_join(
     an N x M cross join. Same complete deletion-neighborhood blocking and
     rep-collapse as :func:`edit_distance_pairs` (blocking over distinct
     keys per side; identical-key matches via a plain equi-join); output
-    ids keep the callers' column names (they must differ)."""
+    ids keep the callers' column names (they must differ). ``eager=False``
+    returns the lazy, pin-free plan (see :func:`edit_distance_pairs`)."""
     _check_fuzzy_args(max_dist)
     if left_id == right_id:
         raise ValueError("left_id and right_id must differ in the output")
@@ -1258,15 +1270,17 @@ def fuzzy_join(
         scale_out(left)
         .select(F.col(left_id).alias("__id"), F.col(left_on).alias("__s"))
         .where(F.col("__s").isNotNull())
-        .persist()
     )
     rb = (
         right.select(F.col(right_id).alias("__id"), F.col(right_on).alias("__s"))
         .where(F.col("__s").isNotNull())
-        .persist()
     )
-    lreps = lb.groupBy("__s").agg(F.min("__id").alias("__id")).persist()
-    rreps = rb.groupBy("__s").agg(F.min("__id").alias("__id")).persist()
+    if eager:
+        lb, rb = lb.persist(), rb.persist()
+    lreps = lb.groupBy("__s").agg(F.min("__id").alias("__id"))
+    rreps = rb.groupBy("__s").agg(F.min("__id").alias("__id"))
+    if eager:
+        lreps, rreps = lreps.persist(), rreps.persist()
     key_pairs = (
         _deletion_blocks(lreps, max_dist, max_len).alias("a")
         .join(_deletion_blocks(rreps, max_dist, max_len).alias("b"), "__blk")
@@ -1295,9 +1309,13 @@ def fuzzy_join(
             F.lit(0).cast("long").alias("dist"),
         )
     )
-    out = cross.unionByName(exact).localCheckpoint(eager=True)
-    for frame in (lreps, rreps, lb, rb):
-        frame.unpersist()
+    out = cross.unionByName(exact)
+    if eager:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            for frame in (lreps, rreps, lb, rb):
+                frame.unpersist()
     return out
 
 

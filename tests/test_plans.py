@@ -351,3 +351,23 @@ def test_edit_distance_pairs_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # verify stays JVM-side: the levenshtein filter is a Catalyst expression
     assert "levenshtein" in plan
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    from kartothek_spark.operators.dedup import fuzzy_join
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("key")
+    )
+    probes = docs.where("doc_id % 7 = 0").select(
+        F.col("doc_id").alias("probe_id"), F.col("key").alias("qkey")
+    )
+    plan = _plan(
+        fuzzy_join(
+            docs, probes, max_dist=2, left_on="key", right_on="qkey",
+            left_id="doc_id", right_id="probe_id", eager=False,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
