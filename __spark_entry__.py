@@ -1998,6 +1998,52 @@ def corpus_search(spark, sf_dir):
     return bm25_search(_t(spark, sf_dir, "documents"), _SEARCH_TERMS, k=25)
 
 
+def corpus_search_indexed(spark, sf_dir):
+    """BM25 over the PERSISTED inverted postings index (term-hash-bucket
+    partitioned dataset, pruned dispatch + term pushdown): value-identical
+    to corpus_search by construction (shared _bm25_rank expression tree),
+    which is exactly what the shared oracle checks. Index build is
+    fixture-cached per code version; the timed query is the pruned
+    search."""
+    from kartothek_spark.operators.search_index import (
+        build_text_index,
+        search_text_index,
+    )
+
+    def build(root):
+        build_text_index(
+            spark, _t(spark, sf_dir, "documents"), root, "textidx", buckets=8
+        )
+
+    root = _fixture(sf_dir, "textidx", build)
+    return search_text_index(spark, root, "textidx", _SEARCH_TERMS, k=25)
+
+
+def corpus_search_index_sync(spark, sf_dir):
+    """Incrementally-maintained text index: the corpus lands in TWO
+    batches (build on the even docs, one O(new docs) sync appending the
+    odd docs + advancing the exact corpus scalars in the same commit) —
+    the search over the synced index must equal the full-corpus BM25
+    oracle. The dedup/PQ index lifecycle shape applied to retrieval."""
+    from kartothek_spark.operators.search_index import (
+        build_text_index,
+        search_text_index,
+        sync_text_index,
+    )
+
+    def build(root):
+        docs = _t(spark, sf_dir, "documents")
+        build_text_index(
+            spark, docs.where(F.col("doc_id") % 2 == 0), root, "textidx2", buckets=8
+        )
+        sync_text_index(
+            spark, docs.where(F.col("doc_id") % 2 == 1), root, "textidx2"
+        )
+
+    root = _fixture(sf_dir, "textidx2", build)
+    return search_text_index(spark, root, "textidx2", _SEARCH_TERMS, k=25)
+
+
 def corpus_hybrid_search(spark, sf_dir):
     """Hybrid retrieval (RAG pattern): BM25 lexical pass + dense cosine
     top-k pass over the document embeddings, reciprocal-rank fused
@@ -2941,6 +2987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analyze": text_analyze,
         "text_scrub": text_scrub,
         "corpus_search": corpus_search,
+        "corpus_search_indexed": corpus_search_indexed,
+        "corpus_search_index_sync": corpus_search_index_sync,
         "corpus_hybrid_search": corpus_hybrid_search,
         "corpus_hybrid_ann": corpus_hybrid_ann,
         "corpus_classifier_score": corpus_classifier_score,
@@ -3566,6 +3614,14 @@ FROM ({scrub_sql})
             ).h60_sql("text_scrubbed"),
         ),
         "corpus_search": __import__(
+            "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
+        ).bm25_search_sql("documents", _SEARCH_TERMS, k=25),
+        # the indexed paths promise value-identity with the on-the-fly
+        # operator, so they share its full-corpus oracle verbatim
+        "corpus_search_indexed": __import__(
+            "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
+        ).bm25_search_sql("documents", _SEARCH_TERMS, k=25),
+        "corpus_search_index_sync": __import__(
             "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
         ).bm25_search_sql("documents", _SEARCH_TERMS, k=25),
         "corpus_hybrid_search": __import__(

@@ -99,6 +99,9 @@ HEADLINE = [
     # round 5: exact fuzzy matching (complete deletion-neighborhood blocking)
     "dedup_fuzzy_pairs",     # levenshtein<=2 near-dup pairs on snippet keys
     "corpus_fuzzy_join",     # dirty-probe record linkage, no N x M join
+    # round 5 (cont.): persisted retrieval index
+    "corpus_search_indexed",  # BM25 over bucket-pruned postings dataset
+    "corpus_search_index_sync",  # build+O(new docs) sync, searched result
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -32,6 +32,16 @@ def h60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def h60_py(s: str) -> int:
+    """Driver-side rendering of :func:`h60` — bit-identical to the Spark
+    and DuckDB forms (pinned by ``tests/test_operators.py``). For planner
+    code that needs the hash of a LITERAL (e.g. mapping query terms to
+    their index buckets) without running a Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 # --- tokenization (identical RE2/Java regex semantics) ---------------------
 
 TOKEN_PATTERN = "[^a-z0-9]+"

@@ -32,44 +32,15 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def bm25_search(
-    df: DataFrame,
-    query_terms: list[str],
-    k: int = 10,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _bm25_rank(
+    tf: DataFrame, n_docs: int, avgdl: float, k: int, id_col: str
 ) -> DataFrame:
-    """Top-k documents for a bag-of-words query under Okapi BM25
-    (k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5) / (df + 0.5))).
-    Returns (id, score, rank) for the k best-scoring docs."""
-    terms = sorted({t.lower() for t in query_terms})
-    if not terms:
-        raise ValueError("query_terms must be non-empty")
-
-    base = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
-    # one small driver-side agg for N and avgdl (two scalars — the only
-    # driver values; both are exact integers so cross-engine safe)
-    row = base.agg(
-        F.count("*").alias("n"), F.sum(F.size("__t")).alias("total")
-    ).collect()[0]
-    n_docs, total_len = int(row["n"]), float(row["total"] or 0.0)
-    if n_docs == 0:
-        raise ValueError("empty corpus")
-    avgdl = total_len / n_docs
-
-    # __dl rides along through the explode + tf aggregation: it is
-    # functionally dependent on __id, so adding it to the grouping keys
-    # costs nothing and saves the per-document length join entirely
-    tf = (
-        base.select(
-            "__id",
-            F.size("__t").cast("double").alias("__dl"),
-            F.explode("__t").alias("__term"),
-        )
-        .where(F.col("__term").isin(terms))
-        .groupBy("__id", "__dl", "__term")
-        .agg(F.count("*").cast("double").alias("__tf"))
-    )
+    """Shared BM25 scorer over a ``(__id, __dl double, __term, __tf
+    double)`` frame restricted to the query terms — the SINGLE expression
+    tree both :func:`bm25_search` (on-the-fly) and
+    :func:`~kartothek_spark.operators.search_index.search_text_index`
+    (persisted postings) rank with, so the two paths are value-identical
+    by construction (same exact inputs → same IEEE ops → same rounds)."""
     dfreq = tf.groupBy("__term").agg(F.count("*").cast("double").alias("__df"))
     idf = F.round(
         F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)),
@@ -115,6 +86,47 @@ def bm25_search(
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(F.col("__id").alias(id_col), "score", "rank")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under Okapi BM25
+    (k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5) / (df + 0.5))).
+    Returns (id, score, rank) for the k best-scoring docs."""
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+
+    base = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+    # one small driver-side agg for N and avgdl (two scalars — the only
+    # driver values; both are exact integers so cross-engine safe)
+    row = base.agg(
+        F.count("*").alias("n"), F.sum(F.size("__t")).alias("total")
+    ).collect()[0]
+    n_docs, total_len = int(row["n"]), float(row["total"] or 0.0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = total_len / n_docs
+
+    # __dl rides along through the explode + tf aggregation: it is
+    # functionally dependent on __id, so adding it to the grouping keys
+    # costs nothing and saves the per-document length join entirely
+    tf = (
+        base.select(
+            "__id",
+            F.size("__t").cast("double").alias("__dl"),
+            F.explode("__t").alias("__term"),
+        )
+        .where(F.col("__term").isin(terms))
+        .groupBy("__id", "__dl", "__term")
+        .agg(F.count("*").cast("double").alias("__tf"))
+    )
+    return _bm25_rank(tf, n_docs, avgdl, k, id_col)
 
 
 def bm25_search_sql(

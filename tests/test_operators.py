@@ -1218,3 +1218,93 @@ def test_edit_distance_pairs_unicode(spark):
         if ia < ib and _lev(sa, sb) <= 2
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted text index (BM25 postings dataset)
+# ---------------------------------------------------------------------------
+
+def test_text_index_matches_bm25(spark, tmp_path):
+    """Indexed search must be VALUE-identical to the on-the-fly operator
+    over the same corpus — shared _bm25_rank expression tree over exact
+    stored integers. Corpus includes an empty doc and a doc with none of
+    the query terms (both count toward N/avgdl but never score)."""
+    from kartothek_spark.operators.search import bm25_search
+    from kartothek_spark.operators.search_index import (
+        build_text_index,
+        search_text_index,
+    )
+
+    rows = [
+        (1, "spark joins the table with spark"),
+        (2, "a table of tables"),
+        (3, ""),
+        (4, "nothing relevant here at all"),
+        (5, "join join join spark"),
+        (6, "spark table join spark table join"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "idx")
+    build_text_index(spark, docs, root, "t", buckets=4)
+    terms = ["spark", "table", "join"]
+    got = [tuple(r) for r in search_text_index(spark, root, "t", terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_search(docs, terms, k=10).collect()]
+    assert got == want
+    assert len(got) == 4  # docs 3 and 4 never score
+
+
+def test_text_index_sync_incremental(spark, tmp_path):
+    """build(batch1) + sync(batch2) == build(batch1+batch2): postings,
+    N, and avgdl all advance atomically with the sync commit."""
+    from kartothek_spark.operators.search_index import (
+        build_text_index,
+        search_text_index,
+        sync_text_index,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"spark table doc {i} " + "join " * (i % 4)) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build_text_index(spark, docs, r1, "t", buckets=4)
+    build_text_index(spark, docs.where(F.col("doc_id") < 25), r2, "t", buckets=4)
+    sync_text_index(spark, docs.where(F.col("doc_id") >= 25), r2, "t")
+    terms = ["spark", "join"]
+    full = [tuple(r) for r in search_text_index(spark, r1, "t", terms, k=40).collect()]
+    inc = [tuple(r) for r in search_text_index(spark, r2, "t", terms, k=40).collect()]
+    assert inc == full
+
+
+def test_text_index_search_prunes_partitions(spark, tmp_path):
+    """A query's dispatch must touch ONLY its terms' tb buckets — the
+    whole point of the persisted layout at corpus scale."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+    from kartothek_spark.functions.hashing import h60_py
+    from kartothek_spark.operators.search_index import build_text_index
+
+    rows = [(i, f"alpha beta gamma delta epsilon w{i}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "idx")
+    build_text_index(spark, docs, root, "t", buckets=16)
+    m = DatasetManifest.load(root, "t")
+    terms = ["alpha"]
+    bkts = sorted({h60_py(t) % 16 for t in terms})
+    labels = dispatch_labels(
+        spark, m, [[("tb", "in", bkts), ("term", "in", terms)]]
+    )
+    assert labels and len(labels) < len(m.partitions)
+    assert all(f"tb={bkts[0]}/" in lbl for lbl in labels)
+
+
+def test_h60_py_matches_engine(spark):
+    from kartothek_spark.functions.hashing import h60, h60_py
+
+    vals = ["", "spark", "漢字 mixed ascii", "a" * 100]
+    got = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in vals], "s string")
+        .select(h60("s"))
+        .collect()
+    ]
+    assert got == [h60_py(v) for v in vals]
