@@ -241,12 +241,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if only:
+        result["subset"] = True
     # the stdout line can exceed a log collector's tail window at 70+
     # queries; persist the identical JSON next to the script so the
-    # numbers stay reproducible from the repo regardless of capture size
+    # numbers stay reproducible from the repo regardless of capture size.
+    # SPARK_GRAFT_BENCH_ONLY runs go to a separate file — a subset total
+    # under the same metric name must never clobber the committed
+    # full-suite snapshot (it happened twice).
+    out_file = "BENCH_LAST_SUBSET.json" if only else "BENCH_LAST.json"
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), out_file),
             "w",
         ) as fh:
             json.dump(result, fh, indent=1)

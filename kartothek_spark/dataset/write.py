@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Any, Sequence
+from typing import Any, Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -546,7 +546,7 @@ def update_dataset(
     dataset_uuid: str,
     delete_scope: list[dict[str, Any]] | None = None,
     sort_partitions_by: Sequence[str] | None = None,
-    metadata: dict[str, Any] | None = None,
+    metadata: dict[str, Any] | Callable[[DatasetManifest], dict[str, Any]] | None = None,
     schema_evolution: bool = False,
     max_conflict_retries: int = 3,
     zorder_by: Sequence[str] | None = None,
@@ -556,6 +556,13 @@ def update_dataset(
     update.py:23-57). ``delete_scope`` = list of {partition_key: value}
     dicts selecting victim partitions; replacing a partition = same scope
     deleted + new rows appended, atomically.
+
+    ``metadata`` may be a CALLABLE ``manifest -> dict``: it is evaluated
+    against the freshly-loaded manifest of each commit attempt (including
+    conflict rebases), which is how counter-style metadata (e.g. the text
+    index's exact corpus totals) advances without lost updates when
+    appenders race — a plain dict would re-apply stale absolutes on
+    rebase.
 
     ``schema_evolution=True`` relaxes the strict schema check to a merge
     (:func:`kartothek_spark.core.schema.evolve_schema`): the incoming frame
@@ -683,7 +690,14 @@ def update_dataset(
             )
 
         if metadata:
-            manifest.metadata.update(metadata)
+            # a callable derives its dict from the manifest version this
+            # attempt will commit against (re-invoked on every rebase) —
+            # the read-modify-write form for counter-style metadata that a
+            # plain dict cannot express without lost updates under
+            # concurrent commits
+            manifest.metadata.update(
+                metadata(manifest) if callable(metadata) else metadata
+            )
         try:
             manifest.commit()
             return manifest

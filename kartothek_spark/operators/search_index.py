@@ -36,15 +36,20 @@ META_BUCKETS = "bm25_buckets"
 
 def _postings(
     df: DataFrame, text_col: str, id_col: str, buckets: int
-) -> tuple[DataFrame, int, int]:
+) -> tuple[DataFrame, int, int, DataFrame]:
     """``(tb, term, doc_id, dl, tf)`` postings plus the exact corpus
     scalars ``(n_docs, total_len)`` — the ONLY driver values, both exact
     integers. ``dl`` is denormalized into every posting row (functionally
     dependent on doc_id): the corpus-sized doc-length join this saves at
-    query time is the same scale-killer the bm25_search fix removed."""
+    query time is the same scale-killer the bm25_search fix removed.
+
+    Returns the PERSISTED tokenized base as the 4th element (already
+    materialized by the scalar agg) so the postings write re-reads the
+    cache instead of tokenizing the batch a second time — the dominant
+    cost of an index build. Callers unpersist it after their commit."""
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
-    )
+    ).persist()
     row = base.agg(
         F.count("*").alias("n"), F.sum(F.size("__t")).alias("total")
     ).collect()[0]
@@ -65,7 +70,7 @@ def _postings(
             "tf",
         )
     )
-    return postings, n_docs, total_len
+    return postings, n_docs, total_len, base
 
 
 def build_text_index(
@@ -88,21 +93,24 @@ def build_text_index(
     cost scales with the terms' buckets only, never the vocabulary."""
     from kartothek_spark.dataset.write import store_dataframe_as_dataset
 
-    postings, n_docs, total_len = _postings(df, text_col, id_col, buckets)
-    return store_dataframe_as_dataset(
-        spark,
-        postings,
-        root,
-        index_uuid,
-        partition_on=["tb"],
-        sort_partitions_by=["term"],
-        metadata={
-            META_N_DOCS: n_docs,
-            META_TOTAL_LEN: total_len,
-            META_BUCKETS: buckets,
-        },
-        overwrite=overwrite,
-    )
+    postings, n_docs, total_len, base = _postings(df, text_col, id_col, buckets)
+    try:
+        return store_dataframe_as_dataset(
+            spark,
+            postings,
+            root,
+            index_uuid,
+            partition_on=["tb"],
+            sort_partitions_by=["term"],
+            metadata={
+                META_N_DOCS: n_docs,
+                META_TOTAL_LEN: total_len,
+                META_BUCKETS: buckets,
+            },
+            overwrite=overwrite,
+        )
+    finally:
+        base.unpersist()
 
 
 def sync_text_index(
@@ -112,28 +120,41 @@ def sync_text_index(
     index_uuid: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_conflict_retries: int = 3,
 ) -> DatasetManifest:
     """Append the postings of a NEW document batch in one atomic commit —
     per-sync cost is O(new docs), the corpus is never re-tokenized.
     Caller contract (same as the dedup/PQ index syncs): ``new_docs`` ids
     are disjoint from the already-indexed ones. The exact corpus scalars
     advance in the same commit, so a search planned against the new
-    manifest version scores with the post-append N/avgdl."""
+    manifest version scores with the post-append N/avgdl.
+
+    The counter advance is DELTA-based: the absolute N/total are derived
+    via ``update_dataset``'s callable-metadata form from the manifest of
+    EACH commit attempt (including conflict rebases), so concurrent syncs
+    compose — a plain dict would re-apply stale absolutes and silently
+    lose another sync's increment (the lost-update anomaly concurrent
+    appenders must not see)."""
     from kartothek_spark.dataset.write import update_dataset
 
     manifest = DatasetManifest.load(root, index_uuid)
     buckets = int(manifest.metadata[META_BUCKETS])
-    postings, n_new, total_new = _postings(new_docs, text_col, id_col, buckets)
-    return update_dataset(
-        spark,
-        postings,
-        root,
-        index_uuid,
-        metadata={
-            META_N_DOCS: int(manifest.metadata[META_N_DOCS]) + n_new,
-            META_TOTAL_LEN: int(manifest.metadata[META_TOTAL_LEN]) + total_new,
-        },
-    )
+    postings, n_new, total_new, base = _postings(new_docs, text_col, id_col, buckets)
+    try:
+        return update_dataset(
+            spark,
+            postings,
+            root,
+            index_uuid,
+            sort_partitions_by=["term"],
+            metadata=lambda m: {
+                META_N_DOCS: int(m.metadata[META_N_DOCS]) + n_new,
+                META_TOTAL_LEN: int(m.metadata[META_TOTAL_LEN]) + total_new,
+            },
+            max_conflict_retries=max_conflict_retries,
+        )
+    finally:
+        base.unpersist()
 
 
 def search_text_index(

@@ -95,3 +95,67 @@ def test_update_exhausted_retries_raises(spark, tmp_root, monkeypatch):
     with pytest.raises(CommitConflict):
         update_dataset(spark, None, tmp_root, "s",
                        metadata={"mine": 1}, max_conflict_retries=1)
+
+
+def test_callable_metadata_composes_on_conflict(spark, tmp_root, monkeypatch):
+    """update_dataset(metadata=callable) must derive counter metadata from
+    the manifest each attempt commits against: a racing sync's increment
+    survives the rebase. A plain dict of stale absolutes would clobber it
+    (the lost-update anomaly) — the text index's corpus scalars rely on
+    this."""
+    from kartothek_spark.operators.search_index import (
+        META_BUCKETS,
+        META_N_DOCS,
+        META_TOTAL_LEN,
+        build_text_index,
+        search_text_index,
+        sync_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark table join doc {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    build_text_index(
+        spark, docs.where("doc_id < 10"), tmp_root, "tidx", buckets=4
+    )
+
+    # a competing sync lands between our sync's load and commit — once
+    orig_commit = DatasetManifest.commit
+    state = {"raced": False}
+
+    def racing_commit(self, *args, **kwargs):
+        # fire on OUR sync's first commit attempt (its callable computed
+        # N=20 against the pre-race manifest); the racing sync's own
+        # commit also carries N=20 but raced is already latched by then
+        if (
+            not state["raced"]
+            and self.dataset_uuid == "tidx"
+            and int(self.metadata.get(META_N_DOCS, 0)) == 20
+        ):
+            state["raced"] = True
+            sync_text_index(
+                spark, docs.where("doc_id >= 20"), tmp_root, "tidx"
+            )
+        return orig_commit(self, *args, **kwargs)
+
+    monkeypatch.setattr(DatasetManifest, "commit", racing_commit)
+    sync_text_index(spark, docs.where("(doc_id >= 10) AND (doc_id < 20)"), tmp_root, "tidx")
+    monkeypatch.undo()
+
+    m = DatasetManifest.load(tmp_root, "tidx")
+    # BOTH syncs' counter increments composed (10 + 10 + 10 docs)
+    assert int(m.metadata[META_N_DOCS]) == 30
+    assert int(m.metadata[META_BUCKETS]) == 4
+    assert int(m.metadata[META_TOTAL_LEN]) == sum(
+        len(f"spark table join doc {i}".split()) for i in range(30)
+    )
+    # and the searched result equals the on-the-fly operator on the union
+    from kartothek_spark.operators.search import bm25_search
+
+    got = [
+        tuple(r)
+        for r in search_text_index(spark, tmp_root, "tidx", ["spark", "join"], k=30).collect()
+    ]
+    want = [tuple(r) for r in bm25_search(docs, ["spark", "join"], k=30).collect()]
+    assert got == want
