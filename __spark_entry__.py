@@ -2044,6 +2044,40 @@ def corpus_search_index_sync(spark, sf_dir):
     return search_text_index(spark, root, "textidx2", _SEARCH_TERMS, k=25)
 
 
+def stream_text_index(spark, sf_dir):
+    """Streaming BM25 index maintenance: foreachBatch builds the postings
+    dataset on micro-batch 0 and syncs every later batch with the
+    exactly-once stamp INSIDE the same manifest transaction. The drained
+    index must answer exactly like the on-the-fly BM25 over everything
+    ingested — a streaming gate with a FULL value oracle (rare: most
+    streaming machinery is rows-only). Drained index is read-only, so it
+    builds once per code version (fixture); the timed query is the pruned
+    search."""
+    from kartothek_spark.operators.search_index import search_text_index
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_text_index as op
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        src = os.path.join(root, "_src")
+        docs.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "stidx", buckets=8,
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    root = _fixture(sf_dir, "stidx", build)
+    return search_text_index(spark, root, "stidx", _SEARCH_TERMS, k=25)
+
+
 def corpus_hybrid_search(spark, sf_dir):
     """Hybrid retrieval (RAG pattern): BM25 lexical pass + dense cosine
     top-k pass over the document embeddings, reciprocal-rank fused
@@ -2989,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_search": corpus_search,
         "corpus_search_indexed": corpus_search_indexed,
         "corpus_search_index_sync": corpus_search_index_sync,
+        "stream_text_index": stream_text_index,
         "corpus_hybrid_search": corpus_hybrid_search,
         "corpus_hybrid_ann": corpus_hybrid_ann,
         "corpus_classifier_score": corpus_classifier_score,
@@ -3622,6 +3657,9 @@ FROM ({scrub_sql})
             "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
         ).bm25_search_sql("documents", _SEARCH_TERMS, k=25),
         "corpus_search_index_sync": __import__(
+            "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
+        ).bm25_search_sql("documents", _SEARCH_TERMS, k=25),
+        "stream_text_index": __import__(
             "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
         ).bm25_search_sql("documents", _SEARCH_TERMS, k=25),
         "corpus_hybrid_search": __import__(

@@ -102,6 +102,7 @@ HEADLINE = [
     # round 5 (cont.): persisted retrieval index
     "corpus_search_indexed",  # BM25 over bucket-pruned postings dataset
     "corpus_search_index_sync",  # build+O(new docs) sync, searched result
+    "stream_text_index",     # foreachBatch-maintained index, value oracle
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

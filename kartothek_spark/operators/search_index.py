@@ -82,6 +82,7 @@ def build_text_index(
     id_col: str = "doc_id",
     buckets: int = 16,
     overwrite: bool = False,
+    extra_metadata: dict | None = None,
 ) -> DatasetManifest:
     """Materialize the corpus' inverted postings as a managed dataset.
 
@@ -106,6 +107,7 @@ def build_text_index(
                 META_N_DOCS: n_docs,
                 META_TOTAL_LEN: total_len,
                 META_BUCKETS: buckets,
+                **(extra_metadata or {}),
             },
             overwrite=overwrite,
         )
@@ -121,6 +123,7 @@ def sync_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_conflict_retries: int = 3,
+    extra_metadata: dict | None = None,
 ) -> DatasetManifest:
     """Append the postings of a NEW document batch in one atomic commit —
     per-sync cost is O(new docs), the corpus is never re-tokenized.
@@ -150,6 +153,7 @@ def sync_text_index(
             metadata=lambda m: {
                 META_N_DOCS: int(m.metadata[META_N_DOCS]) + n_new,
                 META_TOTAL_LEN: int(m.metadata[META_TOTAL_LEN]) + total_new,
+                **(extra_metadata or {}),
             },
             max_conflict_retries=max_conflict_retries,
         )

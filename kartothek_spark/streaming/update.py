@@ -459,3 +459,61 @@ def stream_aggregate_view(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_text_index(
+    stream_df: DataFrame,
+    root: str,
+    index_uuid: str = "text_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming maintenance of the persisted BM25 postings index
+    (:mod:`~kartothek_spark.operators.search_index`): the first micro-batch
+    builds the index, every later batch appends its postings and advances
+    the exact corpus scalars in one atomic O(batch) sync — a query issued
+    between batches always scores against a consistent (postings, N,
+    avgdl) snapshot, and after the stream drains the index answers
+    exactly like ``bm25_search`` over everything ingested (pinned by the
+    stream-vs-batch pytest).
+
+    Exactly-once: each build/sync commit carries the ``(txn_id,
+    batch_id)`` stamp INSIDE the same manifest transaction (via the
+    operators' ``extra_metadata``), so a batch re-delivered after a crash
+    between commit and checkpoint advance is detected by
+    ``_batch_already_committed`` and skipped — a replay would otherwise
+    double-insert postings AND double-count N/avgdl. Returns the
+    StreamingQuery."""
+    from kartothek_spark.operators.search_index import (
+        build_text_index,
+        sync_text_index,
+    )
+
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        if not DatasetManifest.exists(root, index_uuid):
+            build_text_index(
+                spark, batch_df, root, index_uuid,
+                text_col=text_col, id_col=id_col, buckets=buckets,
+                extra_metadata=stamp,
+            )
+        elif not _batch_already_committed(root, index_uuid, batch_id, txn_id):
+            sync_text_index(
+                spark, batch_df, root, index_uuid,
+                text_col=text_col, id_col=id_col, extra_metadata=stamp,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

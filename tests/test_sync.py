@@ -215,3 +215,43 @@ def test_stream_aggregate_view_matches_batch(spark, tmp_path):
             for r in ev.groupBy("event_type").agg(
                 F.count("*").alias("n"), F.max("user_id").alias("users_max")).collect()}
     assert got == want
+
+
+def test_stream_text_index_matches_batch(spark, tmp_path):
+    """Streaming index maintenance (build on batch 0, O(batch) syncs
+    after) must converge to EXACTLY the on-the-fly BM25 over everything
+    ingested — postings, N, and avgdl all advanced per micro-batch."""
+    import os
+
+    from kartothek_spark.operators.search import bm25_search
+    from kartothek_spark.operators.search_index import search_text_index
+    from kartothek_spark.streaming.update import stream_text_index
+    from tests.conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    root = str(tmp_path / "store")
+    q = stream_text_index(
+        stream, root, "tidx", buckets=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    terms = ["spark", "table", "join"]
+    got = [
+        tuple(r)
+        for r in search_text_index(spark, root, "tidx", terms, k=30).collect()
+    ]
+    want = [tuple(r) for r in bm25_search(docs, terms, k=30).collect()]
+    assert got == want
