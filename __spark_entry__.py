@@ -446,6 +446,32 @@ def ktk_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def ktk_orc_roundtrip(spark, sf_dir):
+    """ORC serializer under the same manifest machinery (S4 format
+    registry, beyond-reference like jsonl): write an ORC-format dataset
+    with a partition mutation, pruned read back with a residual predicate
+    — Spark's ORC reader does native stripe-level pushdown, so the format
+    keeps the columnar scan properties parquet has (footer-stats
+    machinery stays parquet-only)."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
+
+    def build(root):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+        store_dataframe_as_dataset(
+            spark, docs, root, "dorc", partition_on=["lang"], table_format="orc"
+        )
+        update_dataset(spark, None, root, "dorc", delete_scope=[{"lang": "de"}])
+
+    root = _fixture(sf_dir, "docs_orc", build)
+    got = read_table(spark, root, "dorc", predicates=[[("doc_id", "<", 300)]])
+    return got.groupBy("lang", "source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
 def ktk_convert_ingest(spark, sf_dir):
     """Corpus ingestion: raw JSONL drop → convert_dataset into managed
     parquet WITH a secondary index installed during conversion; the
@@ -2988,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_constraints": ktk_constraints,
         "ktk_quarantine": ktk_quarantine,
         "ktk_jsonl_roundtrip": ktk_jsonl_roundtrip,
+        "ktk_orc_roundtrip": ktk_orc_roundtrip,
         "ktk_convert_ingest": ktk_convert_ingest,
         "ktk_delete_rows": ktk_delete_rows,
         "ktk_upsert": ktk_upsert,
@@ -3232,6 +3259,13 @@ FROM lineitem WHERE l_orderkey < 500 AND l_partkey < 100
 GROUP BY l_returnflag
 """,
         "ktk_jsonl_roundtrip": """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM documents WHERE lang <> 'de' AND doc_id < 300
+GROUP BY lang, source
+""",
+        "ktk_orc_roundtrip": """
 SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(length(text)) AS BIGINT) AS chars,
        CAST(sum(doc_id) AS BIGINT) AS sum_id

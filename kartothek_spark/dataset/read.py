@@ -328,6 +328,13 @@ def _scan_files(spark: SparkSession, manifest: DatasetManifest, files: list[str]
             [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
         )
         return spark.read.option("basePath", base).schema(payload).json(uris)
+    if manifest.table_format == "orc":
+        payload = T.StructType(
+            [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
+        )
+        # NB: reader.orc takes the path LIST as one argument — extra
+        # positionals would bind to options (mergeSchema, modifiedBefore)
+        return spark.read.option("basePath", base).schema(payload).orc(uris)
     # explicit payload schema (manifest minus partition keys): no footer
     # inference/merging, files written before a schema evolution read their
     # missing columns as NULL, and int/float width widening is handled by

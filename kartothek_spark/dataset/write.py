@@ -52,7 +52,13 @@ def _enumerate_parquet(data_root: str, suffix: str = ".parquet") -> list[str]:
 # "csv.gz" = gzip-compressed CSV (reference kartothek reads/writes .csv.gz
 # through the same serializer, serialization/_csv.py:25-120 + the suffix
 # registry in serialization/_generic.py:37-154)
-_FORMAT_SUFFIX = {"parquet": ".parquet", "csv": ".csv", "csv.gz": ".csv.gz", "jsonl": ".json"}
+_FORMAT_SUFFIX = {
+    "parquet": ".parquet",
+    "csv": ".csv",
+    "csv.gz": ".csv.gz",
+    "jsonl": ".json",
+    "orc": ".orc",
+}
 
 
 def format_suffix(table_format: str) -> str:
@@ -299,6 +305,12 @@ def _write_files(
             # newline-delimited JSON — the lingua franca of LLM corpus
             # interchange; schema restored from the manifest on read
             writer.json("file://" + os.path.abspath(data_root))
+        elif table_format == "orc":
+            # columnar alternative with native stripe-level predicate
+            # pushdown in Spark's reader (footer-stats machinery —
+            # stats_columns, bloom filters, collect_dataset_metadata —
+            # stays parquet-only: it reads parquet footers via pyarrow)
+            writer.orc("file://" + os.path.abspath(data_root))
         else:
             writer.parquet("file://" + os.path.abspath(data_root))
     except Exception as exc:  # surface the inline guards as the API error

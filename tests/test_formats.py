@@ -133,3 +133,39 @@ def test_convert_dataset_jsonl_to_parquet(spark, tmp_root):
     )
     with pytest.raises(ValueError, match="must differ"):
         convert_dataset(spark, tmp_root, "raw", "raw")
+
+
+def test_orc_roundtrip_with_mutations(spark, tmp_root):
+    """ORC under the same manifest machinery: suffix dispatch, schema
+    restore, partition pruning + residual predicates (Spark's ORC reader
+    pushes them to stripes natively), delete_scope mutation."""
+    docs = _docs(spark)
+    store_dataframe_as_dataset(
+        spark, docs, tmp_root, "d", partition_on=["lang"], table_format="orc"
+    )
+    m = DatasetManifest.load(tmp_root, "d")
+    assert m.table_format == "orc"
+    assert all(e["file"].endswith(".orc") for e in m.partitions.values())
+    got = read_table(spark, tmp_root, "d")
+    assert got.count() == docs.count()
+    assert [f.name for f in got.schema.fields] == [f.name for f in docs.schema.fields]
+    assert (
+        got.agg(F.sum("doc_id"), F.sum(F.length("text"))).first()
+        == docs.agg(F.sum("doc_id"), F.sum(F.length("text"))).first()
+    )
+    one = read_table(spark, tmp_root, "d", predicates=[[("lang", "==", "en"), ("doc_id", "<", 100)]])
+    assert one.count() == docs.where("lang = 'en' AND doc_id < 100").count()
+    update_dataset(spark, None, tmp_root, "d", delete_scope=[{"lang": "en"}])
+    assert read_table(spark, tmp_root, "d").count() == docs.where("lang <> 'en'").count()
+
+
+def test_orc_rejects_indices_and_stats(spark, tmp_root):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="secondary indices"):
+        store_dataframe_as_dataset(
+            spark, docs, tmp_root, "x", table_format="orc", secondary_indices=["doc_id"]
+        )
+    with pytest.raises(ValueError, match="stats columns"):
+        store_dataframe_as_dataset(
+            spark, docs, tmp_root, "y", table_format="orc", stats_columns=["doc_id"]
+        )

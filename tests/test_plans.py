@@ -371,3 +371,23 @@ def test_fuzzy_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_text_index_search_pushes_term_filter(spark, tmp_root):
+    """The indexed search's term restriction must reach the parquet scan
+    (PushedFilters In(term, ...)) so the term-sorted postings files skip
+    row groups — the second half of the pruning story (the first half,
+    bucket-level dispatch, is pinned in test_operators)."""
+    from kartothek_spark.operators.search_index import (
+        build_text_index,
+        search_text_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    build_text_index(spark, docs, tmp_root, "tidx", buckets=4)
+    plan = _plan(search_text_index(spark, tmp_root, "tidx", ["spark", "join"], k=5))
+    assert "PushedFilters" in plan and "In(term" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
