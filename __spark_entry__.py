@@ -2098,7 +2098,11 @@ def stream_text_index(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        q.awaitTermination(120)
+        # a silent timeout would publish a PARTIAL index into the fixture
+        # cache (poisoned until the code tag changes) — fail the build
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_text_index fixture: stream did not drain")
 
     root = _fixture(sf_dir, "stidx", build)
     return search_text_index(spark, root, "stidx", _SEARCH_TERMS, k=25)

@@ -308,15 +308,21 @@ def _scan_files(spark: SparkSession, manifest: DatasetManifest, files: list[str]
     registry, serialization/_generic.py:37-154)."""
     base = "file:" + os.path.abspath(manifest.data_root)
     uris = ["file:" + os.path.abspath(p) for p in files]
+    # explicit payload schema (manifest minus partition keys), shared by
+    # every format: no footer inference/merging, files written before a
+    # schema evolution read their missing columns as NULL, int/float width
+    # widening is handled by the columnar readers, and typeless formats
+    # (csv/jsonl) restore their types from it. Hive partition columns (and
+    # the path-encoded bucket level) are appended from path discovery;
+    # read_table re-types them against the manifest schema.
+    payload = T.StructType(
+        [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
+    )
     if manifest.table_format in ("csv", "csv.gz"):
         # CSV payload files hold the non-partition columns in schema order;
-        # partition columns are reconstructed from the hive paths. gzip
-        # members decompress transparently off the .csv.gz suffix (one
+        # gzip members decompress transparently off the .csv.gz suffix (one
         # stream per file — a gzip CSV file is a single non-splittable
         # task, same as the reference's per-partition files)
-        payload = T.StructType(
-            [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
-        )
         return (
             spark.read.option("basePath", base)
             .option("header", "false")
@@ -324,26 +330,11 @@ def _scan_files(spark: SparkSession, manifest: DatasetManifest, files: list[str]
             .csv(uris)
         )
     if manifest.table_format == "jsonl":
-        payload = T.StructType(
-            [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
-        )
         return spark.read.option("basePath", base).schema(payload).json(uris)
     if manifest.table_format == "orc":
-        payload = T.StructType(
-            [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
-        )
         # NB: reader.orc takes the path LIST as one argument — extra
         # positionals would bind to options (mergeSchema, modifiedBefore)
         return spark.read.option("basePath", base).schema(payload).orc(uris)
-    # explicit payload schema (manifest minus partition keys): no footer
-    # inference/merging, files written before a schema evolution read their
-    # missing columns as NULL, and int/float width widening is handled by
-    # the parquet reader. Hive partition columns (and the path-encoded
-    # bucket level) are appended from path discovery; read_table re-types
-    # them against the manifest schema.
-    payload = T.StructType(
-        [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
-    )
     return spark.read.option("basePath", base).schema(payload).parquet(*uris)
 
 

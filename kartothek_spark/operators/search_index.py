@@ -50,9 +50,15 @@ def _postings(
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
     ).persist()
-    row = base.agg(
-        F.count("*").alias("n"), F.sum(F.size("__t")).alias("total")
-    ).collect()[0]
+    try:
+        row = base.agg(
+            F.count("*").alias("n"), F.sum(F.size("__t")).alias("total")
+        ).collect()[0]
+    except Exception:
+        # callers only receive the handle on success — release the pin
+        # here or a failed batch leaks cached blocks for the session
+        base.unpersist()
+        raise
     n_docs, total_len = int(row["n"]), int(row["total"] or 0)
     postings = (
         base.select(

@@ -500,6 +500,15 @@ def stream_text_index(
             return
         stamp = _batch_stamp(batch_id, txn_id)
         if not DatasetManifest.exists(root, index_uuid):
+            # a batch-0 build that crashed between its file writes and the
+            # manifest commit leaves uncommitted payload files which the
+            # store path would ADOPT on replay (it enumerates everything
+            # under data_root), double-inserting the batch's postings. No
+            # manifest ⇒ nothing committed to keep: purge and rebuild.
+            import os
+            import shutil
+
+            shutil.rmtree(os.path.join(root, index_uuid), ignore_errors=True)
             build_text_index(
                 spark, batch_df, root, index_uuid,
                 text_col=text_col, id_col=id_col, buckets=buckets,

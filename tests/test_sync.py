@@ -247,7 +247,7 @@ def test_stream_text_index_matches_batch(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         trigger={"availableNow": True},
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain"
     terms = ["spark", "table", "join"]
     got = [
         tuple(r)
