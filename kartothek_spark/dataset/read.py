@@ -124,14 +124,21 @@ def _prune_stats(manifest: DatasetManifest, conj, labels: set) -> set:
     to the scan filter."""
     if not manifest.stats_columns or not labels:
         return labels
-    lits = [
-        (col, op, val)
-        for col, op, val in conj
-        if col in manifest.stats_columns
-        and not (op == "==" and val is None)
-        and not (op == "in" and any(v is None for v in (val or [])))
-        and val is not None
-    ]
+    lits = []
+    for col, op, val in conj:
+        if col not in manifest.stats_columns:
+            continue
+        if op == "==" and val is None:
+            # IS NULL: a file whose footer records zero nulls cannot
+            # match (files lacking a stats entry — incl. all-null files,
+            # which have no min/max — are never skipped)
+            lits.append((col, "isnull", None))
+        elif op == "in" and val is not None and any(v is None for v in val):
+            lits.append((col, "in_with_null", [v for v in val if v is not None]))
+        elif val is None:
+            continue  # e.g. != NULL — all-null files carry no stats entry
+        else:
+            lits.append((col, op, val))
     if not lits:
         return labels
     by_name = {f.name: f.dataType for f in manifest.schema.fields}
@@ -205,6 +212,16 @@ def _stats_may_match(lits, stats, by_name) -> bool:
         dt = by_name[col]
         if isinstance(dt, T.BinaryType):
             continue  # path-rendered; scan filter owns binary predicates
+        if op == "isnull":
+            if s.get("nulls") == 0:
+                return False
+            continue
+        if op == "in_with_null":
+            if s.get("nulls", 1) > 0:
+                continue  # may match via a null row
+            if not val:
+                return False  # only-null literal list, zero nulls here
+            op = "in"  # zero nulls: reduce to the non-null membership check
         try:
             lo = _stats_typed(s["min"], dt)
             hi = _stats_typed(s["max"], dt)

@@ -399,7 +399,9 @@ def test_stats_skipping_prunes_files_and_keeps_parity(spark, tmp_root):
 
 def test_stats_skipping_conservative_on_nulls(spark, tmp_root):
     """All-null stats columns yield no stats entry and the file is never
-    skipped; null-matching literals bypass stats entirely."""
+    skipped; IS NULL prunes files whose footers record ZERO nulls (the
+    null_count half of data skipping) while staying conservative on
+    stats-less files."""
     from kartothek_spark.core.manifest import DatasetManifest
     from kartothek_spark.dataset.read import dispatch_labels
     from kartothek_spark.dataset.write import update_dataset
@@ -413,9 +415,18 @@ def test_stats_skipping_conservative_on_nulls(spark, tmp_root):
     m = DatasetManifest.load(tmp_root, "nl")
     # the all-null batch has no usable min/max → no stats for v
     assert any("v" not in (e.get("stats") or {}) for e in m.partitions.values())
-    # == None must not consult stats; the all-null file must survive
+    # IS NULL: zero-null files (a, c) are SKIPPED at plan time; the
+    # stats-less all-null file survives (conservative) and answers
+    labels = dispatch_labels(spark, m, [[("v", "==", None)]])
+    assert len(labels) == len(m.partitions) - 2
     got = read_table(spark, tmp_root, "nl", predicates=[[("v", "==", None)]])
     assert {r.id for r in got.collect()} == {3, 4}
+    # IN with a null member: zero-null files check the non-null sublist
+    # ([30.0] misses batch a), nulls>0 files always survive
+    labels = dispatch_labels(spark, m, [[("v", "in", [None, 30.0])]])
+    assert len(labels) == len(m.partitions) - 1
+    got = read_table(spark, tmp_root, "nl", predicates=[[("v", "in", [None, 30.0])]])
+    assert {r.id for r in got.collect()} == {3, 4, 5}
     # v == 10 prunes the [30, 40] batch, keeps batch a AND (conservatively)
     # the stats-less all-null batch
     labels = dispatch_labels(spark, m, [[("v", "==", 10.0)]])
