@@ -2322,6 +2322,37 @@ def corpus_decontaminate(spark, sf_dir):
     return contamination_hits(train, bench, n=8)
 
 
+def dedup_cross_corpus(spark, sf_dir):
+    """Cross-corpus MinHash near-dup pairs (the fuzzy-decontamination
+    primitive): the 'benchmark' side is every 11th doc with its first 11
+    chars dropped — near-identical to its origin but never exact, so the
+    band-join + Jaccard-verify path (not the exact-content path) carries
+    the result. Full value oracle mirrors the banding structurally."""
+    from kartothek_spark.operators.dedup import minhash_cross_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.expr("substring(text, 12)").alias("text")
+    )
+    return minhash_cross_pairs(docs, bench, threshold=0.35, right_id="bench_id")
+
+
+def corpus_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy decontamination: the corpus minus every doc near-duplicate
+    (Jaccard >= 0.35) to the perturbed benchmark — the companion to the
+    exact-8-gram corpus_decontaminate; the corpus never shuffles (hit ids
+    broadcast into a left-anti join)."""
+    from kartothek_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.expr("substring(text, 12)").alias("text")
+    )
+    return fuzzy_decontaminate(docs, bench, threshold=0.35).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def corpus_pack(spark, sf_dir):
     """Sequence packing: docs → fixed-512-token bins inside 8 hash shards
     (one shuffle, per-shard running-sum window)."""
@@ -3089,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_fuzzy_pairs": dedup_fuzzy_pairs,
         "corpus_fuzzy_join": corpus_fuzzy_join,
+        "dedup_cross_corpus": dedup_cross_corpus,
+        "corpus_fuzzy_decontaminate": corpus_fuzzy_decontaminate,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
         "ann_knn_join": ann_knn_join,
@@ -3123,6 +3156,8 @@ def oracle_sql() -> dict[str, str]:
         duplicated_spans_sql,
         edit_distance_pairs_sql,
         fuzzy_join_sql,
+        fuzzy_decontaminate_sql,
+        minhash_cross_pairs_sql,
         trim_duplicated_spans_sql,
         minhash_lsh_pairs_sql,
         ngram_jaccard_pairs_sql,
@@ -3811,6 +3846,20 @@ FROM toks
         "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", "text", "doc_id", n=4, threshold=0.35),
         "dedup_fuzzy_pairs": edit_distance_pairs_sql(
             "documents", 2, "substr(text, 1, 24)", "doc_id"
+        ),
+        "dedup_cross_corpus": minhash_cross_pairs_sql(
+            "documents",
+            "(SELECT doc_id AS bench_id, substr(text, 12) AS text"
+            " FROM documents WHERE doc_id % 11 = 0)",
+            threshold=0.35,
+            right_id="bench_id",
+        ),
+        "corpus_fuzzy_decontaminate": fuzzy_decontaminate_sql(
+            "SELECT * FROM documents",
+            "SELECT doc_id, substr(text, 12) AS text FROM documents"
+            " WHERE doc_id % 11 = 0",
+            threshold=0.35,
+            columns="doc_id, lang, n_chars",
         ),
         "corpus_fuzzy_join": fuzzy_join_sql(
             "(SELECT doc_id, substr(text, 1, 24) AS key FROM documents)",

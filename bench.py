@@ -103,6 +103,9 @@ HEADLINE = [
     "corpus_search_indexed",  # BM25 over bucket-pruned postings dataset
     "corpus_search_index_sync",  # build+O(new docs) sync, searched result
     "stream_text_index",     # foreachBatch-maintained index, value oracle
+    # round 5 (cont.): cross-corpus fuzzy decontamination
+    "dedup_cross_corpus",    # two-sided MinHash banding, value oracle
+    "corpus_fuzzy_decontaminate",  # near-dup-to-benchmark anti-join
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -1340,3 +1340,283 @@ FROM l JOIN r
   ON abs(length(l.s) - length(r.s)) <= {max_dist}
  AND levenshtein(l.s, r.s) <= {max_dist}
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus MinHash pairs / fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+def _minhash_side(df: DataFrame, text_col: str, id_col: str, num_hashes: int):
+    """(base, reps) for one corpus side: ``base`` is the persisted
+    ``(__id, __sh hashed-shingles, __ck content-key)`` frame, ``reps`` the
+    one-representative-per-distinct-content frame carrying the per-row
+    folded MinHash signature — the same rep-collapse skew guard
+    :func:`minhash_lsh_pairs` uses (a boilerplate cluster bands once)."""
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+        .select(
+            "__id",
+            hashed_shingles(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"),
+            F.md5(F.concat_ws("\x01", "__t")).alias("__ck"),
+        )
+        .persist()
+    )
+    sigd = base.select("__id", "__ck", minhash_sig_expr("__sh", num_hashes).alias("__sig"))
+    reps = sigd.groupBy("__ck").agg(
+        F.min("__id").alias("__id"), F.first("__sig").alias("__sig")
+    )
+    return base, reps
+
+
+def _banded(reps: DataFrame, bands: int, rows: int) -> DataFrame:
+    return reps.select(
+        "__id",
+        "__ck",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("__sig")[j].cast("string")
+                                for j in range(b * rows, (b + 1) * rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__ck", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.5,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs ``(left_id, right_id, jaccard)``
+    at ``jaccard >= threshold`` — the fuzzy-decontamination primitive the
+    LLM training reports use (training docs near-identical to a benchmark
+    doc, not just sharing one exact n-gram the way
+    :func:`~kartothek_spark.operators.contamination.contamination_hits`
+    detects). Output id column names must differ.
+
+    Same scale shape as :func:`minhash_lsh_pairs`, two-sided: per-side
+    rep-collapse on the content key, per-side capped band buckets, the
+    ONLY big shuffle is the (band, key) equi-join between the two banded
+    rep sets, and exact Jaccard verifies candidates only. Exact-content
+    cross matches (same key on both sides) pair through a direct key
+    equi-join with jaccard 1 and are excluded from banding candidates."""
+    if left_id == right_id:
+        raise ValueError("left_id and right_id must differ in the output")
+    rows = num_hashes // bands
+    base_l, reps_l = _minhash_side(left, left_text, left_id, num_hashes)
+    base_r, reps_r = _minhash_side(right, right_text, right_id, num_hashes)
+    bl = _cap_band_buckets(_banded(reps_l, bands, rows), max_band_bucket)
+    br = _cap_band_buckets(_banded(reps_r, bands, rows), max_band_bucket)
+
+    cand = (
+        bl.alias("l")
+        .join(
+            br.alias("r"),
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")),
+        )
+        .where(F.col("l.__ck") != F.col("r.__ck"))
+        .select(
+            F.col("l.__id").alias("__ra"),
+            F.col("l.__ck").alias("ck_a"),
+            F.col("r.__id").alias("__rb"),
+            F.col("r.__ck").alias("ck_b"),
+        )
+        .distinct()
+    )
+    a = base_l.select(F.col("__id").alias("__ra"), F.col("__sh").alias("sh_a"))
+    b = base_r.select(F.col("__id").alias("__rb"), F.col("__sh").alias("sh_b"))
+    verified_reps = (
+        cand.join(a, "__ra")
+        .join(b, "__rb")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("ck_a", "ck_b", "jaccard")
+    )
+    exact_reps = (
+        reps_l.select("__ck")
+        .join(reps_r.select("__ck"), "__ck")
+        .select(
+            F.col("__ck").alias("ck_a"),
+            F.col("__ck").alias("ck_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:
+        exact_reps = exact_reps.where(F.lit(False))
+
+    ma = base_l.select(F.col("__ck").alias("ck_a"), F.col("__id").alias("__la"))
+    mb = base_r.select(F.col("__ck").alias("ck_b"), F.col("__id").alias("__lb"))
+    out = (
+        verified_reps.unionByName(exact_reps)
+        .join(ma, "ck_a")
+        .join(mb, "ck_b")
+        .select(
+            F.col("__la").alias(left_id),
+            F.col("__lb").alias(right_id),
+            "jaccard",
+        )
+    )
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        base_l.unpersist()
+        base_r.unpersist()
+    return out
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """The training corpus minus every doc NEAR-duplicate (Jaccard >=
+    ``threshold``) to any benchmark doc — fuzzy decontamination, the
+    companion to the exact-n-gram :func:`~kartothek_spark.operators.
+    contamination.decontaminate`. The corpus itself never shuffles: the
+    hit-id list is broadcast into a left-anti join."""
+    hits = minhash_cross_pairs(
+        train,
+        benchmark.select(F.col(id_col).alias("__bench_id"), F.col(text_col)),
+        threshold=threshold,
+        left_text=text_col,
+        right_text=text_col,
+        left_id=id_col,
+        right_id="__bench_id",
+        num_hashes=num_hashes,
+        bands=bands,
+        max_band_bucket=max_band_bucket,
+    ).select(id_col).distinct()
+    return train.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def minhash_cross_pairs_sql(
+    left_table: str,
+    right_table: str,
+    threshold: float = 0.5,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> str:
+    """DuckDB twin of :func:`minhash_cross_pairs` — mirrors the operator
+    STRUCTURALLY (per-side rep-collapse, per-side bucket cap, exact-key
+    path split out) so capped results stay bit-identical."""
+    rows = num_hashes // bands
+    jac = (
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
+    )
+    cap = "" if max_band_bucket is None else f"WHERE bsz <= {max_band_bucket}"
+    exact = (
+        "SELECT ck AS ck_a, ck AS ck_b, CAST(1.0 AS DOUBLE) AS jaccard\n"
+        "  FROM (SELECT ck FROM reps_l INTERSECT SELECT ck FROM reps_r)"
+        if threshold <= 1.0
+        else "SELECT NULL AS ck_a, NULL AS ck_b, CAST(1.0 AS DOUBLE) AS jaccard WHERE FALSE"
+    )
+
+    def side(tag: str, table: str, text: str, idc: str) -> str:
+        sig = minhash_signature_sql(text, num_hashes)
+        sh = word_shingles_sql(text, MINHASH_SHINGLE_WORDS)
+        toks = tokens_sql(text)
+        return f"""base_{tag} AS (
+  SELECT {idc} AS id, md5(array_to_string({toks}, chr(1))) AS ck, {sig} AS sig,
+         list_transform({sh}, s -> {h60_sql('s')}) AS sh
+  FROM {table}
+  WHERE {text} IS NOT NULL
+), reps_{tag} AS (
+  SELECT ck, min(id) AS rid, any_value(sig) AS sig, any_value(sh) AS sh
+  FROM base_{tag} GROUP BY ck
+), banded_{tag} AS (
+  SELECT rid, ck, b.band AS band,
+         array_to_string(list_slice(sig, b.band * {rows} + 1, (b.band + 1) * {rows}), '_') AS key
+  FROM reps_{tag}, (SELECT unnest(range(0, {bands})) AS band) b
+), capped_{tag} AS (
+  SELECT rid, ck, band, key FROM (
+    SELECT rid, ck, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+    FROM banded_{tag}
+  ) {cap}
+)"""
+
+    return f"""
+WITH {side('l', left_table, left_text, left_id)},
+{side('r', right_table, right_text, right_id)},
+cand AS (
+  SELECT DISTINCT l.ck AS ck_a, r.ck AS ck_b
+  FROM capped_l l JOIN capped_r r ON l.band = r.band AND l.key = r.key AND l.ck <> r.ck
+), verified AS (
+  SELECT cand.ck_a, cand.ck_b, {jac} AS jaccard
+  FROM cand
+  JOIN reps_l a ON a.ck = cand.ck_a
+  JOIN reps_r b ON b.ck = cand.ck_b
+  WHERE {jac} >= {threshold}
+  UNION ALL
+  {exact}
+)
+SELECT ml.id AS {left_id}, mr.id AS {right_id}, verified.jaccard
+FROM verified
+JOIN base_l ml ON ml.ck = verified.ck_a
+JOIN base_r mr ON mr.ck = verified.ck_b
+"""
+
+
+def fuzzy_decontaminate_sql(
+    train_sql: str,
+    benchmark_sql: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    columns: str = "*",
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> str:
+    pairs = minhash_cross_pairs_sql(
+        f"({train_sql})",
+        f"(SELECT {id_col} AS __bench_id, {text_col} FROM ({benchmark_sql}))",
+        threshold=threshold,
+        left_text=text_col,
+        right_text=text_col,
+        left_id=id_col,
+        right_id="__bench_id",
+        num_hashes=num_hashes,
+        bands=bands,
+        max_band_bucket=max_band_bucket,
+    )
+    return f"""
+WITH hits AS (SELECT DISTINCT {id_col} FROM ({pairs}))
+SELECT {columns} FROM ({train_sql}) t
+WHERE NOT EXISTS (SELECT 1 FROM hits WHERE hits.{id_col} = t.{id_col})
+"""

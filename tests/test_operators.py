@@ -1308,3 +1308,49 @@ def test_h60_py_matches_engine(spark):
         .collect()
     ]
     assert got == [h60_py(v) for v in vals]
+
+
+def test_minhash_cross_pairs_planted(spark):
+    """Cross-corpus near-dup detection: exact copy pairs via the
+    exact-content path (jaccard 1), near copy via band+verify, unrelated
+    text never pairs; fuzzy_decontaminate drops exactly the hit docs."""
+    from kartothek_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        minhash_cross_pairs,
+    )
+
+    # 40 distinct words; the near copy drops the last one → shingle-set
+    # jaccard ≈ 0.95, high enough that the fixed deterministic band keys
+    # must collide (banding at jaccard ~0.6 is probabilistic by design)
+    body = " ".join(f"w{i}" for i in range(40))
+    train = spark.createDataFrame(
+        [
+            (1, body),
+            (2, "completely different content about spark shuffles " * 5),
+            (3, body.rsplit(" ", 1)[0]),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, body), (101, "unrelated benchmark prose entirely " * 6)],
+        "bench_id long, text string",
+    )
+    pairs = {
+        (r.doc_id, r.bench_id): r.jaccard
+        for r in minhash_cross_pairs(
+            train, bench, threshold=0.3, right_id="bench_id"
+        ).collect()
+    }
+    assert (1, 100) in pairs and pairs[(1, 100)] == 1.0  # exact copy
+    assert (3, 100) in pairs and 0.3 <= pairs[(3, 100)] < 1.0  # near copy
+    assert all(b != 101 for (_t, b) in pairs)  # unrelated never pairs
+
+    kept = {
+        r.doc_id
+        for r in fuzzy_decontaminate(
+            train,
+            bench.select(F.col("bench_id").alias("doc_id"), "text"),
+            threshold=0.3,
+        ).collect()
+    }
+    assert kept == {2}
