@@ -131,6 +131,7 @@ def collect_file_stats(
                 lo = hi = None
                 nulls = 0
                 ok = True
+                nulls_known = True
                 for rg in range(meta.num_row_groups):
                     st = meta.row_group(rg).column(ci).statistics
                     if st is None or not st.has_min_max:
@@ -142,9 +143,20 @@ def collect_file_stats(
                         break
                     lo = mn if lo is None or mn < lo else lo
                     hi = mx if hi is None or mx > hi else hi
-                    nulls += st.null_count or 0
+                    # null_count is OPTIONAL in the footer (foreign writers
+                    # on imported datasets may omit it); recording 0 for
+                    # "unknown" would let IS NULL pruning drop files that
+                    # DO hold nulls — omit the key instead, which every
+                    # consumer treats as "cannot skip"
+                    if st.has_null_count:
+                        nulls += st.null_count or 0
+                    else:
+                        nulls_known = False
                 if ok and lo is not None:
-                    out[col] = {"min": lo, "max": hi, "nulls": nulls}
+                    entry = {"min": lo, "max": hi}
+                    if nulls_known:
+                        entry["nulls"] = nulls
+                    out[col] = entry
             yield label, (out, meta.num_rows)
 
     n_slices = min(len(items), max(spark.sparkContext.defaultParallelism, 1) * 2)

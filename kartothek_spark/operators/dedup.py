@@ -190,74 +190,13 @@ def minhash_lsh_pairs(
     jaccard >= threshold.
     """
     rows = num_hashes // bands
-    df = scale_out(df)
-    # staged: tokenize ONCE per row, then shingle from the token array —
-    # never re-run the regex split per shingle position. The null-text
-    # filter runs on the RAW column (pushed to the scan) — a post-hoc
-    # size(__sh)>0 filter would be pushed below the projection and
-    # re-evaluate the whole shingle expression a second time, and it only
-    # ever drops null texts anyway (empty docs shingle to [""]).
-    #
-    # __ck is a 128-bit content key over the normalized TOKEN stream:
-    # documents with identical token sequences (exact/boilerplate
-    # duplicates) collapse to ONE representative before banding. This is
-    # the hot-band skew guard — a cluster of d identical docs would
-    # otherwise put d copies of the same key into EVERY band and the
-    # self-join would shuffle bands·d²/2 candidate rows through
-    # distinct(); with representatives the banding join sees each distinct
-    # document once and the (inherently quadratic) intra-cluster pairs are
-    # emitted directly, once, as output. The token stream refines the
-    # shingle SET (tokens carry no spaces, so the key is injective in the
-    # sequence); the rare same-set-different-sequence doc pair lands in
-    # separate ck groups whose signatures are identical, so banding still
-    # pairs them and verification yields jaccard exactly 1 — output is
-    # identical to naive banding either way. Hashing the token concat
-    # instead of the (3× larger) shingle concat is ~3× cheaper per row.
-    # __sh carries HASHED shingles (array<bigint>, see hashed_shingles):
-    # persisted base shrinks ~4×, and signature fold + Jaccard set ops run
-    # on longs — value-identical, twin-mirrored
-    base = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
-        .select(
-            "__id",
-            hashed_shingles(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"),
-            F.md5(F.concat_ws("\x01", "__t")).alias("__ck"),
-        )
-        .persist()
-    )
-
+    # base / rep-collapse / banding come from the SHARED _minhash_side /
+    # _banded helpers (one copy of the skew-guard machinery for the
+    # single-corpus and cross-corpus operators — see their docstrings for
+    # the staging, content-key, and hashed-shingle rationale)
+    base, sig = _minhash_side(df, text_col, id_col, num_hashes)
     members = base.select("__id", "__ck")
-    # signatures fold per-row BEFORE the rep collapse (no shuffle — see
-    # minhash_sig_expr), so the collapse shuffles only (ck, id, 12 longs)
-    # — never the shingle arrays. min-id becomes the representative;
-    # F.first is safe because every row in a __ck group carries the same
-    # token stream, hence the same signature, by construction
-    sigd = base.select("__id", "__ck", minhash_sig_expr("__sh", num_hashes).alias("__sig"))
-    sig = sigd.groupBy("__ck").agg(
-        F.min("__id").alias("__id"), F.first("__sig").alias("__sig")
-    )
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("__sig")[j].cast("string")
-                                for j in range(b * rows, (b + 1) * rows)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    banded = _cap_band_buckets(banded, max_band_bucket)
+    banded = _cap_band_buckets(_banded(sig, bands, rows), max_band_bucket)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -325,6 +264,45 @@ def minhash_lsh_pairs(
     return out
 
 
+def _minhash_side_sql(
+    tag: str, table: str, text: str, idc: str,
+    num_hashes: int, rows: int, bands: int, cap: str,
+) -> str:
+    """The shared base/reps/banded/capped CTE chain of one corpus side —
+    used by BOTH :func:`minhash_lsh_pairs_sql` (self) and
+    :func:`minhash_cross_pairs_sql` (two-sided), so the skew-guard
+    structure (rep-collapse, per-(band, key) cap) can never drift between
+    the twins. Mirrors :func:`_minhash_side` / :func:`_banded`
+    structurally so capped results stay bit-identical across engines."""
+    sig = minhash_signature_sql(text, num_hashes)
+    sh = word_shingles_sql(text, MINHASH_SHINGLE_WORDS)
+    toks = tokens_sql(text)
+    return f"""base_{tag} AS (
+  SELECT {idc} AS id, md5(array_to_string({toks}, chr(1))) AS ck, {sig} AS sig,
+         list_transform({sh}, s -> {h60_sql('s')}) AS sh
+  FROM {table}
+  WHERE {text} IS NOT NULL
+), reps_{tag} AS (
+  SELECT ck, min(id) AS rid, any_value(sig) AS sig, any_value(sh) AS sh
+  FROM base_{tag} GROUP BY ck
+), banded_{tag} AS (
+  SELECT rid, ck, b.band AS band,
+         array_to_string(list_slice(sig, b.band * {rows} + 1, (b.band + 1) * {rows}), '_') AS key
+  FROM reps_{tag}, (SELECT unnest(range(0, {bands})) AS band) b
+), capped_{tag} AS (
+  SELECT rid, ck, band, key FROM (
+    SELECT rid, ck, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+    FROM banded_{tag}
+  ) {cap}
+)"""
+
+
+_JACCARD_SQL = (
+    "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
+)
+
+
 def minhash_lsh_pairs_sql(
     table: str,
     text_col: str,
@@ -335,13 +313,6 @@ def minhash_lsh_pairs_sql(
     max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> str:
     rows = num_hashes // bands
-    sig = minhash_signature_sql(text_col, num_hashes)
-    sh = word_shingles_sql(text_col, MINHASH_SHINGLE_WORDS)
-    toks = tokens_sql(text_col)
-    jac = (
-        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
-        " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
-    )
     cap = "" if max_band_bucket is None else f"WHERE bsz <= {max_band_bucket}"
     intra = (
         ""
@@ -349,39 +320,20 @@ def minhash_lsh_pairs_sql(
         else """
   UNION ALL
   SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
-  FROM base a JOIN base b ON a.ck = b.ck AND a.id < b.id"""
+  FROM base_s a JOIN base_s b ON a.ck = b.ck AND a.id < b.id"""
     )
-    # mirrors the operator STRUCTURALLY, not just its output: identical
-    # rep-collapse on the content key and the same per-(band, key) bucket
-    # cap, so capped results stay bit-identical across engines
     return f"""
-WITH base AS (
-  SELECT {id_col} AS id, md5(array_to_string({toks}, chr(1))) AS ck, {sig} AS sig,
-         list_transform({sh}, s -> {h60_sql('s')}) AS sh
-  FROM {table}
-  WHERE len({sh}) > 0
-), reps AS (
-  SELECT ck, min(id) AS rid, any_value(sig) AS sig, any_value(sh) AS sh
-  FROM base GROUP BY ck
-), banded AS (
-  SELECT rid, ck, b.band AS band,
-         array_to_string(list_slice(sig, b.band * {rows} + 1, (b.band + 1) * {rows}), '_') AS key
-  FROM reps, (SELECT unnest(range(0, {bands})) AS band) b
-), capped AS (
-  SELECT rid, ck, band, key FROM (
-    SELECT rid, ck, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
-    FROM banded
-  ) {cap}
-), cand AS (
+WITH {_minhash_side_sql('s', table, text_col, id_col, num_hashes, rows, bands, cap)},
+cand AS (
   SELECT DISTINCT l.ck AS ck_a, r.ck AS ck_b
-  FROM capped l JOIN capped r ON l.band = r.band AND l.key = r.key AND l.rid < r.rid
+  FROM capped_s l JOIN capped_s r ON l.band = r.band AND l.key = r.key AND l.rid < r.rid
 ), ver AS (
-  SELECT c.ck_a, c.ck_b, {jac} AS jaccard
-  FROM cand c JOIN reps a ON c.ck_a = a.ck JOIN reps b ON c.ck_b = b.ck
-  WHERE {jac} >= {threshold}
+  SELECT c.ck_a, c.ck_b, {_JACCARD_SQL} AS jaccard
+  FROM cand c JOIN reps_s a ON c.ck_a = a.ck JOIN reps_s b ON c.ck_b = b.ck
+  WHERE {_JACCARD_SQL} >= {threshold}
 ), out AS (
   SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, v.jaccard
-  FROM ver v JOIN base ma ON v.ck_a = ma.ck JOIN base mb ON v.ck_b = mb.ck{intra}
+  FROM ver v JOIN base_s ma ON v.ck_a = ma.ck JOIN base_s mb ON v.ck_b = mb.ck{intra}
 )
 SELECT id_a, id_b, jaccard FROM out
 """
@@ -1347,13 +1299,30 @@ FROM l JOIN r
 # ---------------------------------------------------------------------------
 
 def _minhash_side(df: DataFrame, text_col: str, id_col: str, num_hashes: int):
-    """(base, reps) for one corpus side: ``base`` is the persisted
-    ``(__id, __sh hashed-shingles, __ck content-key)`` frame, ``reps`` the
-    one-representative-per-distinct-content frame carrying the per-row
-    folded MinHash signature — the same rep-collapse skew guard
-    :func:`minhash_lsh_pairs` uses (a boilerplate cluster bands once)."""
+    """(base, reps) for one corpus side — the shared MinHash front half of
+    :func:`minhash_lsh_pairs` (self) and :func:`minhash_cross_pairs`
+    (two-sided). ``base`` is the persisted ``(__id, __sh, __ck)`` frame,
+    ``reps`` one representative per distinct content carrying the per-row
+    folded signature.
+
+    Staging: tokenize ONCE per row, then shingle from the token array —
+    never re-run the regex split per shingle position; the null-text
+    filter runs on the RAW column (pushed to the scan). ``__ck`` is a
+    128-bit content key over the normalized token stream: identical docs
+    collapse to ONE representative before banding — the hot-band skew
+    guard (a cluster of d identical docs would otherwise put d copies of
+    the same key into EVERY band and pair bands·d²/2 times); intra-group
+    pairs re-expand afterwards with jaccard exactly 1, so output equals
+    naive banding. ``__sh`` carries HASHED shingles (array<bigint>): the
+    persisted base shrinks ~4x and signature fold + Jaccard set ops run
+    on longs — value-identical, twin-mirrored. Signatures fold per-row
+    BEFORE the rep collapse (no shuffle), so the collapse shuffles only
+    (ck, id, num_hashes longs), never shingle arrays; ``F.first`` is safe
+    because every row in a ``__ck`` group carries the same token stream,
+    hence the same signature, by construction."""
     base = (
-        df.where(F.col(text_col).isNotNull())
+        scale_out(df)
+        .where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
         .select(
             "__id",
@@ -1404,6 +1373,7 @@ def minhash_cross_pairs(
     num_hashes: int = MINHASH_NUM_HASHES,
     bands: int = MINHASH_BANDS,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
+    eager: bool = True,
 ) -> DataFrame:
     """Cross-corpus near-duplicate pairs ``(left_id, right_id, jaccard)``
     at ``jaccard >= threshold`` — the fuzzy-decontamination primitive the
@@ -1417,7 +1387,9 @@ def minhash_cross_pairs(
     ONLY big shuffle is the (band, key) equi-join between the two banded
     rep sets, and exact Jaccard verifies candidates only. Exact-content
     cross matches (same key on both sides) pair through a direct key
-    equi-join with jaccard 1 and are excluded from banding candidates."""
+    equi-join with jaccard 1 and are excluded from banding candidates.
+    ``eager=False`` returns the lazy, pin-free plan (for plan tests /
+    caller-managed caching)."""
     if left_id == right_id:
         raise ValueError("left_id and right_id must differ in the output")
     rows = num_hashes // bands
@@ -1481,11 +1453,12 @@ def minhash_cross_pairs(
             "jaccard",
         )
     )
-    try:
-        out = out.localCheckpoint(eager=True)
-    finally:
-        base_l.unpersist()
-        base_r.unpersist()
+    if eager:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            base_l.unpersist()
+            base_r.unpersist()
     return out
 
 
@@ -1531,14 +1504,11 @@ def minhash_cross_pairs_sql(
     bands: int = MINHASH_BANDS,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> str:
-    """DuckDB twin of :func:`minhash_cross_pairs` — mirrors the operator
-    STRUCTURALLY (per-side rep-collapse, per-side bucket cap, exact-key
-    path split out) so capped results stay bit-identical."""
+    """DuckDB twin of :func:`minhash_cross_pairs` — built from the same
+    shared :func:`_minhash_side_sql` chain as the self twin, so the
+    skew-guard structure (per-side rep-collapse + bucket caps, exact-key
+    path split out) stays bit-identical across engines and operators."""
     rows = num_hashes // bands
-    jac = (
-        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
-        " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
-    )
     cap = "" if max_band_bucket is None else f"WHERE bsz <= {max_band_bucket}"
     exact = (
         "SELECT ck AS ck_a, ck AS ck_b, CAST(1.0 AS DOUBLE) AS jaccard\n"
@@ -1546,42 +1516,18 @@ def minhash_cross_pairs_sql(
         if threshold <= 1.0
         else "SELECT NULL AS ck_a, NULL AS ck_b, CAST(1.0 AS DOUBLE) AS jaccard WHERE FALSE"
     )
-
-    def side(tag: str, table: str, text: str, idc: str) -> str:
-        sig = minhash_signature_sql(text, num_hashes)
-        sh = word_shingles_sql(text, MINHASH_SHINGLE_WORDS)
-        toks = tokens_sql(text)
-        return f"""base_{tag} AS (
-  SELECT {idc} AS id, md5(array_to_string({toks}, chr(1))) AS ck, {sig} AS sig,
-         list_transform({sh}, s -> {h60_sql('s')}) AS sh
-  FROM {table}
-  WHERE {text} IS NOT NULL
-), reps_{tag} AS (
-  SELECT ck, min(id) AS rid, any_value(sig) AS sig, any_value(sh) AS sh
-  FROM base_{tag} GROUP BY ck
-), banded_{tag} AS (
-  SELECT rid, ck, b.band AS band,
-         array_to_string(list_slice(sig, b.band * {rows} + 1, (b.band + 1) * {rows}), '_') AS key
-  FROM reps_{tag}, (SELECT unnest(range(0, {bands})) AS band) b
-), capped_{tag} AS (
-  SELECT rid, ck, band, key FROM (
-    SELECT rid, ck, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
-    FROM banded_{tag}
-  ) {cap}
-)"""
-
     return f"""
-WITH {side('l', left_table, left_text, left_id)},
-{side('r', right_table, right_text, right_id)},
+WITH {_minhash_side_sql('l', left_table, left_text, left_id, num_hashes, rows, bands, cap)},
+{_minhash_side_sql('r', right_table, right_text, right_id, num_hashes, rows, bands, cap)},
 cand AS (
   SELECT DISTINCT l.ck AS ck_a, r.ck AS ck_b
   FROM capped_l l JOIN capped_r r ON l.band = r.band AND l.key = r.key AND l.ck <> r.ck
 ), verified AS (
-  SELECT cand.ck_a, cand.ck_b, {jac} AS jaccard
+  SELECT cand.ck_a, cand.ck_b, {_JACCARD_SQL} AS jaccard
   FROM cand
   JOIN reps_l a ON a.ck = cand.ck_a
   JOIN reps_r b ON b.ck = cand.ck_b
-  WHERE {jac} >= {threshold}
+  WHERE {_JACCARD_SQL} >= {threshold}
   UNION ALL
   {exact}
 )

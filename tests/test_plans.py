@@ -391,3 +391,20 @@ def test_text_index_search_pushes_term_filter(spark, tmp_root):
     assert "PushedFilters" in plan and "In(term" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_cross_pairs_plan_shape(spark):
+    """Two-sided banding must join the rep sets on the (band, key) key —
+    never a cartesian of the corpora — with the per-side bucket-cap
+    windows partitioned on (band, key)."""
+    from kartothek_spark.operators.dedup import minhash_cross_pairs
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    bench = docs.where("doc_id % 11 = 0").select(
+        F.col("doc_id").alias("bench_id"), F.expr("substring(text, 12)").alias("text")
+    )
+    plan = _plan(
+        minhash_cross_pairs(docs, bench, threshold=0.35, right_id="bench_id", eager=False)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
