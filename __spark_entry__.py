@@ -1915,6 +1915,38 @@ def events_asof(spark, sf_dir):
     )
 
 
+def events_asof_tolerance(spark, sf_dir):
+    """As-of join with a match-distance bound (pandas merge_asof
+    ``tolerance`` parity): views more than a day before the purchase
+    do NOT attribute — their right columns nullify exactly like no match.
+    Oracle: DuckDB ASOF (which has no tolerance) with post-hoc CASE
+    nullification on the matched timestamp."""
+    import datetime
+
+    from kartothek_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id",
+        tolerance=datetime.timedelta(days=1),
+    )
+    return out.select(
+        "purchase_id", "user_id", "ts", "view_ts", "view_value", "purchase_value"
+    )
+
+
 def events_asof_keyless(spark, sf_dir):
     """KEYLESS as-of join (the range-partitioned prefix-scan path — no
     per-key window exists to hide in): attribute each purchase to the
@@ -3074,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": events_quantiles,
         "events_top_users": events_top_users,
         "events_asof": events_asof,
+        "events_asof_tolerance": events_asof_tolerance,
         "events_asof_keyless": events_asof_keyless,
         "events_asof_forward": events_asof_forward,
         "events_funnel": events_funnel,
@@ -3647,6 +3680,23 @@ WITH l AS (
 )
 SELECT purchase_id, l.user_id, l.ts, r.view_ts, r.view_value, purchase_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "events_asof_tolerance": """
+WITH l AS (
+  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, ts AS view_ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), j AS (
+  SELECT purchase_id, l.user_id, l.ts AS ts, r.view_ts, r.view_value, purchase_value
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT purchase_id, user_id, ts,
+       CASE WHEN view_ts >= ts - INTERVAL 1 DAY THEN view_ts END AS view_ts,
+       CASE WHEN view_ts >= ts - INTERVAL 1 DAY THEN view_value END AS view_value,
+       purchase_value
+FROM j
 """,
         "events_asof_keyless": """
 WITH l AS (

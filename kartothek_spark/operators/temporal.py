@@ -43,6 +43,7 @@ def asof_join(
     on: str = "ts",
     by: str | list[str] | None = None,
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row joined to the latest ``right``
     row with ``right.on <= left.on`` (``direction='backward'``; ties
@@ -63,6 +64,14 @@ def asof_join(
 
     ``by=None`` uses the range-partitioned prefix scan described in the
     module docstring — never a single global window.
+
+    ``tolerance`` (pandas ``merge_asof`` parity): the maximum distance
+    ``|left.on - right.on|`` for a match to count — a match farther away
+    yields NULL right columns, exactly like no match. Pass a number for
+    numeric ``on`` or a ``datetime.timedelta`` / interval Column for
+    timestamps. Implemented as a row-local nullification of the carried
+    match (the matched right ``on`` rides inside the struct), so the plan
+    shape and shuffle count are identical to the untoleranced join.
 
     Skew stance (keyed form): the per-key window is a running
     O(1)-state scan, so a hot key costs its one task a LINEAR pass over
@@ -89,10 +98,16 @@ def asof_join(
         # nothing to attach — the as-of join is the identity on left
         return left.select(*by, F.col(on), *l_payload)
 
+    tol = None
+    if tolerance is not None:
+        from pyspark.sql import Column as _Column
+
+        tol = tolerance if isinstance(tolerance, _Column) else F.lit(tolerance)
+
+    r_types = {f.name: f.dataType.simpleString() for f in right.schema.fields}
     r_struct_t = ", ".join(
-        f"`{f.name}`:{f.dataType.simpleString()}"
-        for f in right.schema.fields
-        if f.name in r_payload
+        ([f"`__ron`:{r_types[on]}"] if tol is not None else [])
+        + [f"`{c}`:{r_types[c]}" for c in r_payload]
     )
     # one unified layout; right payload rides in a single nullable struct
     # __r (non-null exactly on right rows). __is_l breaks the sort tie so
@@ -110,7 +125,10 @@ def asof_join(
         F.col(on),
         F.lit(0).alias("__is_l"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_payload],
-        F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
+        F.struct(
+            *([F.col(on).alias("__ron")] if tol is not None else []),
+            *[F.col(c) for c in r_payload],
+        ).alias("__r"),
     )
     u = lu.unionByName(ru)
     # traversal order: ascending time for backward ("latest at-or-before"
@@ -118,6 +136,16 @@ def asof_join(
     ord_on = F.col(on).desc() if direction == "forward" else F.col(on).asc()
 
     def _explode(df: DataFrame) -> DataFrame:
+        if tol is not None:
+            # nullify matches beyond tolerance (NULL __r stays NULL: the
+            # getField → comparison → when chain is null-propagating)
+            ron = F.col("__r").getField("__ron")
+            ok = (
+                ron >= F.col(on) - tol
+                if direction == "backward"
+                else ron <= F.col(on) + tol
+            )
+            df = df.withColumn("__r", F.when(ok, F.col("__r")))
         return df.where(F.col("__is_l") == 1).select(
             *by,
             F.col(on),

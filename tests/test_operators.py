@@ -1354,3 +1354,49 @@ def test_minhash_cross_pairs_planted(spark):
         ).collect()
     }
     assert kept == {2}
+
+
+def test_asof_join_tolerance(spark):
+    """pandas merge_asof tolerance parity: matches farther than the bound
+    nullify like no match — both directions, numeric and timestamp on."""
+    from kartothek_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 50), (2, 7)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 20, "b"), (2, 1, "c")], "k long, ts long, v string"
+    )
+    # backward, tolerance 5: (1,10)->8 (gap 2, keep), (1,50)->20 (gap 30,
+    # null), (2,7)->1 (gap 6, null)
+    got = {
+        (r.k, r.ts): r.v
+        for r in asof_join(left, right, on="ts", by="k", tolerance=5).collect()
+    }
+    assert got == {(1, 10): "a", (1, 50): None, (2, 7): None}
+    # forward, tolerance 5: (1,10)->20? gap 10 null; (1,50)-> none; (2,7)-> none
+    got_f = {
+        (r.k, r.ts): r.v
+        for r in asof_join(
+            left, right, on="ts", by="k", direction="forward", tolerance=15
+        ).collect()
+    }
+    assert got_f == {(1, 10): "b", (1, 50): None, (2, 7): None}
+    # timestamp on + timedelta tolerance, keyless path
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    lts = spark.createDataFrame(
+        [(t0 + datetime.timedelta(hours=h),) for h in (2, 9)], "ts timestamp"
+    )
+    rts = spark.createDataFrame(
+        [(t0, "x"), (t0 + datetime.timedelta(hours=8), "y")],
+        "ts timestamp, v string",
+    )
+    got_t = {
+        r.ts.hour: r.v
+        for r in asof_join(
+            lts, rts, on="ts", tolerance=datetime.timedelta(hours=3)
+        ).collect()
+    }
+    assert got_t == {2: "x", 9: "y"}
