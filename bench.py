@@ -106,6 +106,7 @@ HEADLINE = [
     # round 5 (cont.): cross-corpus fuzzy decontamination
     "dedup_cross_corpus",    # two-sided MinHash banding, value oracle
     "corpus_fuzzy_decontaminate",  # near-dup-to-benchmark anti-join
+    "events_asof_tolerance",  # merge_asof tolerance, plan-identical
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
