@@ -206,6 +206,13 @@ class DatasetManifest:
     # opening them — at 100 TB the difference between touching thousands
     # of footers and touching none.
     stats_columns: list[str] = field(default_factory=list)
+    # stats-convention version. Format 1 (legacy) collectors recorded
+    # nulls=0 when a foreign footer OMITTED null_count, so a zero null
+    # count cannot be trusted for IS-NULL / != file skipping; format 2
+    # omits the "nulls" key when unknown. The planner only performs
+    # null-count-based skipping at format >= 2 — re-run stats collection
+    # (or rewrite) to upgrade a legacy dataset.
+    stats_format: int = 1
     # zero-copy EXTERNAL dataset (attach_dataset): payload files live in a
     # pre-existing directory outside <root>/<uuid>/table; entries store
     # data_root-relative paths, scans anchor basePath here, and the engine
@@ -412,6 +419,7 @@ class DatasetManifest:
                 else {}
             ),
             **({"stats_columns": self.stats_columns} if self.stats_columns else {}),
+            **({"stats_format": self.stats_format} if self.stats_format != 1 else {}),
             **({"bloom_columns": self.bloom_columns} if self.bloom_columns else {}),
             **(
                 {"partition_transforms": self.partition_transforms}
@@ -450,6 +458,7 @@ class DatasetManifest:
             bucket_by=list(d.get("bucket_by", [])),
             num_buckets=d.get("num_buckets"),
             stats_columns=list(d.get("stats_columns", [])),
+            stats_format=int(d.get("stats_format", 1)),
             bloom_columns=list(d.get("bloom_columns", [])),
             partition_transforms=dict(d.get("partition_transforms", {})),
             constraints=dict(d.get("constraints", {})),

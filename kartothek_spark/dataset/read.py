@@ -142,10 +142,15 @@ def _prune_stats(manifest: DatasetManifest, conj, labels: set) -> set:
     if not lits:
         return labels
     by_name = {f.name: f.dataType for f in manifest.schema.fields}
+    # Legacy collectors (stats_format 1) recorded nulls=0 when a foreign
+    # footer omitted null_count — a zero there is NOT evidence of zero
+    # nulls, so null-count-based skipping is disabled until the dataset's
+    # stats are re-collected under the omit-when-unknown convention.
+    trust_zero_nulls = manifest.stats_format >= 2
     out = set()
     for lbl in labels:
         stats = manifest.partitions[lbl].get("stats") or {}
-        if _stats_may_match(lits, stats, by_name):
+        if _stats_may_match(lits, stats, by_name, trust_zero_nulls):
             out.add(lbl)
     return out
 
@@ -153,8 +158,11 @@ def _prune_stats(manifest: DatasetManifest, conj, labels: set) -> set:
 def _binary_partition_keys(manifest) -> dict[str, str]:
     """BinaryType partition keys → their path codec: ``"hex"`` for the
     engine layout (``x<hex>`` directory rendering, see ``_write_files``),
-    ``"percent"`` for imported-in-place reference datasets. Spark's hive
-    inference surfaces these directories as STRINGS; read_table re-types
+    ``"percent"`` for imported-in-place reference datasets. The scan
+    schema pins these partition columns to STRING (path inference would
+    mis-type a byte value that parses as a number, e.g. b'0102' -> dir
+    '0102' -> int 102, silently dropping the leading zero); read_table
+    re-types
     them (unhex / Latin-1 byte recovery) and predicate literals are
     translated into the same string domain so pushdown still prunes —
     both renderings are order-preserving over the raw bytes."""
@@ -204,7 +212,7 @@ def _retyped_col(c: str, dt, binkeys: dict[str, str]):
     return F.col(c).cast(dt).alias(c)
 
 
-def _stats_may_match(lits, stats, by_name) -> bool:
+def _stats_may_match(lits, stats, by_name, trust_zero_nulls: bool = True) -> bool:
     for col, op, val in lits:
         s = stats.get(col)
         if not s:
@@ -213,12 +221,12 @@ def _stats_may_match(lits, stats, by_name) -> bool:
         if isinstance(dt, T.BinaryType):
             continue  # path-rendered; scan filter owns binary predicates
         if op == "isnull":
-            if s.get("nulls") == 0:
+            if trust_zero_nulls and s.get("nulls") == 0:
                 return False
             continue
         if op == "in_with_null":
-            if s.get("nulls", 1) > 0:
-                continue  # may match via a null row
+            if not trust_zero_nulls or s.get("nulls", 1) > 0:
+                continue  # may match via a null row (or zero untrusted)
             if not val:
                 return False  # only-null literal list, zero nulls here
             op = "in"  # zero nulls: reduce to the non-null membership check
@@ -229,7 +237,11 @@ def _stats_may_match(lits, stats, by_name) -> bool:
                 if val < lo or val > hi:
                     return False
             elif op == "!=":
-                if lo == hi == val and not s.get("nulls", 0):
+                # nulls default 1 (UNKNOWN -> cannot skip), matching the
+                # isnull/in_with_null convention: a file with lo==hi==val
+                # but an unrecorded null count may still hold NULL rows,
+                # which driver-eval semantics treat as matching != val
+                if trust_zero_nulls and lo == hi == val and not s.get("nulls", 1):
                     return False
             elif op == "<":
                 if not lo < val:
@@ -325,15 +337,28 @@ def _scan_files(spark: SparkSession, manifest: DatasetManifest, files: list[str]
     registry, serialization/_generic.py:37-154)."""
     base = "file:" + os.path.abspath(manifest.data_root)
     uris = ["file:" + os.path.abspath(p) for p in files]
-    # explicit payload schema (manifest minus partition keys), shared by
-    # every format: no footer inference/merging, files written before a
-    # schema evolution read their missing columns as NULL, int/float width
-    # widening is handled by the columnar readers, and typeless formats
-    # (csv/jsonl) restore their types from it. Hive partition columns (and
-    # the path-encoded bucket level) are appended from path discovery;
-    # read_table re-types them against the manifest schema.
-    payload = T.StructType(
+    # explicit scan schema, shared by every format: payload columns carry
+    # their manifest types (no footer inference/merging, files written
+    # before a schema evolution read their missing columns as NULL,
+    # int/float width widening is handled by the columnar readers, and
+    # typeless formats csv/jsonl restore their types from it). Partition
+    # keys are ALSO listed — Spark honors user-specified types for hive
+    # partition columns over path inference — pinned to the manifest type
+    # (binary keys to STRING: their path rendering, e.g. percent-codec
+    # b'0102' -> dir '0102', must NOT be inferred as int 102, which would
+    # drop the leading zero and break _binary_scan_literal's string-domain
+    # predicates). Levels absent from the manifest (the path-encoded
+    # bucket dir) still append from discovery.
+    binkeys = _binary_partition_keys(manifest)
+    scan_schema = T.StructType(
         [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
+        + [
+            T.StructField(
+                f.name, T.StringType() if f.name in binkeys else f.dataType
+            )
+            for f in manifest.schema.fields
+            if f.name in manifest.partition_keys
+        ]
     )
     if manifest.table_format in ("csv", "csv.gz"):
         # CSV payload files hold the non-partition columns in schema order;
@@ -343,16 +368,16 @@ def _scan_files(spark: SparkSession, manifest: DatasetManifest, files: list[str]
         return (
             spark.read.option("basePath", base)
             .option("header", "false")
-            .schema(payload)
+            .schema(scan_schema)
             .csv(uris)
         )
     if manifest.table_format == "jsonl":
-        return spark.read.option("basePath", base).schema(payload).json(uris)
+        return spark.read.option("basePath", base).schema(scan_schema).json(uris)
     if manifest.table_format == "orc":
         # NB: reader.orc takes the path LIST as one argument — extra
         # positionals would bind to options (mergeSchema, modifiedBefore)
-        return spark.read.option("basePath", base).schema(payload).orc(uris)
-    return spark.read.option("basePath", base).schema(payload).parquet(*uris)
+        return spark.read.option("basePath", base).schema(scan_schema).orc(uris)
+    return spark.read.option("basePath", base).schema(scan_schema).parquet(*uris)
 
 
 def read_table(

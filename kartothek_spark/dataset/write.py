@@ -200,6 +200,18 @@ def _attach_file_stats(
         if st:
             manifest.partitions[lbl]["stats"] = st
         manifest.partitions[lbl]["rows"] = n_rows
+    # Stamp the omit-when-unknown null-count convention (stats_format 2)
+    # only when it now holds for EVERY stats-bearing entry: either the
+    # manifest was already format 2, or every entry carrying stats was
+    # (re-)collected in this pass. A legacy-format manifest that gains a
+    # few fresh partitions stays format 1 — its untouched entries may
+    # still hold a false nulls=0 — until a full stats rebuild upgrades it.
+    fresh = set(labels)
+    if manifest.stats_format < 2 and all(
+        "stats" not in entry or lbl in fresh
+        for lbl, entry in manifest.partitions.items()
+    ):
+        manifest.stats_format = 2
 
 
 def _write_files(

@@ -73,10 +73,15 @@ def decontaminate(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The corpus minus contaminated docs: left-anti join of the training
-    side against the hit list — the corpus itself is never shuffled (the
-    anti join broadcasts the (small) hit-id list)."""
+    side against the hit list. No forced broadcast hint: the hit list is
+    normally tiny (bounded by contamination volume) and AQE converts the
+    anti join to a broadcast join at runtime when it is — but a
+    pathologically contaminated corpus (or "benchmark" pointed at a
+    second full corpus) must fall back to a shuffle join, not OOM the
+    executors on a forced broadcast. Pinned by
+    ``tests/test_plans.py::test_decontaminate_anti_join_broadcasts``."""
     hits = contamination_hits(train, benchmark, n, text_col, id_col).select(id_col)
-    return train.join(F.broadcast(hits), id_col, "left_anti")
+    return train.join(hits, id_col, "left_anti")
 
 
 def contamination_hits_sql(

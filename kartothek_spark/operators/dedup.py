@@ -1298,7 +1298,9 @@ FROM l JOIN r
 # cross-corpus MinHash pairs / fuzzy decontamination
 # ---------------------------------------------------------------------------
 
-def _minhash_side(df: DataFrame, text_col: str, id_col: str, num_hashes: int):
+def _minhash_side(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, persist: bool = True
+):
     """(base, reps) for one corpus side — the shared MinHash front half of
     :func:`minhash_lsh_pairs` (self) and :func:`minhash_cross_pairs`
     (two-sided). ``base`` is the persisted ``(__id, __sh, __ck)`` frame,
@@ -1329,8 +1331,12 @@ def _minhash_side(df: DataFrame, text_col: str, id_col: str, num_hashes: int):
             hashed_shingles(F.col("__t"), MINHASH_SHINGLE_WORDS).alias("__sh"),
             F.md5(F.concat_ws("\x01", "__t")).alias("__ck"),
         )
-        .persist()
     )
+    # persist=False is the lazy/pin-free form (eager=False callers):
+    # nothing to unpersist, at the price of recomputing the tokenize
+    # stage per downstream branch
+    if persist:
+        base = base.persist()
     sigd = base.select("__id", "__ck", minhash_sig_expr("__sh", num_hashes).alias("__sig"))
     reps = sigd.groupBy("__ck").agg(
         F.min("__id").alias("__id"), F.first("__sig").alias("__sig")
@@ -1393,8 +1399,8 @@ def minhash_cross_pairs(
     if left_id == right_id:
         raise ValueError("left_id and right_id must differ in the output")
     rows = num_hashes // bands
-    base_l, reps_l = _minhash_side(left, left_text, left_id, num_hashes)
-    base_r, reps_r = _minhash_side(right, right_text, right_id, num_hashes)
+    base_l, reps_l = _minhash_side(left, left_text, left_id, num_hashes, persist=eager)
+    base_r, reps_r = _minhash_side(right, right_text, right_id, num_hashes, persist=eager)
     bl = _cap_band_buckets(_banded(reps_l, bands, rows), max_band_bucket)
     br = _cap_band_buckets(_banded(reps_r, bands, rows), max_band_bucket)
 
@@ -1475,8 +1481,11 @@ def fuzzy_decontaminate(
     """The training corpus minus every doc NEAR-duplicate (Jaccard >=
     ``threshold``) to any benchmark doc — fuzzy decontamination, the
     companion to the exact-n-gram :func:`~kartothek_spark.operators.
-    contamination.decontaminate`. The corpus itself never shuffles: the
-    hit-id list is broadcast into a left-anti join."""
+    contamination.decontaminate`. No forced broadcast of the hit list:
+    it is bounded by contamination volume (normally tiny — AQE broadcasts
+    the anti join at runtime), but a pathologically contaminated corpus
+    must degrade to a shuffle join instead of OOMing a forced broadcast.
+    Pinned by ``tests/test_plans.py::test_decontaminate_anti_join_broadcasts``."""
     hits = minhash_cross_pairs(
         train,
         benchmark.select(F.col(id_col).alias("__bench_id"), F.col(text_col)),
@@ -1489,7 +1498,7 @@ def fuzzy_decontaminate(
         bands=bands,
         max_band_bucket=max_band_bucket,
     ).select(id_col).distinct()
-    return train.join(F.broadcast(hits), id_col, "left_anti")
+    return train.join(hits, id_col, "left_anti")
 
 
 def minhash_cross_pairs_sql(

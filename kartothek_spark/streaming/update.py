@@ -52,6 +52,31 @@ def _batch_already_committed(
     return last is not None and int(last) >= int(batch_id)
 
 
+def _purge_uncommitted_dataset_dir(root: str, dataset_uuid: str) -> None:
+    """Remove the orphaned payload of a dataset build that crashed BEFORE
+    its manifest commit — but only what the engine itself lays out
+    (``table/``, ``indices/``, ``_history/``, ``_manifest/``). A target
+    directory holding anything else is not a half-written dataset of
+    ours: refuse with an explicit error instead of recursively deleting a
+    directory the library does not exclusively own."""
+    import os
+    import shutil
+
+    target = os.path.join(root, dataset_uuid)
+    if not os.path.isdir(target):
+        return
+    owned = {"table", "indices", "_history", "_manifest"}
+    foreign = sorted(set(os.listdir(target)) - owned)
+    if foreign:
+        raise RuntimeError(
+            f"refusing batch-0 recovery purge of {target!r}: it has no "
+            f"dataset manifest but contains non-engine entries {foreign} "
+            "— check root/index_uuid (a wrong target here would destroy "
+            "unrelated data)"
+        )
+    shutil.rmtree(target, ignore_errors=True)
+
+
 def _batch_stamp(batch_id: int, txn_id: str | None) -> dict[str, Any]:
     stamp: dict[str, Any] = {"last_stream_batch": batch_id}
     if txn_id is not None:
@@ -505,10 +530,11 @@ def stream_text_index(
             # store path would ADOPT on replay (it enumerates everything
             # under data_root), double-inserting the batch's postings. No
             # manifest ⇒ nothing committed to keep: purge and rebuild.
-            import os
-            import shutil
-
-            shutil.rmtree(os.path.join(root, index_uuid), ignore_errors=True)
+            # The purge removes ONLY the engine's own layout (table/,
+            # indices/, _history/, _manifest/) and refuses on anything
+            # else — a misconfigured root/index_uuid pointing at an
+            # unrelated directory must error, not destroy it.
+            _purge_uncommitted_dataset_dir(root, index_uuid)
             build_text_index(
                 spark, batch_df, root, index_uuid,
                 text_col=text_col, id_col=id_col, buckets=buckets,

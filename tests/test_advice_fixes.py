@@ -138,3 +138,148 @@ def test_merge_left_join_rejects_predicates_on_nullable_side(spark, tmp_root):
     )
     rows = sorted((r.L, r.name) for r in out.collect())
     assert rows == [(2, None), (3, None)]
+
+
+def test_binary_percent_key_numeric_rendering(spark, tmp_path):
+    """Percent-codec binary partition keys whose path rendering parses as
+    a NUMBER or DATE (b'0102' -> dir '0102', b'2020-01-01') must come back
+    byte-exact. Before the fix, _scan_files left partition keys out of
+    the explicit scan schema, so hive type inference turned '0102' into
+    int 102 — F.encode then yielded b'102', silently dropping the leading
+    zero. The scan schema now pins partition columns (binary -> STRING)."""
+    import os
+
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.interop import (
+        export_kartothek_metadata,
+        import_kartothek_dataset,
+    )
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    values = [b"0102", b"7", b"2020-01-01", b"1e3"]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(values)], "pk binary, v long"
+    )
+    store_dataframe_as_dataset(spark, df, root, "d", partition_on=["pk"])
+    legacy = str(tmp_path / "legacy")
+    export_kartothek_metadata(root, "d", legacy)
+    m2 = import_kartothek_dataset(spark, root, "back", legacy, source_uuid="d")
+    assert m2.binary_codec == "percent"
+
+    def norm(rows):
+        return sorted((bytes(r[0]), r[1]) for r in rows)
+
+    want = norm([(v, i) for i, v in enumerate(values)])
+    got = norm(read_table(spark, root, "back").select("pk", "v").collect())
+    assert got == want
+
+    # pruned point read on the numeric-looking key
+    labels = dispatch_labels(
+        spark, DatasetManifest.load(root, "back"), [[("pk", "==", b"0102")]]
+    )
+    assert len(labels) == 1
+    got = read_table(
+        spark, root, "back", predicates=[[("pk", "==", b"0102")]]
+    ).collect()
+    assert norm(got) == [(b"0102", 0)]
+
+
+def test_stats_format_gates_null_count_skipping(spark):
+    """Zero null counts are only trusted for IS-NULL / != / in-with-null
+    file skipping at stats_format >= 2 — a legacy (format 1) collector
+    recorded nulls=0 for footers that OMITTED null_count, so trusting it
+    would silently skip files that do hold nulls."""
+    from pyspark.sql import types as T
+
+    from kartothek_spark.dataset.read import _stats_may_match
+
+    by_name = {"c": T.LongType()}
+    s_zero = {"c": {"min": 5, "max": 5, "nulls": 0}}
+    s_unknown = {"c": {"min": 5, "max": 5}}
+
+    # isnull: prune only under trusted zero
+    assert _stats_may_match([("c", "isnull", None)], s_zero, by_name, True) is False
+    assert _stats_may_match([("c", "isnull", None)], s_zero, by_name, False) is True
+    assert _stats_may_match([("c", "isnull", None)], s_unknown, by_name, True) is True
+
+    # != on a constant file: unknown null count can never skip
+    lit = [("c", "!=", 5)]
+    assert _stats_may_match(lit, s_zero, by_name, True) is False
+    assert _stats_may_match(lit, s_zero, by_name, False) is True
+    assert _stats_may_match(lit, s_unknown, by_name, True) is True
+
+    # in_with_null: the null leg only drops under trusted zero
+    lit = [("c", "in_with_null", [9])]
+    assert _stats_may_match(lit, s_zero, by_name, True) is False
+    assert _stats_may_match(lit, s_zero, by_name, False) is True
+
+
+def test_stats_format_stamped_and_persisted(spark, tmp_root):
+    """New writes collect stats under the omit-when-unknown convention and
+    stamp stats_format=2 into the manifest (round-tripping through
+    serialization); a manifest downgraded to format 1 keeps IS NULL
+    queries from skipping files."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+
+    df = spark.createDataFrame([(1, 10), (2, None)], "k int, c int")
+    store_dataframe_as_dataset(
+        spark, df, tmp_root, "sf2", partition_on=["k"], stats_columns=["c"]
+    )
+    m = DatasetManifest.load(tmp_root, "sf2")
+    assert m.stats_format == 2
+    # k=1 file: c=[10,10], nulls=0 -> skipped for IS NULL at format 2
+    labels = dispatch_labels(spark, m, [[("c", "==", None)]])
+    assert len(labels) == 1 and "k=2" in labels[0]
+    # legacy manifests (format 1) cannot skip on null counts
+    m.stats_format = 1
+    labels = dispatch_labels(spark, m, [[("c", "==", None)]])
+    assert len(labels) == 2
+
+
+def test_batch0_purge_refuses_foreign_dir(tmp_path):
+    """stream_text_index's batch-0 recovery purge only deletes the
+    engine's own layout; a target directory holding anything else errors
+    instead of being recursively destroyed."""
+    import os
+
+    from kartothek_spark.streaming.update import _purge_uncommitted_dataset_dir
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "idx", "table"))
+    with open(os.path.join(root, "idx", "table", "p.parquet"), "w") as fh:
+        fh.write("x")
+    _purge_uncommitted_dataset_dir(root, "idx")  # engine layout: removed
+    assert not os.path.exists(os.path.join(root, "idx"))
+
+    os.makedirs(os.path.join(root, "users", "photos"))
+    with pytest.raises(RuntimeError, match="refusing"):
+        _purge_uncommitted_dataset_dir(root, "users")
+    assert os.path.exists(os.path.join(root, "users", "photos"))
+
+    _purge_uncommitted_dataset_dir(root, "never-existed")  # no-op
+
+
+def test_minhash_cross_pairs_lazy_path_pins_nothing(spark):
+    """minhash_cross_pairs(eager=False) is the lazy, pin-free form: it
+    must not persist() frames it has no path to unpersist (the leak would
+    hold executor storage for the life of the session)."""
+    import os
+
+    from tests.conftest import SF_DIR
+
+    from kartothek_spark.operators.dedup import minhash_cross_pairs
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    bench = docs.where("doc_id % 17 = 0").select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = minhash_cross_pairs(docs, bench, right_id="bench_id", eager=False)
+    out.count()  # materialize through the lazy plan
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before == 0

@@ -408,3 +408,20 @@ def test_minhash_cross_pairs_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_anti_join_broadcasts(spark):
+    """The decontaminate wrappers carry NO forced broadcast hint (a
+    pathologically large hit list must degrade to a shuffle join, not
+    OOM) — at normal contamination volume AQE must still broadcast the
+    hit-id list into the left-anti join at runtime."""
+    from kartothek_spark.operators.contamination import decontaminate
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    bench = docs.where("doc_id % 13 = 0")
+    out = decontaminate(docs, bench, n=8)
+    plan = _plan(out)
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("BroadcastHashJoin" in ln for ln in anti), anti
