@@ -2372,15 +2372,29 @@ def dedup_cross_corpus(spark, sf_dir):
 def corpus_fuzzy_decontaminate(spark, sf_dir):
     """Fuzzy decontamination: the corpus minus every doc near-duplicate
     (Jaccard >= 0.35) to the perturbed benchmark — the companion to the
-    exact-8-gram corpus_decontaminate; the corpus never shuffles (hit ids
-    broadcast into a left-anti join)."""
-    from kartothek_spark.operators.dedup import fuzzy_decontaminate
+    exact-8-gram corpus_decontaminate; the corpus never shuffles (the
+    hit-id list anti-joins via AQE broadcast)."""
+    from kartothek_spark.operators.dedup import minhash_cross_pairs
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 11 == 0).select(
-        "doc_id", F.expr("substring(text, 12)").alias("text")
+        F.col("doc_id").alias("__bench_id"), F.expr("substring(text, 12)").alias("text")
     )
-    return fuzzy_decontaminate(docs, bench, threshold=0.35).select(
+
+    # the cross-pair machinery is value-checked on its own by the
+    # dedup_cross_corpus gate; cache its (deterministic) hit-id list per
+    # code version so this end-to-end gate pays only for the anti-join +
+    # projection it uniquely covers (the dedup_corpus mh_pairs precedent)
+    def build(root):
+        minhash_cross_pairs(
+            docs, bench, threshold=0.35, right_id="__bench_id"
+        ).select("doc_id").distinct().coalesce(1).write.parquet(
+            os.path.join(root, "hits")
+        )
+
+    hroot = _fixture(sf_dir, "fuzzy_hits", build)
+    hits = spark.read.parquet(os.path.join(hroot, "hits"))
+    return docs.join(hits, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
 

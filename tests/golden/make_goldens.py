@@ -200,7 +200,122 @@ def make() -> None:
     sm._sidecar_ref = SIDECAR_REL
     sm.storage_format = "json"
     sm._write_blob(os.path.join(HERE, "golden_sidecar.by-dataset-metadata.json"))
+
+    make_binkey()
+    make_orc()
     print("goldens written under", HERE)
+
+
+# ---- binary-partition-key golden: the x<hex> directory rendering is a
+# committed on-disk format (core/manifest.py _typed_value, write.py's
+# hex re-rendering before partitionBy) — pin it with a miniature dataset
+# holding a numeric-looking value AND a non-UTF8 value, the two classes
+# the rendering exists to protect.
+BINKEY_VALUES = [b"0102", b"\xff\x01"]  # -> x30313032, xff01
+
+
+def expected_binkey_manifest_dict() -> dict:
+    return {
+        "dataset_metadata_version": 4,
+        "dataset_uuid": "golden_binkey",
+        "metadata": {"creator": "format-stability-suite"},
+        "partition_keys": ["pk"],
+        "schema": None,  # filled from the Spark schema
+        "partitions": {
+            "pk=x30313032/part-0": {
+                "file": "golden_binkey/table/pk=x30313032/part-0.parquet"
+            },
+            "pk=xff01/part-0": {
+                "file": "golden_binkey/table/pk=xff01/part-0.parquet"
+            },
+        },
+        "indices": {},
+        "format": "parquet",
+        "version": 1,
+        "committed_at": COMMITTED_AT,
+    }
+
+
+def binkey_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField("pk", T.BinaryType()), T.StructField("v", T.LongType())]
+    )
+
+
+def make_binkey() -> None:
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kartothek_spark.core.manifest import DatasetManifest
+
+    d = expected_binkey_manifest_dict()
+    d["schema"] = json.loads(binkey_schema().json())
+    for rel, pdf in (
+        ("golden_binkey/table/pk=x30313032/part-0.parquet",
+         pd.DataFrame({"v": [1, 2]})),
+        ("golden_binkey/table/pk=xff01/part-0.parquet",
+         pd.DataFrame({"v": [3]})),
+    ):
+        path = os.path.join(HERE, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    m = DatasetManifest.from_dict(d, root=HERE)
+    m.committed_at = COMMITTED_AT
+    m.storage_format = "json"
+    m._write_blob(os.path.join(HERE, "golden_binkey.by-dataset-metadata.json"))
+
+
+# ---- ORC-format golden: the fourth table format's committed layout
+# (payload suffix, manifest "format" field, schema-driven scan) — the
+# payload bytes are whatever pyarrow.orc baked in at regen time; the pin
+# is that TODAY's reader keeps reading them.
+def expected_orc_manifest_dict() -> dict:
+    return {
+        "dataset_metadata_version": 4,
+        "dataset_uuid": "golden_orc",
+        "metadata": {"creator": "format-stability-suite"},
+        "partition_keys": ["k"],
+        "schema": None,  # filled from the Spark schema (golden_schema)
+        "partitions": {
+            "k=a/part-0": {"file": "golden_orc/table/k=a/part-0.orc"},
+            "k=b/part-0": {"file": "golden_orc/table/k=b/part-0.orc"},
+        },
+        "indices": {},
+        "format": "orc",
+        "version": 1,
+        "committed_at": COMMITTED_AT,
+    }
+
+
+def make_orc() -> None:
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from kartothek_spark.core.manifest import DatasetManifest
+
+    d = expected_orc_manifest_dict()
+    d["schema"] = json.loads(golden_schema().json())
+    for rel, pdf in (
+        ("golden_orc/table/k=a/part-0.orc",
+         pd.DataFrame({"name": ["alpha", "ant"], "v": [1, 2]})),
+        ("golden_orc/table/k=b/part-0.orc",
+         pd.DataFrame({"name": ["bee"], "v": [3]})),
+    ):
+        path = os.path.join(HERE, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pa_orc.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    m = DatasetManifest.from_dict(d, root=HERE)
+    m.committed_at = COMMITTED_AT
+    m.storage_format = "json"
+    m._write_blob(os.path.join(HERE, "golden_orc.by-dataset-metadata.json"))
 
 
 if __name__ == "__main__":

@@ -200,3 +200,103 @@ def test_sidecar_golden_reads_end_to_end(spark):
         spark, GOLDEN_ROOT, "golden_sidecar", predicates=[[("k", "==", "b")]]
     )
     assert [(r.name, r.v) for r in pruned.collect()] == [("bee", 3)]
+
+
+# ---------------------------------------------------------------------------
+# binary-partition-key golden (x<hex> directory rendering)
+# ---------------------------------------------------------------------------
+
+def test_binkey_golden_manifest_and_layout():
+    """The committed x<hex> directory rendering must stay byte-stable:
+    manifest loads, labels and payload paths match the pinned rendering,
+    and _typed_value recovers the exact original bytes (numeric-looking
+    AND non-UTF8 values — the two classes the rendering protects)."""
+    from tests.golden.make_goldens import (
+        BINKEY_VALUES,
+        binkey_schema,
+        expected_binkey_manifest_dict,
+    )
+    from kartothek_spark.core.manifest import _typed_value
+    from pyspark.sql import types as T
+
+    d = expected_binkey_manifest_dict()
+    d["schema"] = json.loads(binkey_schema().json())
+    m = DatasetManifest.load(GOLDEN_ROOT, "golden_binkey")
+    assert m.to_dict() == d
+    labels = sorted(m.partitions)
+    assert labels == ["pk=x30313032/part-0", "pk=xff01/part-0"]
+    got = sorted(
+        _typed_value(lbl.split("=")[1].split("/")[0], T.BinaryType())
+        for lbl in labels
+    )
+    assert got == sorted(BINKEY_VALUES)
+    for lbl in labels:
+        assert os.path.exists(m.file_path(lbl))
+
+
+def test_binkey_writer_emits_golden_rendering(spark, tmp_path):
+    """TODAY's writer must render the same binary values into the same
+    x<hex> directories the golden pins — rendering drift would strand
+    every existing binary-partitioned dataset."""
+    from tests.golden.make_goldens import BINKEY_VALUES
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(BINKEY_VALUES)], "pk binary, v long"
+    )
+    root = str(tmp_path)
+    store_dataframe_as_dataset(spark, df, root, "b", partition_on=["pk"])
+    m = DatasetManifest.load(root, "b")
+    dirs = sorted({lbl.split("/")[0] for lbl in m.partitions})
+    assert dirs == ["pk=x30313032", "pk=xff01"]
+
+
+def test_binkey_golden_reads_end_to_end(spark):
+    """read_table over the golden returns the exact original bytes with
+    predicate pruning working in the hex string domain."""
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+
+    rows = sorted(
+        (bytes(r.pk), r.v)
+        for r in read_table(spark, GOLDEN_ROOT, "golden_binkey").collect()
+    )
+    assert rows == [(b"0102", 1), (b"0102", 2), (b"\xff\x01", 3)]
+
+    m = DatasetManifest.load(GOLDEN_ROOT, "golden_binkey")
+    labels = dispatch_labels(spark, m, [[("pk", "==", b"\xff\x01")]])
+    assert labels == ["pk=xff01/part-0"]
+    got = read_table(
+        spark, GOLDEN_ROOT, "golden_binkey", predicates=[[("pk", "==", b"0102")]]
+    ).collect()
+    assert sorted((bytes(r.pk), r.v) for r in got) == [(b"0102", 1), (b"0102", 2)]
+
+
+# ---------------------------------------------------------------------------
+# ORC-format golden
+# ---------------------------------------------------------------------------
+
+def test_orc_golden_manifest_stable():
+    from tests.golden.make_goldens import expected_orc_manifest_dict
+
+    d = expected_orc_manifest_dict()
+    d["schema"] = json.loads(golden_schema().json())
+    m = DatasetManifest.load(GOLDEN_ROOT, "golden_orc")
+    assert m.to_dict() == d
+    assert m.table_format == "orc"
+    assert all(e["file"].endswith(".orc") for e in m.partitions.values())
+
+
+def test_orc_golden_reads_end_to_end(spark):
+    """TODAY's reader must keep reading ORC payload written at golden
+    regen time — format pin for the fourth table format."""
+    from kartothek_spark.dataset.read import read_table
+
+    rows = sorted(
+        (r.k, r.name, r.v)
+        for r in read_table(spark, GOLDEN_ROOT, "golden_orc").collect()
+    )
+    assert rows == [("a", "alpha", 1), ("a", "ant", 2), ("b", "bee", 3)]
+    got = read_table(
+        spark, GOLDEN_ROOT, "golden_orc", predicates=[[("k", "==", "b")]]
+    ).collect()
+    assert [(r.k, r.name, r.v) for r in got] == [("b", "bee", 3)]

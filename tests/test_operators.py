@@ -1400,3 +1400,133 @@ def test_asof_join_tolerance(spark):
         ).collect()
     }
     assert got_t == {2: "x", 9: "y"}
+
+
+def test_edit_distance_pairs_hypothesis_completeness(spark):
+    """Property (hypothesis): the SymSpell deletion-neighborhood blocking
+    is COMPLETE — for ANY corpus of short mixed-alphabet strings (0-10
+    chars, duplicates and planted near-misses included) and d in {1, 2},
+    the operator's pair set equals the in-Python brute-force quadratic
+    oracle exactly: ids, distances, and nothing extra. (Reference analog:
+    the hypothesis predicate suites; the claim this pins is the
+    completeness proof in _deletion_blocks' docstring.)"""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kartothek_spark.operators.dedup import edit_distance_pairs
+
+    # mixed alphabet incl. a non-ASCII codepoint (codepoint semantics)
+    alpha = "abAB0 é"
+    base = st.text(alphabet=alpha, min_size=0, max_size=10)
+
+    def mutate(s, op, pos, ch):
+        pos = pos % (len(s) + 1)
+        if op == 0:  # insert
+            return s[:pos] + ch + s[pos:]
+        if op == 1 and s:  # delete
+            pos = pos % len(s)
+            return s[:pos] + s[pos + 1 :]
+        if s:  # substitute
+            pos = pos % len(s)
+            return s[:pos] + ch + s[pos + 1 :]
+        return ch
+
+    # a corpus is a mix of fresh strings, exact duplicates, and 1-2-edit
+    # mutations of earlier entries — dense in near-misses by construction
+    plan = st.lists(
+        st.tuples(
+            base,
+            st.integers(0, 3),  # 0 fresh, 1 dup of anchor, 2/3 mutate 1x/2x
+            st.integers(0, 2), st.integers(0, 11), st.sampled_from(alpha),
+            st.integers(0, 2), st.integers(0, 11), st.sampled_from(alpha),
+            st.integers(0, 30),  # anchor index
+        ),
+        min_size=2, max_size=30,
+    )
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(plan=plan, max_dist=st.sampled_from([1, 2]))
+    def prop(plan, max_dist):
+        corpus: list[str] = []
+        for fresh, kind, o1, p1, c1, o2, p2, c2, anchor in plan:
+            if kind == 0 or not corpus:
+                corpus.append(fresh)
+                continue
+            s = corpus[anchor % len(corpus)]
+            if kind >= 2:
+                s = mutate(s, o1, p1, c1)
+            if kind == 3:
+                s = mutate(s, o2, p2, c2)
+            corpus.append(s)
+        rows = list(enumerate(corpus))
+        df = spark.createDataFrame(rows, "doc_id long, k string")
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(
+                df, max_dist=max_dist, string_col="k", id_col="doc_id"
+            ).collect()
+        )
+        want = sorted(
+            (ia, ib, _lev(sa, sb))
+            for ia, sa in rows
+            for ib, sb in rows
+            if ia < ib and _lev(sa, sb) <= max_dist
+        )
+        assert got == want
+
+    prop()
+
+
+def test_fuzzy_join_hypothesis_completeness(spark):
+    """Property (hypothesis): the two-sided fuzzy join equals the N x M
+    brute-force oracle for ANY pair of short-string tables — the probe
+    side built partly by mutating corpus entries so cross-side near-misses
+    always exist."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kartothek_spark.operators.dedup import fuzzy_join
+
+    base = st.text(alphabet="xyz9-", min_size=0, max_size=8)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        left=st.lists(base, min_size=1, max_size=20),
+        edits=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 9), st.sampled_from("xyz9-")),
+            min_size=1, max_size=12,
+        ),
+        max_dist=st.sampled_from([1, 2]),
+    )
+    def prop(left, edits, max_dist):
+        right = [
+            s[: p % (len(s) + 1)] + ch + s[p % (len(s) + 1) :]
+            for (a, p, ch) in edits
+            for s in [left[a % len(left)]]
+        ]
+        lrows = list(enumerate(left))
+        rrows = list(enumerate(right))
+        ldf = spark.createDataFrame(lrows, "lid long, k string")
+        rdf = spark.createDataFrame(rrows, "rid long, q string")
+        got = sorted(
+            tuple(r)
+            for r in fuzzy_join(
+                ldf, rdf, max_dist=max_dist, left_on="k", right_on="q",
+                left_id="lid", right_id="rid",
+            ).collect()
+        )
+        want = sorted(
+            (il, ir, _lev(sl, sr))
+            for il, sl in lrows
+            for ir, sr in rrows
+            if _lev(sl, sr) <= max_dist
+        )
+        assert got == want
+
+    prop()
