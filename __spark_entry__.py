@@ -451,8 +451,8 @@ def ktk_orc_roundtrip(spark, sf_dir):
     registry, beyond-reference like jsonl): write an ORC-format dataset
     with a partition mutation, pruned read back with a residual predicate
     — Spark's ORC reader does native stripe-level pushdown, so the format
-    keeps the columnar scan properties parquet has (footer-stats
-    machinery stays parquet-only)."""
+    keeps the columnar scan properties parquet has (manifest stats/index
+    machinery: see ktk_orc_stats_pruned)."""
     from kartothek_spark.dataset.read import read_table
     from kartothek_spark.dataset.write import store_dataframe_as_dataset, update_dataset
 
@@ -470,6 +470,43 @@ def ktk_orc_roundtrip(spark, sf_dir):
         F.sum(F.length("text")).alias("chars"),
         F.sum("doc_id").alias("sum_id"),
     )
+
+
+def ktk_orc_stats_pruned(spark, sf_dir):
+    """ORC stats/index parity (reference: indices are serializer-agnostic,
+    metapartition.py:1371-1420): a range-laid-out ORC write records
+    per-file min/max/null-count/rows through the SCAN-BASED collector (no
+    parquet footers involved) plus a secondary index; a range + index
+    conjunction then plans to a strict subset of files (pinned by the
+    `pruned` flag) and the content matches SQL."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels, read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    def build(root):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "200")
+        try:
+            store_dataframe_as_dataset(
+                spark, docs, root, "dos",
+                table_format="orc",
+                stats_columns=["doc_id"],
+                range_partition_by=["doc_id"],
+                secondary_indices=["source"],
+            )
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+    root = _fixture(sf_dir, "docs_orc_stats", build)
+    m = DatasetManifest.load(root, "dos")
+    preds = [[("doc_id", "<", 300), ("source", "==", "src1")]]
+    labels = dispatch_labels(spark, m, preds)
+    got = read_table(spark, root, "dos", predicates=preds)
+    return got.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum("doc_id").alias("sum_id"),
+    ).withColumn("pruned", F.lit(len(labels) < len(m.partitions)))
 
 
 def ktk_convert_ingest(spark, sf_dir):
@@ -3096,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktk_quarantine": ktk_quarantine,
         "ktk_jsonl_roundtrip": ktk_jsonl_roundtrip,
         "ktk_orc_roundtrip": ktk_orc_roundtrip,
+        "ktk_orc_stats_pruned": ktk_orc_stats_pruned,
         "ktk_convert_ingest": ktk_convert_ingest,
         "ktk_delete_rows": ktk_delete_rows,
         "ktk_upsert": ktk_upsert,
@@ -3357,6 +3395,14 @@ SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(doc_id) AS BIGINT) AS sum_id
 FROM documents WHERE lang <> 'de' AND doc_id < 300
 GROUP BY lang, source
+""",
+        "ktk_orc_stats_pruned": """
+SELECT lang, count(*) AS n,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(1 AS BOOLEAN) AS pruned
+FROM documents WHERE doc_id < 300 AND source = 'src1'
+GROUP BY lang
 """,
         "ktk_convert_ingest": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n,

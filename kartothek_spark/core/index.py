@@ -60,21 +60,17 @@ def _pairs_df(spark: SparkSession, manifest: "DatasetManifest", column: str, lab
         return spark.createDataFrame(
             rows, T.StructType([field, T.StructField("__ktk_label", T.StringType())])
         )
-    files = ["file:" + os.path.abspath(p) for p in manifest.files(labels)]
     mapping = _file_label_df(spark, manifest, labels)
-    from pyspark.sql import types as T
 
-    # explicit payload schema: files from before a schema evolution may
-    # lack the indexed column entirely — they read as NULL and the
-    # isNotNull below keeps them out of the index (matching reference
-    # build_indices dropna semantics)
-    payload = T.StructType(
-        [f for f in manifest.schema.fields if f.name not in manifest.partition_keys]
-    )
+    # the format-dispatched manifest scan (explicit schema: files from
+    # before a schema evolution may lack the indexed column entirely —
+    # they read as NULL and the isNotNull below keeps them out of the
+    # index, matching reference build_indices dropna semantics). Function
+    # -level import: read.py imports this module at its top level.
+    from kartothek_spark.dataset.read import _scan_files
+
     df = (
-        spark.read.option("basePath", "file:" + os.path.abspath(manifest.data_root))
-        .schema(payload)
-        .parquet(*files)
+        _scan_files(spark, manifest, manifest.files(labels))
         .select(
             F.col(column),
             # input_file_name() yields a percent-encoded file:///… URI —

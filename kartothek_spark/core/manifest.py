@@ -201,7 +201,9 @@ class DatasetManifest:
     # (Delta/Iceberg-style data skipping, beyond the reference's partition
     # + secondary-index pruning): each partition entry gains
     # {"stats": {col: {"min": v, "max": v, "nulls": n}}} collected from
-    # parquet footers by a distributed job at write time. The planner can
+    # parquet footers by a distributed job at write time (non-parquet
+    # formats: one column-pruned scan aggregation per write instead — see
+    # dataset/metadata.py _scan_file_stats). The planner can
     # then drop files whose [min, max] can't satisfy a conjunction WITHOUT
     # opening them — at 100 TB the difference between touching thousands
     # of footers and touching none.

@@ -102,9 +102,19 @@ def collect_file_stats(
 
     Values are rendered JSON-safe task-side (dates/timestamps → ISO
     strings); the planner re-types them against the manifest schema when
-    comparing, via the same ``_typed_value`` the hive-label parser uses."""
+    comparing, via the same ``_typed_value`` the hive-label parser uses.
+
+    Non-parquet formats (orc/csv/jsonl) have no task-side footer reader
+    in this container, so their stats come from ONE distributed,
+    column-pruned aggregation over the just-written files grouped by
+    ``input_file_name()`` (the Delta-style write-time stats job): exact
+    min/max/null-count/rows per file, same output contract. At write
+    time the payload is hot and only the stats columns are read, so the
+    job is a fraction of the write itself and fully distributed."""
     if not labels or not columns:
         return {}
+    if manifest.table_format != "parquet":
+        return _scan_file_stats(spark, manifest, labels, columns)
     items = [(label, manifest.file_path(label)) for label in sorted(labels)]
     cols = list(columns)
 
@@ -164,6 +174,64 @@ def collect_file_stats(
         spark.sparkContext.parallelize(items, n_slices).mapPartitions(stats_rows).collect()
     )
     return dict(pairs)
+
+
+def _scan_file_stats(
+    spark: SparkSession,
+    manifest: DatasetManifest,
+    labels: list[str],
+    columns: list[str],
+) -> dict[str, Any]:
+    """Scan-based per-file stats for formats without a Python-side footer
+    reader: one aggregation job over the format-dispatched manifest scan,
+    grouped by the runtime file path. Binary columns are skipped (the
+    planner never prunes on them); the exact null counts satisfy the
+    stats_format-2 convention. A label whose file yields zero rows still
+    returns ({}, 0) so metadata-only COUNT stays exact."""
+    import datetime as _dt
+    import os
+
+    from kartothek_spark.core.urlencode import decode_file_uri_column
+    from kartothek_spark.dataset.read import _scan_files
+
+    by_name = {f.name: f.dataType for f in manifest.schema.fields}
+    cols = [c for c in columns if not isinstance(by_name[c], T.BinaryType)]
+    mapping = {
+        os.path.abspath(manifest.file_path(lbl)): lbl for lbl in sorted(labels)
+    }
+
+    def render(v):
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        return v
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}"),
+        ]
+    rows = (
+        _scan_files(spark, manifest, list(mapping))
+        .withColumn("__f", decode_file_uri_column(F.input_file_name()))
+        .groupBy("__f")
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, Any] = {lbl: ({}, 0) for lbl in labels}
+    for r in rows:
+        lbl = mapping.get(r["__f"])
+        if lbl is None:
+            continue
+        stats = {}
+        for c in cols:
+            lo, hi = render(r[f"__mn_{c}"]), render(r[f"__mx_{c}"])
+            if lo is None or hi is None:
+                continue  # all-null file for this column → cannot skip
+            stats[c] = {"min": lo, "max": hi, "nulls": int(r[f"__nl_{c}"])}
+        out[lbl] = (stats, int(r["__rows"]))
+    return out
 
 
 def collect_stats(spark: SparkSession, root: str, dataset_uuid: str) -> dict[str, Any]:

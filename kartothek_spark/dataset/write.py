@@ -319,9 +319,11 @@ def _write_files(
             writer.json("file://" + os.path.abspath(data_root))
         elif table_format == "orc":
             # columnar alternative with native stripe-level predicate
-            # pushdown in Spark's reader (footer-stats machinery —
-            # stats_columns, bloom filters, collect_dataset_metadata —
-            # stays parquet-only: it reads parquet footers via pyarrow)
+            # pushdown in Spark's reader. Manifest stats (stats_columns)
+            # and secondary indices work here too — stats come from the
+            # scan-based collector (_scan_file_stats) since the container
+            # has no Python-side ORC footer reader; only bloom filters /
+            # zorder_by / collect_dataset_metadata stay parquet-only
             writer.orc("file://" + os.path.abspath(data_root))
         else:
             writer.parquet("file://" + os.path.abspath(data_root))
@@ -415,8 +417,6 @@ def store_dataframe_as_dataset(
         delete_dataset(root, dataset_uuid)
     if table_format not in _FORMAT_SUFFIX:
         raise ValueError(f"unsupported format {table_format!r}")
-    if table_format != "parquet" and secondary_indices:
-        raise ValueError("secondary indices require parquet payloads")
     if bloom_filter_columns:
         if table_format != "parquet":
             raise ValueError("bloom filter columns require parquet payloads")
@@ -432,8 +432,6 @@ def store_dataframe_as_dataset(
         # the z layout exists to feed min/max skipping on these columns
         stats_columns = list(dict.fromkeys(list(stats_columns) + list(zorder_by)))
     if stats_columns:
-        if table_format != "parquet":
-            raise ValueError("stats columns require parquet payloads")
         known = {f.name for f in df.schema.fields}
         bad = [c for c in stats_columns if c not in known]
         if bad:
@@ -502,8 +500,6 @@ def build_dataset_indices(
     """Post-hoc secondary index build over all partitions + commit
     (reference X5 ``build_dataset_indices``, io/eager.py:877-917)."""
     manifest = DatasetManifest.load(root, dataset_uuid)
-    if manifest.table_format != "parquet":
-        raise ValueError("secondary indices require parquet payloads")
     for col in columns:
         manifest.indices[col] = ktk_index.build_index(spark, manifest, col)
     manifest.commit()

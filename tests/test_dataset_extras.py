@@ -38,11 +38,23 @@ def test_csv_roundtrip(spark, tmp_root, df):
     }
 
 
-def test_csv_rejects_secondary_indices(spark, tmp_root, df):
-    with pytest.raises(ValueError, match="parquet"):
-        store_dataframe_as_dataset(
-            spark, df, tmp_root, "ds", table_format="csv", secondary_indices=["S"]
-        )
+def test_csv_secondary_indices_supported(spark, tmp_root, df):
+    """Indices are serializer-agnostic (reference metapartition.py:1371):
+    a CSV dataset builds and serves an index-pruned read."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import dispatch_labels
+
+    store_dataframe_as_dataset(
+        spark, df, tmp_root, "ds", partition_on=["P"],
+        table_format="csv", secondary_indices=["S"],
+    )
+    m = DatasetManifest.load(tmp_root, "ds")
+    assert "S" in m.indices
+    probe = df.select("S").first()[0]
+    labels = dispatch_labels(spark, m, [[("S", "==", probe)]])
+    assert 0 < len(labels) <= len(m.partitions)
+    got = read_table(spark, tmp_root, "ds", predicates=[[("S", "==", probe)]])
+    assert got.count() == df.where(df.S == probe).count()
 
 
 def test_csv_update_delete_scope(spark, tmp_root, df):

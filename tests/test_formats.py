@@ -68,18 +68,6 @@ def test_jsonl_roundtrip_with_mutations(spark, tmp_root):
     assert read_table(spark, tmp_root, "d").count() == docs.where("lang <> 'en'").count()
 
 
-def test_jsonl_rejects_indices_and_stats(spark, tmp_root):
-    docs = _docs(spark)
-    with pytest.raises(ValueError, match="secondary indices"):
-        store_dataframe_as_dataset(
-            spark, docs, tmp_root, "x", table_format="jsonl", secondary_indices=["doc_id"]
-        )
-    with pytest.raises(ValueError, match="stats columns"):
-        store_dataframe_as_dataset(
-            spark, docs, tmp_root, "y", table_format="jsonl", stats_columns=["doc_id"]
-        )
-
-
 def test_bloom_filter_columns(spark, tmp_root):
     docs = _docs(spark)
     store_dataframe_as_dataset(
@@ -159,13 +147,64 @@ def test_orc_roundtrip_with_mutations(spark, tmp_root):
     assert read_table(spark, tmp_root, "d").count() == docs.where("lang <> 'en'").count()
 
 
-def test_orc_rejects_indices_and_stats(spark, tmp_root):
+@pytest.mark.parametrize("fmt", ["orc", "jsonl", "csv"])
+def test_nonparquet_stats_and_indices(spark, tmp_root, fmt):
+    """Stats columns and secondary indices are serializer-agnostic
+    (reference: indices work for every serializer,
+    metapartition.py:1371-1420): non-parquet formats collect per-file
+    min/max/null-count/rows through the scan-based stats job, the planner
+    prunes files on them, and index-pruned reads dispatch correctly."""
+    from kartothek_spark.dataset.read import count_rows, dispatch_labels
+
     docs = _docs(spark)
-    with pytest.raises(ValueError, match="secondary indices"):
-        store_dataframe_as_dataset(
-            spark, docs, tmp_root, "x", table_format="orc", secondary_indices=["doc_id"]
-        )
-    with pytest.raises(ValueError, match="stats columns"):
-        store_dataframe_as_dataset(
-            spark, docs, tmp_root, "y", table_format="orc", stats_columns=["doc_id"]
-        )
+    store_dataframe_as_dataset(
+        spark, docs, tmp_root, f"d_{fmt}",
+        partition_on=["lang"], table_format=fmt,
+        stats_columns=["doc_id"], secondary_indices=["doc_id"],
+    )
+    m = DatasetManifest.load(tmp_root, f"d_{fmt}")
+    assert m.stats_format == 2
+    assert "doc_id" in m.indices
+    # every partition carries exact stats + rows
+    for lbl, e in m.partitions.items():
+        assert "rows" in e and e["rows"] > 0
+        st = e["stats"]["doc_id"]
+        assert st["min"] <= st["max"] and st["nulls"] == 0
+    # metadata-only COUNT is exact
+    assert count_rows(spark, tmp_root, f"d_{fmt}") == docs.count()
+    # stats pruning: only the file(s) holding the global max can match
+    hi = max(e["stats"]["doc_id"]["max"] for e in m.partitions.values())
+    labels = dispatch_labels(spark, m, [[("doc_id", ">=", hi)]])
+    assert 0 < len(labels) < len(m.partitions)
+    # index-pruned point read matches a direct filter
+    probe = docs.select("doc_id").first()[0]
+    got = read_table(
+        spark, tmp_root, f"d_{fmt}", predicates=[[("doc_id", "==", probe)]]
+    )
+    assert got.count() == docs.where(F.col("doc_id") == probe).count()
+    labels = dispatch_labels(spark, m, [[("doc_id", "==", probe)]])
+    assert len(labels) < len(m.partitions)
+
+
+def test_nonparquet_stats_null_counts_exact(spark, tmp_root):
+    """The scan-based collector records EXACT null counts (trusted for
+    IS NULL skipping at stats_format 2) and omits min/max for an all-null
+    file, which therefore can never be skipped."""
+    from kartothek_spark.dataset.read import dispatch_labels
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 7), ("c", None), ("c", None)],
+        "k string, v int",
+    )
+    store_dataframe_as_dataset(
+        spark, df, tmp_root, "n", partition_on=["k"],
+        table_format="orc", stats_columns=["v"],
+    )
+    m = DatasetManifest.load(tmp_root, "n")
+    by_key = {lbl.split("/")[0]: e for lbl, e in m.partitions.items()}
+    assert by_key["k=a"]["stats"]["v"]["nulls"] == 1
+    assert by_key["k=b"]["stats"]["v"]["nulls"] == 0
+    assert "v" not in by_key["k=c"].get("stats", {})  # all-null: no min/max
+    # IS NULL prunes k=b (zero nulls, trusted), keeps k=a and k=c
+    labels = dispatch_labels(spark, m, [[("v", "==", None)]])
+    assert sorted(l.split("/")[0] for l in labels) == ["k=a", "k=c"]
