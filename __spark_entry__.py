@@ -2114,6 +2114,33 @@ def corpus_search_indexed(spark, sf_dir):
     return search_text_index(spark, root, "textidx", _SEARCH_TERMS, k=25)
 
 
+_BATCH_QUERIES = {
+    "q_spark": ["spark", "table", "join"],
+    "q_data": ["data", "model", "training"],
+    "q_one": ["table"],
+}
+
+
+def corpus_search_index_batch(spark, sf_dir):
+    """Batched multi-query retrieval over the persisted index (the
+    corpus-audit shape: thousands of benchmark queries in one plan): ONE
+    pruned read of the union of the queries' term buckets, one grouped
+    BM25 ranking keyed by query_id — per-query value-identical to the
+    single-query path, which is what the per-query SQL twin hash-checks."""
+    from kartothek_spark.operators.search_index import (
+        build_text_index,
+        search_text_index_batch,
+    )
+
+    def build(root):
+        build_text_index(
+            spark, _t(spark, sf_dir, "documents"), root, "textidx", buckets=8
+        )
+
+    root = _fixture(sf_dir, "textidx", build)
+    return search_text_index_batch(spark, root, "textidx", _BATCH_QUERIES, k=10)
+
+
 def corpus_search_index_sync(spark, sf_dir):
     """Incrementally-maintained text index: the corpus lands in TWO
     batches (build on the even docs, one O(new docs) sync appending the
@@ -2222,6 +2249,42 @@ def corpus_hybrid_ann(spark, sf_dir):
     )
     fused_exact = rrf_fuse([bm, exact], k=10).select("doc_id")
     return fused_exact.join(fused_ann, "doc_id", "left").agg(
+        F.count("*").cast("long").alias("n_results"),
+        (
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")) >= 0.5
+        ).alias("recall_ok"),
+    )
+
+
+def corpus_hybrid_pq(spark, sf_dir):
+    """Hybrid retrieval with the PERSISTED IVF-PQ index as the dense leg
+    (hybrid_search(dense="pq")) — the billion-vector composition: BM25
+    lexical candidates + a cell-pruned read of 32x-compressed codes with
+    exact cosine re-rank, RRF-fused. Same recall-floor contract as
+    corpus_hybrid_ann: fused-top-10 overlap vs the exact-brute-force
+    dense fusion, 0.5 floor far below measured overlap."""
+    from kartothek_spark.operators.pq import build_pq_index
+    from kartothek_spark.operators.search import bm25_search, hybrid_search, rrf_fuse
+    from kartothek_spark.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def build(root):
+        build_pq_index(spark, emb, root, "pq_idx", dim=EMB_DIM, n_centroids=16)
+
+    root = _fixture(sf_dir, "pq_index_plain", build)
+    fused_pq = hybrid_search(
+        docs, emb, _SEARCH_TERMS, query_vec_id=7, k=10, depth=40,
+        dim=EMB_DIM, dense="pq", index_root=root, index_uuid="pq_idx", nprobe=8,
+    ).select("doc_id", F.lit(1).alias("_hit"))
+    qv = emb.where(F.col("vec_id") == 7)
+    bm = bm25_search(docs, _SEARCH_TERMS, k=40).select(F.col("doc_id"), "rank")
+    exact = brute_force_topk(emb, qv, k=40, dim=EMB_DIM).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused_exact = rrf_fuse([bm, exact], k=10).select("doc_id")
+    return fused_exact.join(fused_pq, "doc_id", "left").agg(
         F.count("*").cast("long").alias("n_results"),
         (
             (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")) >= 0.5
@@ -3169,10 +3232,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": text_scrub,
         "corpus_search": corpus_search,
         "corpus_search_indexed": corpus_search_indexed,
+        "corpus_search_index_batch": corpus_search_index_batch,
         "corpus_search_index_sync": corpus_search_index_sync,
         "stream_text_index": stream_text_index,
         "corpus_hybrid_search": corpus_hybrid_search,
         "corpus_hybrid_ann": corpus_hybrid_ann,
+        "corpus_hybrid_pq": corpus_hybrid_pq,
         "corpus_classifier_score": corpus_classifier_score,
         "corpus_classifier_train": corpus_classifier_train,
         "corpus_perplexity": corpus_perplexity,
@@ -3842,6 +3907,16 @@ FROM ({scrub_sql})
         "corpus_search_index_sync": __import__(
             "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
         ).bm25_search_sql("documents", _SEARCH_TERMS, k=25),
+        # batched search promises PER-QUERY identity with the single-query
+        # path, so its twin is the union of the per-query oracles
+        "corpus_search_index_batch": "\nUNION ALL\n".join(
+            f"SELECT '{qid}' AS query_id, doc_id, score, rank FROM ("
+            + __import__(
+                "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
+            ).bm25_search_sql("documents", terms, k=10)
+            + ")"
+            for qid, terms in sorted(_BATCH_QUERIES.items())
+        ),
         "stream_text_index": __import__(
             "kartothek_spark.operators.search", fromlist=["bm25_search_sql"]
         ).bm25_search_sql("documents", _SEARCH_TERMS, k=25),
@@ -4015,6 +4090,11 @@ FROM embeddings WHERE vec_id < 10
         # construction (80 candidates feed the fusion) and the 0.5
         # overlap floor sits far below the measured 0.70-0.90
         "corpus_hybrid_ann": """
+SELECT CAST(10 AS BIGINT) AS n_results, CAST(1 AS BOOLEAN) AS recall_ok
+""",
+        # hybrid-PQ composition gate: same contract with the persisted
+        # IVF-PQ index as the dense leg (cell-pruned codes + exact rerank)
+        "corpus_hybrid_pq": """
 SELECT CAST(10 AS BIGINT) AS n_results, CAST(1 AS BOOLEAN) AS recall_ok
 """,
         "ann_ivfpq_recall": """

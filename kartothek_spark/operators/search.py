@@ -129,6 +129,75 @@ def bm25_search(
     return _bm25_rank(tf, n_docs, avgdl, k, id_col)
 
 
+def _bm25_rank_grouped(
+    tf: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    id_col: str,
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Batched BM25: rank MANY queries in one plan. ``tf`` is the
+    distinct ``(__id, __dl, __term, __tf)`` postings frame restricted to
+    the UNION of all queries' terms; ``queries`` the exploded
+    ``(__qid, __term)`` pairs. Per-query results are value-identical to
+    :func:`_bm25_rank` run per query, by construction: ``df(term)`` is a
+    corpus property computed on the distinct postings BEFORE the
+    per-query fan-out, per-(id, term) scores reuse the same rounded
+    expression, and each (query, doc) fold collects exactly the term set
+    the single-query plan would. The top-k is a window PARTITIONED BY
+    query — each partition holds only that query's candidate docs (bounded
+    by the postings of its terms), never the corpus, and never global."""
+    dfreq = tf.groupBy("__term").agg(F.count("*").cast("double").alias("__df"))
+    idf = F.round(
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)),
+        9,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq.select("__term", idf.alias("__idf"))), "__term")
+        .select(
+            "__id",
+            "__term",
+            F.round(
+                F.col("__idf")
+                * (F.col("__tf") * (BM25_K1 + 1))
+                / (
+                    F.col("__tf")
+                    + BM25_K1 * (1 - BM25_B + BM25_B * F.col("__dl") / F.lit(avgdl))
+                ),
+                9,
+            ).alias("__s"),
+        )
+        # per-query fan-out AFTER scoring: a term shared by q queries
+        # replicates only its (id, term, score) rows, never the raw tf
+        .join(F.broadcast(queries), "__term")
+    )
+    folded = (
+        scored.groupBy("__qid", "__id")
+        .agg(F.sort_array(F.collect_list(F.struct("__term", "__s"))).alias("__ts"))
+        .select(
+            "__qid",
+            "__id",
+            F.round(
+                F.aggregate(
+                    "__ts", F.lit(0.0), lambda acc, x: acc + x.getField("__s")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc("__id"))
+    return (
+        folded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(qid_col), F.col("__id").alias(id_col),
+            "score", "rank",
+        )
+    )
+
+
 def bm25_search_sql(
     table: str,
     query_terms: list[str],
@@ -226,6 +295,9 @@ def hybrid_search(
     vec_col: str = "embedding",
     dim: int | None = None,
     dense: str = "brute",
+    index_root: str | None = None,
+    index_uuid: str | None = None,
+    nprobe: int = 4,
 ) -> DataFrame:
     """Hybrid retrieval — the standard RAG pattern: a lexical BM25 pass
     and a dense cosine top-k pass each retrieve ``depth`` candidates,
@@ -241,9 +313,14 @@ def hybrid_search(
     query row, one matmul pass; the small/medium-corpus default),
     ``"lsh"`` (multi-table random-hyperplane LSH — the billion-vector
     scale path; candidates are bucket-joined, never a full scan per
-    query) or ``"ivf"`` (inverted-file coarse quantizer — probe-pruned
-    cells). The ANN composition's fused-recall floor is pinned by the
-    ``corpus_hybrid_ann`` gate."""
+    query), ``"ivf"`` (inverted-file coarse quantizer — probe-pruned
+    cells), or ``"pq"`` (the PERSISTED IVF-PQ index built by
+    :func:`~kartothek_spark.operators.pq.build_pq_index` — pass its
+    ``index_root``/``index_uuid``; the dense leg becomes a cell-pruned
+    read of 32x-compressed codes with an exact cosine re-rank over
+    ``embeddings``, the billion-vector path when the index already
+    exists). The ANN compositions' fused-recall floors are pinned by the
+    ``corpus_hybrid_ann`` / ``corpus_hybrid_pq`` gates."""
     from kartothek_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
@@ -269,8 +346,21 @@ def hybrid_search(
         vec = ivf_topk(
             embeddings, qdf, k=depth, dim=dim, id_col=vec_id_col, vec_col=vec_col
         )
+    elif dense == "pq":
+        if not index_root or not index_uuid:
+            raise ValueError(
+                "dense='pq' searches a persisted IVF-PQ index — pass "
+                "index_root and index_uuid (build_pq_index creates one)"
+            )
+        from kartothek_spark.operators.pq import search_pq_index
+
+        vec = search_pq_index(
+            docs.sparkSession, index_root, index_uuid, qdf,
+            k=depth, nprobe=nprobe, corpus=embeddings,
+            id_col=vec_id_col, vec_col=vec_col,
+        )
     else:
-        raise ValueError(f"dense must be brute|lsh|ivf, got {dense!r}")
+        raise ValueError(f"dense must be brute|lsh|ivf|pq, got {dense!r}")
     return rrf_fuse(
         [
             bm.select(F.col(id_col), "rank"),

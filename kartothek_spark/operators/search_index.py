@@ -209,3 +209,63 @@ def search_text_index(
         F.col("tf").cast("double").alias("__tf"),
     )
     return _bm25_rank(tf, n_docs, avgdl, k, id_col)
+
+
+def search_text_index_batch(
+    spark: SparkSession,
+    root: str,
+    index_uuid: str,
+    queries: dict[object, list[str]] | list[tuple[object, list[str]]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Top-k BM25 for MANY queries in ONE plan over the persisted index —
+    the corpus-audit shape (a decontamination or eval-leak sweep runs
+    thousands of benchmark queries): one manifest-PRUNED read of the
+    UNION of all queries' term buckets, one ``term IN`` pushdown, one
+    grouped ranking keyed by query id
+    (:func:`~kartothek_spark.operators.search.\\_bm25_rank_grouped`).
+    Per query, results are value-identical to :func:`search_text_index`
+    — pinned by the batch-vs-single pytest and the gate's per-query SQL
+    twin. ``queries`` maps query id → term list (dict or pair list)."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.operators.search import _bm25_rank_grouped
+
+    pairs = list(queries.items()) if isinstance(queries, dict) else list(queries)
+    if not pairs:
+        raise ValueError("queries must be non-empty")
+    norm: list[tuple[object, list[str]]] = []
+    for qid, terms in pairs:
+        ts = sorted({t.lower() for t in terms})
+        if not ts:
+            raise ValueError(f"query {qid!r} has no terms")
+        norm.append((qid, ts))
+    if len({qid for qid, _ in norm}) != len(norm):
+        raise ValueError("query ids must be unique")
+
+    all_terms = sorted({t for _, ts in norm for t in ts})
+    manifest = DatasetManifest.load(root, index_uuid)
+    n_docs = int(manifest.metadata[META_N_DOCS])
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = int(manifest.metadata[META_TOTAL_LEN]) / n_docs
+    buckets = int(manifest.metadata[META_BUCKETS])
+    bkts = sorted({h60_py(t) % buckets for t in all_terms})
+
+    tf = read_table(
+        spark,
+        root,
+        index_uuid,
+        predicates=[[("tb", "in", bkts), ("term", "in", all_terms)]],
+        columns=["term", "doc_id", "dl", "tf"],
+    ).select(
+        F.col("doc_id").alias("__id"),
+        F.col("dl").cast("double").alias("__dl"),
+        F.col("term").alias("__term"),
+        F.col("tf").cast("double").alias("__tf"),
+    )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in norm for t in ts], ["__qid", "__term"]
+    )
+    return _bm25_rank_grouped(tf, qdf, n_docs, avgdl, k, id_col, qid_col)

@@ -1530,3 +1530,52 @@ def test_fuzzy_join_hypothesis_completeness(spark):
         assert got == want
 
     prop()
+
+
+def test_text_index_batch_matches_single(spark, tmp_path):
+    """Batched multi-query index search must be VALUE-identical per query
+    to the single-query path (same df/score/fold/rank math), with one
+    pruned read serving the union of term buckets. Covers overlapping
+    term sets, a single-term query, string and non-string query ids."""
+    from kartothek_spark.operators.search_index import (
+        build_text_index,
+        search_text_index,
+        search_text_index_batch,
+    )
+
+    rows = [
+        (1, "spark joins the table with spark"),
+        (2, "a table of tables"),
+        (3, ""),
+        (4, "nothing relevant here at all"),
+        (5, "join join join spark"),
+        (6, "spark table join spark table join"),
+        (7, "table join nothing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "idx")
+    build_text_index(spark, docs, root, "t", buckets=4)
+
+    queries = {
+        "qa": ["spark", "table", "join"],
+        "qb": ["table"],
+        "qc": ["join", "nothing"],
+    }
+    got = search_text_index_batch(spark, root, "t", queries, k=3)
+    by_qid = {}
+    for r in got.collect():
+        by_qid.setdefault(r.query_id, []).append((r.doc_id, r.score, r.rank))
+    for qid, terms in queries.items():
+        single = [
+            (r.doc_id, r.score, r.rank)
+            for r in search_text_index(spark, root, "t", terms, k=3).collect()
+        ]
+        assert sorted(by_qid.get(qid, [])) == sorted(single), qid
+
+    # guards
+    with pytest.raises(ValueError, match="non-empty"):
+        search_text_index_batch(spark, root, "t", {})
+    with pytest.raises(ValueError, match="no terms"):
+        search_text_index_batch(spark, root, "t", {"q": []})
+    with pytest.raises(ValueError, match="unique"):
+        search_text_index_batch(spark, root, "t", [("q", ["a"]), ("q", ["b"])])

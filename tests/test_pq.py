@@ -193,3 +193,37 @@ def test_sync_pq_index_searchable_after_sync(spark, tmp_path):
     )
     r1 = {r.query_id: r.neighbor_id for r in top.where("rank = 1").collect()}
     assert r1 == {i: i + 10000 for i in range(5)}
+
+
+def test_hybrid_search_pq_leg(spark, tmp_path):
+    """hybrid_search(dense='pq') fuses BM25 with the persisted IVF-PQ
+    index leg; missing index args fail clearly; fused output keeps the
+    (id, score, rank) contract with k rows."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.pq import build_pq_index
+    from kartothek_spark.operators.search import hybrid_search
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    root = str(tmp_path / "pq")
+    build_pq_index(spark, emb, root, "idx", dim=dim, n_centroids=8)
+
+    with pytest.raises(ValueError, match="index_root"):
+        hybrid_search(docs, emb, ["spark"], query_vec_id=7, dense="pq")
+
+    out = hybrid_search(
+        docs, emb, ["spark", "table", "join"], query_vec_id=7,
+        k=5, depth=20, dim=dim, dense="pq",
+        index_root=root, index_uuid="idx", nprobe=4,
+    ).collect()
+    assert len(out) == 5
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert len({r.doc_id for r in out}) == 5
