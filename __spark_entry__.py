@@ -2750,6 +2750,80 @@ def corpus_fuzzy_join(spark, sf_dir):
     )
 
 
+def _fuzzy_probe_feed(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.expr(
+                "concat(substring(text, 1, 10), substring(text, 12, 13))"
+            ).alias("qkey"),
+        )
+    )
+
+
+def corpus_fuzzy_join_indexed(spark, sf_dir):
+    """Fuzzy join through the PERSISTED SymSpell index (the precomputed-
+    dictionary form the original algorithm is): the corpus keys' deletion
+    neighborhood is built ONCE as a bb-bucketed dataset; the query pays
+    only the probe-side fan-out + a pruned read — value-identical to
+    corpus_fuzzy_join (shared oracle), never re-blocking the corpus."""
+    from kartothek_spark.operators.fuzzy_index import (
+        build_fuzzy_index,
+        search_fuzzy_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("key")
+    )
+
+    def build(root):
+        build_fuzzy_index(
+            spark, docs, root, "fxidx", max_dist=2, string_col="key", buckets=8
+        )
+
+    root = _fixture(sf_dir, "fuzzy_blocks_idx", build)
+    return search_fuzzy_index(
+        spark, root, "fxidx", _fuzzy_probe_feed(spark, sf_dir),
+        probe_key="qkey", probe_id="probe_id",
+        corpus=docs, corpus_key="key", corpus_id="doc_id",
+    )
+
+
+def corpus_fuzzy_index_sync(spark, sf_dir):
+    """Incrementally-maintained fuzzy index: build on the even docs, one
+    O(new keys) sync appending the odd docs — the search over the synced
+    index must equal the full-corpus fuzzy join oracle (the text/PQ index
+    lifecycle shape applied to the SymSpell dictionary)."""
+    from kartothek_spark.operators.fuzzy_index import (
+        build_fuzzy_index,
+        search_fuzzy_index,
+        sync_fuzzy_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("key")
+    )
+
+    def build(root):
+        build_fuzzy_index(
+            spark, docs.where(F.col("doc_id") % 2 == 0), root, "fxs",
+            max_dist=2, string_col="key", buckets=8,
+        )
+        sync_fuzzy_index(
+            spark, docs.where(F.col("doc_id") % 2 == 1), root, "fxs",
+            string_col="key",
+        )
+
+    root = _fixture(sf_dir, "fuzzy_blocks_sync", build)
+    return search_fuzzy_index(
+        spark, root, "fxs", _fuzzy_probe_feed(spark, sf_dir),
+        probe_key="qkey", probe_id="probe_id",
+        corpus=docs, corpus_key="key", corpus_id="doc_id",
+    )
+
+
 def embedding_dups(spark, sf_dir):
     """Exact all-pairs near-dup via the distributed block-matrix self-join;
     blocks=4 pinned so the gate always exercises the multi-block shuffle
@@ -3270,6 +3344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_fuzzy_pairs": dedup_fuzzy_pairs,
         "corpus_fuzzy_join": corpus_fuzzy_join,
+        "corpus_fuzzy_join_indexed": corpus_fuzzy_join_indexed,
+        "corpus_fuzzy_index_sync": corpus_fuzzy_index_sync,
         "dedup_cross_corpus": dedup_cross_corpus,
         "corpus_fuzzy_decontaminate": corpus_fuzzy_decontaminate,
         "embedding_dups": embedding_dups,
@@ -4047,6 +4123,28 @@ FROM toks
             columns="doc_id, lang, n_chars",
         ),
         "corpus_fuzzy_join": fuzzy_join_sql(
+            "(SELECT doc_id, substr(text, 1, 24) AS key FROM documents)",
+            "(SELECT doc_id AS probe_id, substr(text, 1, 10) || substr(text, 12, 13) AS qkey"
+            " FROM documents WHERE doc_id % 7 = 0)",
+            2,
+            "key",
+            "qkey",
+            "doc_id",
+            "probe_id",
+        ),
+        # the indexed fuzzy paths promise value-identity with the
+        # on-the-fly join, so they share its brute-force oracle verbatim
+        "corpus_fuzzy_join_indexed": fuzzy_join_sql(
+            "(SELECT doc_id, substr(text, 1, 24) AS key FROM documents)",
+            "(SELECT doc_id AS probe_id, substr(text, 1, 10) || substr(text, 12, 13) AS qkey"
+            " FROM documents WHERE doc_id % 7 = 0)",
+            2,
+            "key",
+            "qkey",
+            "doc_id",
+            "probe_id",
+        ),
+        "corpus_fuzzy_index_sync": fuzzy_join_sql(
             "(SELECT doc_id, substr(text, 1, 24) AS key FROM documents)",
             "(SELECT doc_id AS probe_id, substr(text, 1, 10) || substr(text, 12, 13) AS qkey"
             " FROM documents WHERE doc_id % 7 = 0)",

@@ -107,6 +107,13 @@ HEADLINE = [
     "dedup_cross_corpus",    # two-sided MinHash banding, value oracle
     "corpus_fuzzy_decontaminate",  # near-dup-to-benchmark anti-join
     "events_asof_tolerance",  # merge_asof tolerance, plan-identical
+    # round 6: serializer-agnostic stats/indices + batched retrieval +
+    # persisted-index compositions
+    "ktk_orc_stats_pruned",  # ORC stats+index write, pruned read
+    "corpus_search_index_batch",  # many queries, one pruned read + ranking
+    "corpus_hybrid_pq",      # BM25 + persisted IVF-PQ dense leg, RRF
+    "corpus_fuzzy_join_indexed",  # SymSpell lookup vs persisted blocks
+    "corpus_fuzzy_index_sync",  # build + O(new keys) sync, searched result
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -130,3 +130,114 @@ def test_stream_dedup_index_matches_batch(spark, tmp_path):
     want = _pairs_set(minhash_lsh_pairs(docs, threshold=THRESHOLD))
     assert got == want
     assert read_table(spark, root, "mh_index").count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# persisted SymSpell fuzzy index
+# ---------------------------------------------------------------------------
+
+def _fuzzy_corpus(spark):
+    rows = [
+        (1, "spark"), (2, "spork"), (3, "sparkle"), (4, "park"),
+        (5, "table"), (6, "tables"), (7, "tabel"), (8, "spark"),  # dup key
+        (9, ""), (10, "x"),
+    ]
+    return spark.createDataFrame(rows, "cid long, k string")
+
+
+def test_fuzzy_index_matches_fuzzy_join(spark, tmp_path):
+    """search_fuzzy_index(corpus=...) must be value-identical to the
+    on-the-fly fuzzy_join over the same frames — the indexed path only
+    moves the corpus-side blocking to build time."""
+    from kartothek_spark.operators.dedup import fuzzy_join
+    from kartothek_spark.operators.fuzzy_index import (
+        build_fuzzy_index,
+        search_fuzzy_index,
+    )
+
+    corpus = _fuzzy_corpus(spark)
+    probes = spark.createDataFrame(
+        [(101, "spark"), (102, "tale"), (103, "zzzzzz"), (104, "")],
+        "pid long, q string",
+    )
+    root = str(tmp_path / "fx")
+    build_fuzzy_index(spark, corpus, root, "fx", max_dist=2, string_col="k")
+
+    got = sorted(
+        tuple(r)
+        for r in search_fuzzy_index(
+            spark, root, "fx", probes, probe_key="q", probe_id="pid",
+            corpus=corpus, corpus_key="k", corpus_id="cid",
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in fuzzy_join(
+            corpus, probes, max_dist=2, left_on="k", right_on="q",
+            left_id="cid", right_id="pid",
+        ).collect()
+    )
+    assert got == want and got  # non-trivial
+
+    # dictionary-lookup form: distinct keys, not row ids
+    keys = sorted(
+        tuple(r)
+        for r in search_fuzzy_index(
+            spark, root, "fx", probes, probe_key="q", probe_id="pid"
+        ).collect()
+    )
+    assert (101, "spark", 0) in keys and (102, "table", 1) in keys
+    assert not any(k == "zzzzzz" for _, k, _d in keys)
+
+    # tightened distance: subset at dist <= 1, exact
+    tight = sorted(
+        tuple(r)
+        for r in search_fuzzy_index(
+            spark, root, "fx", probes, probe_key="q", probe_id="pid",
+            corpus=corpus, corpus_key="k", corpus_id="cid", max_dist=1,
+        ).collect()
+    )
+    assert tight == [t for t in want if t[2] <= 1]
+
+
+def test_fuzzy_index_sync_and_guards(spark, tmp_path):
+    """build(batch1)+sync(batch2) answers like an index over the union;
+    widening the search distance past the indexed one errors."""
+    import pytest
+
+    from kartothek_spark.operators.fuzzy_index import (
+        build_fuzzy_index,
+        search_fuzzy_index,
+        sync_fuzzy_index,
+    )
+
+    corpus = _fuzzy_corpus(spark)
+    b1 = corpus.where("cid % 2 = 0")
+    b2 = corpus.where("cid % 2 = 1")
+    probes = spark.createDataFrame([(101, "spark"), (102, "tale")], "pid long, q string")
+
+    root = str(tmp_path / "fx")
+    build_fuzzy_index(spark, b1, root, "fx", max_dist=2, string_col="k")
+    sync_fuzzy_index(spark, b2, root, "fx", string_col="k")
+    root2 = str(tmp_path / "fx2")
+    build_fuzzy_index(spark, corpus, root2, "fx2", max_dist=2, string_col="k")
+
+    def run(r, u):
+        return sorted(
+            tuple(x)
+            for x in search_fuzzy_index(
+                spark, r, u, probes, probe_key="q", probe_id="pid",
+                corpus=corpus, corpus_key="k", corpus_id="cid",
+            ).collect()
+        )
+
+    assert run(root, "fx") == run(root2, "fx2")
+
+    with pytest.raises(ValueError, match="rebuild"):
+        search_fuzzy_index(
+            spark, root, "fx", probes, probe_key="q", probe_id="pid", max_dist=3
+        )
+    with pytest.raises(ValueError, match="corpus_key"):
+        search_fuzzy_index(
+            spark, root, "fx", probes, probe_key="q", probe_id="pid", corpus=corpus
+        )
