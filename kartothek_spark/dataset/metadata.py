@@ -219,10 +219,18 @@ def _scan_file_stats(
         .agg(*aggs)
         .collect()
     )
-    out: dict[str, Any] = {lbl: ({}, 0) for lbl in labels}
+    # FAIL LOUDLY on path-mapping drift in either direction: a scan row
+    # whose decoded runtime path matches no manifest label, or a label
+    # the scan produced no row for, would otherwise silently record
+    # rows=0/no-stats — corrupting metadata-only COUNT and file skipping.
+    # (The engine's writers never commit empty payload files, so every
+    # label must group at least one row.)
+    out: dict[str, Any] = {}
+    unknown = []
     for r in rows:
         lbl = mapping.get(r["__f"])
         if lbl is None:
+            unknown.append(r["__f"])
             continue
         stats = {}
         for c in cols:
@@ -231,6 +239,14 @@ def _scan_file_stats(
                 continue  # all-null file for this column → cannot skip
             stats[c] = {"min": lo, "max": hi, "nulls": int(r[f"__nl_{c}"])}
         out[lbl] = (stats, int(r["__rows"]))
+    missing = sorted(set(labels) - set(out))
+    if unknown or missing:
+        raise RuntimeError(
+            "scan-based stats collection could not map runtime file paths "
+            f"to manifest labels (labels without a scan row: {missing[:5]}, "
+            f"scan paths without a label: {unknown[:5]}) — path decoding "
+            "drifted; refusing to record rows=0 for non-empty files"
+        )
     return out
 
 

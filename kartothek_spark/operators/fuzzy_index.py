@@ -139,7 +139,13 @@ def sync_fuzzy_index(
         int(manifest.metadata[META_BUCKETS]),
     )
     return update_dataset(
-        spark, rows, root, index_uuid, metadata=dict(extra_metadata or {})
+        spark, rows, root, index_uuid,
+        # keep the build layout's blk-sorted files: the pruned lookup's
+        # `blk IN` predicate relies on row-group min/max skipping, which
+        # unsorted appended batches would silently degrade (same reason
+        # sync_text_index sorts by term)
+        sort_partitions_by=["blk"],
+        metadata=dict(extra_metadata or {}),
     )
 
 
@@ -190,9 +196,16 @@ def search_fuzzy_index(
     )
     # probe-side neighborhood at the INDEX's distance (candidate
     # completeness needs both sides blocked at the same d; a tighter
-    # max_dist only tightens the exact verify below)
-    pblocks = _key_blocks(pkeys, idx_dist, max_len).select(
-        "blk", F.col("key").alias("__pk")
+    # max_dist only tightens the exact verify below). Materialized once —
+    # the driver block-list collect below AND the verify join both read
+    # it; left lazy, the whole probe scan + variant generation would run
+    # twice. localCheckpoint is bounded by the probe batch's neighborhood
+    # and its blocks are released by the context cleaner when the plan is
+    # garbage-collected (no session-lifetime pin to unwind).
+    pblocks = (
+        _key_blocks(pkeys, idx_dist, max_len)
+        .select("blk", F.col("key").alias("__pk"))
+        .localCheckpoint(eager=True)
     )
 
     # small probe batches dispatch as a manifest-pruned point read: the

@@ -32,21 +32,17 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def _bm25_rank(
-    tf: DataFrame, n_docs: int, avgdl: float, k: int, id_col: str
-) -> DataFrame:
-    """Shared BM25 scorer over a ``(__id, __dl double, __term, __tf
-    double)`` frame restricted to the query terms — the SINGLE expression
-    tree both :func:`bm25_search` (on-the-fly) and
-    :func:`~kartothek_spark.operators.search_index.search_text_index`
-    (persisted postings) rank with, so the two paths are value-identical
-    by construction (same exact inputs → same IEEE ops → same rounds)."""
+def _bm25_scored(tf: DataFrame, n_docs: int, avgdl: float) -> DataFrame:
+    """Per-(doc, term) BM25 contributions ``(__id, __term, __s)`` — the
+    ONE scoring expression tree every ranking path shares (on-the-fly,
+    persisted-index single-query, persisted-index batched): df(term) from
+    the distinct postings, rounded idf, rounded per-term score."""
     dfreq = tf.groupBy("__term").agg(F.count("*").cast("double").alias("__df"))
     idf = F.round(
         F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)),
         9,
     )
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq.select("__term", idf.alias("__idf"))), "__term")
         .select(
             "__id",
@@ -62,13 +58,17 @@ def _bm25_rank(
             ).alias("__s"),
         )
     )
-    # fixed-order fold: sort the per-doc (term, score) pairs by term and
-    # add left-to-right — bit-stable under any partitioning
-    folded = (
-        scored.groupBy("__id")
+
+
+def _fold_scores(scored: DataFrame, keys: list[str]) -> DataFrame:
+    """Fixed-order fold shared by every ranking path: sort each group's
+    (term, score) pairs by term and add left-to-right — bit-stable under
+    any partitioning."""
+    return (
+        scored.groupBy(*keys)
         .agg(F.sort_array(F.collect_list(F.struct("__term", "__s"))).alias("__ts"))
         .select(
-            "__id",
+            *keys,
             F.round(
                 F.aggregate(
                     "__ts", F.lit(0.0), lambda acc, x: acc + x.getField("__s")
@@ -77,6 +77,18 @@ def _bm25_rank(
             ).alias("score"),
         )
     )
+
+
+def _bm25_rank(
+    tf: DataFrame, n_docs: int, avgdl: float, k: int, id_col: str
+) -> DataFrame:
+    """Shared BM25 scorer over a ``(__id, __dl double, __term, __tf
+    double)`` frame restricted to the query terms — the SINGLE expression
+    tree both :func:`bm25_search` (on-the-fly) and
+    :func:`~kartothek_spark.operators.search_index.search_text_index`
+    (persisted postings) rank with, so the two paths are value-identical
+    by construction (same exact inputs → same IEEE ops → same rounds)."""
+    folded = _fold_scores(_bm25_scored(tf, n_docs, avgdl), ["__id"])
     # distributed top-k (TakeOrderedAndProject): per-partition heaps, one
     # driver merge of <= k * n_partitions rows; the rank window only ever
     # sees the <= k survivors, never the corpus
@@ -144,49 +156,16 @@ def _bm25_rank_grouped(
     ``(__qid, __term)`` pairs. Per-query results are value-identical to
     :func:`_bm25_rank` run per query, by construction: ``df(term)`` is a
     corpus property computed on the distinct postings BEFORE the
-    per-query fan-out, per-(id, term) scores reuse the same rounded
-    expression, and each (query, doc) fold collects exactly the term set
-    the single-query plan would. The top-k is a window PARTITIONED BY
-    query — each partition holds only that query's candidate docs (bounded
-    by the postings of its terms), never the corpus, and never global."""
-    dfreq = tf.groupBy("__term").agg(F.count("*").cast("double").alias("__df"))
-    idf = F.round(
-        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)),
-        9,
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq.select("__term", idf.alias("__idf"))), "__term")
-        .select(
-            "__id",
-            "__term",
-            F.round(
-                F.col("__idf")
-                * (F.col("__tf") * (BM25_K1 + 1))
-                / (
-                    F.col("__tf")
-                    + BM25_K1 * (1 - BM25_B + BM25_B * F.col("__dl") / F.lit(avgdl))
-                ),
-                9,
-            ).alias("__s"),
-        )
-        # per-query fan-out AFTER scoring: a term shared by q queries
-        # replicates only its (id, term, score) rows, never the raw tf
-        .join(F.broadcast(queries), "__term")
-    )
-    folded = (
-        scored.groupBy("__qid", "__id")
-        .agg(F.sort_array(F.collect_list(F.struct("__term", "__s"))).alias("__ts"))
-        .select(
-            "__qid",
-            "__id",
-            F.round(
-                F.aggregate(
-                    "__ts", F.lit(0.0), lambda acc, x: acc + x.getField("__s")
-                ),
-                6,
-            ).alias("score"),
-        )
-    )
+    per-query fan-out (the SHARED :func:`_bm25_scored` tree — identity is
+    structural, not maintained by hand), and each (query, doc) fold
+    collects exactly the term set the single-query plan would. The top-k
+    is a window PARTITIONED BY query — each partition holds only that
+    query's candidate docs (bounded by the postings of its terms), never
+    the corpus, and never global."""
+    # per-query fan-out AFTER scoring: a term shared by q queries
+    # replicates only its (id, term, score) rows, never the raw tf
+    scored = _bm25_scored(tf, n_docs, avgdl).join(F.broadcast(queries), "__term")
+    folded = _fold_scores(scored, ["__qid", "__id"])
     w = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc("__id"))
     return (
         folded.withColumn("rank", F.row_number().over(w).cast("long"))
