@@ -2526,6 +2526,41 @@ def corpus_stratified(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def corpus_mixture_sample(spark, sf_dir):
+    """Temperature-weighted source mixing (the LLM data-recipe step):
+    per-source quotas ∝ n^0.5 over exact micro-unit integer weights,
+    selection = quota hash-smallest per source through the two-phase
+    mega-group-proof window cascade. Full value oracle."""
+    from kartothek_spark.operators.corpus import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), "source", total=240, alpha=0.5
+    ).select("doc_id", "source", "n_chars")
+
+
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup application: each MinHash near-dup cluster
+    keeps its LONGEST member (n_chars as the quality score; ties → min
+    id) instead of the arbitrary smallest-id canonical — the curation
+    rule when clusters mix clean originals with truncated copies. Shares
+    the cached pair list with dedup_corpus (the pair machinery is timed
+    by dedup_minhash_lsh); output hashes content via fingerprint."""
+    from kartothek_spark.operators.dedup import apply_dedup_best, minhash_lsh_pairs
+    from kartothek_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build(root):
+        minhash_lsh_pairs(docs, threshold=0.2).coalesce(4).write.parquet(
+            os.path.join(root, "pairs")
+        )
+
+    proot = _fixture(sf_dir, "mh_pairs", build)
+    pairs = spark.read.parquet(os.path.join(proot, "pairs"))
+    kept = apply_dedup_best(docs, pairs, score_col="n_chars")
+    return kept.select("doc_id", fingerprint("text").alias("fp"))
+
+
 def corpus_shard(spark, sf_dir):
     """Deterministic balanced shard export (operators/corpus.py
     shard_corpus): hash-assigned shard ids + stable pseudo-random
@@ -3328,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": corpus_pack,
         "corpus_chunk": corpus_chunk,
         "corpus_stratified": corpus_stratified,
+        "corpus_mixture_sample": corpus_mixture_sample,
         "corpus_shard": corpus_shard,
         "corpus_bpe": corpus_bpe,
         "corpus_bpe_zero": corpus_bpe_zero,
@@ -3337,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "dedup_clusters": dedup_clusters,
         "dedup_corpus": dedup_corpus,
+        "dedup_keep_best": dedup_keep_best,
         "dedup_semantic": dedup_semantic,
         "dedup_simhash": dedup_simhash,
         "dedup_spans": dedup_spans,
@@ -4070,6 +4107,10 @@ enr AS (
         "corpus_stratified": _corpus.stratified_sample_sql(
             "documents", "source", quota=100, columns="doc_id, source"
         ),
+        "corpus_mixture_sample": _corpus.mixture_sample_sql(
+            "documents", "source", total=240, alpha=0.5,
+            columns="doc_id, source, n_chars",
+        ),
         "corpus_bpe_zero": """
 WITH toks AS (
   SELECT doc_id,
@@ -4101,6 +4142,14 @@ FROM toks
         "dedup_corpus": apply_dedup_sql(
             "documents",
             minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
+            columns=f"doc_id, {fingerprint_sql('text')} AS fp",
+        ),
+        "dedup_keep_best": __import__(
+            "kartothek_spark.operators.dedup", fromlist=["apply_dedup_best_sql"]
+        ).apply_dedup_best_sql(
+            "documents",
+            minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.2),
+            score_col="n_chars",
             columns=f"doc_id, {fingerprint_sql('text')} AS fp",
         ),
         "dedup_simhash": simhash_pairs_sql("documents", "text", "doc_id", max_hamming=6),

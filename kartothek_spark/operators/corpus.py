@@ -493,6 +493,109 @@ SELECT {columns} FROM (
 """
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Temperature-weighted source mixing — the standard LLM data-recipe
+    step (multinomial source sampling with temperature, the up/down-
+    weighting rule of the GPT/LLaMA data mixes): each group's quota is
+    ``total * n_g^alpha / Σ n^alpha`` (``alpha=1`` proportional,
+    ``alpha=0`` uniform, between = small sources up-weighted), floored in
+    EXACT integer arithmetic over micro-unit weights so engines agree,
+    clamped to ``[1, n_g]``; within a group the quota hash-smallest rows
+    win (deterministic and growth-stable, as in
+    :func:`stratified_sample`).
+
+    Plan: the per-group quota table is tiny (one row per source) and
+    broadcast onto the corpus; selection is the same two-phase
+    (group, hash-shard) window cascade as ``stratified_sample``, so a
+    95%-of-corpus source never serializes through one task. Σ quotas can
+    undershoot ``total`` by at most the group count (floor + clamps) —
+    the recipe cares about the RATIOS, which the floor preserves."""
+    from pyspark.sql import Window
+
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    # micro-unit integer weights: round(n^alpha * 1e6) — past this one
+    # rounding, quota arithmetic is exact BIGINT (cross-engine stable)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    weights = counts.select(
+        group_col,
+        "__n",
+        F.round(F.pow(F.col("__n").cast("double"), F.lit(float(alpha))) * 1e6)
+        .cast("long")
+        .alias("__w"),
+    )
+    quotas = (
+        # NB: the sum's alias must not collide case-insensitively with
+        # "__w" — Spark and DuckDB both resolve column names case-
+        # insensitively, so withColumn("__W") would silently REPLACE __w
+        weights.withColumn("__wsum", F.sum("__w").over(Window.partitionBy()))
+        .select(
+            group_col,
+            F.least(
+                F.col("__n"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(f"(CAST({int(total)} AS BIGINT) * __w) DIV __wsum"),
+                ),
+            ).alias("__quota"),
+        )
+    )
+    h = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    shards = 64
+    w1 = Window.partitionBy(group_col, "__shard").orderBy(F.asc("__h"), F.asc(id_col))
+    w2 = Window.partitionBy(group_col).orderBy(F.asc("__h"), F.asc(id_col))
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("__h", h)
+        .withColumn("__shard", F.pmod(F.col("__h"), F.lit(shards)))
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__h", "__shard", "__rn", "__quota")
+    )
+
+
+def mixture_sample_sql(
+    table: str,
+    group_col: str,
+    total: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+    columns: str = "*",
+) -> str:
+    h = h60_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {columns} FROM (
+  SELECT t.*, row_number() OVER (
+           PARTITION BY t.{group_col} ORDER BY {h} ASC, t.{id_col} ASC
+         ) AS rn,
+         q.quota
+  FROM {table} t
+  JOIN (
+    SELECT {group_col},
+           least(n, greatest(1, (CAST({int(total)} AS BIGINT) * w) // wsum)) AS quota
+    FROM (
+      SELECT {group_col}, n, w, sum(w) OVER () AS wsum
+      FROM (
+        SELECT {group_col}, count(*) AS n,
+               CAST(round(pow(CAST(count(*) AS DOUBLE), {float(alpha)}) * 1e6) AS BIGINT) AS w
+        FROM {table} GROUP BY {group_col}
+      )
+    )
+  ) q USING ({group_col})
+) WHERE rn <= quota
+"""
+
+
 def shard_corpus(
     df: DataFrame,
     n_shards: int,

@@ -750,6 +750,62 @@ WHERE {id_col} NOT IN (
 """
 
 
+def apply_dedup_best(
+    df: DataFrame, pairs: DataFrame, score_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-aware canonical selection: like :func:`apply_dedup`, but
+    each near-duplicate cluster keeps its HIGHEST-``score_col`` member
+    (ties and NULL scores lose deterministically: score DESC NULLS LAST,
+    then smallest id) — the curation rule real pipelines apply when a
+    boilerplate cluster mixes a clean original with truncated or
+    spam-wrapped copies and "smallest id" would keep an arbitrary one.
+
+    Same scale shape as ``apply_dedup``: the rank window partitions by
+    cluster_id (bounded by the duplicate-cluster size, never the corpus),
+    the drop list is (cluster size - 1) ids per cluster, and the corpus
+    itself is only ever anti-joined — never shuffled or collected."""
+    from pyspark.sql import Window
+
+    clusters = duplicate_clusters(pairs)
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("__q")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q").desc_nulls_last(), F.asc("doc_id")
+    )
+    drop = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(F.col("doc_id").alias("__drop_id"))
+    )
+    return df.join(drop, df[id_col] == F.col("__drop_id"), "left_anti")
+
+
+def apply_dedup_best_sql(
+    table: str,
+    pairs_sql: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    columns: str = "*",
+) -> str:
+    """DuckDB oracle for :func:`apply_dedup_best` over ``table``."""
+    clusters_sql = duplicate_clusters_sql(pairs_sql)
+    return f"""
+SELECT {columns} FROM {table}
+WHERE {id_col} NOT IN (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (
+             PARTITION BY c.cluster_id
+             ORDER BY t.{score_col} DESC NULLS LAST, c.doc_id ASC
+           ) AS rn
+    FROM ({clusters_sql}) c JOIN {table} t ON t.{id_col} = c.doc_id
+  ) WHERE rn > 1
+)
+"""
+
+
 def duplicated_spans(
     df: DataFrame,
     window_tokens: int = 20,

@@ -1579,3 +1579,50 @@ def test_text_index_batch_matches_single(spark, tmp_path):
         search_text_index_batch(spark, root, "t", {"q": []})
     with pytest.raises(ValueError, match="unique"):
         search_text_index_batch(spark, root, "t", [("q", ["a"]), ("q", ["b"])])
+
+
+def test_apply_dedup_best_keeps_highest_score(spark):
+    """apply_dedup_best keeps the argmax-score member per cluster (ties ->
+    smallest id; NULL scores lose); rows in no cluster pass through."""
+    from kartothek_spark.operators.dedup import apply_dedup_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 50), (5, 50), (6, 7)],
+        "doc_id long, q int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(r.doc_id for r in apply_dedup_best(docs, pairs, "q").collect())
+    # cluster {1,2,3}: 2 wins (score 99, null loses); cluster {4,5}: tie -> 4
+    assert kept == [2, 4, 6]
+
+
+def test_mixture_sample_temperature(spark):
+    """Temperature-weighted mixing: alpha=1 is proportional, alpha=0 is
+    uniform, 0<alpha<1 up-weights small sources; quotas clamp to [1, n];
+    selection is deterministic and a subset of the corpus."""
+    from kartothek_spark.operators.corpus import mixture_sample
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def quotas(alpha, total):
+        out = mixture_sample(df, "source", total=total, alpha=alpha)
+        got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+        return got.get("big", 0), got.get("small", 0)
+
+    b1, s1 = quotas(1.0, 50)  # proportional: 45/5
+    assert (b1, s1) == (45, 5)
+    b0, s0 = quotas(0.0, 20)  # uniform: 10/10
+    assert (b0, s0) == (10, 10)
+    bh, sh = quotas(0.5, 50)  # sqrt: small source up-weighted vs proportional
+    assert sh > 5 and bh > sh
+    # determinism + subset
+    a = sorted(r.doc_id for r in mixture_sample(df, "source", 30).collect())
+    b = sorted(r.doc_id for r in mixture_sample(df, "source", 30).collect())
+    assert a == b and set(a) <= set(range(100))
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "source", 0)
