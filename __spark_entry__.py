@@ -2204,6 +2204,47 @@ def stream_text_index(spark, sf_dir):
     return search_text_index(spark, root, "stidx", _SEARCH_TERMS, k=25)
 
 
+def stream_fuzzy_index(spark, sf_dir):
+    """Streaming SymSpell-index maintenance: foreachBatch builds the
+    deletion-block dataset on micro-batch 0 and appends every later
+    batch's NEW keys with the exactly-once stamp inside the commit. The
+    drained index must answer lookups exactly like the on-the-fly fuzzy
+    join over everything ingested — full value oracle (shared with
+    corpus_fuzzy_join)."""
+    from kartothek_spark.operators.fuzzy_index import search_fuzzy_index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("key")
+    )
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_fuzzy_index as op
+
+        src = os.path.join(root, "_src")
+        docs.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "sfidx", string_col="key", max_dist=2, buckets=8,
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_fuzzy_index fixture: stream did not drain")
+
+    root = _fixture(sf_dir, "sfidx", build)
+    return search_fuzzy_index(
+        spark, root, "sfidx", _fuzzy_probe_feed(spark, sf_dir),
+        probe_key="qkey", probe_id="probe_id",
+        corpus=docs, corpus_key="key", corpus_id="doc_id",
+    )
+
+
 def corpus_hybrid_search(spark, sf_dir):
     """Hybrid retrieval (RAG pattern): BM25 lexical pass + dense cosine
     top-k pass over the document embeddings, reciprocal-rank fused
@@ -3383,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fuzzy_join": corpus_fuzzy_join,
         "corpus_fuzzy_join_indexed": corpus_fuzzy_join_indexed,
         "corpus_fuzzy_index_sync": corpus_fuzzy_index_sync,
+        "stream_fuzzy_index": stream_fuzzy_index,
         "dedup_cross_corpus": dedup_cross_corpus,
         "corpus_fuzzy_decontaminate": corpus_fuzzy_decontaminate,
         "embedding_dups": embedding_dups,
@@ -4184,6 +4226,16 @@ FROM toks
         # the indexed fuzzy paths promise value-identity with the
         # on-the-fly join, so they share its brute-force oracle verbatim
         "corpus_fuzzy_join_indexed": fuzzy_join_sql(
+            "(SELECT doc_id, substr(text, 1, 24) AS key FROM documents)",
+            "(SELECT doc_id AS probe_id, substr(text, 1, 10) || substr(text, 12, 13) AS qkey"
+            " FROM documents WHERE doc_id % 7 = 0)",
+            2,
+            "key",
+            "qkey",
+            "doc_id",
+            "probe_id",
+        ),
+        "stream_fuzzy_index": fuzzy_join_sql(
             "(SELECT doc_id, substr(text, 1, 24) AS key FROM documents)",
             "(SELECT doc_id AS probe_id, substr(text, 1, 10) || substr(text, 12, 13) AS qkey"
             " FROM documents WHERE doc_id % 7 = 0)",

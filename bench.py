@@ -114,6 +114,9 @@ HEADLINE = [
     "corpus_hybrid_pq",      # BM25 + persisted IVF-PQ dense leg, RRF
     "corpus_fuzzy_join_indexed",  # SymSpell lookup vs persisted blocks
     "corpus_fuzzy_index_sync",  # build + O(new keys) sync, searched result
+    "stream_fuzzy_index",    # foreachBatch-maintained SymSpell index
+    "corpus_mixture_sample",  # temperature source mixing (n^alpha quotas)
+    "dedup_keep_best",       # quality-aware canonical selection
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -552,3 +552,61 @@ def stream_text_index(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_fuzzy_index(
+    stream_df: DataFrame,
+    root: str,
+    index_uuid: str = "fuzzy_index",
+    string_col: str = "text",
+    max_dist: int = 2,
+    max_len: int = 48,
+    buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming maintenance of the persisted SymSpell fuzzy index
+    (:mod:`~kartothek_spark.operators.fuzzy_index`): batch 0 builds the
+    index, every later micro-batch appends its NEW keys' deletion blocks
+    in one atomic O(batch) commit — a lookup issued between batches
+    always sees a consistent block set, and after the stream drains the
+    index answers exactly like one built over everything ingested
+    (pinned by the stream-vs-batch pytest). Same exactly-once shape as
+    ``stream_text_index``: the ``(txn_id, batch_id)`` stamp rides INSIDE
+    each commit, so a batch re-delivered after a crash between commit
+    and checkpoint advance is skipped instead of double-appending its
+    blocks. (Duplicate blocks would not change lookup RESULTS — the
+    candidate set de-duplicates — but would grow the index unboundedly
+    under repeated replays.) Returns the StreamingQuery."""
+    from kartothek_spark.operators.fuzzy_index import (
+        build_fuzzy_index,
+        sync_fuzzy_index,
+    )
+
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        if not DatasetManifest.exists(root, index_uuid):
+            _purge_uncommitted_dataset_dir(root, index_uuid)
+            build_fuzzy_index(
+                spark, batch_df, root, index_uuid,
+                max_dist=max_dist, string_col=string_col,
+                max_len=max_len, buckets=buckets,
+                extra_metadata=stamp,
+            )
+        elif not _batch_already_committed(root, index_uuid, batch_id, txn_id):
+            sync_fuzzy_index(
+                spark, batch_df, root, index_uuid,
+                string_col=string_col, extra_metadata=stamp,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

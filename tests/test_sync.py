@@ -255,3 +255,56 @@ def test_stream_text_index_matches_batch(spark, tmp_path):
     ]
     want = [tuple(r) for r in bm25_search(docs, terms, k=30).collect()]
     assert got == want
+
+
+def test_stream_fuzzy_index_matches_batch(spark, tmp_path):
+    """Streaming fuzzy-index maintenance (build on batch 0, O(new keys)
+    syncs after) must answer lookups EXACTLY like the on-the-fly
+    fuzzy_join over everything ingested."""
+    import os
+
+    from kartothek_spark.operators.dedup import fuzzy_join
+    from kartothek_spark.operators.fuzzy_index import search_fuzzy_index
+    from kartothek_spark.streaming.update import stream_fuzzy_index
+    from tests.conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", F.expr("substring(text, 1, 20)").alias("key"))
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    root = str(tmp_path / "store")
+    q = stream_fuzzy_index(
+        stream, root, "fidx", string_col="key", max_dist=2, buckets=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+
+    probes = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.expr("concat(substring(key, 1, 8), substring(key, 10, 11))").alias("qkey"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in search_fuzzy_index(
+            spark, root, "fidx", probes, probe_key="qkey", probe_id="probe_id",
+            corpus=docs, corpus_key="key", corpus_id="doc_id",
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in fuzzy_join(
+            docs, probes, max_dist=2, left_on="key", right_on="qkey",
+            left_id="doc_id", right_id="probe_id",
+        ).collect()
+    )
+    assert got == want and got
