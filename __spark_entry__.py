@@ -2783,6 +2783,23 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=4, threshold=0.35)
 
 
+def dedup_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs: truncated copies (every 13th
+    doc's 120-char prefix, planted with shifted ids) have near-zero
+    Jaccard against their origin but containment ~1 — the nesting signal
+    doc-level Jaccard structurally misses. Full value oracle."""
+    from kartothek_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snips = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, 120)").alias("text"),
+    )
+    return ngram_containment_pairs(
+        docs.unionByName(snips), n=6, threshold=0.8
+    )
+
+
 def dedup_fuzzy_pairs(spark, sf_dir):
     """EXACT edit-distance pairs (levenshtein <= 2) on the 24-char leading
     snippet via complete SymSpell deletion-neighborhood blocking — the
@@ -3420,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "dedup_span_trim": dedup_span_trim,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_containment": dedup_containment,
         "dedup_fuzzy_pairs": dedup_fuzzy_pairs,
         "corpus_fuzzy_join": corpus_fuzzy_join,
         "corpus_fuzzy_join_indexed": corpus_fuzzy_join_indexed,
@@ -4196,6 +4214,17 @@ FROM toks
         ),
         "dedup_simhash": simhash_pairs_sql("documents", "text", "doc_id", max_hamming=6),
         "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", "text", "doc_id", n=4, threshold=0.35),
+        "dedup_containment": __import__(
+            "kartothek_spark.operators.dedup",
+            fromlist=["ngram_containment_pairs_sql"],
+        ).ngram_containment_pairs_sql(
+            "(SELECT doc_id, text FROM documents"
+            " UNION ALL"
+            " SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 120) AS text"
+            " FROM documents WHERE doc_id % 13 = 0)",
+            n=6,
+            threshold=0.8,
+        ),
         "dedup_fuzzy_pairs": edit_distance_pairs_sql(
             "documents", 2, "substr(text, 1, 24)", "doc_id"
         ),

@@ -117,6 +117,7 @@ HEADLINE = [
     "stream_fuzzy_index",    # foreachBatch-maintained SymSpell index
     "corpus_mixture_sample",  # temperature source mixing (n^alpha quotas)
     "dedup_keep_best",       # quality-aware canonical selection
+    "dedup_containment",     # asymmetric n-gram containment (nesting signal)
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

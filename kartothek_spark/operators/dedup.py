@@ -619,6 +619,101 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    threshold: float = 0.8,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs — the near-dup signal Jaccard
+    structurally misses: a short doc nested inside a much longer one
+    (truncated copies, quote inclusion, boilerplate wrapping) has tiny
+    Jaccard (|A∩B|/|A∪B| shrinks with the size gap) but containment
+    |A∩B|/|A| ≈ 1. Output ``(id_a, id_b, cont_a, cont_b)`` with
+    ``id_a < id_b`` where ``cont_a`` = fraction of A's distinct grams
+    that occur in B (A-contained-in-B degree) and ``max(cont_a, cont_b)
+    >= threshold``.
+
+    SET semantics: grams are DEDUPLICATED per document (containment is a
+    set measure; the multiset join the Jaccard operator uses would
+    overcount repeated grams asymmetrically). Same scale guards as
+    :func:`ngram_jaccard_pairs`: df-capped inverted index (stop-grams
+    dropped — the cap is part of the contract, mirrored in the oracle),
+    one gram-keyed self-join, candidates only ever the docs sharing a
+    rare gram."""
+    df = scale_out(df)
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), norm.alias("__norm"))
+        .select("__id", char_ngrams(F.col("__norm"), n).alias("__g"))
+    )
+    inv_all = grams.select("__id", F.explode("__g").alias("g")).distinct()
+    rare = inv_all.groupBy("g").count().where(F.col("count") <= max_df).select("g")
+    inv = inv_all.join(rare, "g").persist()
+    sizes = inv.groupBy("__id").agg(F.count("*").alias("__n"))
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.__id") < F.col("r.__id")))
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    result = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("shared") / F.col("n_a").cast("double"), 6).alias("cont_a"),
+            F.round(F.col("shared") / F.col("n_b").cast("double"), 6).alias("cont_b"),
+        )
+        .where(F.greatest("cont_a", "cont_b") >= threshold)
+    )
+    out = result.localCheckpoint(eager=True)
+    inv.unpersist()
+    return out
+
+
+def ngram_containment_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    threshold: float = 0.8,
+    max_df: int = NGRAM_MAX_DF,
+) -> str:
+    """DuckDB twin of :func:`ngram_containment_pairs`."""
+    norm = f"array_to_string({tokens_sql(text_col)}, ' ')"
+    g = char_ngrams_sql(norm, n)
+    return f"""
+WITH grams AS (
+  SELECT {id_col} AS id, {g} AS g FROM {table}
+  WHERE {text_col} IS NOT NULL AND len({g}) > 0
+), inv_all AS (
+  SELECT DISTINCT id, unnest(g) AS gram FROM grams
+), inv AS (
+  SELECT id, gram FROM inv_all
+  WHERE gram IN (SELECT gram FROM inv_all GROUP BY gram HAVING count(*) <= {max_df})
+), sizes AS (
+  SELECT id, count(*) AS n FROM inv GROUP BY id
+), shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared
+  FROM inv l JOIN inv r ON l.gram = r.gram AND l.id < r.id
+  GROUP BY l.id, r.id
+)
+SELECT id_a, id_b,
+       round(CAST(shared AS DOUBLE) / a.n, 6) AS cont_a,
+       round(CAST(shared AS DOUBLE) / b.n, 6) AS cont_b
+FROM shared s JOIN sizes a ON s.id_a = a.id JOIN sizes b ON s.id_b = b.id
+WHERE greatest(round(CAST(shared AS DOUBLE) / a.n, 6),
+               round(CAST(shared AS DOUBLE) / b.n, 6)) >= {threshold}
+"""
+
+
 def ngram_jaccard_pairs_sql(
     table: str, text_col: str, id_col: str, n: int = 4, threshold: float = 0.35, max_df: int = NGRAM_MAX_DF
 ) -> str:

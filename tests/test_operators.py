@@ -1626,3 +1626,39 @@ def test_mixture_sample_temperature(spark):
 
     with pytest.raises(ValueError, match="positive"):
         mixture_sample(df, "source", 0)
+
+
+def test_ngram_containment_asymmetric(spark):
+    """Containment catches a truncated copy nested in its origin — where
+    Jaccard stays tiny — with exact set semantics: a prefix's gram set is
+    a subset of the full doc's, so cont(prefix->full) == 1.0."""
+    from kartothek_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    # NON-periodic base (a repeated phrase would collapse the full doc's
+    # distinct gram set to one period's worth, hiding the asymmetry)
+    base = " ".join(
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(3, 9)))
+        for _ in range(150)
+    )
+    rows = [
+        (1, base),
+        (2, base[:60]),          # truncated copy: contained, low jaccard
+        (3, "completely different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.cont_a, r.cont_b)
+        for r in ngram_containment_pairs(df, n=6, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    cont_a, cont_b = got[(1, 2)]
+    assert cont_b == 1.0 and cont_a < 0.2  # asymmetry: B inside A
+    # doc-level jaccard misses the same pair at any comparable threshold
+    jac = ngram_jaccard_pairs(df, n=6, threshold=0.8).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
