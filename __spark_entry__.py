@@ -2940,6 +2940,62 @@ def dedup_semantic(spark, sf_dir):
     return apply_dedup(emb, pairs, id_col="vec_id").select("vec_id")
 
 
+def _seed_centroids(spark, sf_dir, k=8):
+    """SQL-expressible centroid source for the value-twin gates: the
+    embeddings whose vec_id < k, in id order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+
+
+def embedding_kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment (operators/clustering.py) as a pure
+    codegen'd expression over broadcast-literal centroids — no join, no
+    shuffle, no Python; fixed-point cosine with deterministic min-index
+    tie-break. Full value twin (seed centroids = vec_id < 8)."""
+    from kartothek_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, _seed_centroids(spark, sf_dir))
+
+
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    then mine near-dup pairs ONLY within a cluster (block-matrix kernel
+    grouped by cluster id) and drop the higher id of each pair. Seed
+    centroids keep the whole composition SQL-expressible — full value
+    twin; the trained-centroid path is pinned by
+    tests/test_clustering.py's planted-copy test."""
+    from kartothek_spark.operators.clustering import semantic_dedup, with_cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = _seed_centroids(spark, sf_dir)
+    kept = semantic_dedup(emb, seeds, threshold=0.4)
+    return with_cluster(kept, seeds).select("vec_id", "cluster")
+
+
+def embedding_kmeans_train(spark, sf_dir):
+    """Distributed Lloyd's k-means (operators/clustering.py): greedy
+    farthest-first init on a hash-sample, narrow expression assignment,
+    map-side-combined (cluster, dim) partial sums — k·(d+1) scalars per
+    iteration reach the driver. Iterative float averaging is not
+    SQL-expressible, so this entry is rows-only by design;
+    tests/test_clustering.py pins cluster recovery (purity ≥ 0.98) and
+    centroid placement on planted blobs."""
+    from kartothek_spark.operators.clustering import kmeans_assign, kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = kmeans_train(emb, k=8, iters=4)
+    return (
+        kmeans_assign(emb, model.centroids)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
 def ann_topk(spark, sf_dir):
     from kartothek_spark.operators.similarity import brute_force_topk
 
@@ -3446,6 +3502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_corpus": dedup_cross_corpus,
         "corpus_fuzzy_decontaminate": corpus_fuzzy_decontaminate,
         "embedding_dups": embedding_dups,
+        "embedding_kmeans_assign": embedding_kmeans_assign,
+        "embedding_kmeans_train": embedding_kmeans_train,
+        "dedup_semdedup": dedup_semdedup,
         "ann_topk": ann_topk,
         "ann_knn_join": ann_knn_join,
         "corpus_diverse_sample": corpus_diverse_sample,
@@ -4285,6 +4344,12 @@ FROM toks
             "probe_id",
         ),
         "embedding_dups": embedding_dup_pairs_sql("embeddings", threshold=0.3, dim=EMB_DIM),
+        "embedding_kmeans_assign": __import__(
+            "kartothek_spark.operators.clustering", fromlist=["kmeans_assign_seeded_sql"]
+        ).kmeans_assign_seeded_sql("embeddings", k=8, dim=EMB_DIM),
+        "dedup_semdedup": __import__(
+            "kartothek_spark.operators.clustering", fromlist=["semantic_dedup_seeded_sql"]
+        ).semantic_dedup_seeded_sql("embeddings", k=8, threshold=0.4, dim=EMB_DIM),
         "embedding_drift_stats": _sim.embedding_group_stats_sql("embeddings", dim=EMB_DIM),
         "embedding_pca": __import__(
             "kartothek_spark.operators.embeddings", fromlist=["pca_moments_sql"]

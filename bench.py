@@ -118,6 +118,10 @@ HEADLINE = [
     "corpus_mixture_sample",  # temperature source mixing (n^alpha quotas)
     "dedup_keep_best",       # quality-aware canonical selection
     "dedup_containment",     # asymmetric n-gram containment (nesting signal)
+    # round 6 (cont.): k-means + SemDeDup
+    "embedding_kmeans_assign",  # literal-centroid codegen assignment
+    "embedding_kmeans_train",   # Lloyd's: narrow assign + combined partials
+    "dedup_semdedup",           # cluster-scoped near-dup drop (SemDeDup)
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -1,0 +1,350 @@
+"""Distributed k-means and cluster-blocked semantic dedup (SemDeDup).
+
+The reference engine has no clustering layer (its surface stops at
+indices/cubes, ``kartothek/io_components/metapartition.py``); this module
+is part of the beyond-reference LLM-curation surface, implementing the
+SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the
+embedding space with k-means, then search near-duplicates only *within*
+a cluster — turning the quadratic all-pairs problem into k independent
+block problems.
+
+Scale design (100 TB / 1000-executor framing):
+
+* **Assignment is a pure codegen'd expression** over broadcast-literal
+  centroids — no join, no shuffle, no Python. Each row folds over the
+  k-entry centroid array with the fixed-point contract shared with
+  ``operators/similarity.py`` (``quantize``/``qdot``/``cos_from_ints``),
+  so assignments are bit-identical across engines and SQL-twin-checkable.
+  Beyond ``EXPR_MAX_TERMS`` centroid terms (k·d), assignment falls back
+  to a vectorized Arrow-batched NumPy pass (one int64 matmul per batch)
+  — same math, same rounding, still zero shuffle.
+* **The Lloyd update is map-side combined**: rows explode to
+  (cluster, dim, value) but the partial ``sum`` happens before the
+  exchange, so the shuffle is k·(d+1)·partitions rows regardless of
+  corpus size; the driver only ever holds the k×d centroid matrix.
+* **SemDeDup pair search reuses the block-matrix kernel** of
+  :func:`kartothek_spark.operators.similarity.embedding_dup_pairs` with
+  ``group_col="cluster"`` — one int64 matmul per (cluster, block-pair)
+  task; k bounds the biggest matmul, exactly the paper's contract
+  (size k so N/k rows fit a task).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kartothek_spark.operators.similarity import (
+    QUANT,
+    cos_from_ints,
+    cos_from_ints_sql,
+    qdot,
+    qdot_sql,
+    quantize,
+    quantize_sql,
+)
+
+# k*d ceiling for the literal-expression assignment path; above it the
+# generated fold would stress codegen method limits, so assignment drops
+# to the Arrow-batched NumPy pass (identical math). 16384 ≈ k=256 at d=64.
+EXPR_MAX_TERMS = 16384
+
+
+@dataclass
+class KMeansModel:
+    """Trained centroids (float64 driver-side matrix, k×d) + final sizes."""
+
+    centroids: list[list[float]]
+    sizes: list[int]
+
+    @property
+    def k(self) -> int:
+        return len(self.centroids)
+
+
+def _quantize_centroids(centroids):
+    """Driver-side mirror of :func:`quantize` (float64 math == JVM double)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    if C.ndim != 2 or C.shape[0] == 0:
+        raise ValueError("centroids must be a non-empty k x d matrix")
+    Cq = np.floor(C * QUANT + 0.5).astype("int64")
+    nq = (Cq * Cq).sum(axis=1)
+    return Cq, nq
+
+
+def _assign_struct(qcol: Column, nv: Column, Cq, nq) -> Column:
+    """struct(cluster long, cos_sim double) for one row's quantized vector.
+
+    Fold: per centroid, struct(cos, -index); array_max picks max cos and
+    breaks rounded-cosine ties toward the smallest centroid index —
+    matching the SQL twin's ``ORDER BY cos DESC, c ASC``.
+    """
+    entries = [
+        F.struct(
+            F.array(*[F.lit(int(x)) for x in row]).cast("array<long>").alias("cq"),
+            F.lit(int(n)).cast("long").alias("nq"),
+            F.lit(int(-i)).alias("ni"),
+        )
+        for i, (row, n) in enumerate(zip(Cq.tolist(), nq.tolist()))
+    ]
+    scores = F.transform(
+        F.array(*entries),
+        lambda s: F.struct(
+            cos_from_ints(qdot(qcol, s["cq"]), nv, s["nq"]).alias("cos"),
+            s["ni"].alias("ni"),
+        ),
+    )
+    best = F.array_max(scores)
+    return F.struct(
+        (-best["ni"]).cast("long").alias("cluster"), best["cos"].alias("cos_sim")
+    )
+
+
+def _with_cluster_expr(df: DataFrame, centroids, vec_col: str) -> DataFrame:
+    Cq, nq = _quantize_centroids(centroids)
+    out = (
+        df.withColumn("__q", quantize(F.col(vec_col)))
+        .withColumn("__nv", qdot(F.col("__q"), F.col("__q")))
+        .withColumn("__a", _assign_struct(F.col("__q"), F.col("__nv"), Cq, nq))
+    )
+    return (
+        out.withColumn("cluster", F.col("__a")["cluster"])
+        .withColumn("cos_sim", F.col("__a")["cos_sim"])
+        .drop("__q", "__nv", "__a")
+    )
+
+
+def _with_cluster_batches(df: DataFrame, centroids, vec_col: str) -> DataFrame:
+    """Arrow-batched fallback for large k·d: one int64 matmul per batch,
+    identical fixed-point math and rounding; ``argmax`` returns the first
+    maximum, i.e. the smallest centroid index — same tie-break."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    Cq, nq = _quantize_centroids(centroids)
+    cn = np.sqrt(nq.astype("float64"))
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("cluster", LongType()), StructField("cos_sim", DoubleType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]], dtype="float64"
+            )
+            Vq = np.floor(V * QUANT + 0.5).astype("int64")
+            nv = np.sqrt((Vq * Vq).sum(axis=1).astype("float64"))
+            cosm = np.round((Vq @ Cq.T).astype("float64") / (nv[:, None] * cn[None, :]), 6)
+            best = cosm.argmax(axis=1)
+            out = pdf.copy()
+            out["cluster"] = best.astype("int64")
+            out["cos_sim"] = cosm[np.arange(len(best)), best]
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
+def with_cluster(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """``df`` + (``cluster`` long, ``cos_sim`` double): nearest centroid by
+    fixed-point cosine, ties toward the smaller index. Narrow (no shuffle,
+    no join) in both the expression and the batched path."""
+    rows = len(centroids)
+    dim = len(centroids[0]) if rows else 0
+    if rows * dim <= EXPR_MAX_TERMS:
+        return _with_cluster_expr(df, centroids, vec_col)
+    return _with_cluster_batches(df, centroids, vec_col)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster, cos_sim) nearest-centroid assignment."""
+    return with_cluster(df, centroids, vec_col).select(id_col, "cluster", "cos_sim")
+
+
+def kmeans_assign_seeded_sql(
+    table: str, k: int, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB twin of ``kmeans_assign`` with centroids = the rows whose id
+    is < k (the SQL-expressible centroid source the gate uses)."""
+    cos = cos_from_ints_sql(qdot_sql("v.q", "s.cq", dim), "v.n", "s.cn")
+    return f"""
+WITH q AS (SELECT {id_col} AS id, {quantize_sql(vec_col)} AS q FROM {table}),
+base AS (SELECT id, q, {qdot_sql('q', 'q', dim)} AS n FROM q),
+seeds AS (SELECT id AS c, q AS cq, n AS cn FROM base WHERE id < {k}),
+scored AS (
+  SELECT v.id, s.c, {cos} AS cos_sim,
+         row_number() OVER (PARTITION BY v.id ORDER BY {cos} DESC, s.c ASC) AS rn
+  FROM base v CROSS JOIN seeds s)
+SELECT id AS {id_col}, c AS cluster, cos_sim FROM scored WHERE rn = 1
+"""
+
+
+def _greedy_init(df: DataFrame, k: int, vec_col: str, id_col: str, sample_rows: int):
+    """Deterministic farthest-first centroid init on a hash-smallest sample.
+
+    One TakeOrdered job draws ``sample_rows`` pseudo-random rows (stable
+    across runs and partitionings — ``xxhash64(id)`` order), then the
+    driver greedily picks k centers, each maximizing its cosine distance
+    to the nearest already-chosen center (ties toward the smaller id).
+    The sample is bounded driver memory; the spread init is what lets
+    Lloyd's recover well-separated clusters instead of merging them under
+    a uniform random draw."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(max(k, sample_rows))
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds the {len(rows)} available rows")
+    X = np.array([np.asarray(r["v"], dtype="float64") for r in rows], dtype="float64")
+    norms = np.linalg.norm(X, axis=1)
+    Xn = X / np.maximum(norms, 1e-30)[:, None]
+    chosen = [0]  # hash-smallest row seeds the walk
+    best = Xn @ Xn[0]  # cosine to the nearest chosen center so far
+    for _ in range(1, k):
+        nxt = int(np.argmin(best))  # farthest (argmin takes the first = smallest id)
+        chosen.append(nxt)
+        best = np.maximum(best, Xn @ Xn[nxt])
+    return X[chosen]
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 8,
+    init_sample_rows: int = 4096,
+) -> KMeansModel:
+    """Distributed Lloyd's k-means over cosine geometry.
+
+    Init is the deterministic greedy farthest-first walk of
+    :func:`_greedy_init`. Each iteration is one narrow assignment pass
+    plus one map-side-combined (cluster, dim) partial-sum aggregation;
+    only k·(d+1) scalars ever reach the driver. Empty clusters keep
+    their previous centroid.
+    """
+    import numpy as np
+
+    C = _greedy_init(df, k, vec_col, id_col, init_sample_rows)
+    d = C.shape[1]
+    sizes = [0] * k
+    for _ in range(max(1, iters)):
+        assigned = with_cluster(df.select(F.col(vec_col).alias("__v")), C, "__v")
+        # pos 0 carries the count sentinel; pos 1..d the vector components.
+        partials = (
+            assigned.select(
+                "cluster",
+                F.posexplode(
+                    F.concat(
+                        F.array(F.lit(1.0)),
+                        F.transform(F.col("__v"), lambda v: v.cast("double")),
+                    )
+                ),
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"))
+            .collect()
+        )
+        sums = np.zeros((k, d), dtype="float64")
+        counts = np.zeros(k, dtype="float64")
+        for r in partials:
+            if r["pos"] == 0:
+                counts[r["cluster"]] = r["s"]
+            else:
+                sums[r["cluster"], r["pos"] - 1] = r["s"]
+        nonempty = counts > 0
+        C = np.where(nonempty[:, None], sums / np.maximum(counts, 1.0)[:, None], C)
+        sizes = counts.astype("int64").tolist()
+    return KMeansModel(centroids=C.tolist(), sizes=sizes)
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_block_rows: int = 4096,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) near-duplicate pairs searched only within a
+    k-means cluster (the SemDeDup candidate restriction). Pair discovery
+    is the shared block-matrix kernel grouped by cluster, so the biggest
+    single matmul is bounded by the largest cluster's block size."""
+    import math
+
+    clustered = with_cluster(df, centroids, vec_col).select(
+        id_col, vec_col, "cluster"
+    )
+    from kartothek_spark.operators.similarity import embedding_dup_pairs
+
+    n = df.count()
+    blocks = max(1, math.ceil(n / (max(1, len(centroids)) * target_block_rows)))
+    return embedding_dup_pairs(
+        clustered,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        blocks=blocks,
+        group_col="cluster",
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup application: drop every row that has a lower-id neighbor
+    with cosine >= threshold in its own cluster (pairwise rule, not a
+    transitive closure — the paper's per-cluster ε-dedup; for full
+    connected-components semantics compose with
+    :func:`kartothek_spark.operators.dedup.duplicate_clusters`)."""
+    pairs = semantic_dup_pairs(df, centroids, threshold, id_col, vec_col)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
+def semantic_dedup_seeded_sql(
+    table: str,
+    k: int,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of assignment (seed centroids = ids < k) + in-cluster
+    pair mining + the drop-higher-id rule, returning kept (id, cluster)."""
+    acos = cos_from_ints_sql(qdot_sql("v.q", "s.cq", dim), "v.n", "s.cn")
+    pcos = cos_from_ints_sql(qdot_sql("a.q", "b.q", dim), "a.n", "b.n")
+    return f"""
+WITH q AS (SELECT {id_col} AS id, {quantize_sql(vec_col)} AS q FROM {table}),
+base AS (SELECT id, q, {qdot_sql('q', 'q', dim)} AS n FROM q),
+seeds AS (SELECT id AS c, q AS cq, n AS cn FROM base WHERE id < {k}),
+scored AS (
+  SELECT v.id, v.q, v.n, s.c,
+         row_number() OVER (PARTITION BY v.id ORDER BY {acos} DESC, s.c ASC) AS rn
+  FROM base v CROSS JOIN seeds s),
+assigned AS (SELECT id, q, n, c AS cluster FROM scored WHERE rn = 1),
+drops AS (
+  SELECT DISTINCT b.id
+  FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE {pcos} >= {threshold})
+SELECT id AS {id_col}, cluster FROM assigned WHERE id NOT IN (SELECT id FROM drops)
+"""

@@ -133,6 +133,7 @@ def embedding_dup_pairs(
     dim: int | None = None,
     blocks: int | None = None,
     target_block_rows: int = 1024,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
 
@@ -146,7 +147,13 @@ def embedding_dup_pairs(
     inherent N²/2 — B ≈ N / ``target_block_rows`` keeps every task's
     matmul at ~1k×1k and the B(B+1)/2 groups spread across the cluster.
     All-pairs is inherently quadratic; beyond ~1e7 rows compose
-    :func:`lsh_bucket` first and run this within buckets."""
+    :func:`lsh_bucket` first and run this within buckets.
+
+    With ``group_col`` the pair search is scoped to rows sharing that
+    column's value (e.g. a k-means cluster id — the SemDeDup candidate
+    restriction in ``operators/clustering.py``): the shuffle groups become
+    (group, block-pair) and no cross-group pair is ever considered, so the
+    quadratic term is per group, not global."""
     import math
 
     import numpy as np
@@ -154,7 +161,9 @@ def embedding_dup_pairs(
     if blocks is None:
         blocks = max(1, math.ceil(df.count() / target_block_rows))
 
+    grp = [group_col] if group_col else []
     qdf = scale_out(df).select(
+        *grp,
         F.col(id_col).alias("id"),
         quantize(F.col(vec_col)).alias("q"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("__blk"),
@@ -163,13 +172,13 @@ def embedding_dup_pairs(
     # The self pair (x, x) carries only side-a rows — the kernel takes the
     # strict upper triangle there, so no pair is emitted twice.
     a = qdf.select(
-        "id", "q",
+        *grp, "id", "q",
         F.col("__blk").alias("__bx"),
         F.explode(F.sequence(F.col("__blk"), F.lit(blocks - 1))).alias("__by"),
         F.lit("a").alias("side"),
     )
     b = qdf.where(F.col("__blk") > 0).select(
-        "id", "q",
+        *grp, "id", "q",
         F.explode(F.sequence(F.lit(0), F.col("__blk") - 1)).alias("__bx"),
         F.col("__blk").alias("__by"),
         F.lit("b").alias("side"),
@@ -179,7 +188,7 @@ def embedding_dup_pairs(
     def kernel(key, pdf):
         import pandas as pd
 
-        x, y = key
+        x, y = key[-2], key[-1]
 
         def mat(part):
             ids = part["id"].to_numpy(dtype="int64")
@@ -210,7 +219,7 @@ def embedding_dup_pairs(
             right = np.maximum(a_ids[ii], b_ids[jj])
         return pd.DataFrame({"id_a": left, "id_b": right, "cos_sim": cos[ii, jj]})
 
-    return tagged.groupBy("__bx", "__by").applyInPandas(kernel, _PAIR_SCHEMA)
+    return tagged.groupBy(*grp, "__bx", "__by").applyInPandas(kernel, _PAIR_SCHEMA)
 
 
 def embedding_dup_pairs_sql(

@@ -1,0 +1,144 @@
+"""k-means + SemDeDup (operators/clustering.py).
+
+The embeddings testdata's `label` column is NOT geometric (intra-label and
+inter-label mean cosine are both ~0), so cluster-recovery quality is pinned
+on planted well-separated blobs, the same planted-structure strategy the
+ANN recall tests use. Assignment exactness is pinned by the gate's DuckDB
+value twin; here we pin expr-vs-batched-path parity and the planted
+guarantees.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from kartothek_spark.operators import clustering
+from kartothek_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_train,
+    semantic_dedup,
+    semantic_dup_pairs,
+    with_cluster,
+)
+
+_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", LongType()),
+    ]
+)
+
+
+def _blobs(spark, n=600, k=10, dim=64, noise=0.08, seed=7):
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        c = i % k
+        v = (centers[c] + noise * rng.normal(size=dim)).astype(np.float32)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(rows, _SCHEMA), centers
+
+
+def _purity(assigned_rows):
+    from collections import Counter
+
+    by_cluster = {}
+    for r in assigned_rows:
+        by_cluster.setdefault(r["cluster"], Counter())[r["label"]] += 1
+    return sum(c.most_common(1)[0][1] for c in by_cluster.values()) / len(assigned_rows)
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    df, centers = _blobs(spark)
+    model = kmeans_train(df, 10, iters=6)
+    assert model.k == 10 and sum(model.sizes) == 600
+    assigned = (
+        kmeans_assign(df, model.centroids)
+        .join(df.select("vec_id", "label"), "vec_id")
+        .select("cluster", "label")
+        .collect()
+    )
+    assert _purity(assigned) >= 0.98
+    # trained centroids sit on the planted centers (cos > 0.98 for each)
+    C = np.asarray(model.centroids)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    best = (Cn @ centers.T).max(axis=1)
+    assert (best > 0.98).all()
+
+
+def test_assign_expr_and_batched_paths_agree(spark, monkeypatch):
+    df, _ = _blobs(spark, n=120)
+    cents = [r["embedding"] for r in df.where(F.col("vec_id") < 5).collect()]
+    expr = kmeans_assign(df, cents).orderBy("vec_id").collect()
+    monkeypatch.setattr(clustering, "EXPR_MAX_TERMS", 0)  # force the NumPy path
+    batched = kmeans_assign(df, cents).orderBy("vec_id").collect()
+    assert [tuple(r) for r in expr] == [tuple(r) for r in batched]
+
+
+def test_assign_nearest_and_tiebreak(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.5, 0.5], 0),  # equidistant from both centroids -> cluster 0
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0, 3: 0}
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    df, _ = _blobs(spark, n=300)
+    copies = df.withColumn("vec_id", F.col("vec_id") + 100000)
+    both = df.unionByName(copies)
+    model = kmeans_train(df, 10, iters=4)
+    kept = semantic_dedup(both, model.centroids, threshold=0.95)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # every exact copy shares its original's cluster (identical vector,
+    # deterministic assignment) with cos 1.0 >= 0.95 and a higher id
+    assert not {i for i in kept_ids if i >= 100000}
+    assert {i for i in kept_ids if i < 100000} == set(range(300))
+
+
+def test_grouped_pairs_subset_of_global_pairs(spark):
+    """Cluster-scoped pair mining = global all-pairs restricted to pairs
+    whose two sides land in the same cluster."""
+    from kartothek_spark.operators.similarity import embedding_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        r["embedding"] for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(emb, seeds, threshold=0.4).collect()
+    }
+    clusters = {
+        r["vec_id"]: r["cluster"] for r in with_cluster(emb, seeds).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(emb, threshold=0.4, blocks=3).collect()
+        if clusters[r["id_a"]] == clusters[r["id_b"]]
+    }
+    assert got == want and got
+
+
+def test_kmeans_k_exceeds_rows_raises(spark):
+    df, _ = _blobs(spark, n=5)
+    with pytest.raises(ValueError):
+        kmeans_train(df, 10)
