@@ -3304,6 +3304,41 @@ def multimodal_frames(spark, sf_dir):
     )
 
 
+def multimodal_ingest(spark, sf_dir):
+    """Raw-file ingest edge: a directory of opaque media files becomes a
+    managed dataset via Spark's native binaryFile source
+    (operators/multimodal.py:ingest_binary_files — glob filtered at the
+    source, one task per file, modificationTime dropped so ingest is a
+    pure function of content). The fixture materializes every
+    doc_id % 7 == 0 document's UTF-8 bytes as ``<doc_id>.bin``, so the
+    ingested blobs have a full value oracle over the documents table
+    (byte length + md5)."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.operators.multimodal import ingest_binary_files
+
+    def build(root):
+        src = os.path.join(root, "files")
+        os.makedirs(src)
+        rows = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id % 7 = 0")
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(src, f"{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        ingest_binary_files(spark, root, "media_ds", src, glob="*.bin")
+
+    root = _fixture(sf_dir, "binfiles", build)
+    media = read_table(spark, root, "media_ds")
+    return media.select(
+        F.regexp_extract("file_name", r"^(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
 def stream_windowed_update(spark, sf_dir):
     """Structured Streaming: micro-batch ingest of events into a managed
     dataset via foreachBatch + atomic manifest commits, then windowed agg
@@ -3522,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
+        "multimodal_ingest": multimodal_ingest,
         "stream_windowed_update": stream_windowed_update,
         "stream_sessionize": stream_sessionize,
     }
@@ -4437,6 +4473,11 @@ WITH m AS (
 SELECT doc_id AS media_id, CAST(i * 1000 AS BIGINT) AS ts_ms,
        md5(substr(text, 1, 64)) AS frame_md5
 FROM grid
+""",
+        "multimodal_ingest": """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % 7 = 0
 """,
         "multimodal_features": """
 WITH guard AS (

@@ -155,3 +155,59 @@ def target_rows_per_batch(avg_blob_bytes: int, budget_mb: int = 64) -> int:
     """Rows per Arrow batch so a batch stays within an executor-memory
     budget — size batches by BYTES, not rows, when blobs are large."""
     return max(1, (budget_mb * 1024 * 1024) // max(avg_blob_bytes, 1))
+
+
+def read_binary_files(
+    spark,
+    source_dir: str,
+    glob: str = "*",
+    kind: str = "image",
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw media files → (file_name, n_bytes, content, kind) via Spark's
+    native ``binaryFile`` source — the ingest edge of the multimodal
+    pipeline (a directory of images/audio/video becomes a DataFrame of
+    opaque blobs, one task per file split, no driver-side listing loop).
+
+    Glob filtering happens at the source (``pathGlobFilter``), so
+    non-matching files are never opened. Each row materializes a whole
+    file (the source's contract; files above
+    ``spark.sql.sources.binaryFile.maxLength`` raise) — for corpora of
+    millions of tiny files, tar/shard upstream and carry the shards as
+    rows instead. ``modificationTime`` is deliberately dropped: ingest
+    output must be a pure function of file CONTENT so re-runs and
+    mirrored copies produce identical datasets.
+    """
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    raw = reader.load(source_dir)
+    return raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.col("content"),
+        F.lit(kind).alias("kind"),
+    )
+
+
+def ingest_binary_files(
+    spark,
+    root: str,
+    dataset_uuid: str,
+    source_dir: str,
+    glob: str = "*",
+    kind: str = "image",
+    recursive: bool = False,
+    overwrite: bool = False,
+):
+    """Ingest a directory of media files as a managed dataset (atomic
+    manifest commit, GC/copy/delete lifecycle like any other table).
+    Returns the committed manifest. Blob payloads dominate file size, so
+    downstream feature extraction should write its (narrow) outputs to a
+    separate dataset and never rescan the blobs."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    media = read_binary_files(spark, source_dir, glob=glob, kind=kind, recursive=recursive)
+    return store_dataframe_as_dataset(
+        spark, media, root, dataset_uuid, overwrite=overwrite
+    )

@@ -117,6 +117,41 @@ def test_multimodal_decode_stub_raises(spark, docs):
         extract_features(media, decode_stub=False).collect()
 
 
+def test_binary_file_ingest_roundtrip(spark, tmp_path):
+    """Directory of raw (non-UTF8) files → binaryFile source → managed
+    dataset → read_table: content byte-exact, glob filtered at the
+    source, recursion off by default, modificationTime never ingested."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.operators.multimodal import (
+        ingest_binary_files,
+        read_binary_files,
+    )
+
+    src = tmp_path / "media"
+    (src / "sub").mkdir(parents=True)
+    payloads = {f"{i}.bin": bytes([i, 0, 255, 254, i]) * (i + 1) for i in range(4)}
+    for name, blob in payloads.items():
+        (src / name).write_bytes(blob)
+    (src / "notes.txt").write_text("excluded by glob")
+    (src / "sub" / "9.bin").write_bytes(b"\x01\x02")
+
+    flat = read_binary_files(spark, str(src), glob="*.bin")
+    got = {r["file_name"]: bytes(r["content"]) for r in flat.collect()}
+    assert got == payloads  # no .txt, no subdir without recursive=True
+
+    rec = read_binary_files(spark, str(src), glob="*.bin", recursive=True)
+    assert rec.count() == 5
+
+    root = str(tmp_path / "store")
+    ingest_binary_files(spark, root, "media_ds", str(src), glob="*.bin", kind="audio")
+    back = read_table(spark, root, "media_ds")
+    assert set(back.columns) == {"file_name", "n_bytes", "content", "kind"}
+    rows = {r["file_name"]: r for r in back.collect()}
+    assert {n: bytes(r["content"]) for n, r in rows.items()} == payloads
+    assert all(r["n_bytes"] == len(payloads[n]) for n, r in rows.items())
+    assert all(r["kind"] == "audio" for r in rows.values())
+
+
 def test_sessionize(spark):
     import datetime
 
