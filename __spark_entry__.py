@@ -2052,6 +2052,28 @@ def text_analyze(spark, sf_dir):
     return analyze_documents(_t(spark, sf_dir, "documents"))
 
 
+def text_normalize(spark, sf_dir):
+    """Unicode/control cleanup (operators/text.py:normalize_text): the
+    synthetic corpus is already clean, so the gate deterministically
+    dirties every doc (curly quotes, em-dash, ellipsis, control byte,
+    space runs — mirrored verbatim in the oracle) and value-pins the
+    normalized text via md5 + codepoint length."""
+    from kartothek_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("“"),
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\t—table…  ")),
+        F.lit("”\x01 "),
+    )
+    norm = normalize_text(dirty)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 _SEARCH_TERMS = ["spark", "table", "join"]
@@ -3487,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": events_range_join,
         "events_attribution": events_attribution,
         "text_analyze": text_analyze,
+        "text_normalize": text_normalize,
         "text_scrub": text_scrub,
         "corpus_search": corpus_search,
         "corpus_search_indexed": corpus_search_indexed,
@@ -4144,6 +4167,21 @@ SELECT doc_id,
        {fingerprint_sql('text')} AS fingerprint
 FROM documents
 """,
+        "text_normalize": (
+            lambda norm: f"""
+WITH dirty AS (
+  SELECT doc_id,
+         '“' || replace(text, ' table ', chr(9) || '—table…' || '  ') || '”' || chr(1) || ' ' AS t
+  FROM documents
+)
+SELECT doc_id, md5({norm}) AS norm_md5, CAST(length({norm}) AS BIGINT) AS n_chars_norm
+FROM dirty
+"""
+        )(
+            __import__(
+                "kartothek_spark.operators.text", fromlist=["normalize_text_sql"]
+            ).normalize_text_sql("t")
+        ),
         "text_scrub": (
             lambda scrub_sql, h: f"""
 WITH injected AS (

@@ -123,6 +123,7 @@ HEADLINE = [
     "embedding_kmeans_train",   # Lloyd's: narrow assign + combined partials
     "dedup_semdedup",           # cluster-scoped near-dup drop (SemDeDup)
     "multimodal_ingest",        # binaryFile-source raw-media ingest
+    "text_normalize",           # unicode/control cleanup, pure JVM exprs
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -152,6 +152,36 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select(F.col(id_col), *[c.alias(n) for n, c in feats.items()])
 
 
+# unicode punctuation folded to ASCII by normalize_text; FROM and TO are
+# equal-length codepoint maps (translate semantics, identical in DuckDB):
+# curly quotes → straight, en/em dash → '-', NBSP → space, ellipsis → '.'
+_NORM_PUNCT_FROM = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0\u2026"
+_NORM_PUNCT_TO = "''\"\"-- ."
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text cleanup, all JVM expressions (no Python): fold
+    unicode punctuation to ASCII, replace every C0/C1 control byte with a
+    space, collapse space runs, trim. The op order is part of the
+    contract (controls become spaces BEFORE the collapse, so a
+    tab-surrounded word never fuses with its neighbor) and is mirrored
+    literally by :func:`normalize_text_sql`."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.translate(c, _NORM_PUNCT_FROM, _NORM_PUNCT_TO)
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def normalize_text_sql(expr: str) -> str:
+    to = _NORM_PUNCT_TO.replace("'", "''")  # straight quotes need SQL escaping
+    return (
+        "trim(regexp_replace(regexp_replace(translate("
+        f"{expr}, '{_NORM_PUNCT_FROM}', '{to}'), "
+        "'[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: 60-bit hash of whitespace-normalized,
     lower-cased text (reference-style content identity; an exact-dup key)."""

@@ -33,6 +33,22 @@ def test_dedup_exact(spark, docs):
     assert ids == {1, 2, 4, 5}  # doc 3 collapsed into 1
 
 
+def test_normalize_text(spark):
+    from kartothek_spark.operators.text import normalize_text
+
+    cases = {
+        1: ("“Hi”\x00\x01  there\t—ok… ", '"Hi" there -ok.'),
+        2: ("a b", "a b"),  # NBSP → plain space
+        3: ("  x  y  ", "x y"),
+        4: ("", ""),
+        5: ("clean 'quoted' text", "clean 'quoted' text"),  # already-clean: identity
+        6: ("‘a’–b", "'a'-b"),
+    }
+    df = spark.createDataFrame([(k, v[0]) for k, v in cases.items()], "i long, t string")
+    got = {r["i"]: r["n"] for r in df.select("i", normalize_text("t").alias("n")).collect()}
+    assert got == {k: v[1] for k, v in cases.items()}
+
+
 def test_language_id(spark, docs):
     from kartothek_spark.operators.text import language_id
 
