@@ -4,6 +4,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# semanticHash -> input partition count; bounded, cleared wholesale on
+# overflow (a heuristic cache — staleness is acceptable, growth is not)
+_PROBE_CACHE: dict[int, int] = {}
+
 
 def scale_out(df: DataFrame, factor: int = 1) -> DataFrame:
     """Ensure enough input partitions for compute-heavy narrow stages.
@@ -15,9 +19,32 @@ def scale_out(df: DataFrame, factor: int = 1) -> DataFrame:
     the narrow input costs a shuffle of the raw rows — trivial next to the
     compute — and is a no-op at real scale, where the input already has at
     least ``defaultParallelism`` splits.
+
+    The probe (``df.rdd.getNumPartitions()``) costs a plan-analysis round
+    trip, so results are memoized on the DataFrame's semantic hash —
+    operator pipelines that call several operators over the same scan pay
+    it once per distinct plan, not once per call. The memo trades exact
+    freshness for latency (a same-plan scan over a directory that grew
+    mid-session reuses the old count), which is fine for a parallelism
+    heuristic; ``spark.kartothek.scaleOutProbe=false`` disables the probe
+    (and the repartition) entirely.
     """
     sc = df.sparkSession.sparkContext
+    if df.sparkSession.conf.get("spark.kartothek.scaleOutProbe", "true") == "false":
+        return df
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        key = df.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _PROBE_CACHE:
+        parts = _PROBE_CACHE[key]
+    else:
+        parts = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_PROBE_CACHE) >= 512:
+                _PROBE_CACHE.clear()
+            _PROBE_CACHE[key] = parts
+    if parts < max(2, target // 2):
         return df.repartition(target)
     return df
