@@ -2601,6 +2601,18 @@ def corpus_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def corpus_group_cap(spark, sf_dir):
+    """Per-domain cap curation rule: keep the 15 best docs of every
+    source by (n_chars DESC, doc_id ASC) through the two-phase
+    mega-group-proof window cascade (operators/corpus.py:cap_per_group).
+    Full value oracle (single-window SQL)."""
+    from kartothek_spark.operators.corpus import cap_per_group
+
+    return cap_per_group(
+        _t(spark, sf_dir, "documents"), "source", max_n=15, score_col="n_chars"
+    ).select("doc_id", "source", "n_chars")
+
+
 def dedup_keep_best(spark, sf_dir):
     """Quality-aware dedup application: each MinHash near-dup cluster
     keeps its LONGEST member (n_chars as the quality score; ties → min
@@ -2996,6 +3008,17 @@ def dedup_semdedup(spark, sf_dir):
     seeds = _seed_centroids(spark, sf_dir)
     kept = semantic_dedup(emb, seeds, threshold=0.4)
     return with_cluster(kept, seeds).select("vec_id", "cluster")
+
+
+def embedding_cluster_profile(spark, sf_dir):
+    """Cluster observability (operators/clustering.py:cluster_profile):
+    per-cluster size + exact integer-micro cohesion sum + min/max cosine.
+    One narrow assignment, one k-row aggregation; full value twin (seed
+    centroids)."""
+    from kartothek_spark.operators.clustering import cluster_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_profile(emb, _seed_centroids(spark, sf_dir))
 
 
 def embedding_kmeans_train(spark, sf_dir):
@@ -3536,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk": corpus_chunk,
         "corpus_stratified": corpus_stratified,
         "corpus_mixture_sample": corpus_mixture_sample,
+        "corpus_group_cap": corpus_group_cap,
         "corpus_shard": corpus_shard,
         "corpus_bpe": corpus_bpe,
         "corpus_bpe_zero": corpus_bpe_zero,
@@ -3562,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": embedding_dups,
         "embedding_kmeans_assign": embedding_kmeans_assign,
         "embedding_kmeans_train": embedding_kmeans_train,
+        "embedding_cluster_profile": embedding_cluster_profile,
         "dedup_semdedup": dedup_semdedup,
         "ann_topk": ann_topk,
         "ann_knn_join": ann_knn_join,
@@ -4300,6 +4325,13 @@ enr AS (
         "corpus_stratified": _corpus.stratified_sample_sql(
             "documents", "source", quota=100, columns="doc_id, source"
         ),
+        "corpus_group_cap": _corpus.cap_per_group_sql(
+            "documents",
+            "source",
+            max_n=15,
+            score_col="n_chars",
+            columns="doc_id, source, n_chars",
+        ),
         "corpus_mixture_sample": _corpus.mixture_sample_sql(
             "documents", "source", total=240, alpha=0.5,
             columns="doc_id, source, n_chars",
@@ -4424,6 +4456,9 @@ FROM toks
         "dedup_semdedup": __import__(
             "kartothek_spark.operators.clustering", fromlist=["semantic_dedup_seeded_sql"]
         ).semantic_dedup_seeded_sql("embeddings", k=8, threshold=0.4, dim=EMB_DIM),
+        "embedding_cluster_profile": __import__(
+            "kartothek_spark.operators.clustering", fromlist=["cluster_profile_seeded_sql"]
+        ).cluster_profile_seeded_sql("embeddings", k=8, dim=EMB_DIM),
         "embedding_drift_stats": _sim.embedding_group_stats_sql("embeddings", dim=EMB_DIM),
         "embedding_pca": __import__(
             "kartothek_spark.operators.embeddings", fromlist=["pca_moments_sql"]

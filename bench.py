@@ -124,6 +124,8 @@ HEADLINE = [
     "dedup_semdedup",           # cluster-scoped near-dup drop (SemDeDup)
     "multimodal_ingest",        # binaryFile-source raw-media ingest
     "text_normalize",           # unicode/control cleanup, pure JVM exprs
+    "corpus_group_cap",         # per-domain top-N cap, two-phase window
+    "embedding_cluster_profile",  # per-cluster cohesion (exact micros)
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -321,6 +321,48 @@ def semantic_dedup(
     return df.join(drops, id_col, "left_anti")
 
 
+def cluster_profile(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster observability: (cluster, n_members, sum_cos_micro,
+    min_cos, max_cos). Cohesion is exposed as an exact integer-micro SUM
+    of the (already 1e-6-rounded) cosines — float averages are summation-
+    order-dependent across engines, integer micros are not, so the whole
+    profile is value-twin-checkable; mean cohesion = sum_cos_micro / 1e6
+    / n_members at the call site. One narrow assignment + one k-row
+    aggregation."""
+    a = with_cluster(df, centroids, vec_col)
+    return a.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.round(F.col("cos_sim") * 1e6).cast("long")).alias("sum_cos_micro"),
+        F.min("cos_sim").alias("min_cos"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+
+
+def cluster_profile_seeded_sql(
+    table: str, k: int, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    cos = cos_from_ints_sql(qdot_sql("v.q", "s.cq", dim), "v.n", "s.cn")
+    return f"""
+WITH q AS (SELECT {id_col} AS id, {quantize_sql(vec_col)} AS q FROM {table}),
+base AS (SELECT id, q, {qdot_sql('q', 'q', dim)} AS n FROM q),
+seeds AS (SELECT id AS c, q AS cq, n AS cn FROM base WHERE id < {k}),
+scored AS (
+  SELECT v.id, s.c, {cos} AS cos_sim,
+         row_number() OVER (PARTITION BY v.id ORDER BY {cos} DESC, s.c ASC) AS rn
+  FROM base v CROSS JOIN seeds s),
+assigned AS (SELECT id, c AS cluster, cos_sim FROM scored WHERE rn = 1)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(round(cos_sim * 1e6) AS BIGINT)) AS BIGINT) AS sum_cos_micro,
+       min(cos_sim) AS min_cos, max(cos_sim) AS max_cos
+FROM assigned GROUP BY cluster
+"""
+
+
 def semantic_dedup_seeded_sql(
     table: str,
     k: int,

@@ -493,6 +493,58 @@ SELECT {columns} FROM (
 """
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_n: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    shards: int = 64,
+) -> DataFrame:
+    """Per-group cap: keep the ``max_n`` best rows of every group by
+    (score DESC, id ASC) — the per-domain/per-source quota rule of web
+    curation pipelines ("at most N pages per domain, best-quality
+    first"). Unlike :func:`stratified_sample` (hash-uniform draw), the
+    survivors are the score-ranked TOP of each group.
+
+    TWO-PHASE mega-group-proof plan, same argument as stratified_sample:
+    phase 1 windows over (group, id-hash shard), keeping each shard's
+    ``max_n`` best; every global winner is among its own shard's best
+    ``max_n``, so phase 2's final window ranks ≤ shards×max_n candidates
+    per group and produces EXACTLY the single-window selection the SQL
+    twin states."""
+    from pyspark.sql import Window
+
+    order = [F.desc(score_col), F.asc(id_col)]
+    w1 = Window.partitionBy(group_col, "__shard").orderBy(*order)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= max_n)
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= max_n)
+        .drop("__shard", "__rn")
+    )
+
+
+def cap_per_group_sql(
+    table: str,
+    group_col: str,
+    max_n: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    columns: str = "*",
+) -> str:
+    return f"""
+SELECT {columns} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group_col} ORDER BY {score_col} DESC, {id_col} ASC) AS rn
+  FROM {table}
+) WHERE rn <= {max_n}
+"""
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,

@@ -138,6 +138,25 @@ def test_grouped_pairs_subset_of_global_pairs(spark):
     assert got == want and got
 
 
+def test_cluster_profile_micro_sum_exact(spark):
+    from kartothek_spark.operators.clustering import cluster_profile, kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        r["embedding"] for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    prof = {r["cluster"]: r for r in cluster_profile(emb, seeds).collect()}
+    rows = kmeans_assign(emb, seeds).collect()
+    assert sum(p["n_members"] for p in prof.values()) == len(rows)
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cluster"], []).append(r["cos_sim"])
+    for c, cs in by_c.items():
+        assert prof[c]["n_members"] == len(cs)
+        assert prof[c]["sum_cos_micro"] == sum(round(x * 1e6) for x in cs)
+        assert prof[c]["min_cos"] == min(cs) and prof[c]["max_cos"] == max(cs)
+
+
 def test_kmeans_k_exceeds_rows_raises(spark):
     df, _ = _blobs(spark, n=5)
     with pytest.raises(ValueError):

@@ -33,6 +33,26 @@ def test_dedup_exact(spark, docs):
     assert ids == {1, 2, 4, 5}  # doc 3 collapsed into 1
 
 
+def test_cap_per_group_matches_naive_window(spark):
+    """Two-phase cap == single-window selection, score ties broken by id."""
+    from pyspark.sql import Window
+
+    from kartothek_spark.operators.corpus import cap_per_group
+
+    rows = [(i, f"g{i % 3}", (i * 7) % 5) for i in range(60)]  # heavy score ties
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    got = {
+        r["doc_id"]
+        for r in cap_per_group(df, "source", 4, "score", shards=8).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    want = {
+        r["doc_id"]
+        for r in df.withColumn("rn", F.row_number().over(w)).where("rn <= 4").collect()
+    }
+    assert got == want and len(got) == 12
+
+
 def test_normalize_text(spark):
     from kartothek_spark.operators.text import normalize_text
 
