@@ -425,3 +425,53 @@ def test_decontaminate_anti_join_broadcasts(spark):
     plan = _plan(out)
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti and all("BroadcastHashJoin" in ln for ln in anti), anti
+
+
+def test_kmeans_assign_is_narrow(spark):
+    from kartothek_spark.operators.clustering import with_cluster
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    seeds = [r["embedding"] for r in emb.where(F.col("vec_id") < 8).collect()]
+    plan = _plan(with_cluster(emb, seeds))
+    # pure expression over broadcast-literal centroids: no join, no
+    # shuffle, no Python — linear at any corpus size
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_kmeans_update_partials_combine_map_side(spark):
+    from kartothek_spark.operators.clustering import with_cluster
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    seeds = [r["embedding"] for r in emb.where(F.col("vec_id") < 8).collect()]
+    assigned = with_cluster(emb.select(F.col("embedding").alias("__v")), seeds, "__v")
+    partials = (
+        assigned.select(
+            "cluster",
+            F.posexplode(
+                F.concat(
+                    F.array(F.lit(1.0)),
+                    F.transform(F.col("__v"), lambda v: v.cast("double")),
+                )
+            ),
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.sum("col").alias("s"))
+    )
+    plan = _plan(partials)
+    # the n*d exploded rows are partially summed BEFORE the exchange, so
+    # the shuffle carries k*(d+1)*partitions rows regardless of corpus size
+    pre_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "partial_sum" in pre_exchange or "partial" in pre_exchange
+
+
+def test_cap_per_group_two_phase_shuffles(spark):
+    from kartothek_spark.operators.corpus import cap_per_group
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(cap_per_group(docs, "source", 15, "n_chars"))
+    # phase 1 windows over (group, id-hash shard) — the full-data shuffle
+    # is on the balanced key; phase 2 re-keys only the survivors
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "__shard" in plan
