@@ -3061,6 +3061,21 @@ def ann_knn_join(spark, sf_dir):
     return knn_join(left, emb, k=3, target_block_rows=128)
 
 
+def embedding_knn_classify(spark, sf_dir):
+    """k-NN majority-vote label propagation
+    (operators/similarity.py:knn_classify): every vector gets the label
+    most common among its 5 nearest labeled seeds (vec_id % 3 == 0) —
+    the propagate-a-curated-seed-set recipe. Deterministic (votes DESC,
+    label ASC); full value twin via the brute-force KNN SQL. Semantic
+    quality (blob-label recovery) is pinned by pytest on planted blobs —
+    the testdata label column is not geometric."""
+    from kartothek_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.where(F.col("vec_id") % 3 == 0)
+    return knn_classify(emb, labeled, k=5)
+
+
 def corpus_diverse_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling: semantic LSH buckets capped at
     a fixed quota of hash-min members — deterministic, value-exact vs the
@@ -3590,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semdedup": dedup_semdedup,
         "ann_topk": ann_topk,
         "ann_knn_join": ann_knn_join,
+        "embedding_knn_classify": embedding_knn_classify,
         "corpus_diverse_sample": corpus_diverse_sample,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_recall": ann_lsh_recall,
@@ -4472,6 +4488,9 @@ FROM toks
         "ann_topk": brute_force_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
         "ann_knn_join": knn_join_sql(
             "embeddings", "b.id % 7 = 0", "TRUE", k=3, dim=EMB_DIM
+        ),
+        "embedding_knn_classify": _sim.knn_classify_sql(
+            "embeddings", "TRUE", "b.id % 3 = 0", k=5, dim=EMB_DIM
         ),
         "corpus_diverse_sample": diversity_sample_sql(
             "embeddings", quota=12, dim=EMB_DIM, planes=4

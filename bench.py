@@ -126,6 +126,7 @@ HEADLINE = [
     "text_normalize",           # unicode/control cleanup, pure JVM exprs
     "corpus_group_cap",         # per-domain top-N cap, two-phase window
     "embedding_cluster_profile",  # per-cluster cohesion (exact micros)
+    "embedding_knn_classify",   # seed-set label propagation (exact kNN)
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -452,6 +452,66 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
 # LSH bucketing (approximate scale path)
 # ---------------------------------------------------------------------------
 
+def knn_classify(
+    df: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label propagation: every ``df`` row gets the
+    label most common among its ``k`` nearest ``labeled`` rows (exact
+    cosine k-NN via :func:`knn_join`, both sides arbitrarily large).
+    The LLM-curation use: propagate a small curated seed set's labels
+    (quality tiers, topics, licenses) across the full corpus by embedding
+    proximity. Deterministic ties: more votes wins, then the smaller
+    label. Output: (id, pred_label, n_votes)."""
+    nn = knn_join(df, labeled, k=k, id_col=id_col, vec_col=vec_col)
+    lab = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lab")
+    )
+    votes = nn.join(lab, "neighbor_id").groupBy("query_id", "__lab").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("__lab"))
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("__lab").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+
+
+def knn_classify_sql(
+    table: str,
+    left_filter: str,
+    right_filter: str,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    knn = knn_join_sql(table, left_filter, right_filter, k, dim, id_col, vec_col)
+    return f"""
+WITH knn AS ({knn}),
+votes AS (
+  SELECT n.query_id, t.{label_col} AS lab, count(*) AS n_votes
+  FROM knn n JOIN {table} t ON n.neighbor_id = t.{id_col}
+  GROUP BY n.query_id, t.{label_col}
+)
+SELECT query_id AS {id_col}, lab AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, lab ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
 def _plane_weight(p: int, j: int, table: int = 0) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     the Python rendering of ``(h60('<t>,<p>,<j>') / H60_MAX) * 2 - 1``. The

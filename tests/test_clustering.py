@@ -157,6 +157,19 @@ def test_cluster_profile_micro_sum_exact(spark):
         assert prof[c]["min_cos"] == min(cs) and prof[c]["max_cos"] == max(cs)
 
 
+def test_knn_classify_recovers_blob_labels(spark):
+    """Label propagation from a third of the corpus recovers the planted
+    blob labels on the unlabeled rest (≥ 0.95 accuracy)."""
+    from kartothek_spark.operators.similarity import knn_classify
+
+    df, _ = _blobs(spark, n=300)
+    labeled = df.where(F.col("vec_id") % 3 == 0)
+    pred = knn_classify(df.where(F.col("vec_id") % 3 != 0), labeled, k=5)
+    joined = pred.join(df.select("vec_id", "label"), "vec_id").collect()
+    acc = sum(r["pred_label"] == r["label"] for r in joined) / len(joined)
+    assert len(joined) == 200 and acc >= 0.95
+
+
 def test_kmeans_k_exceeds_rows_raises(spark):
     df, _ = _blobs(spark, n=5)
     with pytest.raises(ValueError):
