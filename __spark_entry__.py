@@ -2601,6 +2601,17 @@ def corpus_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def corpus_length_quantiles(spark, sf_dir):
+    """Per-source length-distribution quantiles
+    (operators/corpus.py:group_quantiles, exact path): the dashboard
+    behind filter-threshold decisions. Exact percentile is value-
+    identical to DuckDB quantile_cont — full value twin; the bounded-
+    state approx path (percentile_approx) is pytest-pinned."""
+    from kartothek_spark.operators.corpus import group_quantiles
+
+    return group_quantiles(_t(spark, sf_dir, "documents"), "source", "n_chars")
+
+
 def corpus_group_cap(spark, sf_dir):
     """Per-domain cap curation rule: keep the 15 best docs of every
     source by (n_chars DESC, doc_id ASC) through the two-phase
@@ -3575,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified": corpus_stratified,
         "corpus_mixture_sample": corpus_mixture_sample,
         "corpus_group_cap": corpus_group_cap,
+        "corpus_length_quantiles": corpus_length_quantiles,
         "corpus_shard": corpus_shard,
         "corpus_bpe": corpus_bpe,
         "corpus_bpe_zero": corpus_bpe_zero,
@@ -4340,6 +4352,9 @@ enr AS (
         "corpus_chunk": _corpus.chunk_corpus_sql("documents", chunk_tokens=128, overlap=32),
         "corpus_stratified": _corpus.stratified_sample_sql(
             "documents", "source", quota=100, columns="doc_id, source"
+        ),
+        "corpus_length_quantiles": _corpus.group_quantiles_sql(
+            "documents", "source", "n_chars"
         ),
         "corpus_group_cap": _corpus.cap_per_group_sql(
             "documents",

@@ -127,6 +127,7 @@ HEADLINE = [
     "corpus_group_cap",         # per-domain top-N cap, two-phase window
     "embedding_cluster_profile",  # per-cluster cohesion (exact micros)
     "embedding_knn_classify",   # seed-set label propagation (exact kNN)
+    "corpus_length_quantiles",  # per-source exact quantiles (SQL-twinned)
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

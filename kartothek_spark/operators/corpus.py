@@ -162,6 +162,51 @@ FROM {table} GROUP BY {lang_col}
 """
 
 
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    approx_accuracy: int | None = None,
+) -> DataFrame:
+    """Per-group quantiles of a numeric column — the length/score
+    distribution dashboard behind every filter-threshold decision.
+
+    Default (``approx_accuracy=None``) is Spark's EXACT ``percentile``
+    (linear interpolation, value-identical to DuckDB's ``quantile_cont``
+    — the gate hash-checks it). Exact percentile buffers each group's
+    values in the aggregation state, so its contract is bounded per-group
+    cardinality (fine for per-source doc stats at any corpus size ONLY
+    when sampled/rolled up first). For unbounded groups at corpus scale
+    pass ``approx_accuracy`` (e.g. 10000) to switch to
+    ``percentile_approx`` — bounded state per group, no SQL twin
+    (approximation is engine-specific), pytest-pinned instead."""
+    if approx_accuracy is None:
+        agg = F.percentile(value_col, F.lit(list(probs)))
+    else:
+        agg = F.percentile_approx(value_col, F.lit(list(probs)), F.lit(approx_accuracy))
+    q = df.groupBy(group_col).agg(agg.alias("__q"))
+    return q.select(
+        group_col,
+        *[
+            F.round(F.col("__q")[i], 6).alias(f"p{round(p * 100)}")
+            for i, p in enumerate(probs)
+        ],
+    )
+
+
+def group_quantiles_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> str:
+    cols = ", ".join(
+        f"round(quantile_cont({value_col}, {p}), 6) AS p{round(p * 100)}" for p in probs
+    )
+    return f"SELECT {group_col}, {cols} FROM {table} GROUP BY {group_col}"
+
+
 def upsample_corpus(
     df: DataFrame,
     weights: dict[str, float],

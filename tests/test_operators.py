@@ -53,6 +53,20 @@ def test_cap_per_group_matches_naive_window(spark):
     assert got == want and len(got) == 12
 
 
+def test_group_quantiles_exact_and_approx(spark):
+    from kartothek_spark.operators.corpus import group_quantiles
+
+    rows = [(i, "g", float(i)) for i in range(1, 101)]  # 1..100 in one group
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    exact = group_quantiles(df, "source", "v", probs=(0.5, 0.95)).collect()[0]
+    assert exact["p50"] == 50.5 and exact["p95"] == 95.05
+    approx = group_quantiles(
+        df, "source", "v", probs=(0.5, 0.95), approx_accuracy=10000
+    ).collect()[0]
+    # approx path: bounded state, answer within one rank of exact
+    assert abs(approx["p50"] - 50.5) <= 1 and abs(approx["p95"] - 95.05) <= 1
+
+
 def test_normalize_text(spark):
     from kartothek_spark.operators.text import normalize_text
 
