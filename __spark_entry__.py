@@ -3021,6 +3021,18 @@ def dedup_semdedup(spark, sf_dir):
     return with_cluster(kept, seeds).select("vec_id", "cluster")
 
 
+def dedup_semdedup_diverse(spark, sf_dir):
+    """SemDeDup with the paper's diversity keep-rule (Abbas et al. 2023
+    §3): of each in-cluster near-dup pair, drop the member CLOSER to its
+    centroid (keep the low-centroid-cosine example). Full value twin."""
+    from kartothek_spark.operators.clustering import semantic_dedup, with_cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = _seed_centroids(spark, sf_dir)
+    kept = semantic_dedup(emb, seeds, threshold=0.4, keep="farthest")
+    return with_cluster(kept, seeds).select("vec_id", "cluster")
+
+
 def embedding_cluster_profile(spark, sf_dir):
     """Cluster observability (operators/clustering.py:cluster_profile):
     per-cluster size + exact integer-micro cohesion sum + min/max cosine.
@@ -3615,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_train": embedding_kmeans_train,
         "embedding_cluster_profile": embedding_cluster_profile,
         "dedup_semdedup": dedup_semdedup,
+        "dedup_semdedup_diverse": dedup_semdedup_diverse,
         "ann_topk": ann_topk,
         "ann_knn_join": ann_knn_join,
         "embedding_knn_classify": embedding_knn_classify,
@@ -4487,6 +4500,11 @@ FROM toks
         "dedup_semdedup": __import__(
             "kartothek_spark.operators.clustering", fromlist=["semantic_dedup_seeded_sql"]
         ).semantic_dedup_seeded_sql("embeddings", k=8, threshold=0.4, dim=EMB_DIM),
+        "dedup_semdedup_diverse": __import__(
+            "kartothek_spark.operators.clustering", fromlist=["semantic_dedup_seeded_sql"]
+        ).semantic_dedup_seeded_sql(
+            "embeddings", k=8, threshold=0.4, dim=EMB_DIM, keep="farthest"
+        ),
         "embedding_cluster_profile": __import__(
             "kartothek_spark.operators.clustering", fromlist=["cluster_profile_seeded_sql"]
         ).cluster_profile_seeded_sql("embeddings", k=8, dim=EMB_DIM),

@@ -128,6 +128,7 @@ HEADLINE = [
     "embedding_cluster_profile",  # per-cluster cohesion (exact micros)
     "embedding_knn_classify",   # seed-set label propagation (exact kNN)
     "corpus_length_quantiles",  # per-source exact quantiles (SQL-twinned)
+    "dedup_semdedup_diverse",   # paper keep-rule: drop centroid-closer
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

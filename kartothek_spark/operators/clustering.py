@@ -310,14 +310,40 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
 ) -> DataFrame:
-    """SemDeDup application: drop every row that has a lower-id neighbor
-    with cosine >= threshold in its own cluster (pairwise rule, not a
-    transitive closure — the paper's per-cluster ε-dedup; for full
+    """SemDeDup application: for every in-cluster near-dup pair
+    (cos >= threshold), drop one member (pairwise rule, not a transitive
+    closure — the paper's per-cluster ε-dedup; for full
     connected-components semantics compose with
-    :func:`kartothek_spark.operators.dedup.duplicate_clusters`)."""
+    :func:`kartothek_spark.operators.dedup.duplicate_clusters`).
+
+    ``keep="min_id"`` drops the higher id (deterministic canonical).
+    ``keep="farthest"`` is the paper's diversity rule (Abbas et al. 2023
+    §3: keep the example with the LOWEST cosine to its centroid): the
+    pair member closer to the centroid is the more redundant one and is
+    dropped; centroid-cosine ties drop the higher id."""
+    if keep not in ("min_id", "farthest"):
+        raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
     pairs = semantic_dup_pairs(df, centroids, threshold, id_col, vec_col)
-    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if keep == "min_id":
+        drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        cent = with_cluster(df, centroids, vec_col).select(
+            F.col(id_col).alias("__cid"), F.col("cos_sim").alias("__ccos")
+        )
+        scored = (
+            pairs.join(cent.withColumnRenamed("__cid", "id_a"), "id_a")
+            .withColumnRenamed("__ccos", "__cos_a")
+            .join(cent.withColumnRenamed("__cid", "id_b"), "id_b")
+            .withColumnRenamed("__ccos", "__cos_b")
+        )
+        drops = scored.select(
+            F.when(F.col("__cos_a") > F.col("__cos_b"), F.col("id_a"))
+            .when(F.col("__cos_b") > F.col("__cos_a"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias(id_col)
+        ).distinct()
     return df.join(drops, id_col, "left_anti")
 
 
@@ -370,22 +396,32 @@ def semantic_dedup_seeded_sql(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
 ) -> str:
     """DuckDB twin of assignment (seed centroids = ids < k) + in-cluster
-    pair mining + the drop-higher-id rule, returning kept (id, cluster)."""
+    pair mining + the drop rule (higher id, or — ``keep='farthest'`` —
+    the centroid-closer member), returning kept (id, cluster)."""
     acos = cos_from_ints_sql(qdot_sql("v.q", "s.cq", dim), "v.n", "s.cn")
     pcos = cos_from_ints_sql(qdot_sql("a.q", "b.q", dim), "a.n", "b.n")
+    if keep == "min_id":
+        drop_expr = "b.id"
+    else:
+        drop_expr = (
+            "CASE WHEN a.cos_sim > b.cos_sim THEN a.id "
+            "WHEN b.cos_sim > a.cos_sim THEN b.id "
+            "ELSE greatest(a.id, b.id) END"
+        )
     return f"""
 WITH q AS (SELECT {id_col} AS id, {quantize_sql(vec_col)} AS q FROM {table}),
 base AS (SELECT id, q, {qdot_sql('q', 'q', dim)} AS n FROM q),
 seeds AS (SELECT id AS c, q AS cq, n AS cn FROM base WHERE id < {k}),
 scored AS (
-  SELECT v.id, v.q, v.n, s.c,
+  SELECT v.id, v.q, v.n, s.c, {acos} AS cos_sim,
          row_number() OVER (PARTITION BY v.id ORDER BY {acos} DESC, s.c ASC) AS rn
   FROM base v CROSS JOIN seeds s),
-assigned AS (SELECT id, q, n, c AS cluster FROM scored WHERE rn = 1),
+assigned AS (SELECT id, q, n, c AS cluster, cos_sim FROM scored WHERE rn = 1),
 drops AS (
-  SELECT DISTINCT b.id
+  SELECT DISTINCT {drop_expr} AS id
   FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.id < b.id
   WHERE {pcos} >= {threshold})
 SELECT id AS {id_col}, cluster FROM assigned WHERE id NOT IN (SELECT id FROM drops)

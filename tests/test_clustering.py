@@ -157,6 +157,29 @@ def test_cluster_profile_micro_sum_exact(spark):
         assert prof[c]["min_cos"] == min(cs) and prof[c]["max_cos"] == max(cs)
 
 
+def test_semantic_dedup_farthest_keeps_diverse_member(spark):
+    """keep='farthest' (the paper's rule) keeps the pair member with the
+    LOWER centroid cosine; keep='min_id' keeps the lower id."""
+    rows = [
+        (0, [0.99, 0.14], 0),  # closer to the [1, 0] centroid
+        (1, [0.90, 0.44], 0),  # farther — the diverse member
+        (2, [-1.0, 0.0], 0),   # its own corner, no dup
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    cents = [[1.0, 0.0]]
+    kept_far = {
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.9, keep="farthest").collect()
+    }
+    kept_min = {
+        r["vec_id"]
+        for r in semantic_dedup(df, cents, threshold=0.9, keep="min_id").collect()
+    }
+    assert kept_far == {1, 2} and kept_min == {0, 2}
+    with pytest.raises(ValueError):
+        semantic_dedup(df, cents, keep="median")
+
+
 def test_knn_classify_recovers_blob_labels(spark):
     """Label propagation from a third of the corpus recovers the planted
     blob labels on the unlabeled rest (≥ 0.95 accuracy)."""
