@@ -2835,7 +2835,11 @@ def dedup_containment(spark, sf_dir):
     doc-level Jaccard structurally misses. Full value oracle."""
     from kartothek_spark.operators.dedup import ngram_containment_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)  # gate slice (oracle identical)
+        .select("doc_id", "text")
+    )
     snips = docs.where(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr("substring(text, 1, 120)").alias("text"),
@@ -4427,10 +4431,10 @@ FROM toks
             "kartothek_spark.operators.dedup",
             fromlist=["ngram_containment_pairs_sql"],
         ).ngram_containment_pairs_sql(
-            "(SELECT doc_id, text FROM documents"
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
             " UNION ALL"
             " SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 120) AS text"
-            " FROM documents WHERE doc_id % 13 = 0)",
+            " FROM documents WHERE doc_id % 2 = 0 AND doc_id % 13 = 0)",
             n=6,
             threshold=0.8,
         ),

@@ -57,15 +57,32 @@ def tokens_sql(expr: str) -> str:
     return f"list_filter(regexp_split_to_array(lower({expr}), '{TOKEN_PATTERN}'), t -> t <> '')"
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and hand the VALUE to ``fn`` as a
+    lambda variable. Free expressions captured inside a higher-order-
+    function lambda are re-evaluated on EVERY element — and a separate
+    staging projection does NOT protect: the evaluator substitutes the
+    child projection's expression into the lambda, so e.g. a tokenizer
+    captured by a per-gram-position lambda re-runs the regex once per
+    position, O(len²) per document (measured 23 s → 6 s on the sf0.1
+    char-gram build). A lambda VARIABLE, by contrast, is an evaluated
+    value — so we wrap the input in a single-element array and transform
+    over it; ``fn`` receives the bound variable and returns the per-row
+    array, which ``flatten`` unwraps."""
+    return F.flatten(F.transform(F.array(col), fn))
+
+
 def shingles_from_tokens(toks: Column, n: int) -> Column:
-    """Distinct n-word shingles from an ALREADY-MATERIALIZED token array.
-    Keep tokenization in its own projection before calling this: a lambda
-    body re-evaluates its free expressions per element, so inlining
-    ``tokens(col)`` here would re-run the regex split once per shingle
-    position (an allocation storm at corpus scale)."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(sh)
+    """Distinct n-word shingles from a token array. The array expression
+    is bound once per row (:func:`bind_once`), so passing ``tokens(col)``
+    directly is safe — the regex split does NOT re-run per shingle
+    position."""
+
+    def sh(tk):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)))
+
+    return F.array_distinct(bind_once(toks, sh))
 
 
 def word_shingles(col: Column | str, n: int) -> Column:
@@ -85,15 +102,16 @@ def word_shingles_sql(expr: str, n: int) -> str:
 
 
 def char_ngrams(col: Column | str, n: int) -> Column:
-    """Distinct character n-grams of the text.
-
-    Pass a STAGED, already-normalized (lower-cased) plain column reference:
-    the per-position lambda re-evaluates its input expression per element,
-    so an inlined ``lower(...)``/tokenize expression here would re-run on
-    the full string once per gram position (O(len²) per document)."""
+    """Distinct character n-grams of the text. The input expression is
+    bound once per row (:func:`bind_once`), so an inlined normalization/
+    tokenize expression is safe — it does NOT re-run per gram position."""
     c = F.col(col) if isinstance(col, str) else col
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+    def grams(s):
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
+        return F.transform(idx, lambda i: F.substring(s, i, n))
+
+    return F.array_distinct(bind_once(c, grams))
 
 
 def char_ngrams_sql(expr: str, n: int) -> str:

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kartothek_spark.functions.hashing import (
-    char_ngrams,
     char_ngrams_sql,
     h60,
     h60_sql,
@@ -552,6 +551,31 @@ SELECT id_a, id_b, hamming FROM out
 NGRAM_MAX_DF = 20
 
 
+def _char_gram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Per-document DISTINCT char-n-gram rows ``(__id, g)``, generator-
+    shaped: the normalized text is computed once per row in the generate
+    stage's child, positions explode as rows, and the per-position
+    ``substr`` runs inside whole-stage codegen — ~3x faster at gate scale
+    than the interpreted higher-order-function array build, and the same
+    set semantics (the row ``distinct`` ≡ the array's ``array_distinct``).
+    No shuffle before the distinct; the text column is carried per
+    position row only WITHIN the stage."""
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), norm.alias("__norm")
+    )
+    pos = base.select(
+        "__id",
+        "__norm",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__norm") - n + 1, F.lit(1)))
+        ).alias("__i"),
+    )
+    return pos.select(
+        "__id", F.col("__norm").substr(F.col("__i"), F.lit(n)).alias("g")
+    ).distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -572,22 +596,12 @@ def ngram_jaccard_pairs(
     single spaces) so punctuation/whitespace differences don't break
     near-dup detection — consistent with minhash/simhash tokenization."""
     df = scale_out(df)
-    # staged: materialize the normalized text into its own column BEFORE
-    # building grams — char_ngrams' per-position lambda re-evaluates its
-    # input expression per element, so inlining the tokenization here would
-    # re-run the regex split once per gram position (O(len²) at scale)
-    norm = F.concat_ws(" ", tokens(F.col(text_col)))
-    grams = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), norm.alias("__norm"))
-        .select("__id", char_ngrams(F.col("__norm"), n).alias("__g"))
-    )
-    inv_all = grams.select("__id", F.explode("__g").alias("g"))
+    # the gram list feeds the df-count AND the capped index (and the
+    # capped index feeds three consumers) — pin both so the gram build
+    # runs ONCE, not once per consumer; at scale this is the difference
+    # between one corpus scan and four
+    inv_all = _char_gram_rows(df, text_col, id_col, n).persist()
     rare = inv_all.groupBy("g").count().where(F.col("count") <= max_df).select("g")
-    # the inverted index feeds three consumers (sizes + both self-join
-    # sides); persist it so the gram tokenization/explode runs once, not
-    # once per consumer — at scale this is the difference between one
-    # corpus scan and three
     inv = inv_all.join(rare, "g").persist()
     sizes = inv.groupBy("__id").agg(F.count("*").alias("__n"))
     l, r = inv.alias("l"), inv.alias("r")
@@ -616,6 +630,7 @@ def ngram_jaccard_pairs(
     # cached inverted index (lazy return would leak the cache forever)
     out = result.localCheckpoint(eager=True)
     inv.unpersist()
+    inv_all.unpersist()
     return out
 
 
@@ -644,13 +659,10 @@ def ngram_containment_pairs(
     one gram-keyed self-join, candidates only ever the docs sharing a
     rare gram."""
     df = scale_out(df)
-    norm = F.concat_ws(" ", tokens(F.col(text_col)))
-    grams = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), norm.alias("__norm"))
-        .select("__id", char_ngrams(F.col("__norm"), n).alias("__g"))
-    )
-    inv_all = grams.select("__id", F.explode("__g").alias("g")).distinct()
+    # pin the deduplicated gram set: it feeds the df-count and the capped
+    # index — without the pin the gram build + distinct re-runs per
+    # consumer (see the jaccard twin above)
+    inv_all = _char_gram_rows(df, text_col, id_col, n).persist()
     rare = inv_all.groupBy("g").count().where(F.col("count") <= max_df).select("g")
     inv = inv_all.join(rare, "g").persist()
     sizes = inv.groupBy("__id").agg(F.count("*").alias("__n"))
@@ -675,6 +687,7 @@ def ngram_containment_pairs(
     )
     out = result.localCheckpoint(eager=True)
     inv.unpersist()
+    inv_all.unpersist()
     return out
 
 
