@@ -3017,24 +3017,24 @@ def dedup_semdedup(spark, sf_dir):
     centroids keep the whole composition SQL-expressible — full value
     twin; the trained-centroid path is pinned by
     tests/test_clustering.py's planted-copy test."""
-    from kartothek_spark.operators.clustering import semantic_dedup, with_cluster
+    from kartothek_spark.operators.clustering import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
     seeds = _seed_centroids(spark, sf_dir)
     kept = semantic_dedup(emb, seeds, threshold=0.4)
-    return with_cluster(kept, seeds).select("vec_id", "cluster")
+    return kept.select("vec_id", "cluster")
 
 
 def dedup_semdedup_diverse(spark, sf_dir):
     """SemDeDup with the paper's diversity keep-rule (Abbas et al. 2023
     §3): of each in-cluster near-dup pair, drop the member CLOSER to its
     centroid (keep the low-centroid-cosine example). Full value twin."""
-    from kartothek_spark.operators.clustering import semantic_dedup, with_cluster
+    from kartothek_spark.operators.clustering import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
     seeds = _seed_centroids(spark, sf_dir)
     kept = semantic_dedup(emb, seeds, threshold=0.4, keep="farthest")
-    return with_cluster(kept, seeds).select("vec_id", "cluster")
+    return kept.select("vec_id", "cluster")
 
 
 def embedding_cluster_profile(spark, sf_dir):

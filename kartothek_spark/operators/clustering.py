@@ -106,15 +106,29 @@ def _assign_struct(qcol: Column, nv: Column, Cq, nq) -> Column:
 
 def _with_cluster_expr(df: DataFrame, centroids, vec_col: str) -> DataFrame:
     Cq, nq = _quantize_centroids(centroids)
-    out = (
-        df.withColumn("__q", quantize(F.col(vec_col)))
-        .withColumn("__nv", qdot(F.col("__q"), F.col("__q")))
-        .withColumn("__a", _assign_struct(F.col("__q"), F.col("__nv"), Cq, nq))
+    # bind the quantized vector and its norm as lambda VARIABLES (nested
+    # single-element transforms): expressions captured by a HOF lambda are
+    # re-evaluated per element, so via plain withColumn staging quantize()
+    # would re-run once per centroid (see functions/hashing.py:bind_once)
+    q_expr = quantize(F.col(vec_col))
+    best = F.element_at(
+        F.transform(
+            F.array(q_expr),
+            lambda q: F.element_at(
+                F.transform(
+                    F.array(qdot(q, q)),
+                    lambda nv: _assign_struct(q, nv, Cq, nq),
+                ),
+                1,
+            ),
+        ),
+        1,
     )
+    out = df.withColumn("__a", best)
     return (
         out.withColumn("cluster", F.col("__a")["cluster"])
         .withColumn("cos_sim", F.col("__a")["cos_sim"])
-        .drop("__q", "__nv", "__a")
+        .drop("__a")
     )
 
 
@@ -222,6 +236,58 @@ def _greedy_init(df: DataFrame, k: int, vec_col: str, id_col: str, sample_rows: 
     return X[chosen]
 
 
+def _train_partials(df: DataFrame, C, vec_col: str) -> DataFrame:
+    """One Lloyd iteration's sufficient statistics: assignment AND
+    per-cluster (count, component-sum) partials in a single Arrow pass
+    per partition (the classic scalable k-means shape — MLlib's
+    treeAggregate analog). Each partition emits at most k·(d+1) rows
+    ``(cluster, pos, s)`` with pos 0 = count sentinel, so the shuffle is
+    k·(d+1)·partitions regardless of corpus size; the assignment math is
+    byte-identical to :func:`_with_cluster_batches` (fixed-point cosine,
+    first-max = smallest index)."""
+    import numpy as np
+    import pandas as pd
+
+    Cq, nq = _quantize_centroids(C)
+    cn = np.sqrt(nq.astype("float64"))
+    k, d = np.asarray(C, dtype="float64").shape
+
+    def fn(batches):
+        sums = np.zeros((k, d + 1), dtype="float64")
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            V = np.array(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]], dtype="float64"
+            )
+            Vq = np.floor(V * QUANT + 0.5).astype("int64")
+            nv = np.sqrt((Vq * Vq).sum(axis=1).astype("float64"))
+            cosm = np.round((Vq @ Cq.T).astype("float64") / (nv[:, None] * cn[None, :]), 6)
+            a = cosm.argmax(axis=1)
+            X = np.concatenate([np.ones((len(V), 1)), V], axis=1)
+            for c in np.unique(a):
+                sums[c] += X[a == c].sum(axis=0)
+        if not seen:
+            return
+        nz = np.nonzero(sums[:, 0] > 0)[0]
+        yield pd.DataFrame(
+            {
+                "cluster": np.repeat(nz, d + 1).astype("int64"),
+                "pos": np.tile(np.arange(d + 1, dtype="int32"), len(nz)),
+                "s": sums[nz].ravel(),
+            }
+        )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(fn, "cluster long, pos int, s double")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"))
+    )
+
+
 def kmeans_train(
     df: DataFrame,
     k: int,
@@ -233,10 +299,13 @@ def kmeans_train(
     """Distributed Lloyd's k-means over cosine geometry.
 
     Init is the deterministic greedy farthest-first walk of
-    :func:`_greedy_init`. Each iteration is one narrow assignment pass
-    plus one map-side-combined (cluster, dim) partial-sum aggregation;
-    only k·(d+1) scalars ever reach the driver. Empty clusters keep
-    their previous centroid.
+    :func:`_greedy_init`. Each iteration is ONE job: a vectorized Arrow
+    pass fusing assignment with per-cluster partial sums
+    (:func:`_train_partials`), then a k·(d+1)-row aggregation; only
+    k·(d+1) scalars ever reach the driver. Empty clusters keep their
+    previous centroid. (The public :func:`kmeans_assign` path stays a
+    pure JVM expression — training fuses the two steps because paying an
+    Arrow transfer once per iteration beats two passes.)
     """
     import numpy as np
 
@@ -244,22 +313,7 @@ def kmeans_train(
     d = C.shape[1]
     sizes = [0] * k
     for _ in range(max(1, iters)):
-        assigned = with_cluster(df.select(F.col(vec_col).alias("__v")), C, "__v")
-        # pos 0 carries the count sentinel; pos 1..d the vector components.
-        partials = (
-            assigned.select(
-                "cluster",
-                F.posexplode(
-                    F.concat(
-                        F.array(F.lit(1.0)),
-                        F.transform(F.col("__v"), lambda v: v.cast("double")),
-                    )
-                ),
-            )
-            .groupBy("cluster", "pos")
-            .agg(F.sum("col").alias("s"))
-            .collect()
-        )
+        partials = _train_partials(df, C, vec_col).collect()
         sums = np.zeros((k, d), dtype="float64")
         counts = np.zeros(k, dtype="float64")
         for r in partials:
@@ -280,16 +334,23 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_block_rows: int = 4096,
+    cluster_col: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) near-duplicate pairs searched only within a
     k-means cluster (the SemDeDup candidate restriction). Pair discovery
     is the shared block-matrix kernel grouped by cluster, so the biggest
-    single matmul is bounded by the largest cluster's block size."""
+    single matmul is bounded by the largest cluster's block size. Pass
+    ``cluster_col`` when ``df`` already carries an assignment (e.g. from
+    :func:`with_cluster`) to skip re-assigning."""
     import math
 
-    clustered = with_cluster(df, centroids, vec_col).select(
-        id_col, vec_col, "cluster"
-    )
+    if cluster_col is None:
+        clustered = with_cluster(df, centroids, vec_col).select(
+            id_col, vec_col, "cluster"
+        )
+        cluster_col = "cluster"
+    else:
+        clustered = df
     from kartothek_spark.operators.similarity import embedding_dup_pairs
 
     n = df.count()
@@ -300,7 +361,7 @@ def semantic_dup_pairs(
         id_col=id_col,
         vec_col=vec_col,
         blocks=blocks,
-        group_col="cluster",
+        group_col=cluster_col,
     )
 
 
@@ -322,14 +383,24 @@ def semantic_dedup(
     ``keep="farthest"`` is the paper's diversity rule (Abbas et al. 2023
     §3: keep the example with the LOWEST cosine to its centroid): the
     pair member closer to the centroid is the more redundant one and is
-    dropped; centroid-cosine ties drop the higher id."""
+    dropped; centroid-cosine ties drop the higher id.
+
+    Returns the kept rows WITH their assignment columns (``cluster``,
+    ``cos_sim``) — the single assignment pass feeds pair mining, the
+    farthest rule, and the output."""
     if keep not in ("min_id", "farthest"):
         raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
-    pairs = semantic_dup_pairs(df, centroids, threshold, id_col, vec_col)
+    # assign ONCE; the assignment feeds pair mining, the farthest rule's
+    # centroid cosines, and the returned rows (which carry cluster +
+    # cos_sim — callers get the assignment for free)
+    assigned = with_cluster(df, centroids, vec_col)
+    pairs = semantic_dup_pairs(
+        assigned, centroids, threshold, id_col, vec_col, cluster_col="cluster"
+    )
     if keep == "min_id":
         drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     else:
-        cent = with_cluster(df, centroids, vec_col).select(
+        cent = assigned.select(
             F.col(id_col).alias("__cid"), F.col("cos_sim").alias("__ccos")
         )
         scored = (
@@ -344,7 +415,7 @@ def semantic_dedup(
             .otherwise(F.greatest("id_a", "id_b"))
             .alias(id_col)
         ).distinct()
-    return df.join(drops, id_col, "left_anti")
+    return assigned.join(drops, id_col, "left_anti")
 
 
 def cluster_profile(

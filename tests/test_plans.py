@@ -440,30 +440,21 @@ def test_kmeans_assign_is_narrow(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
-def test_kmeans_update_partials_combine_map_side(spark):
-    from kartothek_spark.operators.clustering import with_cluster
+def test_kmeans_train_partials_one_pass_map_side(spark):
+    from kartothek_spark.operators.clustering import _train_partials
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     seeds = [r["embedding"] for r in emb.where(F.col("vec_id") < 8).collect()]
-    assigned = with_cluster(emb.select(F.col("embedding").alias("__v")), seeds, "__v")
-    partials = (
-        assigned.select(
-            "cluster",
-            F.posexplode(
-                F.concat(
-                    F.array(F.lit(1.0)),
-                    F.transform(F.col("__v"), lambda v: v.cast("double")),
-                )
-            ),
-        )
-        .groupBy("cluster", "pos")
-        .agg(F.sum("col").alias("s"))
-    )
+    partials = _train_partials(emb, seeds, "embedding")
     plan = _plan(partials)
-    # the n*d exploded rows are partially summed BEFORE the exchange, so
-    # the shuffle carries k*(d+1)*partitions rows regardless of corpus size
+    # one Arrow pass fuses assignment + per-cluster sums, emitting at most
+    # k*(d+1) rows per partition; those partials are partially summed
+    # again BEFORE the single exchange, so the shuffle never scales with
+    # the corpus
+    assert plan.count("Exchange hashpartitioning") == 1
     pre_exchange = plan.split("Exchange hashpartitioning")[-1]
     assert "partial_sum" in pre_exchange or "partial" in pre_exchange
+    assert "MapInPandas" in plan or "ArrowEval" in plan or "Python" in plan
 
 
 def test_cap_per_group_two_phase_shuffles(spark):
