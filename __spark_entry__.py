@@ -3037,6 +3037,63 @@ def dedup_semdedup_diverse(spark, sf_dir):
     return kept.select("vec_id", "cluster")
 
 
+def _cluster_assign_fixture(spark, sf_dir):
+    """Fixture: persist the seed-centroid model, then stream the
+    embeddings through stream_cluster_assign (availableNow) into a
+    cluster-partitioned assignment dataset."""
+
+    def build(root):
+        from kartothek_spark.operators.clustering import save_kmeans_model
+        from kartothek_spark.streaming.update import stream_cluster_assign as op
+
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        save_kmeans_model(spark, _seed_centroids(spark, sf_dir), root)
+        src = os.path.join(root, "_src")
+        emb.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "cl_assign",
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_cluster_assign fixture: stream did not drain")
+
+    return _fixture(sf_dir, "cl_assign", build)
+
+
+def stream_cluster_assign(spark, sf_dir):
+    """Streaming maintenance of the persisted semantic shard map: batch 0
+    builds the cluster-partitioned assignment dataset, later batches
+    append O(batch) with the exactly-once stamp in-transaction; centroids
+    load once from the persisted k-means model dataset. The drained map
+    must equal the batch assignment over everything ingested — a
+    streaming gate with a FULL value oracle."""
+    from kartothek_spark.dataset.read import read_table
+
+    root = _cluster_assign_fixture(spark, sf_dir)
+    return read_table(spark, root, "cl_assign").select("vec_id", "cluster", "cos_sim")
+
+
+def embedding_cluster_shard(spark, sf_dir):
+    """Per-cluster pruned read of the persisted assignment map
+    (partition_on=["cluster"]): one semantic shard comes back as a
+    single-directory scan — no corpus re-assignment, no full scan. Value
+    twin: the seeded assignment SQL filtered to the same cluster."""
+    from kartothek_spark.dataset.read import read_table
+
+    root = _cluster_assign_fixture(spark, sf_dir)
+    return read_table(
+        spark, root, "cl_assign", predicates=[[("cluster", "==", 3)]]
+    ).select("vec_id", "cluster", "cos_sim")
+
+
 def embedding_cluster_profile(spark, sf_dir):
     """Cluster observability (operators/clustering.py:cluster_profile):
     per-cluster size + exact integer-micro cohesion sum + min/max cosine.
@@ -3630,6 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_assign": embedding_kmeans_assign,
         "embedding_kmeans_train": embedding_kmeans_train,
         "embedding_cluster_profile": embedding_cluster_profile,
+        "stream_cluster_assign": stream_cluster_assign,
+        "embedding_cluster_shard": embedding_cluster_shard,
         "dedup_semdedup": dedup_semdedup,
         "dedup_semdedup_diverse": dedup_semdedup_diverse,
         "ann_topk": ann_topk,
@@ -4512,6 +4571,14 @@ FROM toks
         "embedding_cluster_profile": __import__(
             "kartothek_spark.operators.clustering", fromlist=["cluster_profile_seeded_sql"]
         ).cluster_profile_seeded_sql("embeddings", k=8, dim=EMB_DIM),
+        "stream_cluster_assign": __import__(
+            "kartothek_spark.operators.clustering", fromlist=["kmeans_assign_seeded_sql"]
+        ).kmeans_assign_seeded_sql("embeddings", k=8, dim=EMB_DIM),
+        "embedding_cluster_shard": "SELECT * FROM ("
+        + __import__(
+            "kartothek_spark.operators.clustering", fromlist=["kmeans_assign_seeded_sql"]
+        ).kmeans_assign_seeded_sql("embeddings", k=8, dim=EMB_DIM)
+        + ") WHERE cluster = 3",
         "embedding_drift_stats": _sim.embedding_group_stats_sql("embeddings", dim=EMB_DIM),
         "embedding_pca": __import__(
             "kartothek_spark.operators.embeddings", fromlist=["pca_moments_sql"]

@@ -129,6 +129,8 @@ HEADLINE = [
     "embedding_knn_classify",   # seed-set label propagation (exact kNN)
     "corpus_length_quantiles",  # per-source exact quantiles (SQL-twinned)
     "dedup_semdedup_diverse",   # paper keep-rule: drop centroid-closer
+    "stream_cluster_assign",    # streamed semantic shard map, value oracle
+    "embedding_cluster_shard",  # partition-pruned per-cluster read
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

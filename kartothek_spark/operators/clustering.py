@@ -418,6 +418,85 @@ def semantic_dedup(
     return assigned.join(drops, id_col, "left_anti")
 
 
+def save_kmeans_model(
+    spark, model, root: str, model_uuid: str = "kmeans_model", extra_metadata=None
+):
+    """Persist centroids as a tiny managed dataset (cluster, centroid,
+    size) with k/dim in manifest metadata — the model-registry form: a
+    trained model becomes a versioned, GC-safe, copyable table that any
+    session (or stream) can load without re-training."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    if isinstance(model, KMeansModel):
+        cents, sizes = model.centroids, model.sizes
+    else:
+        cents, sizes = [list(c) for c in model], [0] * len(model)
+    rows = [
+        (i, [float(x) for x in c], int(s))
+        for i, (c, s) in enumerate(zip(cents, sizes))
+    ]
+    meta = {"kmeans_k": len(cents), "kmeans_dim": len(cents[0]) if cents else 0}
+    if extra_metadata:
+        meta.update(extra_metadata)
+    df = spark.createDataFrame(rows, "cluster long, centroid array<double>, size long")
+    return store_dataframe_as_dataset(
+        spark, df, root, model_uuid, metadata=meta, overwrite=True
+    )
+
+
+def load_kmeans_model(spark, root: str, model_uuid: str = "kmeans_model") -> KMeansModel:
+    from kartothek_spark.dataset.read import read_table
+
+    rows = read_table(spark, root, model_uuid).orderBy("cluster").collect()
+    return KMeansModel(
+        centroids=[list(r["centroid"]) for r in rows],
+        sizes=[int(r["size"]) for r in rows],
+    )
+
+
+def build_cluster_assignments(
+    spark,
+    df: DataFrame,
+    root: str,
+    assign_uuid: str,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_metadata=None,
+):
+    """Materialize assignments as a managed dataset PARTITIONED BY
+    cluster — the persisted semantic shard map: downstream per-cluster
+    work (SemDeDup passes, cluster-local extracts, shard exports) becomes
+    a partition-pruned read of one directory instead of a corpus scan +
+    re-assignment."""
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+    assigned = kmeans_assign(df, centroids, vec_col, id_col)
+    return store_dataframe_as_dataset(
+        spark, assigned, root, assign_uuid,
+        partition_on=["cluster"], metadata=extra_metadata,
+    )
+
+
+def sync_cluster_assignments(
+    spark,
+    new_df: DataFrame,
+    root: str,
+    assign_uuid: str,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_metadata=None,
+):
+    """O(new rows) append of the new vectors' assignments in one atomic
+    commit (fixed centroids — the online half of the offline-train /
+    online-assign split)."""
+    from kartothek_spark.dataset.write import update_dataset
+
+    assigned = kmeans_assign(new_df, centroids, vec_col, id_col)
+    return update_dataset(spark, assigned, root, assign_uuid, metadata=extra_metadata)
+
+
 def cluster_profile(
     df: DataFrame,
     centroids,

@@ -610,3 +610,61 @@ def stream_fuzzy_index(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_cluster_assign(
+    stream_df: DataFrame,
+    root: str,
+    assign_uuid: str = "cluster_assign",
+    centroids=None,
+    model_root: str | None = None,
+    model_uuid: str = "kmeans_model",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming maintenance of the persisted cluster-assignment map
+    (:mod:`~kartothek_spark.operators.clustering`): centroids come from
+    the caller or are loaded ONCE from a persisted k-means model dataset
+    (the offline-train / online-assign split); batch 0 builds the
+    cluster-partitioned assignment dataset, every later micro-batch
+    appends its vectors' assignments in one atomic O(batch) commit with
+    the exactly-once ``(txn_id, batch_id)`` stamp inside the same
+    transaction — a replayed batch is skipped, not double-appended.
+    After the stream drains, the map equals the batch assignment over
+    everything ingested (the gate's full value oracle). Returns the
+    StreamingQuery."""
+    from kartothek_spark.operators.clustering import (
+        build_cluster_assignments,
+        load_kmeans_model,
+        sync_cluster_assignments,
+    )
+
+    spark = stream_df.sparkSession
+    if centroids is None:
+        centroids = load_kmeans_model(spark, model_root or root, model_uuid).centroids
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        if not DatasetManifest.exists(root, assign_uuid):
+            _purge_uncommitted_dataset_dir(root, assign_uuid)
+            build_cluster_assignments(
+                spark, batch_df, root, assign_uuid, centroids,
+                vec_col, id_col, extra_metadata=stamp,
+            )
+        elif not _batch_already_committed(root, assign_uuid, batch_id, txn_id):
+            sync_cluster_assignments(
+                spark, batch_df, root, assign_uuid, centroids,
+                vec_col, id_col, extra_metadata=stamp,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

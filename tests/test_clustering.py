@@ -193,6 +193,43 @@ def test_knn_classify_recovers_blob_labels(spark):
     assert len(joined) == 200 and acc >= 0.95
 
 
+def test_kmeans_model_roundtrip_and_incremental_assignments(spark, tmp_path):
+    """Persisted model loads back exactly; build + O(new) sync of the
+    cluster-partitioned assignment map equals one batch assignment over
+    the union; the shard read prunes by partition."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.operators.clustering import (
+        build_cluster_assignments,
+        kmeans_train,
+        load_kmeans_model,
+        save_kmeans_model,
+        sync_cluster_assignments,
+    )
+
+    df, _ = _blobs(spark, n=200)
+    model = kmeans_train(df, 5, iters=3)
+    root = str(tmp_path / "store")
+    save_kmeans_model(spark, model, root)
+    back = load_kmeans_model(spark, root)
+    assert back.centroids == model.centroids and back.sizes == model.sizes
+
+    first = df.where(F.col("vec_id") < 120)
+    rest = df.where(F.col("vec_id") >= 120)
+    build_cluster_assignments(spark, first, root, "amap", back.centroids)
+    sync_cluster_assignments(spark, rest, root, "amap", back.centroids)
+    got = {
+        (r["vec_id"], r["cluster"], r["cos_sim"])
+        for r in read_table(spark, root, "amap").collect()
+    }
+    want = {
+        (r["vec_id"], r["cluster"], r["cos_sim"])
+        for r in kmeans_assign(df, back.centroids).collect()
+    }
+    assert got == want
+    shard = read_table(spark, root, "amap", predicates=[[("cluster", "==", 2)]])
+    assert {r["cluster"] for r in shard.collect()} == {2}
+
+
 def test_kmeans_k_exceeds_rows_raises(spark):
     df, _ = _blobs(spark, n=5)
     with pytest.raises(ValueError):
