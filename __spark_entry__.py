@@ -2517,6 +2517,22 @@ def corpus_decontaminate(spark, sf_dir):
     return contamination_hits(train, bench, n=8)
 
 
+def corpus_contamination_report(spark, sf_dir):
+    """EVAL-side contamination attribution: per compromised benchmark
+    item, how many distinct training docs touch it and how many of its
+    shingles leak — the mirror view of corpus_decontaminate (same 5%
+    hash-slice split). Full value oracle."""
+    from kartothek_spark.operators.contamination import (
+        benchmark_contamination_report,
+    )
+    from kartothek_spark.operators.corpus import sample_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = sample_corpus(docs, 0.05, salt="bench")
+    train = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    return benchmark_contamination_report(train, bench, n=8)
+
+
 def dedup_cross_corpus(spark, sf_dir):
     """Cross-corpus MinHash near-dup pairs (the fuzzy-decontamination
     primitive): the 'benchmark' side is every 11th doc with its first 11
@@ -3654,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": corpus_split,
         "corpus_repetition": corpus_repetition,
         "corpus_decontaminate": corpus_decontaminate,
+        "corpus_contamination_report": corpus_contamination_report,
         "corpus_pack": corpus_pack,
         "corpus_chunk": corpus_chunk,
         "corpus_stratified": corpus_stratified,
@@ -4418,6 +4435,16 @@ enr AS (
         "corpus_decontaminate": __import__(
             "kartothek_spark.operators.contamination", fromlist=["contamination_hits_sql"]
         ).contamination_hits_sql(
+            "SELECT * FROM documents WHERE NOT ("
+            + _corpus._keep_sql("doc_id", 0.05, "bench")
+            + ")",
+            _corpus.sample_corpus_sql("documents", 0.05, salt="bench"),
+            n=8,
+        ),
+        "corpus_contamination_report": __import__(
+            "kartothek_spark.operators.contamination",
+            fromlist=["benchmark_contamination_report_sql"],
+        ).benchmark_contamination_report_sql(
             "SELECT * FROM documents WHERE NOT ("
             + _corpus._keep_sql("doc_id", 0.05, "bench")
             + ")",

@@ -131,6 +131,7 @@ HEADLINE = [
     "dedup_semdedup_diverse",   # paper keep-rule: drop centroid-closer
     "stream_cluster_assign",    # streamed semantic shard map, value oracle
     "embedding_cluster_shard",  # partition-pruned per-cluster read
+    "corpus_contamination_report",  # eval-side leak attribution
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -84,6 +84,62 @@ def decontaminate(
     return train.join(hits, id_col, "left_anti")
 
 
+def benchmark_contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EVAL-side attribution — the mirror view of
+    :func:`contamination_hits`: for each BENCHMARK item, ``n_train_docs``
+    = distinct training docs sharing at least one n-gram shingle with it
+    and ``n_shared_shingles`` = how many of its distinct shingles occur
+    in training — the "is my eval compromised, and how badly" dashboard
+    an eval owner reads before trusting a score. Only compromised items
+    (≥1 hit) are returned. Scale shape: the benchmark's (id, shingle)
+    pairs are the small side (eval suites are thousands of rows) and are
+    broadcast; the training side streams through once, never shuffles."""
+    bench = _doc_shingle_hashes(benchmark, text_col, id_col, n).select(
+        F.col(id_col).alias("bench_id"), "_h"
+    )
+    train_h = _doc_shingle_hashes(train, text_col, id_col, n).select(
+        F.col(id_col).alias("_tid"), "_h"
+    )
+    return (
+        train_h.join(F.broadcast(bench), "_h")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("_tid").alias("n_train_docs"),
+            F.countDistinct("_h").alias("n_shared_shingles"),
+        )
+    )
+
+
+def benchmark_contamination_report_sql(
+    train_sql: str,
+    benchmark_sql: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    sh = word_shingles_sql(text_col, n)
+    h = h60_sql("_sh")
+    return f"""
+WITH bench_h AS (
+  SELECT {id_col} AS bench_id, {h} AS _h
+  FROM (SELECT {id_col}, unnest({sh}) AS _sh FROM ({benchmark_sql}))
+), doc_h AS (
+  SELECT {id_col} AS _tid, {h} AS _h
+  FROM (SELECT {id_col}, unnest({sh}) AS _sh FROM ({train_sql}))
+)
+SELECT bench_id, count(DISTINCT _tid) AS n_train_docs,
+       count(DISTINCT _h) AS n_shared_shingles
+FROM doc_h JOIN bench_h USING (_h)
+GROUP BY bench_id
+"""
+
+
 def contamination_hits_sql(
     train_sql: str,
     benchmark_sql: str,

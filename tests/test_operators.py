@@ -658,6 +658,18 @@ def test_contamination_flags_only_overlapping_docs(spark):
     clean = {r.doc_id for r in decontaminate(train, bench, n=8).collect()}
     assert clean == {2, 3}
 
+    # eval-side mirror: the compromised benchmark item is attributed to
+    # exactly the one training doc that leaks it
+    from kartothek_spark.operators.contamination import benchmark_contamination_report
+
+    report = {
+        r.bench_id: (r.n_train_docs, r.n_shared_shingles)
+        for r in benchmark_contamination_report(train, bench, n=8).collect()
+    }
+    assert set(report) == {100}
+    n_docs, n_sh = report[100]
+    assert n_docs == 1 and n_sh >= 1
+
 
 def test_pack_corpus_bins_respect_budget_and_determinism(spark):
     """Every bin's docs start inside the budget window, offsets equal the
