@@ -47,7 +47,13 @@ _TOPK_SIM_SCHEMA = "query_id long, neighbor_id long, cos_sim double"
 # ---------------------------------------------------------------------------
 
 def quantize(vec: Column) -> Column:
-    """array<float> → array<long> fixed-point at 2^24."""
+    """array<float> → array<long> fixed-point at 2^24.
+
+    Domain contract: components at roughly unit scale (normalized
+    embeddings). |v| ≤ 1 keeps the int64 dot within d·2^48 (safe beyond
+    d = 30k); components around |v| ≈ 30+ overflow the dot at typical
+    dims — the JVM raises (ANSI) where NumPy would wrap silently, so
+    normalize first."""
     return F.transform(
         vec, lambda v: F.floor(v.cast("double") * QUANT + F.lit(0.5)).cast("long")
     )

@@ -230,6 +230,36 @@ def test_kmeans_model_roundtrip_and_incremental_assignments(spark, tmp_path):
     assert {r["cluster"] for r in shard.collect()} == {2}
 
 
+def test_assign_paths_agree_on_random_vectors(spark, monkeypatch):
+    """Property check: the codegen'd expression path and the Arrow batch
+    path produce identical (cluster, cos_sim) on random float vectors —
+    including negative components, tiny magnitudes, and duplicated rows.
+    Complements the gate's DuckDB twin (which pins the expr path) by
+    pinning path parity on adversarial inputs."""
+    import random
+
+    rng = random.Random(99)
+    dims = 16
+    rows = []
+    for i in range(120):
+        # the fixed-point contract's domain: roughly unit-scale components
+        # (|v| >> 1 overflows the int64 dot — see quantize())
+        scale = 10.0 ** rng.randint(-3, 0)
+        rows.append(
+            (i, [float(rng.uniform(-1, 1)) * scale for _ in range(dims)], 0)
+        )
+    rows += [(1000 + i, rows[i][1], 0) for i in range(10)]  # exact duplicates
+    df = spark.createDataFrame(rows, _SCHEMA)
+    cents = [rows[i][1] for i in range(7)]
+    expr = {r["vec_id"]: (r["cluster"], r["cos_sim"]) for r in kmeans_assign(df, cents).collect()}
+    monkeypatch.setattr(clustering, "EXPR_MAX_TERMS", 0)
+    batch = {r["vec_id"]: (r["cluster"], r["cos_sim"]) for r in kmeans_assign(df, cents).collect()}
+    assert expr == batch
+    # duplicated vectors must land identically to their originals
+    for i in range(10):
+        assert expr[1000 + i] == expr[i]
+
+
 def test_kmeans_k_exceeds_rows_raises(spark):
     df, _ = _blobs(spark, n=5)
     with pytest.raises(ValueError):
