@@ -3499,6 +3499,37 @@ def multimodal_ingest(spark, sf_dir):
     )
 
 
+def multimodal_dedup(spark, sf_dir):
+    """Exact media dedup (multimodal.py:media_dedup_exact): every 10th
+    doc's payload is planted again under a shifted id; identical blobs
+    must collapse to the smallest id via the map-side-combinable digest
+    groupBy. Full value oracle."""
+    from kartothek_spark.operators.multimodal import make_media_df, media_dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    media = make_media_df(docs, "doc_id", "text")
+    copies = make_media_df(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        ),
+        "doc_id",
+        "text",
+    )
+    return media_dedup_exact(media.unionByName(copies))
+
+
+def multimodal_dups(spark, sf_dir):
+    """Near-duplicate media pairs: stub featurizer (byte-histogram
+    moments — the value-oracled multimodal_features math) feeding the
+    exact block-matrix cosine kernel. Full value oracle: the DuckDB twin
+    recomputes the features byte-stride in SQL and runs the pairwise
+    fixed-point cosine."""
+    from kartothek_spark.operators.multimodal import make_media_df, media_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return media_dup_pairs(make_media_df(docs, "doc_id", "text"), threshold=0.9999)
+
+
 def stream_windowed_update(spark, sf_dir):
     """Structured Streaming: micro-batch ingest of events into a managed
     dataset via foreachBatch + atomic manifest commits, then windowed agg
@@ -3727,6 +3758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
         "multimodal_ingest": multimodal_ingest,
+        "multimodal_dedup": multimodal_dedup,
+        "multimodal_dups": multimodal_dups,
         "stream_windowed_update": stream_windowed_update,
         "stream_sessionize": stream_sessionize,
     }
@@ -4702,6 +4735,33 @@ SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5
 FROM documents WHERE doc_id % 7 = 0
 """,
+        "multimodal_dedup": """
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS media_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT min(media_id) AS media_id, md5(text) AS content_md5 FROM media GROUP BY md5(text)
+""",
+        "multimodal_dups": embedding_dup_pairs_sql(
+            """(
+WITH pos AS (
+  SELECT doc_id, unnest(range(1, length(text)+1)) AS p, text FROM documents
+), strided AS (
+  SELECT doc_id, CAST((p-1) % 8 AS BIGINT) AS i,
+         sum(ord(substr(text, CAST(p AS INTEGER), 1))) AS s, count(*) AS c
+  FROM pos GROUP BY 1, 2
+), dims AS (
+  SELECT d.doc_id, g.i FROM documents d CROSS JOIN (SELECT unnest(range(0,8)) AS i) g
+)
+SELECT dims.doc_id AS vec_id,
+       list(round(CAST(coalesce(s,0) AS DOUBLE)/(255.0*greatest(coalesce(c,0),1)),6)
+            ORDER BY dims.i) AS embedding
+FROM dims LEFT JOIN strided ON dims.doc_id = strided.doc_id AND dims.i = strided.i
+GROUP BY dims.doc_id)""",
+            threshold=0.9999,
+            dim=8,
+        ),
         "multimodal_features": """
 WITH guard AS (
   SELECT CASE WHEN (SELECT count(*) FROM documents

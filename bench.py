@@ -132,6 +132,8 @@ HEADLINE = [
     "stream_cluster_assign",    # streamed semantic shard map, value oracle
     "embedding_cluster_shard",  # partition-pruned per-cluster read
     "corpus_contamination_report",  # eval-side leak attribution
+    "multimodal_dedup",         # exact payload dedup (digest groupBy)
+    "multimodal_dups",          # featurizer-cosine near-dup pairs
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

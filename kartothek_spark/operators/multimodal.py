@@ -157,6 +157,45 @@ def target_rows_per_batch(avg_blob_bytes: int, budget_mb: int = 64) -> int:
     return max(1, (budget_mb * 1024 * 1024) // max(avg_blob_bytes, 1))
 
 
+def media_dedup_exact(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Exact media dedup — the first (and cheapest) multimodal curation
+    step: identical payloads collapse to their smallest id via one
+    map-side-combinable groupBy on the content digest. No window, so a
+    viral duplicate (the same image mirrored a billion times) is just a
+    big combiner group, never one task's sort. Output:
+    (id, content_md5), one row per distinct payload."""
+    return (
+        media.groupBy(F.md5("content").alias("content_md5"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "content_md5")
+    )
+
+
+def media_dup_pairs(
+    media: DataFrame,
+    threshold: float = 0.9999,
+    blocks: int | None = None,
+    target_block_rows: int = 1024,
+) -> DataFrame:
+    """NEAR-duplicate media pairs: featurize (stub — byte-histogram
+    moments standing in for a perceptual/embedding model) then run the
+    exact block-matrix cosine pair kernel shared with
+    :func:`~kartothek_spark.operators.similarity.embedding_dup_pairs`.
+    With a real codec the featurizer is the ONLY line that changes; the
+    distributed pair machinery, fixed-point cosine, and oracle contract
+    stay as-is. Note the stub's 8-dim histograms are weakly
+    discriminative (same-alphabet payloads all score ≈ 0.998), hence the
+    very high default threshold."""
+    from kartothek_spark.operators.similarity import embedding_dup_pairs
+
+    feats = extract_features(media).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    return embedding_dup_pairs(
+        feats, threshold=threshold, blocks=blocks, target_block_rows=target_block_rows
+    )
+
+
 def read_binary_files(
     spark,
     source_dir: str,

@@ -167,6 +167,33 @@ def test_multimodal_decode_stub_raises(spark, docs):
         extract_features(media, decode_stub=False).collect()
 
 
+def test_media_dedup_exact_collapses_to_min_id(spark):
+    from kartothek_spark.operators.multimodal import make_media_df, media_dedup_exact
+
+    rows = [
+        Row(doc_id=1, text="same payload"),
+        Row(doc_id=2, text="same payload"),
+        Row(doc_id=3, text="different payload"),
+        Row(doc_id=9, text="same payload"),
+    ]
+    media = make_media_df(spark.createDataFrame(rows), "doc_id", "text")
+    kept = {r["media_id"] for r in media_dedup_exact(media).collect()}
+    assert kept == {1, 3}
+
+
+def test_media_dup_pairs_flags_identical_payloads(spark):
+    from kartothek_spark.operators.multimodal import make_media_df, media_dup_pairs
+
+    rows = [
+        Row(doc_id=1, text="abcdefgh" * 10),
+        Row(doc_id=2, text="abcdefgh" * 10),  # identical -> cos 1.0
+        Row(doc_id=3, text="zzzzzzzz" + "\x01\x02\x03" * 20),
+    ]
+    media = make_media_df(spark.createDataFrame(rows), "doc_id", "text")
+    pairs = {(r["id_a"], r["id_b"]) for r in media_dup_pairs(media, threshold=0.9999).collect()}
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+
 def test_binary_file_ingest_roundtrip(spark, tmp_path):
     """Directory of raw (non-UTF8) files → binaryFile source → managed
     dataset → read_table: content byte-exact, glob filtered at the
