@@ -2865,6 +2865,37 @@ def dedup_containment(spark, sf_dir):
     )
 
 
+def dedup_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): per w-window minimum of the char-k-gram hash stream —
+    position-aware sparse fingerprints with the k+w-1 match guarantee.
+    One narrow projection, nothing leaves the row but the ~1/w selected
+    set. Gate slices to every 5th doc (oracle identical) to bound the
+    fingerprint output volume. Full value oracle."""
+    from kartothek_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return winnow_fingerprints(docs, k=8, w=4)
+
+
+def dedup_winnow_pairs(spark, sf_dir):
+    """Plagiarism-style overlap pairs on winnowed fingerprints: planted
+    120-char prefixes (every 13th doc of the %2 slice) must share their
+    origin's selected fingerprints. Full value oracle."""
+    from kartothek_spark.operators.dedup import winnow_dup_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    snips = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, 120)").alias("text"),
+    )
+    return winnow_dup_pairs(docs.unionByName(snips), k=8, w=4, min_shared=12)
+
+
 def dedup_fuzzy_pairs(spark, sf_dir):
     """EXACT edit-distance pairs (levenshtein <= 2) on the 24-char leading
     snippet via complete SymSpell deletion-neighborhood blocking — the
@@ -3724,6 +3755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_trim": dedup_span_trim,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_containment": dedup_containment,
+        "dedup_winnow": dedup_winnow,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
         "dedup_fuzzy_pairs": dedup_fuzzy_pairs,
         "corpus_fuzzy_join": corpus_fuzzy_join,
         "corpus_fuzzy_join_indexed": corpus_fuzzy_join_indexed,
@@ -4556,6 +4589,22 @@ FROM toks
             " FROM documents WHERE doc_id % 2 = 0 AND doc_id % 13 = 0)",
             n=6,
             threshold=0.8,
+        ),
+        "dedup_winnow": __import__(
+            "kartothek_spark.operators.dedup", fromlist=["winnow_fingerprints_sql"]
+        ).winnow_fingerprints_sql(
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)", k=8, w=4
+        ),
+        "dedup_winnow_pairs": __import__(
+            "kartothek_spark.operators.dedup", fromlist=["winnow_dup_pairs_sql"]
+        ).winnow_dup_pairs_sql(
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+            " UNION ALL"
+            " SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 120) AS text"
+            " FROM documents WHERE doc_id % 2 = 0 AND doc_id % 13 = 0)",
+            k=8,
+            w=4,
+            min_shared=12,
         ),
         "dedup_fuzzy_pairs": edit_distance_pairs_sql(
             "documents", 2, "substr(text, 1, 24)", "doc_id"

@@ -134,6 +134,8 @@ HEADLINE = [
     "corpus_contamination_report",  # eval-side leak attribution
     "multimodal_dedup",         # exact payload dedup (digest groupBy)
     "multimodal_dups",          # featurizer-cosine near-dup pairs
+    "dedup_winnow",             # MOSS winnowing fingerprints
+    "dedup_winnow_pairs",       # overlap pairs on the sparsified index
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kartothek_spark.functions.hashing import (
+    bind_once,
     char_ngrams_sql,
     h60,
     h60_sql,
@@ -632,6 +633,132 @@ def ngram_jaccard_pairs(
     inv.unpersist()
     inv_all.unpersist()
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every char k-gram of the
+    token-normalized text, then keep per w-window of consecutive hashes
+    only the minimum (first position on ties) — a sparse, position-aware
+    fingerprint set with the guarantee that any match of length
+    ``k + w - 1`` chars shares at least one selected fingerprint.
+    Output: (id, fp, pos), deduplicated.
+
+    Execution is one narrow projection per row — the k-gram hash array
+    and the per-window minima are nested HOFs over bound lambda
+    VARIABLES (no captured-expression re-evaluation, no explode of the
+    full gram stream, no shuffle): the selected set is ~1/w the gram
+    count before anything leaves the row."""
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+
+    def fps(s):
+        npos = F.greatest(F.length(s) - k + 1, F.lit(1))
+        hs_expr = F.transform(F.sequence(F.lit(1), npos), lambda i: h60(F.substring(s, i, k)))
+
+        def sel(hs):
+            starts = F.sequence(F.lit(1), F.greatest(F.size(hs) - w + 1, F.lit(1)))
+            return F.transform(
+                starts,
+                lambda st: F.struct(
+                    F.array_min(F.slice(hs, st, w)).alias("fp"),
+                    (
+                        F.array_position(F.slice(hs, st, w), F.array_min(F.slice(hs, st, w)))
+                        + st
+                        - 1
+                    ).alias("pos"),
+                ),
+            )
+
+        return bind_once(hs_expr, sel)
+
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(F.array_distinct(bind_once(norm, fps))).alias("f"))
+        .select(F.col(id_col), F.col("f.fp").alias("fp"), F.col("f.pos").cast("long").alias("pos"))
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+) -> str:
+    from kartothek_spark.functions.hashing import h60_sql, tokens_sql
+
+    nsql = f"array_to_string({tokens_sql(text_col)}, ' ')"
+    hsql = h60_sql(f"substr(n, CAST(i AS INTEGER), {k})")
+    return f"""
+WITH base AS (SELECT {id_col}, {nsql} AS n FROM {table} WHERE {text_col} IS NOT NULL),
+h AS (SELECT {id_col}, list_transform(range(1, greatest(length(n)-{k}+1,1)+1), i -> {hsql}) AS hs FROM base),
+sel AS (SELECT {id_col}, list_transform(range(1, greatest(len(hs)-{w}+1,1)+1),
+      s -> struct_pack(fp := list_min(list_slice(hs, s, s+{w}-1)),
+                       pos := list_position(list_slice(hs, s, s+{w}-1), list_min(list_slice(hs, s, s+{w}-1))) + s - 1)) AS f
+  FROM h)
+SELECT DISTINCT {id_col}, u.fp AS fp, CAST(u.pos AS BIGINT) AS pos
+FROM (SELECT {id_col}, unnest(f) AS u FROM sel)
+"""
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Plagiarism-style overlap pairs on WINNOWED fingerprints: docs
+    sharing >= ``min_shared`` selected fingerprints (id_a < id_b,
+    ``n_shared`` attached). Same df-capped inverted-index join as the
+    n-gram miners but over a ~1/w-sparsified set — the index the MOSS
+    service builds, at a fraction of the full-gram cost."""
+    fp = (
+        winnow_fingerprints(scale_out(df), text_col, id_col, k, w)
+        .select(F.col(id_col).alias("__id"), F.col("fp").alias("g"))
+        .distinct()
+        .persist()
+    )
+    rare = fp.groupBy("g").count().where(F.col("count") <= max_df).select("g")
+    inv = fp.join(rare, "g")
+    l, r = inv.alias("l"), inv.alias("r")
+    result = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.__id") < F.col("r.__id")))
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    out = result.localCheckpoint(eager=True)
+    fp.unpersist()
+    return out
+
+
+def winnow_dup_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = NGRAM_MAX_DF,
+) -> str:
+    fps = winnow_fingerprints_sql(table, text_col, id_col, k, w)
+    return f"""
+WITH fp AS (
+  SELECT DISTINCT {id_col} AS id, fp AS g FROM ({fps})
+), inv AS (
+  SELECT id, g FROM fp
+  WHERE g IN (SELECT g FROM fp GROUP BY g HAVING count(*) <= {max_df})
+)
+SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
+FROM inv l JOIN inv r ON l.g = r.g AND l.id < r.id
+GROUP BY l.id, r.id
+HAVING count(*) >= {min_shared}
+"""
 
 
 def ngram_containment_pairs(

@@ -167,6 +167,31 @@ def test_multimodal_decode_stub_raises(spark, docs):
         extract_features(media, decode_stub=False).collect()
 
 
+def test_winnowing_guarantee_and_pair_detection(spark):
+    """The MOSS guarantee: a shared substring of length >= k+w-1 chars
+    yields at least one shared selected fingerprint; the pair miner
+    flags the containing doc and not the unrelated one."""
+    from kartothek_spark.operators.dedup import winnow_dup_pairs, winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text="prefix padding words here " + base + " suffix trailing"),
+        Row(doc_id=3, text="totally unrelated content regarding query planners shuffles"),
+    ]
+    df = spark.createDataFrame(rows)
+    by = {}
+    for r in winnow_fingerprints(df, k=8, w=4).collect():
+        by.setdefault(r.doc_id, set()).add(r.fp)
+    assert by[1] & by[2]
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_dup_pairs(df, k=8, w=4, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert not any(3 in p for p in pairs)
+
+
 def test_media_dedup_exact_collapses_to_min_id(spark):
     from kartothek_spark.operators.multimodal import make_media_df, media_dedup_exact
 
