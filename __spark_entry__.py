@@ -3530,6 +3530,48 @@ def multimodal_ingest(spark, sf_dir):
     )
 
 
+def stream_multimodal_ingest(spark, sf_dir):
+    """Continuous media landing-zone ingestion: the streaming binaryFile
+    source feeds file micro-batches through exactly-once atomic commits
+    into the managed media dataset (streaming/update.py:
+    stream_ingest_binary_files). The drained dataset must equal the
+    batch ingest of the same directory — same full value oracle as
+    multimodal_ingest (blob length + md5 vs the documents the fixture
+    rendered)."""
+    from kartothek_spark.dataset.read import read_table
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_ingest_binary_files as op
+
+        src = os.path.join(root, "files")
+        os.makedirs(src)
+        rows = (
+            _t(spark, sf_dir, "documents")
+            .where("doc_id % 7 = 0")
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(src, f"{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        q = op(
+            spark, src, root, "media_stream", glob="*.bin",
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_multimodal_ingest fixture: stream did not drain")
+
+    root = _fixture(sf_dir, "binstream", build)
+    media = read_table(spark, root, "media_stream")
+    return media.select(
+        F.regexp_extract("file_name", r"^(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
 def multimodal_dedup(spark, sf_dir):
     """Exact media dedup (multimodal.py:media_dedup_exact): every 10th
     doc's payload is planted again under a shifted id; identical blobs
@@ -3793,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ingest": multimodal_ingest,
         "multimodal_dedup": multimodal_dedup,
         "multimodal_dups": multimodal_dups,
+        "stream_multimodal_ingest": stream_multimodal_ingest,
         "stream_windowed_update": stream_windowed_update,
         "stream_sessionize": stream_sessionize,
     }
@@ -4780,6 +4823,11 @@ SELECT doc_id AS media_id, CAST(i * 1000 AS BIGINT) AS ts_ms,
 FROM grid
 """,
         "multimodal_ingest": """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % 7 = 0
+""",
+        "stream_multimodal_ingest": """
 SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5
 FROM documents WHERE doc_id % 7 = 0

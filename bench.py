@@ -136,6 +136,7 @@ HEADLINE = [
     "multimodal_dups",          # featurizer-cosine near-dup pairs
     "dedup_winnow",             # MOSS winnowing fingerprints
     "dedup_winnow_pairs",       # overlap pairs on the sparsified index
+    "stream_multimodal_ingest",  # streamed landing-zone media ingest
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -220,13 +220,29 @@ def read_binary_files(
     reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
-    raw = reader.load(source_dir)
+    return _media_projection(reader.load(source_dir), kind)
+
+
+def _media_projection(raw: DataFrame, kind: str) -> DataFrame:
+    """binaryFile-source rows → the ingest schema (shared by the batch
+    and streaming readers; modificationTime dropped — see
+    :func:`read_binary_files`)."""
     return raw.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         F.col("content"),
         F.lit(kind).alias("kind"),
     )
+
+
+BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
 
 
 def ingest_binary_files(

@@ -668,3 +668,62 @@ def stream_cluster_assign(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_ingest_binary_files(
+    spark,
+    source_dir: str,
+    root: str,
+    dataset_uuid: str = "media",
+    glob: str = "*",
+    kind: str = "image",
+    recursive: bool = False,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Continuous raw-media ingestion: watch a directory with Spark's
+    streaming ``binaryFile`` source (the checkpoint tracks processed
+    files, so only NEW files enter each micro-batch) and commit every
+    batch into the managed media dataset atomically with the
+    exactly-once ``(txn_id, batch_id)`` stamp — the landing-zone →
+    governed-table pipeline for image/audio/video drops. Same projection
+    as the batch :func:`~kartothek_spark.operators.multimodal.read_binary_files`
+    (modificationTime dropped: content-pure output). Returns the
+    StreamingQuery."""
+    from kartothek_spark.dataset.write import (
+        store_dataframe_as_dataset,
+        update_dataset,
+    )
+    from kartothek_spark.operators.multimodal import (
+        BINARY_FILE_SCHEMA,
+        _media_projection,
+    )
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    media = _media_projection(reader.load(source_dir), kind)
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        if not DatasetManifest.exists(root, dataset_uuid):
+            _purge_uncommitted_dataset_dir(root, dataset_uuid)
+            store_dataframe_as_dataset(
+                spark, batch_df, root, dataset_uuid, metadata=stamp
+            )
+        elif not _batch_already_committed(root, dataset_uuid, batch_id, txn_id):
+            update_dataset(spark, batch_df, root, dataset_uuid, metadata=stamp)
+
+    writer = media.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
