@@ -2024,6 +2024,33 @@ def events_asof_forward(spark, sf_dir):
     return out.select("view_id", "user_id", "ts", "purchase_ts", "purchase_value")
 
 
+def events_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join (pandas merge_asof direction='nearest' parity):
+    each purchase pairs with the user's view CLOSEST in time, either
+    side; equidistant → the backward (at-or-before) match. One by-key
+    exchange, two in-partition traversals. Oracle: explicit DuckDB
+    window (|Δt| ASC, backward-first) since DuckDB ASOF has no nearest."""
+    from kartothek_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id", direction="nearest")
+    return out.select(
+        "purchase_id", "user_id", "ts", "view_ts", "view_value", "purchase_value"
+    )
+
+
 def events_range_join(spark, sf_dir):
     """Bucketed range join: place each purchase inside the gap-session
     interval containing it. Sessions partition a user's events, so every
@@ -3746,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_tolerance": events_asof_tolerance,
         "events_asof_keyless": events_asof_keyless,
         "events_asof_forward": events_asof_forward,
+        "events_asof_nearest": events_asof_nearest,
         "events_funnel": events_funnel,
         "events_json_props": events_json_props,
         "events_range_join": events_range_join,
@@ -4368,6 +4396,26 @@ SELECT purchase_id, user_id, ts,
        CASE WHEN view_ts >= ts - INTERVAL 1 DAY THEN view_value END AS view_value,
        purchase_value
 FROM j
+""",
+        "events_asof_nearest": """
+WITH l AS (
+  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts AS view_ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), cand AS (
+  SELECT l.purchase_id, l.user_id, l.ts, r.view_ts, r.view_value, l.purchase_value,
+         row_number() OVER (
+           PARTITION BY l.purchase_id
+           ORDER BY abs(date_diff('microseconds', r.view_ts, l.ts)) ASC,
+                    CASE WHEN r.view_ts <= l.ts THEN 0 ELSE 1 END ASC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id)
+SELECT purchase_id, user_id, ts, view_ts, view_value, purchase_value
+FROM cand WHERE rn = 1
+UNION ALL
+SELECT purchase_id, user_id, ts, NULL, NULL, purchase_value
+FROM l WHERE user_id NOT IN (SELECT DISTINCT user_id FROM r)
 """,
         "events_asof_keyless": """
 WITH l AS (

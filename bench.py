@@ -137,6 +137,7 @@ HEADLINE = [
     "dedup_winnow",             # MOSS winnowing fingerprints
     "dedup_winnow_pairs",       # overlap pairs on the sparsified index
     "stream_multimodal_ingest",  # streamed landing-zone media ingest
+    "events_asof_nearest",      # merge_asof nearest (two traversals)
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -86,8 +86,10 @@ def asof_join(
     ``asof_join(l.where(hot), r.where(hot), on=on, by=None)`` unioned
     with the keyed join of the remainder. Pinned by
     ``tests/test_operators.py::test_asof_join_keyed_skew``."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = [by] if isinstance(by, str) else list(by or [])
     l_payload = [c for c in left.columns if c not in by + [on]]
     r_payload = [c for c in right.columns if c not in by + [on]]
@@ -104,9 +106,12 @@ def asof_join(
 
         tol = tolerance if isinstance(tolerance, _Column) else F.lit(tolerance)
 
+    # nearest needs the matched right timestamp to compare the two sides'
+    # distances, tolerance needs it for the bound — carry it either way
+    need_ron = tol is not None or direction == "nearest"
     r_types = {f.name: f.dataType.simpleString() for f in right.schema.fields}
     r_struct_t = ", ".join(
-        ([f"`__ron`:{r_types[on]}"] if tol is not None else [])
+        ([f"`__ron`:{r_types[on]}"] if need_ron else [])
         + [f"`{c}`:{r_types[c]}" for c in r_payload]
     )
     # one unified layout; right payload rides in a single nullable struct
@@ -126,26 +131,38 @@ def asof_join(
         F.lit(0).alias("__is_l"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_payload],
         F.struct(
-            *([F.col(on).alias("__ron")] if tol is not None else []),
+            *([F.col(on).alias("__ron")] if need_ron else []),
             *[F.col(c) for c in r_payload],
         ).alias("__r"),
     )
     u = lu.unionByName(ru)
     # traversal order: ascending time for backward ("latest at-or-before"
-    # = last right seen), descending for forward (the mirror image)
+    # = last right seen), descending for forward (the mirror image);
+    # nearest traverses BOTH ways and picks per row
     ord_on = F.col(on).desc() if direction == "forward" else F.col(on).asc()
 
+    def _tol_nullify(col_r, d: str):
+        # nullify matches beyond tolerance (NULL stays NULL: the
+        # getField → comparison → when chain is null-propagating)
+        if tol is None:
+            return col_r
+        ron = col_r.getField("__ron")
+        ok = ron >= F.col(on) - tol if d == "backward" else ron <= F.col(on) + tol
+        return F.when(ok, col_r)
+
+    def _pick_nearest(rb, rf):
+        # smaller |left.on - right.on| wins; equidistant → the backward
+        # (at-or-before) match, the deterministic merge_asof-style rule
+        db = F.col(on) - rb.getField("__ron")
+        df_ = rf.getField("__ron") - F.col(on)
+        return (
+            F.when(rb.isNull(), rf)
+            .when(rf.isNull(), rb)
+            .when(db <= df_, rb)
+            .otherwise(rf)
+        )
+
     def _explode(df: DataFrame) -> DataFrame:
-        if tol is not None:
-            # nullify matches beyond tolerance (NULL __r stays NULL: the
-            # getField → comparison → when chain is null-propagating)
-            ron = F.col("__r").getField("__ron")
-            ok = (
-                ron >= F.col(on) - tol
-                if direction == "backward"
-                else ron <= F.col(on) + tol
-            )
-            df = df.withColumn("__r", F.when(ok, F.col("__r")))
         return df.where(F.col("__is_l") == 1).select(
             *by,
             F.col(on),
@@ -154,12 +171,35 @@ def asof_join(
         )
 
     if by:
+        if direction == "nearest":
+            # two traversal orders over ONE partitioning: a single
+            # exchange on the by-keys, two in-partition sorts
+            wb = (
+                Window.partitionBy(*by)
+                .orderBy(F.col(on).asc(), F.col("__is_l").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            wf = (
+                Window.partitionBy(*by)
+                .orderBy(F.col(on).desc(), F.col("__is_l").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            d2 = (
+                u.withColumn("__rb", _tol_nullify(F.last("__r", ignorenulls=True).over(wb), "backward"))
+                .withColumn("__rf", _tol_nullify(F.last("__r", ignorenulls=True).over(wf), "forward"))
+            )
+            return _explode(
+                d2.withColumn("__r", _pick_nearest(F.col("__rb"), F.col("__rf")))
+            )
         w = (
             Window.partitionBy(*by)
             .orderBy(ord_on, F.col("__is_l").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        return _explode(u.withColumn("__r", F.last("__r", ignorenulls=True).over(w)))
+        filled = u.withColumn(
+            "__r", _tol_nullify(F.last("__r", ignorenulls=True).over(w), direction)
+        )
+        return _explode(filled)
 
     # ---- keyless: range-partitioned prefix scan + boundary exchange ----
     # the partition id is MATERIALIZED once (eager localCheckpoint): three
@@ -172,35 +212,64 @@ def asof_join(
     # keyless form is the small-side case anyway (the keyed window is the
     # 100 TB path)
     part = (
-        u.repartitionByRange(ord_on, F.col("__is_l").asc())
+        u.repartitionByRange(F.col(on).asc(), F.col("__is_l").asc())
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(ord_on, F.col("__is_l").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = part.withColumn("__fill", F.last("__r", ignorenulls=True).over(w))
-    # last right row of each range partition in traversal order (max time
-    # for backward, min for forward); right rows are unique per `on` by
-    # contract, so the pick is well-defined
-    last_by = F.max_by if direction == "backward" else F.min_by
     is_r = F.col("__is_l") == 0
-    lasts = part.groupBy("__pid").agg(
-        last_by(
-            F.when(is_r, F.col("__r")), F.when(is_r, F.col(on))
-        ).alias("__pl")
-    )
-    # running carry across the P-row partition summary (tiny frame — a
-    # single-task window over ~shuffle.partitions rows, not over data)
-    wc = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    carry = lasts.select(
-        "__pid", F.last("__pl", ignorenulls=True).over(wc).alias("__carry")
-    )
+
+    def _dir_fill(d: str):
+        """(within-fill column, carry frame column name) for direction d
+        over the SAME ascending range partitioning: a desc traversal is
+        just the desc in-partition sort plus a carry from HIGHER pids."""
+        o = F.col(on).asc() if d == "backward" else F.col(on).desc()
+        w = (
+            Window.partitionBy("__pid")
+            .orderBy(o, F.col("__is_l").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # last right row of each range partition in traversal order (max
+        # time for backward, min for forward); right rows are unique per
+        # `on` by contract, so the pick is well-defined
+        last_by = F.max_by if d == "backward" else F.min_by
+        lasts = part.groupBy("__pid").agg(
+            last_by(F.when(is_r, F.col("__r")), F.when(is_r, F.col(on))).alias("__pl")
+        )
+        # running carry across the P-row partition summary (tiny frame — a
+        # single-task window over ~shuffle.partitions rows, not over data)
+        wc_order = F.col("__pid").asc() if d == "backward" else F.col("__pid").desc()
+        wc = Window.orderBy(wc_order).rowsBetween(Window.unboundedPreceding, -1)
+        carry = lasts.select(
+            "__pid", F.last("__pl", ignorenulls=True).over(wc).alias(f"__carry_{d}")
+        )
+        return w, carry
+
+    if direction == "nearest":
+        wb, carry_b = _dir_fill("backward")
+        wf, carry_f = _dir_fill("forward")
+        out = (
+            part.withColumn("__fb", F.last("__r", ignorenulls=True).over(wb))
+            .withColumn("__ff", F.last("__r", ignorenulls=True).over(wf))
+            .join(F.broadcast(carry_b), "__pid")
+            .join(F.broadcast(carry_f), "__pid")
+            .withColumn(
+                "__rb", _tol_nullify(F.coalesce("__fb", "__carry_backward"), "backward")
+            )
+            .withColumn(
+                "__rf", _tol_nullify(F.coalesce("__ff", "__carry_forward"), "forward")
+            )
+            .withColumn("__r", _pick_nearest(F.col("__rb"), F.col("__rf")))
+        )
+        return _explode(out)
+
+    w, carry = _dir_fill(direction)
     out = (
-        within.join(F.broadcast(carry), "__pid")
-        .withColumn("__r", F.coalesce("__fill", "__carry"))
+        part.withColumn("__fill", F.last("__r", ignorenulls=True).over(w))
+        .join(F.broadcast(carry), "__pid")
+        .withColumn(
+            "__r",
+            _tol_nullify(F.coalesce("__fill", f"__carry_{direction}"), direction),
+        )
     )
     return _explode(out)
 

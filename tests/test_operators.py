@@ -1145,6 +1145,75 @@ def test_chunk_corpus_reconstruction_any_params(spark):
     prop()
 
 
+def test_asof_join_nearest_matches_pandas(spark):
+    """direction='nearest' (keyed, keyless, and with tolerance) against
+    pandas merge_asof as an independent oracle; exact-distance ties are
+    excluded from the pandas comparison (tie policy is implementation-
+    defined there) and pinned separately to OUR documented rule:
+    equidistant → the backward match."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    lrows, rrows = [], []
+    seen = set()
+    for i in range(400):
+        k = rng.randint(0, 4)
+        lrows.append((k, rng.randint(0, 10000), i))
+    for k in range(5):
+        for _ in range(80):
+            t = rng.randint(0, 10000)
+            if (k, t) not in seen:
+                seen.add((k, t))
+                rrows.append((k, t, float(k * 100000 + t)))
+    left = spark.createDataFrame(lrows, "k long, ts long, lid long")
+    right = spark.createDataFrame(rrows, "k long, ts long, rv double")
+    from kartothek_spark.operators.temporal import asof_join
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "rv"]).sort_values("ts")
+
+    # drop left rows with an exact-distance tie (policy differs engines)
+    def tied(row):
+        ds = sorted(abs(rt - row.ts) for (kk, rt, _) in rrows if kk == row.k)
+        return len(ds) > 1 and ds[0] == ds[1]
+
+    untied = {r.lid for r in lp.itertuples() if not tied(r)}
+
+    for kw in ({"by": "k"}, {"by": "k", "tolerance": 200}):
+        got = {
+            r["lid"]: r["rv"]
+            for r in asof_join(left, right, on="ts", direction="nearest", **kw).collect()
+        }
+        exp_df = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="nearest",
+            tolerance=kw.get("tolerance"),
+        )
+        exp = {int(r.lid): (None if pd.isna(r.rv) else r.rv) for r in exp_df.itertuples()}
+        assert {i: got[i] for i in untied} == {i: exp[i] for i in untied}
+
+    # keyless: single key slice through the prefix-scan path
+    l1 = left.where("k = 2").drop("k")
+    r1 = right.where("k = 2").drop("k")
+    got1 = {r["lid"]: r["rv"] for r in asof_join(l1, r1, on="ts", direction="nearest").collect()}
+    exp1_df = pd.merge_asof(
+        lp[lp.k == 2].drop(columns="k"), rp[rp.k == 2].drop(columns="k"),
+        on="ts", direction="nearest",
+    )
+    exp1 = {int(r.lid): r.rv for r in exp1_df.itertuples()}
+    k2_untied = {i for i in untied if i in got1}
+    assert {i: got1[i] for i in k2_untied} == {i: exp1[i] for i in k2_untied}
+
+    # documented tie rule: equidistant -> backward
+    lt = spark.createDataFrame([(0, 5, 1)], "k long, ts long, lid long")
+    rt = spark.createDataFrame(
+        [(0, 2, 20.0), (0, 8, 80.0)], "k long, ts long, rv double"
+    )
+    tie = asof_join(lt, rt, on="ts", by="k", direction="nearest").collect()[0]
+    assert tie["rv"] == 20.0
+
+
 def test_asof_join_keyed_skew(spark):
     """One key holding 90% of the rows must complete with exact results
     through the keyed window (linear single-task scan of the hot key's
