@@ -466,3 +466,46 @@ def test_cap_per_group_two_phase_shuffles(spark):
     # is on the balanced key; phase 2 re-keys only the survivors
     assert plan.count("Exchange hashpartitioning") == 2
     assert "__shard" in plan
+
+
+def test_winnow_fingerprints_narrow(spark):
+    from kartothek_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(winnow_fingerprints(docs, k=8, w=4))
+    # selection happens inside one projection + generator — the ~1/w
+    # selected set is the first thing that could ever leave the row
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_media_dedup_exact_combines_map_side(spark):
+    from kartothek_spark.operators.multimodal import make_media_df, media_dedup_exact
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(media_dedup_exact(make_media_df(docs, "doc_id", "text")))
+    # digest groupBy, never a window: a viral duplicate is a combiner
+    # group, not one task's sort
+    assert "Window" not in plan
+    pre_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "partial_min" in pre_exchange or "partial" in pre_exchange
+
+
+def test_asof_nearest_single_exchange(spark):
+    from kartothek_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    left = ev.where("event_type = 'purchase'").select("user_id", "ts", "event_id")
+    right = (
+        ev.where("event_type = 'view'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    plan = _plan(asof_join(left, right, on="ts", by="user_id", direction="nearest"))
+    # both traversal orders run over ONE partitioning of the union — no
+    # second shuffle for the forward pass (the ts-keyed exchange below is
+    # the right side's own pre-aggregation, not the join)
+    import re
+
+    keys = [m.group(1) for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)]
+    window_exchanges = [k for k in keys if "ts" not in k]
+    assert len(window_exchanges) == 1, keys
