@@ -3168,6 +3168,42 @@ def embedding_cluster_shard(spark, sf_dir):
     ).select("vec_id", "cluster", "cos_sim")
 
 
+def stream_kmeans_model(spark, sf_dir):
+    """Streaming (mini-batch) k-means model maintenance: batch 0 trains,
+    later batches fold their sufficient statistics into the persisted
+    model with counts-weighted running means, one atomic stamped commit
+    per batch (streaming/update.py:stream_kmeans_update). Iterative
+    float state — rows-only by design; tests/test_clustering.py pins
+    blob recovery (purity ≥ 0.9) and exact ingested mass."""
+    from kartothek_spark.operators.clustering import load_kmeans_model
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_kmeans_update as op
+
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        src = os.path.join(root, "_src")
+        emb.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, k=8,
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_kmeans_model fixture: stream did not drain")
+
+    root = _fixture(sf_dir, "skm", build)
+    model = load_kmeans_model(spark, root)
+    rows = [(i, int(s)) for i, s in enumerate(model.sizes)]
+    return spark.createDataFrame(rows, "cluster long, size long")
+
+
 def embedding_cluster_profile(spark, sf_dir):
     """Cluster observability (operators/clustering.py:cluster_profile):
     per-cluster size + exact integer-micro cohesion sum + min/max cosine.
@@ -3840,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cluster_profile": embedding_cluster_profile,
         "stream_cluster_assign": stream_cluster_assign,
         "embedding_cluster_shard": embedding_cluster_shard,
+        "stream_kmeans_model": stream_kmeans_model,
         "dedup_semdedup": dedup_semdedup,
         "dedup_semdedup_diverse": dedup_semdedup_diverse,
         "ann_topk": ann_topk,

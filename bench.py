@@ -138,6 +138,7 @@ HEADLINE = [
     "dedup_winnow_pairs",       # overlap pairs on the sparsified index
     "stream_multimodal_ingest",  # streamed landing-zone media ingest
     "events_asof_nearest",      # merge_asof nearest (two traversals)
+    "stream_kmeans_model",      # mini-batch streaming k-means model
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

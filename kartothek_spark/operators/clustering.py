@@ -497,6 +497,30 @@ def sync_cluster_assignments(
     return update_dataset(spark, assigned, root, assign_uuid, metadata=extra_metadata)
 
 
+def merge_kmeans_stats(model: KMeansModel, partials, k: int, d: int) -> KMeansModel:
+    """Fold one batch's sufficient statistics (rows of
+    :func:`_train_partials`) into a model: counts-weighted running means
+    — the mini-batch / streaming k-means update (each centroid moves to
+    the weighted average of its stored mass and the batch's new mass).
+    Empty-in-batch clusters keep their centroid and size."""
+    import numpy as np
+
+    C = np.asarray(model.centroids, dtype="float64")
+    old_n = np.asarray(model.sizes, dtype="float64")
+    sums = np.zeros((k, d), dtype="float64")
+    counts = np.zeros(k, dtype="float64")
+    for r in partials:
+        if r["pos"] == 0:
+            counts[r["cluster"]] = r["s"]
+        else:
+            sums[r["cluster"], r["pos"] - 1] = r["s"]
+    total = old_n + counts
+    safe = np.maximum(total, 1.0)
+    newC = (C * old_n[:, None] + sums) / safe[:, None]
+    newC = np.where((total > 0)[:, None], newC, C)
+    return KMeansModel(centroids=newC.tolist(), sizes=total.astype("int64").tolist())
+
+
 def cluster_profile(
     df: DataFrame,
     centroids,

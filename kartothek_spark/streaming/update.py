@@ -727,3 +727,57 @@ def stream_ingest_binary_files(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_kmeans_update(
+    stream_df: DataFrame,
+    root: str,
+    model_uuid: str = "kmeans_model",
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_iters: int = 4,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming (mini-batch) k-means: batch 0 trains the model on its
+    own rows (greedy init + Lloyd's), every later micro-batch folds its
+    sufficient statistics — one vectorized Arrow pass producing at most
+    k·(d+1) rows per partition — into the persisted model via the
+    counts-weighted running-mean update (StreamingKMeans semantics with
+    full memory, decay 1.0). The model dataset is the durable state:
+    re-publishing it per batch is one atomic manifest commit carrying
+    the exactly-once ``(txn_id, batch_id)`` stamp, so a replayed batch
+    never double-counts its mass. Returns the StreamingQuery."""
+    from kartothek_spark.operators.clustering import (
+        _train_partials,
+        kmeans_train,
+        load_kmeans_model,
+        merge_kmeans_stats,
+        save_kmeans_model,
+    )
+
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        if not DatasetManifest.exists(root, model_uuid):
+            _purge_uncommitted_dataset_dir(root, model_uuid)
+            model = kmeans_train(batch_df, k, vec_col, id_col, iters=init_iters)
+            save_kmeans_model(spark, model, root, model_uuid, extra_metadata=stamp)
+        elif not _batch_already_committed(root, model_uuid, batch_id, txn_id):
+            model = load_kmeans_model(spark, root, model_uuid)
+            d = len(model.centroids[0])
+            partials = _train_partials(batch_df, model.centroids, vec_col).collect()
+            merged = merge_kmeans_stats(model, partials, k, d)
+            save_kmeans_model(spark, merged, root, model_uuid, extra_metadata=stamp)
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -260,6 +260,57 @@ def test_assign_paths_agree_on_random_vectors(spark, monkeypatch):
         assert expr[1000 + i] == expr[i]
 
 
+def test_merge_kmeans_stats_weighted_mean(spark):
+    from kartothek_spark.operators.clustering import KMeansModel, merge_kmeans_stats
+
+    model = KMeansModel(centroids=[[0.0, 0.0], [1.0, 1.0]], sizes=[2, 0])
+    # batch stats: cluster 0 gains 2 points summing to (4, 2); cluster 1 none
+    partials = [
+        {"cluster": 0, "pos": 0, "s": 2.0},
+        {"cluster": 0, "pos": 1, "s": 4.0},
+        {"cluster": 0, "pos": 2, "s": 2.0},
+    ]
+    out = merge_kmeans_stats(model, partials, k=2, d=2)
+    # weighted mean: (old_mean*2 + batch_sum) / 4 = (0*2+4)/4, (0*2+2)/4
+    assert out.centroids[0] == [1.0, 0.5]
+    assert out.centroids[1] == [1.0, 1.0]  # untouched cluster keeps centroid
+    assert out.sizes == [4, 0]
+
+
+def test_stream_kmeans_update_recovers_blobs(spark, tmp_path):
+    """Mini-batch streaming k-means over planted blobs: the drained
+    model's assignment purity stays >= 0.9 and the model's mass equals
+    everything ingested."""
+    from kartothek_spark.operators.clustering import kmeans_assign, load_kmeans_model
+    from kartothek_spark.streaming.update import stream_kmeans_update
+
+    df, _ = _blobs(spark, n=400)
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = stream_kmeans_update(
+        stream, root, k=10,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    assert q.awaitTermination(300)
+    model = load_kmeans_model(spark, root)
+    assert sum(model.sizes) == 400
+    assigned = (
+        kmeans_assign(df, model.centroids)
+        .join(df.select("vec_id", "label"), "vec_id")
+        .select("cluster", "label")
+        .collect()
+    )
+    assert _purity(assigned) >= 0.9
+
+
 def test_kmeans_k_exceeds_rows_raises(spark):
     df, _ = _blobs(spark, n=5)
     with pytest.raises(ValueError):
