@@ -287,15 +287,25 @@ def main() -> None:
     # under the same metric name must never clobber the committed
     # full-suite snapshot (it happened twice).
     out_file = "BENCH_LAST_SUBSET.json" if only else "BENCH_LAST.json"
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), out_file),
-            "w",
-        ) as fh:
+        with open(os.path.join(repo_dir, out_file), "w") as fh:
             json.dump(result, fh, indent=1)
             fh.write("\n")
     except OSError:
         pass
+    # BENCH_SNAPSHOT.json: one compact line with EVERY per-query entry —
+    # the cross-round diff artifact. The driver's BENCH_r{N}.json parses
+    # the (size-capped) stdout line and has truncated its query dict at
+    # 70+ entries (r06 kept 69 of 111); snapshots diffed between rounds
+    # must come from this file, never from the driver's tail parse.
+    if not only:
+        try:
+            with open(os.path.join(repo_dir, "BENCH_SNAPSHOT.json"), "w") as fh:
+                json.dump(result, fh, separators=(",", ":"), sort_keys=True)
+                fh.write("\n")
+        except OSError:
+            pass
     # stdout line: keep under ~1.9 KB so a 2000-char log capture still
     # parses (r04's artifact was truncated mid-key and unparseable).
     # Full precision + full query set always live in BENCH_LAST.json.

@@ -204,22 +204,45 @@ SELECT id AS {id_col}, c AS cluster, cos_sim FROM scored WHERE rn = 1
 """
 
 
+INIT_SAMPLE_FACTOR = 10
+
+
 def _greedy_init(df: DataFrame, k: int, vec_col: str, id_col: str, sample_rows: int):
     """Deterministic farthest-first centroid init on a hash-smallest sample.
 
     One TakeOrdered job draws ``sample_rows`` pseudo-random rows (stable
     across runs and partitionings — ``xxhash64(id)`` order), then the
     driver greedily picks k centers, each maximizing its cosine distance
-    to the nearest already-chosen center (ties toward the smaller id).
+    to the nearest already-chosen center (ties break toward the earliest
+    hash-ordered sample row — ``np.argmin`` takes the first minimum in
+    sample order, which is xxhash64 order, not id order).
     The sample is bounded driver memory; the spread init is what lets
     Lloyd's recover well-separated clusters instead of merging them under
-    a uniform random draw."""
+    a uniform random draw.
+
+    Sample-size contract: the greedy walk can only pick centers the
+    sample contains, so the sample must comfortably oversample k — a
+    sample barely above k degenerates to "take whatever hashed smallest"
+    and Lloyd's merges real clusters. Enforced: ``sample_rows`` must be
+    at least ``INIT_SAMPLE_FACTOR * k`` (the k-means|| oversampling
+    ratio, Bahmani et al. 2012 use l = 2k per round x ~5 rounds = 10k
+    total); callers with large k raise ``init_sample_rows`` accordingly.
+    Driver memory stays bounded at sample_rows * d float64s — at the
+    enforced minimum that is 10k*d, the same order as the k*d centroid
+    matrix the driver already holds."""
     import numpy as np
 
+    if sample_rows < INIT_SAMPLE_FACTOR * k:
+        raise ValueError(
+            f"init sample of {sample_rows} rows is too small for k={k}: "
+            f"the farthest-first walk needs >= {INIT_SAMPLE_FACTOR}x "
+            f"oversampling ({INIT_SAMPLE_FACTOR * k} rows) to have real "
+            "cluster structure to choose from — raise init_sample_rows"
+        )
     rows = (
         df.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
         .orderBy(F.xxhash64(F.col("i")), F.col("i"))
-        .limit(max(k, sample_rows))
+        .limit(sample_rows)
         .collect()
     )
     if len(rows) < k:
@@ -335,13 +358,17 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     target_block_rows: int = 4096,
     cluster_col: str | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) near-duplicate pairs searched only within a
     k-means cluster (the SemDeDup candidate restriction). Pair discovery
     is the shared block-matrix kernel grouped by cluster, so the biggest
     single matmul is bounded by the largest cluster's block size. Pass
     ``cluster_col`` when ``df`` already carries an assignment (e.g. from
-    :func:`with_cluster`) to skip re-assigning."""
+    :func:`with_cluster`) to skip re-assigning, and ``n`` (the row count)
+    when the caller already knows it — sizing blocks otherwise costs a
+    count job over ``df``, which for a pre-assigned frame re-runs the
+    quantize/cosine assignment expressions just to count rows."""
     import math
 
     if cluster_col is None:
@@ -353,7 +380,8 @@ def semantic_dup_pairs(
         clustered = df
     from kartothek_spark.operators.similarity import embedding_dup_pairs
 
-    n = df.count()
+    if n is None:
+        n = df.count()
     blocks = max(1, math.ceil(n / (max(1, len(centroids)) * target_block_rows)))
     return embedding_dup_pairs(
         clustered,
@@ -392,10 +420,13 @@ def semantic_dedup(
         raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
     # assign ONCE; the assignment feeds pair mining, the farthest rule's
     # centroid cosines, and the returned rows (which carry cluster +
-    # cos_sim — callers get the assignment for free)
+    # cos_sim — callers get the assignment for free). Block sizing counts
+    # the RAW input (n=...): counting the assigned frame would re-run the
+    # assignment expressions just to get a row count.
     assigned = with_cluster(df, centroids, vec_col)
     pairs = semantic_dup_pairs(
-        assigned, centroids, threshold, id_col, vec_col, cluster_col="cluster"
+        assigned, centroids, threshold, id_col, vec_col,
+        cluster_col="cluster", n=df.count(),
     )
     if keep == "min_id":
         drops = pairs.select(F.col("id_b").alias(id_col)).distinct()

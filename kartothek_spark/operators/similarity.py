@@ -465,6 +465,7 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """k-NN majority-vote label propagation: every ``df`` row gets the
     label most common among its ``k`` nearest ``labeled`` rows (exact
@@ -472,8 +473,17 @@ def knn_classify(
     The LLM-curation use: propagate a small curated seed set's labels
     (quality tiers, topics, licenses) across the full corpus by embedding
     proximity. Deterministic ties: more votes wins, then the smaller
-    label. Output: (id, pred_label, n_votes)."""
-    nn = knn_join(df, labeled, k=k, id_col=id_col, vec_col=vec_col)
+    label. Output: (id, pred_label, n_votes).
+
+    Id-namespace contract: ``exclude_self=True`` (the default, right for
+    the seed-set-within-corpus shape) drops any labeled neighbor whose id
+    EQUALS the query id — if ``df`` and ``labeled`` come from DIFFERENT
+    tables with overlapping id spaces, that silently disqualifies a
+    legitimate nearest neighbor from voting; such callers must pass
+    ``exclude_self=False``."""
+    nn = knn_join(
+        df, labeled, k=k, id_col=id_col, vec_col=vec_col, exclude_self=exclude_self
+    )
     lab = labeled.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lab")
     )

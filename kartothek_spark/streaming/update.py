@@ -770,9 +770,18 @@ def stream_kmeans_update(
             save_kmeans_model(spark, model, root, model_uuid, extra_metadata=stamp)
         elif not _batch_already_committed(root, model_uuid, batch_id, txn_id):
             model = load_kmeans_model(spark, root, model_uuid)
+            if model.k != k:
+                # fail the stream loudly INSTEAD of inside merge_kmeans_stats
+                # (a resumed stream with a different k would otherwise die
+                # on an opaque NumPy shape mismatch mid-foreachBatch)
+                raise ValueError(
+                    f"persisted model {model_uuid!r} has k={model.k}; stream "
+                    f"was started with k={k} — k is part of the model "
+                    "identity (delete the model dataset to retrain)"
+                )
             d = len(model.centroids[0])
             partials = _train_partials(batch_df, model.centroids, vec_col).collect()
-            merged = merge_kmeans_stats(model, partials, k, d)
+            merged = merge_kmeans_stats(model, partials, model.k, d)
             save_kmeans_model(spark, merged, root, model_uuid, extra_metadata=stamp)
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")

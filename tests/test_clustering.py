@@ -315,3 +315,89 @@ def test_kmeans_k_exceeds_rows_raises(spark):
     df, _ = _blobs(spark, n=5)
     with pytest.raises(ValueError):
         kmeans_train(df, 10)
+
+
+def test_assign_bit_identical_at_expr_max_terms_boundary(spark, monkeypatch):
+    """The codegen-limit seam (EXPR_MAX_TERMS, k*d=16384) must never let
+    the two assignment paths diverge silently: the SAME fixture runs with
+    k*d just UNDER the boundary (expression path natural, NumPy forced)
+    and just OVER it (NumPy path natural, expression forced), asserting
+    bit-identical (cluster, cos_sim) in both directions."""
+    dim = 64
+    df, _ = _blobs(spark, n=80, k=8, dim=dim)
+    rng = np.random.RandomState(11)
+
+    def centroids(k):
+        C = rng.normal(size=(k, dim))
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        return [[float(x) for x in row] for row in C]
+
+    # k*d = 16384 == EXPR_MAX_TERMS: natural path is the expression
+    k_under = clustering.EXPR_MAX_TERMS // dim
+    cents = centroids(k_under)
+    natural = [tuple(r) for r in kmeans_assign(df, cents).orderBy("vec_id").collect()]
+    monkeypatch.setattr(clustering, "EXPR_MAX_TERMS", 0)
+    forced_numpy = [tuple(r) for r in kmeans_assign(df, cents).orderBy("vec_id").collect()]
+    assert natural == forced_numpy
+    monkeypatch.undo()
+
+    # k*d = 16448 > EXPR_MAX_TERMS: natural path is the NumPy batch pass
+    cents_over = cents + centroids(1)
+    assert len(cents_over) * dim > clustering.EXPR_MAX_TERMS
+    natural_over = [
+        tuple(r) for r in kmeans_assign(df, cents_over).orderBy("vec_id").collect()
+    ]
+    monkeypatch.setattr(clustering, "EXPR_MAX_TERMS", 1 << 30)
+    forced_expr = [
+        tuple(r) for r in kmeans_assign(df, cents_over).orderBy("vec_id").collect()
+    ]
+    assert natural_over == forced_expr
+
+
+def test_greedy_init_sample_contract_raises(spark):
+    """init_sample_rows < 10*k is rejected up front (the sample must
+    oversample k for the farthest-first walk to see cluster structure)."""
+    df, _ = _blobs(spark, n=300, k=10)
+    with pytest.raises(ValueError, match="init sample"):
+        kmeans_train(df, 32, iters=1, init_sample_rows=100)
+
+
+def test_greedy_init_large_k_quality(spark):
+    """Large-k init at the contract minimum (sample = 10*k) still seeds
+    well enough for Lloyd's to recover the planted blobs."""
+    k = 40
+    df, centers = _blobs(spark, n=800, k=k, dim=32, noise=0.05, seed=3)
+    model = kmeans_train(df, k, iters=5, init_sample_rows=10 * k)
+    assigned = (
+        kmeans_assign(df, model.centroids)
+        .join(df.select("vec_id", "label"), "vec_id")
+        .select("cluster", "label")
+        .collect()
+    )
+    assert _purity(assigned) >= 0.95
+
+
+def test_stream_kmeans_k_mismatch_fails_loudly(spark, tmp_path):
+    """Resuming a k-means stream with a different k than the persisted
+    model must raise a clear ValueError, not a NumPy shape error inside
+    merge_kmeans_stats."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from kartothek_spark.operators.clustering import kmeans_train, save_kmeans_model
+    from kartothek_spark.streaming.update import stream_kmeans_update
+
+    df, _ = _blobs(spark, n=200)
+    root = str(tmp_path / "store")
+    model = kmeans_train(df, 10, iters=2)
+    save_kmeans_model(spark, model, root, "kmeans_model")
+
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.format("parquet").schema(df.schema).load(src)
+    q = stream_kmeans_update(
+        stream, root, k=5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    with pytest.raises(StreamingQueryException, match="k is part of the model"):
+        q.awaitTermination(300)
