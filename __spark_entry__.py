@@ -2923,6 +2923,131 @@ def dedup_winnow_pairs(spark, sf_dir):
     return winnow_dup_pairs(docs.unionByName(snips), k=8, w=4, min_shared=12)
 
 
+def _winnow_pairs_corpus(spark, sf_dir):
+    """The dedup_winnow_pairs input (half corpus + planted prefixes) —
+    shared by the indexed winnow gates so they share its oracle."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    snips = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, 120)").alias("text"),
+    )
+    return docs.unionByName(snips)
+
+
+def dedup_winnow_indexed(spark, sf_dir):
+    """Overlap pairs over the PERSISTED winnowing fingerprint index (the
+    MOSS service shape: fingerprints stored once as a managed dataset,
+    queries are parquet reads — no per-call full-corpus text pass, no
+    eager checkpoint). Value-identical to dedup_winnow_pairs (shared
+    oracle)."""
+    from kartothek_spark.operators.winnow_index import (
+        build_winnow_index,
+        winnow_dup_pairs_indexed,
+    )
+
+    corpus = _winnow_pairs_corpus(spark, sf_dir)
+
+    def build(root):
+        build_winnow_index(spark, corpus, root, "wxidx", k=8, w=4, buckets=16)
+
+    root = _fixture(sf_dir, "winnow_idx", build)
+    return winnow_dup_pairs_indexed(spark, root, "wxidx", min_shared=12)
+
+
+def dedup_winnow_index_sync(spark, sf_dir):
+    """Incrementally-maintained winnow index: build on one half, one
+    O(new docs) sync appending the other — pair query over the synced
+    index must equal the full-corpus winnow_dup_pairs oracle (the
+    text/PQ/SymSpell index lifecycle applied to MOSS fingerprints)."""
+    from kartothek_spark.operators.winnow_index import (
+        build_winnow_index,
+        sync_winnow_index,
+        winnow_dup_pairs_indexed,
+    )
+
+    corpus = _winnow_pairs_corpus(spark, sf_dir)
+
+    def build(root):
+        build_winnow_index(
+            spark, corpus.where(F.col("doc_id") % 4 == 0), root, "wxs",
+            k=8, w=4, buckets=16,
+        )
+        sync_winnow_index(
+            spark, corpus.where(F.col("doc_id") % 4 != 0), root, "wxs"
+        )
+
+    root = _fixture(sf_dir, "winnow_idx_sync", build)
+    return winnow_dup_pairs_indexed(spark, root, "wxs", min_shared=12)
+
+
+def corpus_winnow_probe(spark, sf_dir):
+    """MOSS submission shape: a probe batch of new documents checked
+    against the persisted fingerprint index without touching the corpus
+    text — small batches dispatch as a manifest-pruned point read of only
+    their fingerprints' buckets. Full value oracle (winnow_probe_sql)."""
+    from kartothek_spark.operators.winnow_index import (
+        build_winnow_index,
+        search_winnow_index,
+    )
+
+    corpus = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+
+    def build(root):
+        build_winnow_index(spark, corpus, root, "wxp", k=8, w=4, buckets=16)
+
+    root = _fixture(sf_dir, "winnow_probe_idx", build)
+    probes = corpus.where(F.col("doc_id") % 18 == 0).select(
+        (F.col("doc_id") + 500000).alias("probe_id"),
+        F.expr("substring(text, 1, 120)").alias("text"),
+    )
+    return search_winnow_index(
+        spark, root, "wxp", probes, probe_id="probe_id", min_shared=3
+    )
+
+
+def stream_winnow_index(spark, sf_dir):
+    """Streaming winnow-index maintenance: foreachBatch builds the
+    fingerprint dataset on micro-batch 0 and appends every later batch's
+    documents with the exactly-once stamp inside the commit. The drained
+    index must answer the pair query exactly like the on-the-fly
+    winnow_dup_pairs over everything ingested — full value oracle
+    (shared with dedup_winnow_pairs)."""
+    from kartothek_spark.operators.winnow_index import winnow_dup_pairs_indexed
+
+    corpus = _winnow_pairs_corpus(spark, sf_dir)
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_winnow_index as op
+
+        src = os.path.join(root, "_src")
+        corpus.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "swx", k=8, w=4, buckets=16,
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_winnow_index fixture: stream did not drain")
+
+    root = _fixture(sf_dir, "swxidx", build)
+    return winnow_dup_pairs_indexed(spark, root, "swx", min_shared=12)
+
+
 def dedup_fuzzy_pairs(spark, sf_dir):
     """EXACT edit-distance pairs (levenshtein <= 2) on the 24-char leading
     snippet via complete SymSpell deletion-neighborhood blocking — the
@@ -3863,6 +3988,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": dedup_containment,
         "dedup_winnow": dedup_winnow,
         "dedup_winnow_pairs": dedup_winnow_pairs,
+        "dedup_winnow_indexed": dedup_winnow_indexed,
+        "dedup_winnow_index_sync": dedup_winnow_index_sync,
+        "corpus_winnow_probe": corpus_winnow_probe,
+        "stream_winnow_index": stream_winnow_index,
         "dedup_fuzzy_pairs": dedup_fuzzy_pairs,
         "corpus_fuzzy_join": corpus_fuzzy_join,
         "corpus_fuzzy_join_indexed": corpus_fuzzy_join_indexed,
@@ -4733,6 +4862,37 @@ FROM toks
             k=8,
             w=4,
             min_shared=12,
+        ),
+        # the indexed winnow paths promise value-identity with the
+        # on-the-fly pair miner, so they share its oracle verbatim
+        **{
+            name: __import__(
+                "kartothek_spark.operators.dedup", fromlist=["winnow_dup_pairs_sql"]
+            ).winnow_dup_pairs_sql(
+                "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+                " UNION ALL"
+                " SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 120) AS text"
+                " FROM documents WHERE doc_id % 2 = 0 AND doc_id % 13 = 0)",
+                k=8,
+                w=4,
+                min_shared=12,
+            )
+            for name in (
+                "dedup_winnow_indexed",
+                "dedup_winnow_index_sync",
+                "stream_winnow_index",
+            )
+        },
+        "corpus_winnow_probe": __import__(
+            "kartothek_spark.operators.winnow_index", fromlist=["winnow_probe_sql"]
+        ).winnow_probe_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+            "SELECT doc_id + 500000 AS probe_id, substr(text, 1, 120) AS text"
+            " FROM documents WHERE doc_id % 2 = 0 AND doc_id % 18 = 0",
+            k=8,
+            w=4,
+            min_shared=3,
+            probe_id="probe_id",
         ),
         "dedup_fuzzy_pairs": edit_distance_pairs_sql(
             "documents", 2, "substr(text, 1, 24)", "doc_id"

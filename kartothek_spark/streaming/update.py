@@ -612,6 +612,64 @@ def stream_fuzzy_index(
     return writer.start()
 
 
+def stream_winnow_index(
+    stream_df: DataFrame,
+    root: str,
+    index_uuid: str = "winnow_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming maintenance of the persisted winnowing fingerprint index
+    (:mod:`~kartothek_spark.operators.winnow_index`): batch 0 builds the
+    index, every later micro-batch appends its documents' fingerprints in
+    one atomic O(batch) commit — an overlap query issued between batches
+    always sees a consistent fingerprint set, and after the stream drains
+    the index answers exactly like one built over everything ingested
+    (pinned by the stream-vs-batch pytest). Same exactly-once shape as
+    ``stream_text_index``: the ``(txn_id, batch_id)`` stamp rides INSIDE
+    each commit, so a batch re-delivered after a crash between commit and
+    checkpoint advance is skipped instead of double-appending. (Duplicate
+    fingerprint rows would not change query RESULTS — every query
+    deduplicates the (doc, fp) set — but would grow the index unboundedly
+    under repeated replays.) Returns the StreamingQuery."""
+    from kartothek_spark.operators.winnow_index import (
+        build_winnow_index,
+        sync_winnow_index,
+    )
+
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        if not DatasetManifest.exists(root, index_uuid):
+            _purge_uncommitted_dataset_dir(root, index_uuid)
+            build_winnow_index(
+                spark, batch_df, root, index_uuid,
+                text_col=text_col, id_col=id_col, k=k, w=w, buckets=buckets,
+                extra_metadata=stamp,
+            )
+        elif not _batch_already_committed(root, index_uuid, batch_id, txn_id):
+            sync_winnow_index(
+                spark, batch_df, root, index_uuid,
+                text_col=text_col, id_col=id_col, extra_metadata=stamp,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def stream_cluster_assign(
     stream_df: DataFrame,
     root: str,
