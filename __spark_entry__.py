@@ -2605,6 +2605,56 @@ def corpus_fuzzy_decontaminate(spark, sf_dir):
     )
 
 
+def _bench_index_root(spark, sf_dir):
+    """Build-once persisted contamination index over the perturbed
+    benchmark slice (the shared benchmark of the decontaminate gates)."""
+    from kartothek_spark.operators.contamination_index import (
+        build_contamination_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.expr("substring(text, 12)").alias("text"),
+    )
+
+    def build(root):
+        build_contamination_index(spark, bench, root, "bx", id_col="bench_id")
+
+    return _fixture(sf_dir, "bench_minhash_idx", build)
+
+
+def corpus_fuzzy_decontaminate_indexed(spark, sf_dir):
+    """Fuzzy decontamination against the PERSISTED benchmark index (the
+    real pipeline shape: eval suites indexed once, every training batch
+    probes) — the corpus pays its own irreducible shingle/sign/band pass
+    but the benchmark side is a parquet read. Value-identical to
+    corpus_fuzzy_decontaminate (shared oracle)."""
+    from kartothek_spark.operators.contamination_index import (
+        fuzzy_decontaminate_indexed,
+    )
+
+    root = _bench_index_root(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_decontaminate_indexed(
+        spark, docs, root, "bx", threshold=0.35
+    ).select("doc_id", "lang", "n_chars")
+
+
+def dedup_cross_corpus_indexed(spark, sf_dir):
+    """Cross-corpus near-dup pairs against the PERSISTED benchmark index
+    — value-identical to dedup_cross_corpus (shared oracle)."""
+    from kartothek_spark.operators.contamination_index import (
+        minhash_cross_pairs_indexed,
+    )
+
+    root = _bench_index_root(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_cross_pairs_indexed(
+        spark, docs, root, "bx", threshold=0.35, right_id="bench_id"
+    )
+
+
 def corpus_pack(spark, sf_dir):
     """Sequence packing: docs → fixed-512-token bins inside 8 hash shards
     (one shuffle, per-shard running-sum window)."""
@@ -3998,7 +4048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fuzzy_index_sync": corpus_fuzzy_index_sync,
         "stream_fuzzy_index": stream_fuzzy_index,
         "dedup_cross_corpus": dedup_cross_corpus,
+        "dedup_cross_corpus_indexed": dedup_cross_corpus_indexed,
         "corpus_fuzzy_decontaminate": corpus_fuzzy_decontaminate,
+        "corpus_fuzzy_decontaminate_indexed": corpus_fuzzy_decontaminate_indexed,
         "embedding_dups": embedding_dups,
         "embedding_kmeans_assign": embedding_kmeans_assign,
         "embedding_kmeans_train": embedding_kmeans_train,
@@ -4904,7 +4956,23 @@ FROM toks
             threshold=0.35,
             right_id="bench_id",
         ),
+        # the indexed contamination paths promise value-identity with
+        # the on-the-fly operators, so they share those oracles verbatim
+        "dedup_cross_corpus_indexed": minhash_cross_pairs_sql(
+            "documents",
+            "(SELECT doc_id AS bench_id, substr(text, 12) AS text"
+            " FROM documents WHERE doc_id % 11 = 0)",
+            threshold=0.35,
+            right_id="bench_id",
+        ),
         "corpus_fuzzy_decontaminate": fuzzy_decontaminate_sql(
+            "SELECT * FROM documents",
+            "SELECT doc_id, substr(text, 12) AS text FROM documents"
+            " WHERE doc_id % 11 = 0",
+            threshold=0.35,
+            columns="doc_id, lang, n_chars",
+        ),
+        "corpus_fuzzy_decontaminate_indexed": fuzzy_decontaminate_sql(
             "SELECT * FROM documents",
             "SELECT doc_id, substr(text, 12) AS text FROM documents"
             " WHERE doc_id % 11 = 0",
