@@ -6,6 +6,8 @@ Only rerun this when the manifest/index format changes ON PURPOSE — the
 point of the committed artifacts is that accidental drift fails
 tests/test_golden_format.py (the engine's analog of the reference's
 reference-data/arrow-compat/* + tests/serialization/test_arrow_compat.py).
+A deliberate change must also update SPEC.md (repo root), whose normative
+examples these artifacts are.
 
 The golden is a complete miniature dataset exercising every manifest
 feature: hive partitions, a secondary index, per-file stats, CHECK

@@ -7,6 +7,10 @@ as a cross-version read failure in production.
 Engine analog of the reference's ``reference-data/arrow-compat/*`` +
 ``tests/serialization/test_arrow_compat.py``. Regenerate DELIBERATE
 format changes with ``python tests/golden/make_goldens.py``.
+
+The formats pinned here are specified normatively in ``SPEC.md`` (repo
+root) — the golden artifacts are that document's normative examples; a
+deliberate format change must update BOTH.
 """
 
 import json
