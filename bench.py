@@ -139,6 +139,13 @@ HEADLINE = [
     "stream_multimodal_ingest",  # streamed landing-zone media ingest
     "events_asof_nearest",      # merge_asof nearest (two traversals)
     "stream_kmeans_model",      # mini-batch streaming k-means model
+    # round 7: persisted winnowing + contamination index families
+    "dedup_winnow_indexed",     # pair query over persisted fingerprints
+    "dedup_winnow_index_sync",  # build + O(new docs) sync, queried result
+    "corpus_winnow_probe",      # probe batch vs index, bucket-pruned read
+    "stream_winnow_index",      # foreachBatch-maintained fingerprint index
+    "dedup_cross_corpus_indexed",  # pairs vs persisted benchmark index
+    "corpus_fuzzy_decontaminate_indexed",  # decontaminate vs persisted index
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -1689,9 +1689,47 @@ def minhash_cross_pairs(
     caller-managed caching)."""
     if left_id == right_id:
         raise ValueError("left_id and right_id must differ in the output")
-    rows = num_hashes // bands
     base_l, reps_l = _minhash_side(left, left_text, left_id, num_hashes, persist=eager)
     base_r, reps_r = _minhash_side(right, right_text, right_id, num_hashes, persist=eager)
+    out = minhash_cross_pairs_from_sides(
+        base_l, reps_l, base_r, reps_r,
+        threshold=threshold, left_id=left_id, right_id=right_id,
+        num_hashes=num_hashes, bands=bands, max_band_bucket=max_band_bucket,
+        eager=False,
+    )
+    if eager:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            base_l.unpersist()
+            base_r.unpersist()
+    return out
+
+
+def minhash_cross_pairs_from_sides(
+    base_l: DataFrame,
+    reps_l: DataFrame,
+    base_r: DataFrame,
+    reps_r: DataFrame,
+    threshold: float = 0.5,
+    left_id: str = "doc_id",
+    right_id: str = "bench_id",
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+    eager: bool = True,
+) -> DataFrame:
+    """The pair machinery of :func:`minhash_cross_pairs` over PRECOMPUTED
+    MinHash sides — ``base`` = ``(__id, __sh, __ck)``, ``reps`` =
+    ``(__ck, __id, __sig)`` as produced by the shared ``_minhash_side``
+    staging (or read back from storage: the persisted benchmark index in
+    :mod:`~kartothek_spark.operators.contamination_index` feeds the same
+    shape). Value-identical to the end-to-end operator by construction —
+    banding, bucket cap, Jaccard verification and the exact-content path
+    run unchanged on the supplied frames."""
+    if left_id == right_id:
+        raise ValueError("left_id and right_id must differ in the output")
+    rows = num_hashes // bands
     bl = _cap_band_buckets(_banded(reps_l, bands, rows), max_band_bucket)
     br = _cap_band_buckets(_banded(reps_r, bands, rows), max_band_bucket)
 
@@ -1750,12 +1788,10 @@ def minhash_cross_pairs(
             "jaccard",
         )
     )
+    # persistence of the side frames belongs to the CALLER (this function
+    # may receive plain parquet reads); eager only pins the bounded output
     if eager:
-        try:
-            out = out.localCheckpoint(eager=True)
-        finally:
-            base_l.unpersist()
-            base_r.unpersist()
+        out = out.localCheckpoint(eager=True)
     return out
 
 

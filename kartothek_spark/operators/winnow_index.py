@@ -47,6 +47,11 @@ META_BUCKETS = "winnow_buckets"
 # collected to the driver, 8 bytes each); anything larger runs as one
 # distributed equi-join over the index instead — never a cartesian
 PUSHDOWN_MAX_FPS = 20_000
+# the row-group-skipping ``fp IN`` residual is pushed only when the list
+# is this small: a multi-thousand-literal In filter costs more to plan
+# and evaluate than the row groups it might skip (bucket-level manifest
+# pruning via ``fb IN`` is free at any size and always applied)
+FP_RESIDUAL_MAX = 2_000
 
 
 def _fp_rows(
@@ -226,12 +231,11 @@ def search_winnow_index(
         return spark.createDataFrame([], "doc_id long, probe_id long, n_shared long")
     if len(fps) <= PUSHDOWN_MAX_FPS:
         fbs = sorted({f % buckets for f in fps})
+        conj = [("fb", "in", fbs)]
+        if len(fps) <= FP_RESIDUAL_MAX:
+            conj.append(("fp", "in", sorted(fps)))
         idx = read_table(
-            spark,
-            root,
-            index_uuid,
-            predicates=[[("fb", "in", fbs), ("fp", "in", sorted(fps))]],
-            columns=["fp", "doc_id"],
+            spark, root, index_uuid, predicates=[conj], columns=["fp", "doc_id"]
         )
     else:
         idx = read_table(spark, root, index_uuid, columns=["fp", "doc_id"])
