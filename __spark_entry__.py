@@ -2682,6 +2682,95 @@ def dedup_cross_corpus_indexed(spark, sf_dir):
     )
 
 
+def stream_contamination_index(spark, sf_dir):
+    """Streaming contamination-index maintenance: eval suites arrive as a
+    stream (batch-0 build + id-idempotent O(batch) syncs, the exactly-
+    once stamp riding in the LAST of the two-dataset commit); the
+    drained index must decontaminate exactly like the on-the-fly
+    operator over every suite ingested — full value oracle (shared with
+    corpus_fuzzy_decontaminate)."""
+    from kartothek_spark.operators.contamination_index import (
+        fuzzy_decontaminate_indexed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.expr("substring(text, 12)").alias("text"),
+    )
+
+    def build(root):
+        from kartothek_spark.streaming.update import (
+            stream_contamination_index as op,
+        )
+
+        src = os.path.join(root, "_src")
+        bench.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(bench.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "sbx", id_col="bench_id",
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_contamination_index fixture: stream did not drain"
+            )
+        # post-stream compaction — the real pipeline step before serving:
+        # per-batch commits leave one small file set per micro-batch, and
+        # probe latency is file-count-bound on the index side
+        from kartothek_spark.dataset.write import compact_dataset
+
+        compact_dataset(spark, root, "sbx", sort_partitions_by=["ck"])
+        compact_dataset(spark, root, "sbx__bands", sort_partitions_by=["key"])
+
+    root = _fixture(sf_dir, "sbxidx", build)
+    return fuzzy_decontaminate_indexed(
+        spark, docs, root, "sbx", threshold=0.35
+    ).select("doc_id", "lang", "n_chars")
+
+
+def corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023): hashed-unigram+
+    bigram occurrence distributions of raw vs target corpus, per-doc
+    Σ micro(ln p̂ − ln q̂) as an exact integer (order-free, cross-engine
+    bit-identical). Target = every 9th doc, the domain to upsample.
+    Full value oracle."""
+    from kartothek_spark.operators.dsir import dsir_weights
+
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_weights(raw, raw.where(F.col("doc_id") % 9 == 0))
+
+
+def corpus_dsir_sample(spark, sf_dir):
+    """Gumbel-top-k importance resampling without replacement on the DSIR
+    log-weights — the paper's sampler with deterministic hash-derived
+    Gumbel keys, so the selected SET is reproducible and SQL-twinned.
+    The weights table is the deterministic fit+score output (value-
+    checked by corpus_dsir_weights) and is materialized once per code
+    version — the pipeline shape: store weights, draw re-seeded samples
+    from the stored table. Full value oracle."""
+    from kartothek_spark.operators.dsir import dsir_resample_from_weights
+
+    def build(root):
+        from kartothek_spark.operators.dsir import dsir_weights
+
+        raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        dsir_weights(raw, raw.where(F.col("doc_id") % 9 == 0)).write.parquet(
+            os.path.join(root, "weights")
+        )
+
+    root = _fixture(sf_dir, "dsir_weights", build)
+    w = spark.read.parquet(os.path.join(root, "weights"))
+    return dsir_resample_from_weights(w, k=200, seed=7)
+
+
 def corpus_pack(spark, sf_dir):
     """Sequence packing: docs → fixed-512-token bins inside 8 hash shards
     (one shuffle, per-shard running-sum window)."""
@@ -3981,7 +4070,8 @@ _FRESH_PRIORITY = [
     # round-7 persisted-index families
     "dedup_winnow_indexed", "dedup_winnow_index_sync", "corpus_winnow_probe",
     "stream_winnow_index", "dedup_cross_corpus_indexed",
-    "corpus_fuzzy_decontaminate_indexed",
+    "corpus_fuzzy_decontaminate_indexed", "stream_contamination_index",
+    "corpus_dsir_weights", "corpus_dsir_sample",
     # fuzzy (SymSpell) family
     "dedup_fuzzy_pairs", "corpus_fuzzy_join", "corpus_fuzzy_join_indexed",
     "corpus_fuzzy_index_sync", "stream_fuzzy_index", "dedup_cross_corpus",
@@ -4172,6 +4262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_corpus_indexed": dedup_cross_corpus_indexed,
         "corpus_fuzzy_decontaminate": corpus_fuzzy_decontaminate,
         "corpus_fuzzy_decontaminate_indexed": corpus_fuzzy_decontaminate_indexed,
+        "stream_contamination_index": stream_contamination_index,
+        "corpus_dsir_weights": corpus_dsir_weights,
+        "corpus_dsir_sample": corpus_dsir_sample,
         "embedding_dups": embedding_dups,
         "embedding_kmeans_assign": embedding_kmeans_assign,
         "embedding_kmeans_train": embedding_kmeans_train,
@@ -5099,6 +5192,27 @@ FROM toks
             " WHERE doc_id % 11 = 0",
             threshold=0.35,
             columns="doc_id, lang, n_chars",
+        ),
+        "stream_contamination_index": fuzzy_decontaminate_sql(
+            "SELECT * FROM documents",
+            "SELECT doc_id, substr(text, 12) AS text FROM documents"
+            " WHERE doc_id % 11 = 0",
+            threshold=0.35,
+            columns="doc_id, lang, n_chars",
+        ),
+        "corpus_dsir_weights": __import__(
+            "kartothek_spark.operators.dsir", fromlist=["dsir_weights_sql"]
+        ).dsir_weights_sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0",
+        ),
+        "corpus_dsir_sample": __import__(
+            "kartothek_spark.operators.dsir", fromlist=["dsir_resample_sql"]
+        ).dsir_resample_sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0",
+            k=200,
+            seed=7,
         ),
         "corpus_fuzzy_join": fuzzy_join_sql(
             "(SELECT doc_id, substr(text, 1, 24) AS key FROM documents)",

@@ -146,6 +146,9 @@ HEADLINE = [
     "stream_winnow_index",      # foreachBatch-maintained fingerprint index
     "dedup_cross_corpus_indexed",  # pairs vs persisted benchmark index
     "corpus_fuzzy_decontaminate_indexed",  # decontaminate vs persisted index
+    "stream_contamination_index",  # foreachBatch-maintained bench index
+    "corpus_dsir_weights",      # DSIR importance log-weights (int micros)
+    "corpus_dsir_sample",       # Gumbel-top-k importance resampling
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

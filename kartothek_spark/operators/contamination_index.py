@@ -89,6 +89,23 @@ def build_contamination_index(
             META_BANDS: bands,
             **(extra_metadata or {}),
         }
+        # bands FIRST, base second: the base manifest's existence defines
+        # the index (queries and streaming replay detection key on it), so
+        # a crash between the two commits leaves only bands debris — which
+        # is definitionally stale whenever the base is absent, hence
+        # overwritten by the next build attempt
+        store_dataframe_as_dataset(
+            spark,
+            _banded(reps, bands, num_hashes // bands).select(
+                "band", "key", F.col("__ck").alias("ck")
+            ),
+            root,
+            _bands_uuid(index_uuid),
+            partition_on=["band"],
+            sort_partitions_by=["key"],
+            metadata=dict(extra_metadata or {}),
+            overwrite=overwrite or not DatasetManifest.exists(root, index_uuid),
+        )
         manifest = store_dataframe_as_dataset(
             spark,
             base.select(
@@ -100,18 +117,6 @@ def build_contamination_index(
             index_uuid,
             sort_partitions_by=["ck"],
             metadata=meta,
-            overwrite=overwrite,
-        )
-        store_dataframe_as_dataset(
-            spark,
-            _banded(reps, bands, num_hashes // bands).select(
-                "band", "key", F.col("__ck").alias("ck")
-            ),
-            root,
-            _bands_uuid(index_uuid),
-            partition_on=["band"],
-            sort_partitions_by=["key"],
-            metadata=dict(extra_metadata or {}),
             overwrite=overwrite,
         )
     finally:
@@ -155,6 +160,22 @@ def sync_contamination_index(
         fresh_reps = reps.join(
             known_cks, reps["__ck"] == known_cks["ck"], "left_anti"
         )
+        # bands FIRST, stamped base second (mirrors build): if a crash
+        # splits the two commits, the replayed batch re-appends its band
+        # rows (the base — and with it the ck dedup floor — never
+        # advanced), leaving duplicate (band, key, ck) rows; the query
+        # side deduplicates the bands read before the bucket cap, so the
+        # torn state is value-invisible and the re-run completes the sync
+        update_dataset(
+            spark,
+            _banded(fresh_reps, bands, num_hashes // bands).select(
+                "band", "key", F.col("__ck").alias("ck")
+            ),
+            root,
+            _bands_uuid(index_uuid),
+            sort_partitions_by=["key"],
+            metadata=dict(extra_metadata or {}),
+        )
         out = update_dataset(
             spark,
             fresh_base.select(
@@ -165,16 +186,6 @@ def sync_contamination_index(
             root,
             index_uuid,
             sort_partitions_by=["ck"],
-            metadata=dict(extra_metadata or {}),
-        )
-        update_dataset(
-            spark,
-            _banded(fresh_reps, bands, num_hashes // bands).select(
-                "band", "key", F.col("__ck").alias("ck")
-            ),
-            root,
-            _bands_uuid(index_uuid),
-            sort_partitions_by=["key"],
             metadata=dict(extra_metadata or {}),
         )
     finally:
@@ -202,9 +213,11 @@ def _hit_cks(
     bl = _cap_band_buckets(_banded(reps_l, bands, num_hashes // bands), max_band_bucket)
     # query-time cap on the index side: equals the batch operator's
     # benchmark-side cap over the full indexed benchmark for any append
-    # history (bucket size = distinct cks in the bucket, as in _banded)
+    # history (bucket size = distinct cks in the bucket, as in _banded).
+    # distinct() first: a torn streaming sync may leave duplicate band
+    # rows, which must not inflate bucket sizes past the cap
     br = _cap_band_buckets(
-        read_table(spark, root, _bands_uuid(index_uuid)), max_band_bucket
+        read_table(spark, root, _bands_uuid(index_uuid)).distinct(), max_band_bucket
     )
     idx_reps = (
         read_table(spark, root, index_uuid, columns=["ck", "sh"])

@@ -670,6 +670,64 @@ def stream_winnow_index(
     return writer.start()
 
 
+def stream_contamination_index(
+    stream_df: DataFrame,
+    root: str,
+    index_uuid: str = "contamination_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming maintenance of the persisted benchmark contamination
+    index (:mod:`~kartothek_spark.operators.contamination_index`): eval
+    suites arrive as a stream (new benchmarks get published continuously
+    in a real pipeline); batch 0 builds the index, every later
+    micro-batch appends in one id-idempotent O(batch) sync, and training
+    batches can probe between commits against a consistent snapshot.
+
+    Exactly-once across a TWO-dataset commit: the ``(txn_id, batch_id)``
+    stamp rides in the BASE dataset's commit, which both build and sync
+    perform LAST — a crash before the base commit replays the whole
+    batch (band-row duplicates from the torn first half are value-
+    neutral: the query side deduplicates the bands read, and the ck
+    dedup floor never advanced), a crash after it is detected by
+    ``_batch_already_committed`` and skipped. Returns the
+    StreamingQuery."""
+    from kartothek_spark.operators.contamination_index import (
+        _bands_uuid,
+        build_contamination_index,
+        sync_contamination_index,
+    )
+
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        if not DatasetManifest.exists(root, index_uuid):
+            _purge_uncommitted_dataset_dir(root, index_uuid)
+            _purge_uncommitted_dataset_dir(root, _bands_uuid(index_uuid))
+            build_contamination_index(
+                spark, batch_df, root, index_uuid,
+                text_col=text_col, id_col=id_col, extra_metadata=stamp,
+            )
+        elif not _batch_already_committed(root, index_uuid, batch_id, txn_id):
+            sync_contamination_index(
+                spark, batch_df, root, index_uuid,
+                text_col=text_col, id_col=id_col, extra_metadata=stamp,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def stream_cluster_assign(
     stream_df: DataFrame,
     root: str,

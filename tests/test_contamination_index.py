@@ -113,6 +113,79 @@ def test_sync_incremental_equals_batch(spark, tmp_path):
         assert got == want and got
 
 
+def test_stream_contamination_index_matches_batch(spark, tmp_path):
+    """Streaming maintenance (build on batch 0, id-idempotent syncs
+    after) must answer the decontaminate and pair queries exactly like
+    one batch build over every suite ingested."""
+    from kartothek_spark.operators.contamination_index import (
+        build_contamination_index,
+        fuzzy_decontaminate_indexed,
+        minhash_cross_pairs_indexed,
+    )
+    from kartothek_spark.streaming.update import stream_contamination_index
+
+    docs = _docs(spark)
+    bench = _bench(docs).localCheckpoint(eager=True)
+    src = str(tmp_path / "src")
+    bench.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(bench.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    root = str(tmp_path / "store")
+    q = stream_contamination_index(
+        stream, root, "scx", id_col="bench_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    batch_root = str(tmp_path / "batch")
+    build_contamination_index(spark, bench, batch_root, "bcx", id_col="bench_id")
+    for query in (
+        lambda r, u: minhash_cross_pairs_indexed(
+            spark, docs, r, u, threshold=0.35, right_id="bench_id"
+        ),
+        lambda r, u: fuzzy_decontaminate_indexed(spark, docs, r, u, threshold=0.35),
+    ):
+        got = _rows(query(root, "scx"))
+        want = _rows(query(batch_root, "bcx"))
+        assert got == want and got
+
+
+def test_band_duplicates_are_value_neutral(spark, tmp_path):
+    """A torn streaming sync leaves duplicate (band, key, ck) rows; the
+    query-side distinct must keep results identical (duplicates must not
+    inflate bucket sizes past the cap)."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import update_dataset
+    from kartothek_spark.operators.contamination_index import (
+        _bands_uuid,
+        build_contamination_index,
+        minhash_cross_pairs_indexed,
+    )
+
+    docs = _docs(spark)
+    bench = _bench(docs)
+    root = str(tmp_path / "cx")
+    build_contamination_index(spark, bench, root, "cx", id_col="bench_id")
+    clean = _rows(
+        minhash_cross_pairs_indexed(
+            spark, docs, root, "cx", threshold=0.35, right_id="bench_id"
+        )
+    )
+    # simulate the torn state: re-append the full bands table verbatim
+    dup = read_table(spark, root, _bands_uuid("cx")).localCheckpoint(eager=True)
+    update_dataset(spark, dup, root, _bands_uuid("cx"))
+    torn = _rows(
+        minhash_cross_pairs_indexed(
+            spark, docs, root, "cx", threshold=0.35, right_id="bench_id"
+        )
+    )
+    assert torn == clean and clean
+
+
 def test_band_dataset_partitioned_and_metadata(spark, tmp_path):
     from kartothek_spark.core.manifest import DatasetManifest
     from kartothek_spark.operators.contamination_index import (
