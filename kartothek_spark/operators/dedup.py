@@ -711,18 +711,27 @@ def winnow_dup_pairs(
     w: int = 4,
     min_shared: int = 3,
     max_df: int = NGRAM_MAX_DF,
+    eager: bool = True,
 ) -> DataFrame:
     """Plagiarism-style overlap pairs on WINNOWED fingerprints: docs
     sharing >= ``min_shared`` selected fingerprints (id_a < id_b,
     ``n_shared`` attached). Same df-capped inverted-index join as the
     n-gram miners but over a ~1/w-sparsified set — the index the MOSS
-    service builds, at a fraction of the full-gram cost."""
+    service builds, at a fraction of the full-gram cost.
+
+    ``eager=False`` returns the lazy, pin-free plan (the fingerprint
+    pass recomputes per downstream branch instead of being persisted) —
+    for plan tests and composition into larger lazy pipelines. Pipelines
+    that query repeatedly should persist the fingerprints once instead:
+    :mod:`~kartothek_spark.operators.winnow_index`, whose pair query is
+    lazy by construction."""
     fp = (
         winnow_fingerprints(scale_out(df), text_col, id_col, k, w)
         .select(F.col(id_col).alias("__id"), F.col("fp").alias("g"))
         .distinct()
-        .persist()
     )
+    if eager:
+        fp = fp.persist()
     rare = fp.groupBy("g").count().where(F.col("count") <= max_df).select("g")
     inv = fp.join(rare, "g")
     l, r = inv.alias("l"), inv.alias("r")
@@ -732,6 +741,8 @@ def winnow_dup_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+    if not eager:
+        return result
     out = result.localCheckpoint(eager=True)
     fp.unpersist()
     return out

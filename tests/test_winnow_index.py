@@ -230,6 +230,21 @@ def test_winnow_probe_sql_twin_matches(spark, tmp_path):
     assert got == want and got
 
 
+def test_winnow_dup_pairs_lazy_form_matches_eager(spark):
+    """eager=False must return the SAME pairs as a fully lazy plan —
+    no persist, no localCheckpoint (nothing executes at build time), so
+    the operator composes into larger lazy pipelines and plan tests."""
+    from kartothek_spark.operators.dedup import winnow_dup_pairs
+
+    corpus = _with_snips(_docs(spark, n=80))
+    lazy = winnow_dup_pairs(corpus, k=8, w=4, min_shared=12, eager=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan  # a checkpoint would surface here
+    assert _pairs(lazy) == _pairs(
+        winnow_dup_pairs(corpus, k=8, w=4, min_shared=12)
+    )
+
+
 def test_stream_winnow_index_matches_batch(spark, tmp_path):
     """Streaming maintenance (build on batch 0, O(batch) appends after)
     must answer pair + probe queries exactly like one batch build over
