@@ -509,3 +509,86 @@ def test_asof_nearest_single_exchange(spark):
     keys = [m.group(1) for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)]
     window_exchanges = [k for k in keys if "ts" not in k]
     assert len(window_exchanges) == 1, keys
+
+
+def test_dsir_ratio_join_broadcasts_and_combines(spark):
+    """DSIR score pass: the B-row log-ratio table must BROADCAST into the
+    occurrence join (B is bounded by the bucket-count constant, never by
+    data), and the per-doc sum must partially aggregate map-side — the
+    raw corpus' only shuffle is O(docs)."""
+    from kartothek_spark.operators.dsir import dsir_weights
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where("doc_id < 200")
+        .select("doc_id", "text")
+    )
+    plan = _plan(dsir_weights(docs, docs.where("doc_id % 9 = 0"), buckets=256))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    agg_above_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "partial_sum" in agg_above_exchange or "partial" in agg_above_exchange
+
+
+def test_indexed_decontaminate_anti_join_not_forced(spark, tmp_path):
+    """fuzzy_decontaminate_indexed mirrors the on-the-fly stance: the
+    returned anti-join carries NO forced broadcast hint (a pathological
+    hit list must degrade to a shuffle join) — at normal volume AQE still
+    broadcasts the pinned hit list at runtime."""
+    from kartothek_spark.operators.contamination_index import (
+        build_contamination_index,
+        fuzzy_decontaminate_indexed,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where("doc_id < 200")
+        .select("doc_id", "text")
+    )
+    bench = docs.where("doc_id % 11 = 0").select(
+        F.col("doc_id").alias("bench_id"),
+        F.expr("substring(text, 12)").alias("text"),
+    )
+    root = str(tmp_path / "cx")
+    build_contamination_index(spark, bench, root, "cx", id_col="bench_id")
+    out = fuzzy_decontaminate_indexed(spark, docs, root, "cx", threshold=0.35)
+    # the hit list is a checkpointed RDD with no static size stats, so the
+    # STATIC plan is a SortMergeJoin — the stance under test is that AQE
+    # (not a forced hint) broadcasts it at runtime: inspect the final
+    # adaptive plan after execution
+    assert "LeftAnti" in _plan(out)
+    out.collect()  # count() would plan a NEW query; AQE must finalize OUT's
+    final = _plan(out).split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+    anti = [ln for ln in final.splitlines() if "LeftAnti" in ln]
+    assert anti and all("BroadcastHashJoin" in ln for ln in anti), anti
+
+
+def test_winnow_index_probe_scan_prunes_buckets(spark, tmp_path):
+    """search_winnow_index's small-probe path reads only the probes' fb
+    buckets — the scan's file list (manifest pruning, decided before
+    Spark sees files) must be a strict subset of the bucket dirs."""
+    from kartothek_spark.operators.winnow_index import (
+        build_winnow_index,
+        search_winnow_index,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where("doc_id < 200")
+        .select("doc_id", "text")
+    )
+    root = str(tmp_path / "wx")
+    build_winnow_index(spark, docs, root, "wx", k=8, w=4, buckets=16)
+    probe = docs.where("doc_id = 3").select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.expr("substring(text, 1, 14)").alias("text"),
+    )
+    out = search_winnow_index(spark, root, "wx", probe, min_shared=1)
+    buckets = {
+        seg
+        for f in out.inputFiles()
+        if "/wx/" in f
+        for seg in f.split("/")
+        if seg.startswith("fb=")
+    }
+    assert buckets and len(buckets) < 16
