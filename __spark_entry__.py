@@ -3538,6 +3538,64 @@ def ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5, dim=EMB_DIM)
 
 
+def ann_sq_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) approximate top-k: self-normalized int8
+    codes, ranked by the exact integer code dot (≈127²·cosine) — the
+    approximation itself is value-oracled, not just recall-gated, since
+    every stage is integer or single-fixed-order IEEE ops."""
+    from kartothek_spark.operators.sq import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def ann_sq_index_sync(spark, sf_dir):
+    """Persisted SQ8 code dataset (1 packed byte/dim through BinaryType):
+    build on even ids, O(new vectors) sync of the odd — searched result
+    must equal the inline operator over the union (self-normalized codes
+    have no corpus statistics to drift on append)."""
+    from kartothek_spark.operators.sq import (
+        build_sq_index,
+        search_sq_index,
+        sync_sq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def build(root):
+        build_sq_index(
+            spark, emb.where(F.col("vec_id") % 2 == 0), root, "sq", dim=EMB_DIM
+        )
+        sync_sq_index(spark, emb.where(F.col("vec_id") % 2 == 1), root, "sq")
+
+    root = _fixture(sf_dir, "sq_index_sync", build)
+    return search_sq_index(spark, root, "sq", emb.where(F.col("vec_id") < 10), k=5)
+
+
+def ann_sq_rerank(spark, sf_dir):
+    """Two-stage SQ retrieval (the standard deployment): int8-code
+    shortlist (refine·k) from the persisted index, exact fixed-point
+    cosine re-rank against the full-precision corpus — planted query
+    clones must come back at cosine exactly 1.0 through the full
+    store→scan→shortlist→re-rank path. Full value oracle."""
+    from kartothek_spark.operators.sq import build_sq_index, search_sq_index
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones)
+
+    def build(root):
+        build_sq_index(spark, corpus, root, "sqr", dim=EMB_DIM)
+
+    root = _fixture(sf_dir, "sq_index_rerank", build)
+    return search_sq_index(
+        spark, root, "sqr", emb.where(F.col("vec_id") < 5), k=5, refine=4,
+        corpus=corpus,
+    )
+
+
 def ann_knn_join(spark, sf_dir):
     """Exact distributed KNN join (both sides large — no driver collect,
     no broadcast): every left vector gets its k=3 nearest right vectors;
@@ -4082,6 +4140,7 @@ _FRESH_PRIORITY = [
     "stream_cluster_assign", "dedup_semdedup", "dedup_semdedup_diverse",
     "embedding_knn_classify",
     # ANN / embeddings
+    "ann_sq_topk", "ann_sq_index_sync", "ann_sq_rerank",
     "ann_topk", "ann_knn_join", "ann_lsh_recall", "ann_ivfpq_recall",
     "ann_ivfpq_planted", "ann_pq_index_search", "ann_pq_index_sync",
     "ann_ivf_exhaustive", "embedding_dups", "corpus_diverse_sample",
@@ -4275,6 +4334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semdedup": dedup_semdedup,
         "dedup_semdedup_diverse": dedup_semdedup_diverse,
         "ann_topk": ann_topk,
+        "ann_sq_topk": ann_sq_topk,
+        "ann_sq_index_sync": ann_sq_index_sync,
+        "ann_sq_rerank": ann_sq_rerank,
         "ann_knn_join": ann_knn_join,
         "embedding_knn_classify": embedding_knn_classify,
         "corpus_diverse_sample": corpus_diverse_sample,
@@ -5290,6 +5352,25 @@ FROM toks
             columns="vec_id",
         ),
         "ann_topk": brute_force_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
+        "ann_sq_topk": __import__(
+            "kartothek_spark.operators.sq", fromlist=["sq_topk_sql"]
+        ).sq_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
+        # the persisted/synced index promises value-identity with the
+        # inline operator, so it shares its oracle verbatim
+        "ann_sq_index_sync": __import__(
+            "kartothek_spark.operators.sq", fromlist=["sq_topk_sql"]
+        ).sq_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
+        "ann_sq_rerank": __import__(
+            "kartothek_spark.operators.sq", fromlist=["search_sq_rerank_sql"]
+        ).search_sq_rerank_sql(
+            "(SELECT vec_id, embedding FROM embeddings"
+            " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"
+            " FROM embeddings WHERE vec_id < 5)",
+            "vec_id < 5",
+            k=5,
+            refine=4,
+            dim=EMB_DIM,
+        ),
         "ann_knn_join": knn_join_sql(
             "embeddings", "b.id % 7 = 0", "TRUE", k=3, dim=EMB_DIM
         ),

@@ -149,6 +149,8 @@ HEADLINE = [
     "stream_contamination_index",  # foreachBatch-maintained bench index
     "corpus_dsir_weights",      # DSIR importance log-weights (int micros)
     "corpus_dsir_sample",       # Gumbel-top-k importance resampling
+    "ann_sq_topk",              # int8-code exact-integer approximate top-k
+    "ann_sq_rerank",            # SQ shortlist + exact fixed-point re-rank
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
