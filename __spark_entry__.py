@@ -3572,6 +3572,40 @@ def ann_sq_index_sync(spark, sf_dir):
     return search_sq_index(spark, root, "sq", emb.where(F.col("vec_id") < 10), k=5)
 
 
+def stream_sq_index(spark, sf_dir):
+    """Streaming SQ8-index maintenance: batch-0 build + O(batch) appends
+    with the exactly-once stamp inside each commit; self-normalized codes
+    have no corpus statistics, so the drained index answers EXACTLY like
+    the inline operator over everything ingested — full value oracle
+    (shared with ann_sq_topk)."""
+    from kartothek_spark.operators.sq import search_sq_index
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_sq_index as op
+
+        src = os.path.join(root, "_src")
+        emb.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "ssq", dim=EMB_DIM,
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_sq_index fixture: stream did not drain")
+
+    root = _fixture(sf_dir, "ssq_idx", build)
+    return search_sq_index(spark, root, "ssq", emb.where(F.col("vec_id") < 10), k=5)
+
+
 def ann_sq_rerank(spark, sf_dir):
     """Two-stage SQ retrieval (the standard deployment): int8-code
     shortlist (refine·k) from the persisted index, exact fixed-point
@@ -4140,7 +4174,7 @@ _FRESH_PRIORITY = [
     "stream_cluster_assign", "dedup_semdedup", "dedup_semdedup_diverse",
     "embedding_knn_classify",
     # ANN / embeddings
-    "ann_sq_topk", "ann_sq_index_sync", "ann_sq_rerank",
+    "ann_sq_topk", "ann_sq_index_sync", "ann_sq_rerank", "stream_sq_index",
     "ann_topk", "ann_knn_join", "ann_lsh_recall", "ann_ivfpq_recall",
     "ann_ivfpq_planted", "ann_pq_index_search", "ann_pq_index_sync",
     "ann_ivf_exhaustive", "embedding_dups", "corpus_diverse_sample",
@@ -4337,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_topk": ann_sq_topk,
         "ann_sq_index_sync": ann_sq_index_sync,
         "ann_sq_rerank": ann_sq_rerank,
+        "stream_sq_index": stream_sq_index,
         "ann_knn_join": ann_knn_join,
         "embedding_knn_classify": embedding_knn_classify,
         "corpus_diverse_sample": corpus_diverse_sample,
@@ -5355,9 +5390,12 @@ FROM toks
         "ann_sq_topk": __import__(
             "kartothek_spark.operators.sq", fromlist=["sq_topk_sql"]
         ).sq_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
-        # the persisted/synced index promises value-identity with the
-        # inline operator, so it shares its oracle verbatim
+        # the persisted/synced/streamed index promises value-identity
+        # with the inline operator, so it shares its oracle verbatim
         "ann_sq_index_sync": __import__(
+            "kartothek_spark.operators.sq", fromlist=["sq_topk_sql"]
+        ).sq_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
+        "stream_sq_index": __import__(
             "kartothek_spark.operators.sq", fromlist=["sq_topk_sql"]
         ).sq_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
         "ann_sq_rerank": __import__(

@@ -670,6 +670,57 @@ def stream_winnow_index(
     return writer.start()
 
 
+def stream_sq_index(
+    stream_df: DataFrame,
+    root: str,
+    index_uuid: str = "sq_index",
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming maintenance of the persisted SQ8 code dataset
+    (:mod:`~kartothek_spark.operators.sq`): batch 0 builds, every later
+    micro-batch appends its vectors' packed codes in one atomic O(batch)
+    commit. Self-normalized codes have NO corpus statistics, so a
+    streamed index is bit-identical to a batch build over everything
+    ingested at any point in time (pinned by the stream-vs-batch
+    pytest). Exactly-once via the ``(txn_id, batch_id)`` stamp inside
+    each commit — a replayed batch would otherwise duplicate code rows,
+    which WOULD change top-k results (duplicate neighbors). Returns the
+    StreamingQuery."""
+    from kartothek_spark.operators.sq import build_sq_index, sync_sq_index
+
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        if not DatasetManifest.exists(root, index_uuid):
+            _purge_uncommitted_dataset_dir(root, index_uuid)
+            build_sq_index(
+                spark, batch_df, root, index_uuid,
+                dim=dim, id_col=id_col, vec_col=vec_col, levels=levels,
+                extra_metadata=stamp,
+            )
+        elif not _batch_already_committed(root, index_uuid, batch_id, txn_id):
+            sync_sq_index(
+                spark, batch_df, root, index_uuid,
+                id_col=id_col, vec_col=vec_col, extra_metadata=stamp,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def stream_contamination_index(
     stream_df: DataFrame,
     root: str,

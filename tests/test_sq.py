@@ -142,3 +142,34 @@ def test_sq_zero_vector_codes(spark):
     }
     assert rows[1] == [0, 0, 0, 0]
     assert rows[2] == [127, 0, 0, 0]
+
+
+def test_stream_sq_index_matches_batch(spark, tmp_path):
+    """Streaming maintenance must answer searches exactly like one batch
+    build over everything ingested (self-normalized codes: nothing to
+    re-fit, so the equality is bit-exact)."""
+    from kartothek_spark.operators.sq import build_sq_index, search_sq_index
+    from kartothek_spark.streaming.update import stream_sq_index
+
+    emb = _emb(spark).localCheckpoint(eager=True)
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    root = str(tmp_path / "store")
+    q = stream_sq_index(
+        stream, root, "ssq", dim=EMB_DIM,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    batch_root = str(tmp_path / "batch")
+    build_sq_index(spark, emb, batch_root, "bsq", dim=EMB_DIM)
+    queries = emb.where("vec_id < 8")
+    got = _rows(search_sq_index(spark, root, "ssq", queries, k=5))
+    want = _rows(search_sq_index(spark, batch_root, "bsq", queries, k=5))
+    assert got == want and got
