@@ -2771,6 +2771,38 @@ def corpus_dsir_sample(spark, sf_dir):
     return dsir_resample_from_weights(w, k=200, seed=7)
 
 
+def corpus_gopher_flags(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A1.1) as
+    one named audit bundle: per-rule boolean flags + overall pass, all
+    pure JVM expressions, zero shuffle. Full value oracle."""
+    from kartothek_spark.operators.text import gopher_flags
+
+    # corpus-meaningful thresholds: the synthetic vocabulary carries only
+    # one of the paper's stop words, so the stopword rule tests presence
+    # (>=1) here; defaults stay the paper's
+    return gopher_flags(_t(spark, sf_dir, "documents"), min_words=20, min_stopwords=1)
+
+
+def corpus_gopher_filter(spark, sf_dir):
+    """The apply form: rows passing ALL Gopher rules. Full value
+    oracle."""
+    from kartothek_spark.operators.text import gopher_filter
+
+    return gopher_filter(
+        _t(spark, sf_dir, "documents"), min_words=20, min_stopwords=1
+    ).select("doc_id", "lang", "n_chars")
+
+
+def corpus_chunk_sentences(spark, sf_dir):
+    """Sentence-aware chunking (the RAG form that never cuts
+    mid-sentence): boundary-preserving sentence split, cumulative-token
+    chunk assignment, ordered reassembly. Full value oracle."""
+    from kartothek_spark.operators.corpus import chunk_sentences
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    return chunk_sentences(docs, budget_tokens=64)
+
+
 def corpus_pack(spark, sf_dir):
     """Sequence packing: docs → fixed-512-token bins inside 8 hash shards
     (one shuffle, per-shard running-sum window)."""
@@ -4164,6 +4196,7 @@ _FRESH_PRIORITY = [
     "stream_winnow_index", "dedup_cross_corpus_indexed",
     "corpus_fuzzy_decontaminate_indexed", "stream_contamination_index",
     "corpus_dsir_weights", "corpus_dsir_sample",
+    "corpus_gopher_flags", "corpus_gopher_filter", "corpus_chunk_sentences",
     # fuzzy (SymSpell) family
     "dedup_fuzzy_pairs", "corpus_fuzzy_join", "corpus_fuzzy_join_indexed",
     "corpus_fuzzy_index_sync", "stream_fuzzy_index", "dedup_cross_corpus",
@@ -4358,6 +4391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_contamination_index": stream_contamination_index,
         "corpus_dsir_weights": corpus_dsir_weights,
         "corpus_dsir_sample": corpus_dsir_sample,
+        "corpus_gopher_flags": corpus_gopher_flags,
+        "corpus_gopher_filter": corpus_gopher_filter,
+        "corpus_chunk_sentences": corpus_chunk_sentences,
         "embedding_dups": embedding_dups,
         "embedding_kmeans_assign": embedding_kmeans_assign,
         "embedding_kmeans_train": embedding_kmeans_train,
@@ -5310,6 +5346,20 @@ FROM toks
             "SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0",
             k=200,
             seed=7,
+        ),
+        "corpus_gopher_flags": __import__(
+            "kartothek_spark.operators.text", fromlist=["gopher_flags_sql"]
+        ).gopher_flags_sql("documents", min_words=20, min_stopwords=1),
+        "corpus_gopher_filter": __import__(
+            "kartothek_spark.operators.text", fromlist=["gopher_filter_sql"]
+        ).gopher_filter_sql(
+            "documents", columns="doc_id, lang, n_chars", min_words=20,
+            min_stopwords=1,
+        ),
+        "corpus_chunk_sentences": __import__(
+            "kartothek_spark.operators.corpus", fromlist=["chunk_sentences_sql"]
+        ).chunk_sentences_sql(
+            "(SELECT * FROM documents WHERE doc_id % 3 = 0)", budget_tokens=64
         ),
         "corpus_fuzzy_join": fuzzy_join_sql(
             "(SELECT doc_id, substr(text, 1, 24) AS key FROM documents)",

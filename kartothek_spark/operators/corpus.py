@@ -740,3 +740,122 @@ def shard_corpus_sql(
         f"SELECT {columns}, CAST(({h}) % {n_shards} AS BIGINT) AS shard, "
         f"{pos} AS shard_pos FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# sentence-aware chunking
+# ---------------------------------------------------------------------------
+
+# sentence boundary = terminator run [.!?…] followed by whitespace; the
+# split itself inserts \x01 AFTER the terminator and splits on it, so the
+# terminator stays attached to its sentence. A lookbehind would be the
+# natural regex, but the DuckDB twin runs RE2 (no lookbehind) — the
+# marker-insertion form is expressible identically in both engines.
+_SENT_MARK = "\x01"
+
+
+def _sentences(c: Column) -> Column:
+    marked = F.regexp_replace(c, r"([.!?…]+)\s+", "$1" + _SENT_MARK)
+    return F.filter(
+        F.transform(F.split(marked, _SENT_MARK), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def _sentences_sql(expr: str) -> str:
+    marked = rf"regexp_replace({expr}, '([.!?…]+)\s+', '\1' || chr(1), 'g')"
+    return (
+        f"list_filter(list_transform(string_split({marked}, chr(1)), s -> trim(s)), "
+        "s -> s <> '')"
+    )
+
+
+def chunk_sentences(
+    df: DataFrame,
+    budget_tokens: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-aware document chunking (the RAG form that never cuts
+    mid-sentence): split on sentence boundaries, then assign sentence
+    ``i`` to chunk ``floor(pre_cumsum_tokens / budget_tokens)`` — chunk
+    boundaries land BETWEEN sentences, a chunk holds ~budget tokens
+    (the straddling sentence joins the earlier chunk, so a chunk can
+    exceed the budget by at most one sentence; an over-budget single
+    sentence gets its own chunk), and chunk ids are dense from 0 in
+    document order.
+
+    Execution: sentence split + per-sentence token counts in one narrow
+    projection (the sentence array is bound once per row), one explode,
+    a cumulative-sum window per doc, and the chunk reassembly groupBy —
+    two shuffles on doc_id total, no data-dependent driver work.
+
+    Output: ``(doc_id, chunk_id, n_sentences, n_tokens, chunk_text)``
+    with ``chunk_text`` the space-joined sentences (trimmed) in order."""
+    from pyspark.sql import Window
+
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), _sentences(F.col(text_col)).alias("__s")
+    )
+    sent = base.select(
+        "doc_id",
+        F.posexplode("__s").alias("__i", "__sent"),
+    ).withColumn("__nt", F.size(tokens(F.col("__sent"))).cast("long"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = sent.withColumn(
+        "chunk_id",
+        F.floor(F.coalesce(F.sum("__nt").over(w), F.lit(0)) / F.lit(budget_tokens)).cast(
+            "long"
+        ),
+    )
+    return (
+        marked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum("__nt").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__i", "__sent"))),
+                    lambda x: x["__sent"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select("doc_id", "chunk_id", "n_sentences", "n_tokens", "chunk_text")
+    )
+
+
+def chunk_sentences_sql(
+    table: str,
+    budget_tokens: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`chunk_sentences` (value-exact)."""
+    sents = _sentences_sql(text_col)
+    toks = tokens_sql("s")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {sents} AS ss FROM {table} WHERE {text_col} IS NOT NULL
+), sent AS (
+  SELECT doc_id, i - 1 AS i, ss[i] AS s
+  FROM base, unnest(range(1, len(ss) + 1)) AS u(i)
+), counted AS (
+  SELECT doc_id, i, s, CAST(len({toks}) AS BIGINT) AS nt FROM sent
+), marked AS (
+  SELECT doc_id, i, s, nt,
+         CAST(floor(coalesce(SUM(nt) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {budget_tokens}) AS BIGINT) AS chunk_id
+  FROM counted
+)
+SELECT doc_id, chunk_id, count(*) AS n_sentences,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       string_agg(s, ' ' ORDER BY i) AS chunk_text
+FROM marked
+GROUP BY doc_id, chunk_id
+"""

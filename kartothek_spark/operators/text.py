@@ -433,3 +433,180 @@ FROM (SELECT unnest({toks}) AS token FROM {table})
 GROUP BY token HAVING count(*) >= {min_count}
 ORDER BY n_occurrences DESC, token ASC LIMIT {n}
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1) —
+# the document-level repetition-free heuristics, as one named bundle of
+# pure JVM expressions with a value-exact DuckDB twin. The repetition
+# rules of the same appendix live in repetition_stats (this module).
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """Per-rule boolean flags (True = rule passes). Words are WHITESPACE
+    words (the paper's unit — punctuation stays attached), lines are
+    newline-split; every ratio is rounded to 6 decimals before the
+    threshold comparison so flag and twin can never disagree at the
+    boundary."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast("double")
+        / safe_w,
+        6,
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long") + (
+        F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / safe_w, 6)
+    lines = F.split(c, "\n")
+    safe_l = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("•")
+            | F.ltrim(l).startswith("- ")
+            | F.ltrim(l).startswith("* "),
+        )
+    )
+    ell_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    toks = tokens(c)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    return {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
+        "symbol_ratio_ok": symbol_ratio <= max_symbol_ratio,
+        "bullet_ratio_ok": F.round(bullet.cast("double") / safe_l, 6) <= max_bullet_ratio,
+        "ellipsis_ratio_ok": F.round(ell_end.cast("double") / safe_l, 6) <= max_ellipsis_ratio,
+        "alpha_word_ratio_ok": F.round(alpha_words.cast("double") / safe_w, 6)
+        >= min_alpha_word_ratio,
+        "stopwords_ok": n_stop >= min_stopwords,
+    }
+
+
+def gopher_flags(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id", **thresholds
+) -> "DataFrame":
+    """(id, <7 rule flags>, gopher_pass) per document — the audit form
+    (which rule kills which doc); :func:`gopher_filter` is the apply
+    form. Zero shuffle: every flag is a per-row expression."""
+    rules = gopher_rules(text_col, **thresholds)
+    passed = None
+    for flag in rules.values():
+        passed = flag if passed is None else (passed & flag)
+    return df.select(
+        F.col(id_col),
+        *[flag.alias(name) for name, flag in rules.items()],
+        passed.alias("gopher_pass"),
+    )
+
+
+def gopher_filter(
+    df: "DataFrame", text_col: str = "text", **thresholds
+) -> "DataFrame":
+    """Rows passing ALL Gopher document-level rules."""
+    rules = gopher_rules(text_col, **thresholds)
+    cond = None
+    for flag in rules.values():
+        cond = flag if cond is None else (cond & flag)
+    return df.where(cond)
+
+
+def _gopher_rules_sql(
+    expr: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, str]:
+    words = f"list_filter(regexp_split_to_array({expr}, '\\s+'), w -> w <> '')"
+    n_words = f"len({words})"
+    safe_w = f"CAST(greatest({n_words}, 1) AS DOUBLE)"
+    mean_len = (
+        f"round(CAST(list_reduce(list_prepend(0, list_transform({words}, w -> length(w))), (a, b) -> a + b) AS DOUBLE)"
+        f" / {safe_w}, 6)"
+    )
+    n_hash = f"(length({expr}) - length(replace({expr}, '#', '')))"
+    n_ell = (
+        f"(CAST((length({expr}) - length(replace({expr}, '...', ''))) / 3 AS BIGINT)"
+        f" + (length({expr}) - length(replace({expr}, '…', ''))))"
+    )
+    symbol_ratio = f"round(CAST({n_hash} + {n_ell} AS DOUBLE) / {safe_w}, 6)"
+    lines = f"string_split({expr}, chr(10))"
+    safe_l = f"CAST(greatest(len({lines}), 1) AS DOUBLE)"
+    bullet = (
+        f"len(list_filter({lines}, l -> starts_with(ltrim(l), '•')"
+        f" OR starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')))"
+    )
+    ell_end = (
+        f"len(list_filter({lines}, l -> ends_with(rtrim(l), '...')"
+        f" OR ends_with(rtrim(l), '…')))"
+    )
+    alpha_words = f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    toks = tokens_sql(expr)
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_stop = f"len(list_intersect(list_distinct({toks}), [{stops}]))"
+    return {
+        "word_count_ok": f"({n_words} >= {min_words} AND {n_words} <= {max_words})",
+        "mean_word_len_ok": f"({mean_len} >= {min_mean_word_len} AND {mean_len} <= {max_mean_word_len})",
+        "symbol_ratio_ok": f"({symbol_ratio} <= {max_symbol_ratio})",
+        "bullet_ratio_ok": f"(round(CAST({bullet} AS DOUBLE) / {safe_l}, 6) <= {max_bullet_ratio})",
+        "ellipsis_ratio_ok": f"(round(CAST({ell_end} AS DOUBLE) / {safe_l}, 6) <= {max_ellipsis_ratio})",
+        "alpha_word_ratio_ok": f"(round(CAST({alpha_words} AS DOUBLE) / {safe_w}, 6) >= {min_alpha_word_ratio})",
+        "stopwords_ok": f"({n_stop} >= {min_stopwords})",
+    }
+
+
+def gopher_flags_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", **thresholds
+) -> str:
+    rules = _gopher_rules_sql(text_col, **thresholds)
+    cols = ",\n       ".join(f"{sql} AS {name}" for name, sql in rules.items())
+    all_pass = " AND ".join(rules.values())
+    return f"""
+SELECT {id_col}, {cols},
+       ({all_pass}) AS gopher_pass
+FROM {table}
+"""
+
+
+def gopher_filter_sql(
+    table: str, text_col: str = "text", columns: str = "*", **thresholds
+) -> str:
+    rules = _gopher_rules_sql(text_col, **thresholds)
+    return f"SELECT {columns} FROM {table} WHERE {' AND '.join(rules.values())}"
