@@ -151,6 +151,8 @@ HEADLINE = [
     "corpus_dsir_sample",       # Gumbel-top-k importance resampling
     "ann_sq_topk",              # int8-code exact-integer approximate top-k
     "ann_sq_rerank",            # SQ shortlist + exact fixed-point re-rank
+    "corpus_gopher_flags",      # Gopher rule audit, zero-shuffle JVM exprs
+    "corpus_chunk_sentences",   # sentence-boundary RAG chunking
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
