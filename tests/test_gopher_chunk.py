@@ -135,3 +135,63 @@ def test_chunk_sentences_semantics(spark):
     for r in sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id)):
         joined[r.doc_id].append(r.chunk_text)
     assert " ".join(joined[1]) == "One two three. Four five six! Seven eight? Nine ten."
+
+
+# --- property: chunk_sentences vs an independent Python oracle -------------
+
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ALPHABET = "abcdefg XYZ0123.!?,"  # ASCII-only: Java \s and trim match Python
+
+
+def _py_chunks(texts, budget):
+    """Independent Python re-implementation (not the engine's
+    expressions): marker-split sentences, tokens() token counts,
+    floor(pre_cumsum/budget) assignment, ordered reassembly."""
+    out = []
+    for did, text in texts:
+        marked = _re.sub(r"([.!?…]+)\s+", lambda m: m.group(1) + "\x01", text)
+        sents = [s.strip() for s in marked.split("\x01") if s.strip() != ""]
+        precum, chunks = 0, {}
+        for i, s in enumerate(sents):
+            nt = len([t for t in _re.split(r"[^a-z0-9]+", s.lower()) if t])
+            chunks.setdefault(precum // budget, []).append((s, nt))
+            precum += nt
+        for cid, items in chunks.items():
+            out.append(
+                (
+                    did,
+                    cid,
+                    len(items),
+                    sum(nt for _, nt in items),
+                    " ".join(s for s, _ in items),
+                )
+            )
+    return sorted(out)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_ALPHABET, min_size=0, max_size=120),
+        min_size=1,
+        max_size=3,
+    ),
+    budget=st.integers(1, 12),
+)
+def test_chunk_sentences_property(spark, texts, budget):
+    from kartothek_spark.operators.corpus import chunk_sentences
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in chunk_sentences(df, budget_tokens=budget).collect()
+    )
+    assert got == _py_chunks(rows, budget)
