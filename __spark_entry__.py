@@ -3638,6 +3638,46 @@ def stream_sq_index(spark, sf_dir):
     return search_sq_index(spark, root, "ssq", emb.where(F.col("vec_id") < 10), k=5)
 
 
+def ann_sq_ivf_exhaustive(spark, sf_dir):
+    """IVF-SQ8 (FAISS's IVF-SQ deployment shape: cell-partitioned int8
+    codes) probed exhaustively — the cell machinery is pure layout, so
+    the result must be value-identical to the flat index / inline
+    operator (shared oracle)."""
+    from kartothek_spark.operators.sq import build_sq_index, search_sq_index
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def build(root):
+        build_sq_index(spark, emb, root, "sqi", dim=EMB_DIM, n_cells=8)
+
+    root = _fixture(sf_dir, "sq_ivf_idx", build)
+    return search_sq_index(spark, root, "sqi", emb.where(F.col("vec_id") < 10), k=5)
+
+
+def ann_sq_ivf_planted(spark, sf_dir):
+    """IVF-SQ8 with real pruning (nprobe=2 of 8 cells — the scan is a
+    manifest-pruned read of only the probed cell partitions): a planted
+    clone of each query shares its normalized vector, hence its cell and
+    the maximal code dot, so it must surface at rank 1 through the full
+    store→prune→mask→rank path. Closed-form rank-1 oracle."""
+    from kartothek_spark.operators.sq import build_sq_index, search_sq_index
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones)
+
+    def build(root):
+        build_sq_index(spark, corpus, root, "sqp", dim=EMB_DIM, n_cells=8)
+
+    root = _fixture(sf_dir, "sq_ivf_planted", build)
+    out = search_sq_index(
+        spark, root, "sqp", emb.where(F.col("vec_id") < 5), k=3, nprobe=2
+    )
+    return out.where(F.col("rank") == 1).select("query_id", "neighbor_id", "rank")
+
+
 def ann_sq_rerank(spark, sf_dir):
     """Two-stage SQ retrieval (the standard deployment): int8-code
     shortlist (refine·k) from the persisted index, exact fixed-point
@@ -4208,6 +4248,7 @@ _FRESH_PRIORITY = [
     "embedding_knn_classify",
     # ANN / embeddings
     "ann_sq_topk", "ann_sq_index_sync", "ann_sq_rerank", "stream_sq_index",
+    "ann_sq_ivf_exhaustive", "ann_sq_ivf_planted",
     "ann_topk", "ann_knn_join", "ann_lsh_recall", "ann_ivfpq_recall",
     "ann_ivfpq_planted", "ann_pq_index_search", "ann_pq_index_sync",
     "ann_ivf_exhaustive", "embedding_dups", "corpus_diverse_sample",
@@ -4407,6 +4448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_topk": ann_sq_topk,
         "ann_sq_index_sync": ann_sq_index_sync,
         "ann_sq_rerank": ann_sq_rerank,
+        "ann_sq_ivf_exhaustive": ann_sq_ivf_exhaustive,
+        "ann_sq_ivf_planted": ann_sq_ivf_planted,
         "stream_sq_index": stream_sq_index,
         "ann_knn_join": ann_knn_join,
         "embedding_knn_classify": embedding_knn_classify,
@@ -5448,6 +5491,13 @@ FROM toks
         "stream_sq_index": __import__(
             "kartothek_spark.operators.sq", fromlist=["sq_topk_sql"]
         ).sq_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
+        "ann_sq_ivf_exhaustive": __import__(
+            "kartothek_spark.operators.sq", fromlist=["sq_topk_sql"]
+        ).sq_topk_sql("embeddings", "vec_id < 10", k=5, dim=EMB_DIM),
+        "ann_sq_ivf_planted": """
+SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, CAST(1 AS BIGINT) AS rank
+FROM embeddings WHERE vec_id < 5
+""",
         "ann_sq_rerank": __import__(
             "kartothek_spark.operators.sq", fromlist=["search_sq_rerank_sql"]
         ).search_sq_rerank_sql(

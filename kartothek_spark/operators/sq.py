@@ -50,6 +50,7 @@ from kartothek_spark.operators.similarity import (
 
 META_DIM = "sq_dim"
 META_LEVELS = "sq_levels"
+META_COARSE = "sq_coarse"  # IVF coarse centroids (list of lists), optional
 SQ_LEVELS = 127  # int8 code range [-127, 127]
 
 
@@ -106,13 +107,14 @@ _SQ_SIM_SCHEMA = "query_id long, neighbor_id long, code_dot long"
 
 
 def _sq_scores(codes: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-               levels: int) -> DataFrame:
+               levels: int, q_cells: dict | None = None) -> DataFrame:
     """(query_id, neighbor_id, code_dot) — the query batch's codes are
     computed by the SAME Spark expression as the index (bit-identity with
     the SQL twin), collected (queries are small by contract, exactly as
     in brute_force_topk) and broadcast; the corpus codes stream through
     one exact int64 numpy matmul per Arrow batch. No cross join ever
-    materializes."""
+    materializes. With ``q_cells`` (IVF probing: query id → allowed cell
+    set), candidates outside a query's own probed cells are masked."""
     import numpy as np
 
     spark = codes.sparkSession
@@ -121,12 +123,12 @@ def _sq_scores(codes: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     ).collect()
     q_ids = np.array([r["query_id"] for r in qrows], dtype="int64")
     Qc = np.array([np.asarray(r["__q"], dtype="int64") for r in qrows], dtype="int64")
-    bc = spark.sparkContext.broadcast((q_ids, Qc))
+    bc = spark.sparkContext.broadcast((q_ids, Qc, q_cells))
 
     def gen(batches):
         import pandas as pd
 
-        b_qids, b_Q = bc.value
+        b_qids, b_Q, b_cells = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -141,7 +143,18 @@ def _sq_scores(codes: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
                 )
             c_ids = pdf["id"].to_numpy(dtype="int64")
             G = C @ b_Q.T  # exact: |code| <= 127, d*127^2 << 2^63
-            ii, jj = np.where(c_ids[:, None] != b_qids[None, :])
+            mask = c_ids[:, None] != b_qids[None, :]
+            if b_cells is not None:
+                cells = pdf["cell"].to_numpy(dtype="int64")
+                allowed = np.array(
+                    [
+                        [int(c) in b_cells[int(q)] for q in b_qids]
+                        for c in np.unique(cells)
+                    ]
+                )
+                cell_pos = {int(c): i for i, c in enumerate(np.unique(cells))}
+                mask &= np.array([allowed[cell_pos[int(c)]] for c in cells])
+            ii, jj = np.where(mask)
             yield pd.DataFrame({
                 "query_id": b_qids[jj],
                 "neighbor_id": c_ids[ii],
@@ -211,6 +224,9 @@ def build_sq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = SQ_LEVELS,
+    n_cells: int | None = None,
+    seed: int = 42,
+    sample_target: int = 65536,
     overwrite: bool = False,
     extra_metadata: dict | None = None,
 ) -> DatasetManifest:
@@ -220,39 +236,95 @@ def build_sq_index(
     parity), so an honest 1 byte/dim goes through BinaryType, which
     normalization leaves alone. dim/levels ride in manifest metadata.
     Self-normalized codes need no corpus statistics, so there is nothing
-    to re-fit on sync. (For billion-vector corpora compose with the IVF
-    cell layout the PQ index uses — ``partition_on=["cell"]`` turns
-    probes into manifest-pruned reads; this flat form is the
-    exhaustive-scan baseline at 1/4 the float IO.)"""
+    to re-fit on sync.
+
+    With ``n_cells`` this becomes the FAISS IVF-SQ8 deployment shape: a
+    coarse k-means quantizer (trained on a bounded deterministic sample,
+    stored in manifest metadata) assigns every vector to a cell, the
+    dataset is ``partition_on=["cell"]``, and a search's ``nprobe``
+    cells resolve to a manifest-pruned file list — the scan reads
+    ``~nprobe/n_cells`` of an already-4×-compressed index. Flat form
+    (``n_cells=None``) is the exhaustive-scan baseline."""
     from kartothek_spark.dataset.write import store_dataframe_as_dataset
 
+    coarse = None
+    if n_cells is not None:
+        from kartothek_spark.operators.pq import _normalize, _np_kmeans
+
+        import numpy as np
+
+        n = df.count()
+        sample = df.select(F.col(vec_col).alias("v"))
+        if n > sample_target:
+            sample = sample.sample(False, sample_target / n, seed=seed)
+        X = _normalize([np.asarray(r.v, dtype="float64") for r in sample.collect()])
+        coarse = _np_kmeans(X, n_cells, seed=seed)
+    meta = {META_DIM: dim, META_LEVELS: levels, **(extra_metadata or {})}
+    if coarse is not None:
+        meta[META_COARSE] = [[float(x) for x in row] for row in coarse]
     return store_dataframe_as_dataset(
         spark,
-        _packed_codes(df, id_col, vec_col, levels),
+        _packed_codes(df, id_col, vec_col, levels, coarse),
         root,
         index_uuid,
-        metadata={META_DIM: dim, META_LEVELS: levels, **(extra_metadata or {})},
+        partition_on=["cell"] if coarse is not None else (),
+        metadata=meta,
         overwrite=overwrite,
     )
 
 
-def _packed_codes(df: DataFrame, id_col: str, vec_col: str, levels: int) -> DataFrame:
-    """(id, codes: binary) — the tinyint code array packed to d bytes per
-    vector (one Arrow batch pass; build-time only, like PQ's encoder)."""
+def _packed_codes(
+    df: DataFrame, id_col: str, vec_col: str, levels: int, coarse=None
+) -> DataFrame:
+    """(id[, cell], codes: binary) — the tinyint code array packed to d
+    bytes per vector, plus (IVF form) the nearest-coarse-centroid cell of
+    the NORMALIZED vector (one Arrow batch pass; build-time only, like
+    PQ's encoder)."""
     import numpy as np
 
     coded = df.select(
-        F.col(id_col).alias("id"), sq_code(F.col(vec_col), levels).alias("codes")
+        F.col(id_col).alias("id"),
+        sq_code(F.col(vec_col), levels).alias("codes"),
+        *([F.col(vec_col).alias("__v")] if coarse is not None else []),
     )
+    if coarse is None:
 
-    def pack(batches):
+        def pack(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf["codes"] = [
+                    np.asarray(c, dtype=np.int8).tobytes() for c in pdf["codes"]
+                ]
+                yield pdf
+
+        return coded.mapInPandas(pack, "id long, codes binary")
+
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(coarse, dtype="float64"))
+
+    def pack_cells(batches):
+        import pandas as pd
+
+        C = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pdf["codes"] = [np.asarray(c, dtype=np.int8).tobytes() for c in pdf["codes"]]
-            yield pdf
+            V = np.array([np.asarray(v, dtype="float64") for v in pdf["__v"]])
+            nrm = np.sqrt((V * V).sum(-1, keepdims=True))
+            nrm[nrm == 0] = 1.0
+            V = V / nrm
+            d = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "cell": d.argmin(1).astype("int32"),
+                    "codes": [
+                        np.asarray(c, dtype=np.int8).tobytes() for c in pdf["codes"]
+                    ],
+                }
+            )
 
-    return coded.mapInPandas(pack, "id long, codes binary")
+    return coded.mapInPandas(pack_cells, "id long, cell int, codes binary")
 
 
 def sync_sq_index(
@@ -269,11 +341,16 @@ def sync_sq_index(
     are exactly what a full rebuild would produce."""
     from kartothek_spark.dataset.write import update_dataset
 
+    import numpy as np
+
     manifest = DatasetManifest.load(root, index_uuid)
     levels = int(manifest.metadata[META_LEVELS])
+    coarse = manifest.metadata.get(META_COARSE)
+    if coarse is not None:
+        coarse = np.asarray(coarse, dtype="float64")
     return update_dataset(
         spark,
-        _packed_codes(new_vectors, id_col, vec_col, levels),
+        _packed_codes(new_vectors, id_col, vec_col, levels, coarse),
         root,
         index_uuid,
         metadata=dict(extra_metadata or {}),
@@ -288,6 +365,7 @@ def search_sq_index(
     k: int = 5,
     refine: int = 4,
     corpus: DataFrame | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -298,13 +376,42 @@ def search_sq_index(
     exact integer code-dot order. With ``corpus``: the per-query
     ``refine·k`` shortlist is re-ranked by exact fixed-point cosine
     against the full-precision vectors — a semi-join pruned second pass
-    — and the output is ``(query_id, neighbor_id, rank, cos_sim)``."""
+    — and the output is ``(query_id, neighbor_id, rank, cos_sim)``.
+
+    On an IVF index (built with ``n_cells``), ``nprobe`` limits each
+    query to its nprobe nearest coarse cells: the union of probed cells
+    becomes ONE ``cell IN (...)`` predicate (manifest-pruned scan) and
+    candidates outside a query's own cells are masked batch-side.
+    ``nprobe=None`` or ``nprobe >= n_cells`` probes everything and is
+    value-identical to the flat index (tested)."""
+    import numpy as np
+
     from kartothek_spark.dataset.read import read_table
 
     manifest = DatasetManifest.load(root, index_uuid)
     levels = int(manifest.metadata[META_LEVELS])
-    codes = read_table(spark, root, index_uuid).select("id", "codes")
-    sims = _sq_scores(codes, queries, id_col, vec_col, levels)
+    coarse = manifest.metadata.get(META_COARSE)
+    q_cells = None
+    if coarse is not None and nprobe is not None and nprobe < len(coarse):
+        C = np.asarray(coarse, dtype="float64")
+        qrows = queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("v")
+        ).collect()
+        V = np.array([np.asarray(r.v, dtype="float64") for r in qrows])
+        nrm = np.sqrt((V * V).sum(-1, keepdims=True))
+        nrm[nrm == 0] = 1.0
+        V = V / nrm
+        d = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+        cells_per_q = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        q_cells = {int(r.qid): set(map(int, cells_per_q[i])) for i, r in enumerate(qrows)}
+        probed = sorted({c for s in q_cells.values() for c in s})
+        codes = read_table(
+            spark, root, index_uuid, predicates=[[("cell", "in", probed)]]
+        ).select("id", F.col("cell").cast("int").alias("cell"), "codes")
+    else:
+        cols = ["id", "codes"] if coarse is None else ["id", "cell", "codes"]
+        codes = read_table(spark, root, index_uuid, columns=cols).select("id", "codes")
+    sims = _sq_scores(codes, queries, id_col, vec_col, levels, q_cells=q_cells)
     w = Window.partitionBy("query_id").orderBy(F.desc("code_dot"), F.asc("neighbor_id"))
     ranked = sims.withColumn("rank", F.row_number().over(w))
     if corpus is None:

