@@ -2771,6 +2771,68 @@ def corpus_dsir_sample(spark, sf_dir):
     return dsir_resample_from_weights(w, k=200, seed=7)
 
 
+def _dsir_model_root(spark, sf_dir):
+    """Build-once persisted DSIR log-ratio model (documents as the raw
+    fit sample, every 9th doc as the target domain)."""
+    from kartothek_spark.operators.dsir_model import build_dsir_model
+
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(root):
+        build_dsir_model(
+            spark, raw, raw.where(F.col("doc_id") % 9 == 0), root, "dm"
+        )
+
+    return _fixture(sf_dir, "dsir_model", build)
+
+
+def corpus_dsir_model_score(spark, sf_dir):
+    """DSIR scoring against the PERSISTED log-ratio model (fit once,
+    frozen q̂ — the deployment form): scoring the fit corpus equals the
+    inline dsir_weights bit-for-bit (shared oracle); the B-row model
+    broadcasts and the batch's only shuffle is the O(docs) sum."""
+    from kartothek_spark.operators.dsir_model import dsir_score_from_model
+
+    root = _dsir_model_root(spark, sf_dir)
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_score_from_model(spark, raw, root, "dm")
+
+
+def stream_dsir_scores(spark, sf_dir):
+    """Continuous DSIR data selection: raw micro-batches scored against
+    the persisted model, scores landed in a managed dataset with
+    exactly-once stamps — drained scores equal the batch scorer (and
+    hence the inline operator) over everything ingested. Full value
+    oracle (shared with corpus_dsir_weights)."""
+    from kartothek_spark.dataset.read import read_table
+
+    model_root = _dsir_model_root(spark, sf_dir)
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_dsir_scores as op
+
+        src = os.path.join(root, "_src")
+        raw.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "dsc", model_root, "dm",
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_dsir_scores fixture: stream did not drain")
+
+    root = _fixture(sf_dir, "dsir_scores_stream", build)
+    return read_table(spark, root, "dsc")
+
+
 def corpus_gopher_flags(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021, Appendix A1.1) as
     one named audit bundle: per-rule boolean flags + overall pass, all
@@ -4236,6 +4298,7 @@ _FRESH_PRIORITY = [
     "stream_winnow_index", "dedup_cross_corpus_indexed",
     "corpus_fuzzy_decontaminate_indexed", "stream_contamination_index",
     "corpus_dsir_weights", "corpus_dsir_sample",
+    "corpus_dsir_model_score", "stream_dsir_scores",
     "corpus_gopher_flags", "corpus_gopher_filter", "corpus_chunk_sentences",
     # fuzzy (SymSpell) family
     "dedup_fuzzy_pairs", "corpus_fuzzy_join", "corpus_fuzzy_join_indexed",
@@ -4432,6 +4495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_contamination_index": stream_contamination_index,
         "corpus_dsir_weights": corpus_dsir_weights,
         "corpus_dsir_sample": corpus_dsir_sample,
+        "corpus_dsir_model_score": corpus_dsir_model_score,
+        "stream_dsir_scores": stream_dsir_scores,
         "corpus_gopher_flags": corpus_gopher_flags,
         "corpus_gopher_filter": corpus_gopher_filter,
         "corpus_chunk_sentences": corpus_chunk_sentences,
@@ -5390,6 +5455,18 @@ FROM toks
             k=200,
             seed=7,
         ),
+        # model-backed and streamed DSIR scoring promise value-identity
+        # with the inline operator (frozen q̂ fitted on the same frames),
+        # so they share its oracle verbatim
+        **{
+            name: __import__(
+                "kartothek_spark.operators.dsir", fromlist=["dsir_weights_sql"]
+            ).dsir_weights_sql(
+                "SELECT doc_id, text FROM documents",
+                "SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0",
+            )
+            for name in ("corpus_dsir_model_score", "stream_dsir_scores")
+        },
         "corpus_gopher_flags": __import__(
             "kartothek_spark.operators.text", fromlist=["gopher_flags_sql"]
         ).gopher_flags_sql("documents", min_words=20, min_stopwords=1),

@@ -721,6 +721,61 @@ def stream_sq_index(
     return writer.start()
 
 
+def stream_dsir_scores(
+    stream_df: DataFrame,
+    root: str,
+    scores_uuid: str,
+    model_root: str,
+    model_uuid: str = "dsir_model",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Continuous DSIR data selection: every raw micro-batch is scored
+    against the PERSISTED log-ratio model
+    (:mod:`~kartothek_spark.operators.dsir_model` — fit once, frozen q̂)
+    and its ``(id, score_micro)`` rows land in a managed scores dataset
+    in one atomic O(batch) commit. The model never changes mid-stream,
+    so the drained scores equal the batch scorer over everything
+    ingested (pinned by the stream-vs-batch pytest); downstream
+    selection (threshold or Gumbel-top-k) reads the scores dataset.
+    Exactly-once via the ``(txn_id, batch_id)`` stamp inside each commit
+    — a replayed batch would otherwise duplicate score rows. Returns the
+    StreamingQuery."""
+    from kartothek_spark.dataset.write import (
+        store_dataframe_as_dataset,
+        update_dataset,
+    )
+    from kartothek_spark.operators.dsir_model import dsir_score_from_model
+
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        scores = dsir_score_from_model(
+            spark, batch_df, model_root, model_uuid,
+            text_col=text_col, id_col=id_col,
+        )
+        if not DatasetManifest.exists(root, scores_uuid):
+            _purge_uncommitted_dataset_dir(root, scores_uuid)
+            store_dataframe_as_dataset(
+                spark, scores, root, scores_uuid, metadata=stamp
+            )
+        elif not _batch_already_committed(root, scores_uuid, batch_id, txn_id):
+            update_dataset(spark, scores, root, scores_uuid, metadata=stamp)
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def stream_contamination_index(
     stream_df: DataFrame,
     root: str,
