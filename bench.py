@@ -153,6 +153,9 @@ HEADLINE = [
     "ann_sq_rerank",            # SQ shortlist + exact fixed-point re-rank
     "corpus_gopher_flags",      # Gopher rule audit, zero-shuffle JVM exprs
     "corpus_chunk_sentences",   # sentence-boundary RAG chunking
+    "ann_sq_ivf_planted",       # cell-pruned IVF-SQ8 probe (nprobe=2/8)
+    "corpus_dsir_model_score",  # frozen-q̂ scoring vs persisted model
+    "stream_dsir_scores",       # per-batch streamed selection scores
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
