@@ -2833,6 +2833,20 @@ def stream_dsir_scores(spark, sf_dir):
     return read_table(spark, root, "dsc")
 
 
+def dedup_c4_spans(spark, sf_dir):
+    """C4's exact three-sentence-span dedup (Raffel et al. 2020 §2.2):
+    planted full-document clones (every 13th doc under id+1000000) must
+    lose every 3-sentence window to their lower-id originals, which
+    survive intact. Full value oracle."""
+    from kartothek_spark.operators.corpus import c4_span_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return c4_span_dedup(docs.unionByName(clones), n=3)
+
+
 def corpus_gopher_flags(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021, Appendix A1.1) as
     one named audit bundle: per-rule boolean flags + overall pass, all
@@ -4300,6 +4314,7 @@ _FRESH_PRIORITY = [
     "corpus_dsir_weights", "corpus_dsir_sample",
     "corpus_dsir_model_score", "stream_dsir_scores",
     "corpus_gopher_flags", "corpus_gopher_filter", "corpus_chunk_sentences",
+    "dedup_c4_spans",
     # fuzzy (SymSpell) family
     "dedup_fuzzy_pairs", "corpus_fuzzy_join", "corpus_fuzzy_join_indexed",
     "corpus_fuzzy_index_sync", "stream_fuzzy_index", "dedup_cross_corpus",
@@ -4497,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_sample": corpus_dsir_sample,
         "corpus_dsir_model_score": corpus_dsir_model_score,
         "stream_dsir_scores": stream_dsir_scores,
+        "dedup_c4_spans": dedup_c4_spans,
         "corpus_gopher_flags": corpus_gopher_flags,
         "corpus_gopher_filter": corpus_gopher_filter,
         "corpus_chunk_sentences": corpus_chunk_sentences,
@@ -5467,6 +5483,15 @@ FROM toks
             )
             for name in ("corpus_dsir_model_score", "stream_dsir_scores")
         },
+        "dedup_c4_spans": __import__(
+            "kartothek_spark.operators.corpus", fromlist=["c4_span_dedup_sql"]
+        ).c4_span_dedup_sql(
+            "(SELECT doc_id, text FROM documents"
+            " UNION ALL"
+            " SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+            " WHERE doc_id % 13 = 0)",
+            n=3,
+        ),
         "corpus_gopher_flags": __import__(
             "kartothek_spark.operators.text", fromlist=["gopher_flags_sql"]
         ).gopher_flags_sql("documents", min_words=20, min_stopwords=1),

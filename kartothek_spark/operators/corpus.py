@@ -859,3 +859,126 @@ SELECT doc_id, chunk_id, count(*) AS n_sentences,
 FROM marked
 GROUP BY doc_id, chunk_id
 """
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4's exact span deduplication (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more than
+    once in the data set"): hash every consecutive ``n``-sentence window
+    corpus-wide, keep each duplicated span's FIRST occurrence (lowest
+    (doc_id, start)), and remove every sentence covered by a
+    non-canonical duplicate from its document.
+
+    Scale shape: sentence split + span hashing stay narrow per row; the
+    only shuffles are the span-hash groupBy (map-side combined — a viral
+    span is a combiner group) and the per-doc reassembly. Victim marking
+    is an equi-join on the span hash; the corpus text never shuffles,
+    only (doc, sentence index) pairs do.
+
+    Output ``(doc_id, text)`` — the cleaned text (surviving sentences
+    space-joined in order; a fully-duplicated doc keeps an empty
+    string). Docs with fewer than ``n`` sentences pass through verbatim
+    (no span can cover them, as in the paper)."""
+    from pyspark.sql import Window
+
+    sent = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), _sentences(F.col(text_col)).alias("__s"))
+        .select("doc_id", F.posexplode("__s").alias("i", "s"))
+    )
+    # span hash per start index: h60 over the \x02-joined window
+    nspan = F.size(F.col("__s")) - (n - 1)
+    spans = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), _sentences(F.col(text_col)).alias("__s"))
+        .where(F.size("__s") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), nspan),
+                    lambda st: h60(F.concat_ws("\x02", F.slice("__s", st, n))),
+                )
+            ).alias("start", "h"),
+        )
+    )
+    dup = spans.groupBy("h").agg(F.count("*").alias("c")).where("c > 1").select("h")
+    wc = Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("start"))
+    victims = (
+        spans.join(dup, "h")
+        .withColumn("__r", F.row_number().over(wc))
+        .where(F.col("__r") > 1)  # every occurrence but the first
+        .select("doc_id", "start")
+        .distinct()
+    )
+    # a victim span at 0-based start covers sentence indices start..start+n-1
+    dead = victims.select(
+        "doc_id", F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("i")
+    ).distinct()
+    kept = sent.join(dead, ["doc_id", "i"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    # fully-duplicated docs (all sentences dead) keep an empty string
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(cleaned, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )
+
+
+def c4_span_dedup_sql(
+    table: str,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`c4_span_dedup` (value-exact)."""
+    sents = _sentences_sql(text_col)
+    span_h = h60_sql(
+        f"array_to_string(list_slice(ss, st, st + {n} - 1), chr(2))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {sents} AS ss FROM {table} WHERE {text_col} IS NOT NULL
+), sent AS (
+  SELECT doc_id, i - 1 AS i, ss[i] AS s
+  FROM base, unnest(range(1, len(ss) + 1)) AS u(i)
+), spans AS (
+  SELECT doc_id, st - 1 AS start, {span_h} AS h
+  FROM base, unnest(range(1, len(ss) - {n} + 2)) AS u(st)
+  WHERE len(ss) >= {n}
+), dup AS (
+  SELECT h FROM spans GROUP BY h HAVING count(*) > 1
+), victims AS (
+  SELECT doc_id, start FROM (
+    SELECT s.doc_id, s.start,
+           row_number() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.start) AS r
+    FROM spans s JOIN dup USING (h)
+  ) WHERE r > 1
+), dead AS (
+  SELECT DISTINCT doc_id, start + k AS i
+  FROM victims, unnest(range(0, {n})) AS g(k)
+), kept AS (
+  SELECT sent.* FROM sent
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dead WHERE dead.doc_id = sent.doc_id AND dead.i = sent.i
+  )
+), cleaned AS (
+  SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS {text_col}
+  FROM kept GROUP BY doc_id
+)
+SELECT b.{id_col} AS doc_id, coalesce(c.{text_col}, '') AS {text_col}
+FROM (SELECT {id_col} FROM {table}) b
+LEFT JOIN cleaned c ON c.doc_id = b.{id_col}
+"""

@@ -195,3 +195,40 @@ def test_chunk_sentences_property(spark, texts, budget):
         tuple(r) for r in chunk_sentences(df, budget_tokens=budget).collect()
     )
     assert got == _py_chunks(rows, budget)
+
+
+# --- C4 exact span dedup ----------------------------------------------------
+
+
+def test_c4_span_dedup_matches_sql_twin(spark):
+    from kartothek_spark.operators.corpus import c4_span_dedup, c4_span_dedup_sql
+
+    docs = _docs(spark)
+    got = _rows(c4_span_dedup(docs, n=3))
+    want = sorted(
+        tuple(r)
+        for r in _con().execute(
+            c4_span_dedup_sql("(SELECT * FROM documents WHERE doc_id < 150)", n=3)
+        ).fetchall()
+    )
+    assert got == want and got
+
+
+def test_c4_span_dedup_semantics(spark):
+    from kartothek_spark.operators.corpus import c4_span_dedup
+
+    blk = "Alpha one here. Beta two here. Gamma three here."
+    rows = [
+        (1, blk + " Unique tail one."),          # first occurrence: intact
+        (2, "Unique head two. " + blk),          # later: loses the span
+        (3, blk),                                # later, nothing else: empty
+        (4, "Short doc. Two sentences only."),   # <3 sentences: untouched
+        (5, "Totally unrelated. Document body. Nothing shared here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in c4_span_dedup(df, n=3).collect()}
+    assert out[1] == blk + " Unique tail one."
+    assert out[2] == "Unique head two."
+    assert out[3] == ""
+    assert out[4] == "Short doc. Two sentences only."
+    assert out[5] == rows[4][1]
