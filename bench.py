@@ -156,6 +156,7 @@ HEADLINE = [
     "ann_sq_ivf_planted",       # cell-pruned IVF-SQ8 probe (nprobe=2/8)
     "corpus_dsir_model_score",  # frozen-q̂ scoring vs persisted model
     "stream_dsir_scores",       # per-batch streamed selection scores
+    "dedup_c4_spans",           # C4 three-sentence-span dedup
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
