@@ -592,3 +592,35 @@ def test_winnow_index_probe_scan_prunes_buckets(spark, tmp_path):
         if seg.startswith("fb=")
     }
     assert buckets and len(buckets) < 16
+
+
+def test_chunk_sentences_two_docid_exchanges(spark):
+    """chunk_sentences promises exactly the cumsum window + reassembly
+    groupBy on doc_id — no extra shuffles sneak in (the sentence split
+    and token counts are narrow)."""
+    from kartothek_spark.operators.corpus import chunk_sentences
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    plan = _plan(chunk_sentences(docs, budget_tokens=64))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_c4_span_dedup_combines_and_no_cartesian(spark):
+    """c4_span_dedup's span-hash groupBy must partially aggregate
+    map-side (a viral span is a combiner group, never one task's sort),
+    and the whole plan carries no cartesian/BNLJ."""
+    from kartothek_spark.operators.corpus import c4_span_dedup
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    plan = _plan(c4_span_dedup(docs, n=3))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the dup-span count aggregates before its exchange
+    pre = plan.split("Exchange hashpartitioning(h#", 1)
+    assert len(pre) == 2
+    assert "partial_count" in pre[1] or "partial" in pre[1]
