@@ -2847,6 +2847,71 @@ def dedup_c4_spans(spark, sf_dir):
     return c4_span_dedup(docs.unionByName(clones), n=3)
 
 
+def _c4_probe_batch(spark, sf_dir):
+    """Monotonic-id ingest batch for the span-index gates: full clones of
+    every 13th doc (drain entirely) + beheaded variants of every 17th
+    (mostly novel spans — sentence boundaries shift)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    beheaded = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substring(text, 40)").alias("text"),
+    )
+    return clones.unionByName(beheaded)
+
+
+_C4_BATCH_SQL = (
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0"
+    " UNION ALL"
+    " SELECT doc_id + 2000000 AS doc_id, substr(text, 40) AS text"
+    " FROM documents WHERE doc_id % 17 = 0"
+)
+
+
+def dedup_c4_indexed(spark, sf_dir):
+    """Incremental C4 span dedup against the PERSISTED span-hash index
+    (the continuous-ingestion shape: history hashed once, every batch
+    probes in O(batch)): cleaning the probe batch must equal the batch
+    operator over history ∪ batch restricted to the batch — the
+    monotonic-id contract. Full value oracle."""
+    from kartothek_spark.operators.span_index import (
+        build_span_index,
+        c4_dedup_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(root):
+        build_span_index(spark, docs, root, "c4x", n=3, buckets=16)
+
+    root = _fixture(sf_dir, "c4_span_idx", build)
+    return c4_dedup_incremental(spark, _c4_probe_batch(spark, sf_dir), root, "c4x")
+
+
+def dedup_c4_index_sync(spark, sf_dir):
+    """Incrementally-maintained span history: build on the even docs, one
+    O(new docs) sync appending the odd — the probe must equal the batch
+    operator over the FULL history ∪ batch (shared oracle)."""
+    from kartothek_spark.operators.span_index import (
+        build_span_index,
+        c4_dedup_incremental,
+        sync_span_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(root):
+        build_span_index(
+            spark, docs.where(F.col("doc_id") % 2 == 0), root, "c4s", n=3, buckets=16
+        )
+        sync_span_index(spark, docs.where(F.col("doc_id") % 2 == 1), root, "c4s")
+
+    root = _fixture(sf_dir, "c4_span_idx_sync", build)
+    return c4_dedup_incremental(spark, _c4_probe_batch(spark, sf_dir), root, "c4s")
+
+
 def corpus_gopher_flags(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021, Appendix A1.1) as
     one named audit bundle: per-rule boolean flags + overall pass, all
@@ -4314,7 +4379,7 @@ _FRESH_PRIORITY = [
     "corpus_dsir_weights", "corpus_dsir_sample",
     "corpus_dsir_model_score", "stream_dsir_scores",
     "corpus_gopher_flags", "corpus_gopher_filter", "corpus_chunk_sentences",
-    "dedup_c4_spans",
+    "dedup_c4_spans", "dedup_c4_indexed", "dedup_c4_index_sync",
     # fuzzy (SymSpell) family
     "dedup_fuzzy_pairs", "corpus_fuzzy_join", "corpus_fuzzy_join_indexed",
     "corpus_fuzzy_index_sync", "stream_fuzzy_index", "dedup_cross_corpus",
@@ -4513,6 +4578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_model_score": corpus_dsir_model_score,
         "stream_dsir_scores": stream_dsir_scores,
         "dedup_c4_spans": dedup_c4_spans,
+        "dedup_c4_indexed": dedup_c4_indexed,
+        "dedup_c4_index_sync": dedup_c4_index_sync,
         "corpus_gopher_flags": corpus_gopher_flags,
         "corpus_gopher_filter": corpus_gopher_filter,
         "corpus_chunk_sentences": corpus_chunk_sentences,
@@ -5492,6 +5559,19 @@ FROM toks
             " WHERE doc_id % 13 = 0)",
             n=3,
         ),
+        # the indexed incremental paths promise equality with the batch
+        # operator over history ∪ batch restricted to the batch
+        **{
+            name: __import__(
+                "kartothek_spark.operators.span_index",
+                fromlist=["c4_incremental_sql"],
+            ).c4_incremental_sql(
+                "SELECT doc_id, text FROM documents",
+                _C4_BATCH_SQL,
+                n=3,
+            )
+            for name in ("dedup_c4_indexed", "dedup_c4_index_sync")
+        },
         "corpus_gopher_flags": __import__(
             "kartothek_spark.operators.text", fromlist=["gopher_flags_sql"]
         ).gopher_flags_sql("documents", min_words=20, min_stopwords=1),

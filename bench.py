@@ -157,6 +157,7 @@ HEADLINE = [
     "corpus_dsir_model_score",  # frozen-q̂ scoring vs persisted model
     "stream_dsir_scores",       # per-batch streamed selection scores
     "dedup_c4_spans",           # C4 three-sentence-span dedup
+    "dedup_c4_indexed",         # O(batch) incremental C4 vs span history
 ]
 
 # each query is timed as the best of N runs: the box runs periodic
