@@ -2912,6 +2912,41 @@ def dedup_c4_index_sync(spark, sf_dir):
     return c4_dedup_incremental(spark, _c4_probe_batch(spark, sf_dir), root, "c4s")
 
 
+def stream_span_index(spark, sf_dir):
+    """Streaming span-history maintenance: foreachBatch builds the span
+    dataset on micro-batch 0 and appends every later batch's RAW spans
+    with the exactly-once stamp inside the commit. The drained history
+    must clean the probe batch exactly like the batch operator over
+    history ∪ batch — full value oracle (shared with
+    dedup_c4_indexed)."""
+    from kartothek_spark.operators.span_index import c4_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_span_index as op
+
+        src = os.path.join(root, "_src")
+        docs.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "sspx", n=3, buckets=16,
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_span_index fixture: stream did not drain")
+
+    root = _fixture(sf_dir, "sspx_idx", build)
+    return c4_dedup_incremental(spark, _c4_probe_batch(spark, sf_dir), root, "sspx")
+
+
 def corpus_gopher_flags(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021, Appendix A1.1) as
     one named audit bundle: per-rule boolean flags + overall pass, all
@@ -4380,6 +4415,7 @@ _FRESH_PRIORITY = [
     "corpus_dsir_model_score", "stream_dsir_scores",
     "corpus_gopher_flags", "corpus_gopher_filter", "corpus_chunk_sentences",
     "dedup_c4_spans", "dedup_c4_indexed", "dedup_c4_index_sync",
+    "stream_span_index",
     # fuzzy (SymSpell) family
     "dedup_fuzzy_pairs", "corpus_fuzzy_join", "corpus_fuzzy_join_indexed",
     "corpus_fuzzy_index_sync", "stream_fuzzy_index", "dedup_cross_corpus",
@@ -4580,6 +4616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_c4_spans": dedup_c4_spans,
         "dedup_c4_indexed": dedup_c4_indexed,
         "dedup_c4_index_sync": dedup_c4_index_sync,
+        "stream_span_index": stream_span_index,
         "corpus_gopher_flags": corpus_gopher_flags,
         "corpus_gopher_filter": corpus_gopher_filter,
         "corpus_chunk_sentences": corpus_chunk_sentences,
@@ -5570,7 +5607,11 @@ FROM toks
                 _C4_BATCH_SQL,
                 n=3,
             )
-            for name in ("dedup_c4_indexed", "dedup_c4_index_sync")
+            for name in (
+                "dedup_c4_indexed",
+                "dedup_c4_index_sync",
+                "stream_span_index",
+            )
         },
         "corpus_gopher_flags": __import__(
             "kartothek_spark.operators.text", fromlist=["gopher_flags_sql"]

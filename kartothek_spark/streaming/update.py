@@ -721,6 +721,62 @@ def stream_sq_index(
     return writer.start()
 
 
+def stream_span_index(
+    stream_df: DataFrame,
+    root: str,
+    index_uuid: str = "span_index",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming maintenance of the persisted C4 span-hash index
+    (:mod:`~kartothek_spark.operators.span_index`): batch 0 builds the
+    history, every later micro-batch appends its documents' RAW span
+    rows in one atomic O(batch) commit — so
+    ``c4_dedup_incremental`` probes issued between batches always see a
+    consistent history, and after the stream drains the index equals one
+    batch build over everything ingested (pinned by the stream-vs-batch
+    pytest; the monotonic-id ingest contract is the caller's, exactly as
+    in the batch API). Exactly-once via the ``(txn_id, batch_id)`` stamp
+    inside each commit — duplicate span rows from a replay would not
+    change victim SETS (history hits are EXISTS-semantics) but would
+    grow the index unboundedly. Returns the StreamingQuery."""
+    from kartothek_spark.operators.span_index import (
+        build_span_index,
+        sync_span_index,
+    )
+
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        if not DatasetManifest.exists(root, index_uuid):
+            _purge_uncommitted_dataset_dir(root, index_uuid)
+            build_span_index(
+                spark, batch_df, root, index_uuid,
+                n=n, text_col=text_col, id_col=id_col, buckets=buckets,
+                extra_metadata=stamp,
+            )
+        elif not _batch_already_committed(root, index_uuid, batch_id, txn_id):
+            sync_span_index(
+                spark, batch_df, root, index_uuid,
+                text_col=text_col, id_col=id_col, extra_metadata=stamp,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def stream_dsir_scores(
     stream_df: DataFrame,
     root: str,

@@ -128,3 +128,37 @@ def test_pushdown_and_fallback_agree_and_prune(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(si, "PUSHDOWN_MAX_SPANS", 0)
     slow = _rows(si.c4_dedup_incremental(spark, batch, root, "sx"))
     assert fast == slow and fast
+
+
+def test_stream_span_index_matches_batch(spark, tmp_path):
+    """Streaming maintenance (build on batch 0, O(batch) raw-span appends
+    after) must probe exactly like one batch build over everything
+    ingested."""
+    from kartothek_spark.operators.span_index import (
+        build_span_index,
+        c4_dedup_incremental,
+    )
+    from kartothek_spark.streaming.update import stream_span_index
+
+    docs = _docs(spark).localCheckpoint(eager=True)
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    root = str(tmp_path / "store")
+    q = stream_span_index(
+        stream, root, "ssx", n=3, buckets=8,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    batch_root = str(tmp_path / "batch")
+    build_span_index(spark, docs, batch_root, "bsx", n=3, buckets=8)
+    probe = _batch(docs)
+    got = _rows(c4_dedup_incremental(spark, probe, root, "ssx"))
+    want = _rows(c4_dedup_incremental(spark, probe, batch_root, "bsx"))
+    assert got == want and got
