@@ -2736,6 +2736,140 @@ def stream_contamination_index(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+_BLOOM_M = 1 << 16
+_BLOOM_BENCH_SQL = (
+    "SELECT doc_id, substr(text, 12) AS text FROM documents"
+    " WHERE doc_id % 11 = 0"
+)
+
+
+def _bloom_bench(spark, sf_dir):
+    """The perturbed %11 slice as an EXACT-contamination benchmark:
+    dropping the first 11 chars leaves most of a doc's 8-word shingles
+    intact, so the origin docs are genuinely contaminated (the 5%
+    hash-slice split shares no exact 8-gram at small SF)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.expr("substring(text, 12)").alias("text")
+    )
+
+
+def corpus_bloom_words(spark, sf_dir):
+    """The Bloom bitmap ITSELF (63-bit words, Kirsch–Mitzenmacher double
+    hashing over the benchmark's distinct 8-gram hashes) — construction
+    is pure int64 arithmetic, so the packed words are value-exact across
+    engines. Full value oracle."""
+    from kartothek_spark.operators.bloom import _bench_shingle_keys, bloom_words
+
+    return bloom_words(
+        _bench_shingle_keys(_bloom_bench(spark, sf_dir), 8, "text"), _BLOOM_M
+    )
+
+
+def corpus_bloom_hits(spark, sf_dir):
+    """Bloom-accelerated contamination hits: the corpus prefilters
+    through a pure-codegen EXISTS over the inline bitmap literal (zero
+    joins for clean docs), and only candidates pay the exact
+    verification join — value-identical to the broadcast-join operator
+    (shared oracle; no false negatives by construction)."""
+    from kartothek_spark.operators.bloom import bloom_contamination_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_contamination_hits(
+        docs, _bloom_bench(spark, sf_dir), n=8, m_bits=_BLOOM_M
+    )
+
+
+def _bloom_index_root(spark, sf_dir):
+    from kartothek_spark.operators.bloom import build_bloom_index
+
+    bench = _bloom_bench(spark, sf_dir)
+
+    def build(root):
+        build_bloom_index(spark, bench, root, "blx", n=8, m_bits=_BLOOM_M)
+
+    return _fixture(sf_dir, "bloom_idx", build)
+
+
+def corpus_bloom_decontaminate(spark, sf_dir):
+    """Decontamination against the PERSISTED Bloom index (the real
+    pipeline shape: the benchmark bitmap ships as ~1k int64 rows, every
+    training batch probes with a codegen-only scan) — value-identical
+    to exact decontamination over the indexed benchmark."""
+    from kartothek_spark.operators.bloom import bloom_decontaminate_indexed
+
+    root = _bloom_index_root(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_decontaminate_indexed(spark, docs, root, "blx").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def corpus_bloom_index_sync(spark, sf_dir):
+    """Bloom-index sync: build on half the benchmark, append the other
+    half (content-hash-idempotent key append + bitmap rebuild from the
+    persisted key set) — probing the synced index must equal the exact
+    operator over the FULL benchmark (shared oracle)."""
+    from kartothek_spark.operators.bloom import (
+        bloom_contamination_hits_indexed,
+        build_bloom_index,
+        sync_bloom_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = _bloom_bench(spark, sf_dir)
+
+    def build(root):
+        build_bloom_index(
+            spark, bench.where(F.col("doc_id") % 22 == 0), root, "blx",
+            n=8, m_bits=_BLOOM_M,
+        )
+        sync_bloom_index(spark, bench.where(F.col("doc_id") % 22 != 0), root, "blx")
+
+    root = _fixture(sf_dir, "bloom_idx_sync", build)
+    return bloom_contamination_hits_indexed(spark, docs, root, "blx")
+
+
+def stream_bloom_index(spark, sf_dir):
+    """Streaming Bloom-index maintenance: eval suites arrive as a
+    stream (batch-0 build + key-idempotent syncs that rebuild the
+    bitmap from the persisted key set, stamp riding the words commit);
+    the drained index must decontaminate exactly like the exact
+    operator over everything ingested — full value oracle."""
+    from kartothek_spark.operators.bloom import bloom_decontaminate_indexed
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = _bloom_bench(spark, sf_dir)
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_bloom_index as op
+
+        src = os.path.join(root, "_src")
+        bench.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(bench.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "sblx", n=8, m_bits=_BLOOM_M,
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_bloom_index fixture: stream did not drain")
+        from kartothek_spark.dataset.write import compact_dataset
+
+        compact_dataset(spark, root, "sblx__keys", sort_partitions_by=["kh"])
+
+    root = _fixture(sf_dir, "sblxidx", build)
+    return bloom_decontaminate_indexed(spark, docs, root, "sblx").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def corpus_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023): hashed-unigram+
     bigram occurrence distributions of raw vs target corpus, per-doc
@@ -4407,6 +4541,9 @@ _PERENNIAL_SAMPLED = frozenset({
 # runs (full value oracles preferred); everything else follows in
 # registry order
 _FRESH_PRIORITY = [
+    # round-7 Bloom membership-index family
+    "corpus_bloom_words", "corpus_bloom_hits", "corpus_bloom_decontaminate",
+    "corpus_bloom_index_sync", "stream_bloom_index",
     # round-7 persisted-index families
     "dedup_winnow_indexed", "dedup_winnow_index_sync", "corpus_winnow_probe",
     "stream_winnow_index", "dedup_cross_corpus_indexed",
@@ -4570,6 +4707,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": corpus_split,
         "corpus_repetition": corpus_repetition,
         "corpus_decontaminate": corpus_decontaminate,
+        "corpus_bloom_words": corpus_bloom_words,
+        "corpus_bloom_hits": corpus_bloom_hits,
+        "corpus_bloom_decontaminate": corpus_bloom_decontaminate,
+        "corpus_bloom_index_sync": corpus_bloom_index_sync,
+        "stream_bloom_index": stream_bloom_index,
         "corpus_contamination_report": corpus_contamination_report,
         "corpus_pack": corpus_pack,
         "corpus_chunk": corpus_chunk,
@@ -5539,6 +5681,41 @@ FROM toks
             " FROM documents WHERE doc_id % 11 = 0)",
             threshold=0.35,
             right_id="bench_id",
+        ),
+        "corpus_bloom_words": __import__(
+            "kartothek_spark.operators.bloom", fromlist=["bloom_words_sql"]
+        ).bloom_words_sql(
+            __import__(
+                "kartothek_spark.operators.bloom",
+                fromlist=["bench_shingle_keys_sql"],
+            ).bench_shingle_keys_sql(_BLOOM_BENCH_SQL, n=8),
+            _BLOOM_M,
+        ),
+        "corpus_bloom_hits": __import__(
+            "kartothek_spark.operators.contamination",
+            fromlist=["contamination_hits_sql"],
+        ).contamination_hits_sql(
+            "SELECT * FROM documents", _BLOOM_BENCH_SQL, n=8
+        ),
+        "corpus_bloom_decontaminate": __import__(
+            "kartothek_spark.operators.contamination",
+            fromlist=["decontaminate_sql"],
+        ).decontaminate_sql(
+            "SELECT * FROM documents", _BLOOM_BENCH_SQL, n=8,
+            columns="doc_id, lang, n_chars",
+        ),
+        "corpus_bloom_index_sync": __import__(
+            "kartothek_spark.operators.contamination",
+            fromlist=["contamination_hits_sql"],
+        ).contamination_hits_sql(
+            "SELECT * FROM documents", _BLOOM_BENCH_SQL, n=8
+        ),
+        "stream_bloom_index": __import__(
+            "kartothek_spark.operators.contamination",
+            fromlist=["decontaminate_sql"],
+        ).decontaminate_sql(
+            "SELECT * FROM documents", _BLOOM_BENCH_SQL, n=8,
+            columns="doc_id, lang, n_chars",
         ),
         "corpus_fuzzy_decontaminate": fuzzy_decontaminate_sql(
             "SELECT * FROM documents",

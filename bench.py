@@ -158,6 +158,11 @@ HEADLINE = [
     "stream_dsir_scores",       # per-batch streamed selection scores
     "dedup_c4_spans",           # C4 three-sentence-span dedup
     "dedup_c4_indexed",         # O(batch) incremental C4 vs span history
+    # round 7 (cont.): Bloom membership-index family
+    "corpus_bloom_words",       # distributed bitmap build (bit_or groupBy)
+    "corpus_bloom_hits",        # codegen prefilter + exact verification
+    "corpus_bloom_decontaminate",  # probe vs persisted bitmap + key set
+    "stream_bloom_index",       # foreachBatch-maintained bloom index
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -1068,3 +1068,64 @@ def stream_kmeans_update(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_bloom_index(
+    stream_df: DataFrame,
+    root: str,
+    index_uuid: str = "bloom_index",
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int | None = None,
+    k: int | None = None,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming maintenance of the persisted Bloom contamination index
+    (:mod:`~kartothek_spark.operators.bloom`): eval suites arrive as a
+    stream; batch 0 builds the bitmap + key set, every later micro-batch
+    appends its new shingle hashes and rebuilds the (tiny) bitmap from
+    the persisted key set — the keys are the source of truth, so the
+    bitmap is history-independent and a torn two-dataset commit
+    self-heals on the next batch.
+
+    Exactly-once: the ``(txn_id, batch_id)`` stamp rides the WORDS
+    dataset's commit, which both build and sync perform LAST — a crash
+    before it replays the batch (the key append is a content-hash
+    anti-join, so re-delivery appends nothing and the rebuild repairs
+    the bitmap), a crash after it is detected and skipped. Returns the
+    StreamingQuery."""
+    from kartothek_spark.operators.bloom import (
+        DEFAULT_BLOOM_K,
+        _keys_uuid,
+        build_bloom_index,
+        sync_bloom_index,
+    )
+
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        if not DatasetManifest.exists(root, index_uuid):
+            _purge_uncommitted_dataset_dir(root, index_uuid)
+            _purge_uncommitted_dataset_dir(root, _keys_uuid(index_uuid))
+            build_bloom_index(
+                spark, batch_df, root, index_uuid,
+                n=n, m_bits=m_bits, k=k or DEFAULT_BLOOM_K,
+                text_col=text_col, extra_metadata=stamp,
+            )
+        elif not _batch_already_committed(root, index_uuid, batch_id, txn_id):
+            sync_bloom_index(
+                spark, batch_df, root, index_uuid,
+                text_col=text_col, extra_metadata=stamp,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,184 @@
+"""Bloom membership-index family (operators/bloom.py): value parity
+with the exact contamination operators, no-false-negative guarantee,
+probe-path parity, and persisted-index lifecycle."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _bench(docs):
+    return docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.expr("substring(text, 12)").alias("text")
+    )
+
+
+M = 1 << 16
+
+
+def test_bloom_hits_equal_exact(spark):
+    """Bloom prefilter + exact verification must reproduce the
+    broadcast-join operator exactly — Bloom filters have no false
+    negatives and verification kills the false positives."""
+    from kartothek_spark.operators.bloom import bloom_contamination_hits
+    from kartothek_spark.operators.contamination import contamination_hits
+
+    docs = _docs(spark)
+    bench = _bench(docs)
+    exact = {(r.doc_id, r.n_hits) for r in contamination_hits(docs, bench, n=8).collect()}
+    bloom = {
+        (r.doc_id, r.n_hits)
+        for r in bloom_contamination_hits(docs, bench, n=8, m_bits=M).collect()
+    }
+    assert exact and bloom == exact
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every inserted key passes the membership expression (structural
+    no-false-negative guarantee); a disjoint probe set passes only at
+    the designed false-positive rate."""
+    import random
+
+    from kartothek_spark.operators.bloom import (
+        DEFAULT_BLOOM_K,
+        bloom_member_expr,
+        bloom_words,
+        dense_words,
+    )
+
+    rng = random.Random(42)
+    members = sorted(rng.sample(range(1, 1 << 60), 500))
+    others = sorted(rng.sample(range(1, 1 << 60), 2000))
+    others = [x for x in others if x not in set(members)]
+
+    keys = spark.createDataFrame([(k,) for k in members], "kh long")
+    m_bits = 1 << 14  # ~32 bits/key -> FP well under 1%
+    words = dense_words(bloom_words(keys, m_bits).collect(), m_bits)
+
+    probe = spark.createDataFrame(
+        [(k, True) for k in members] + [(k, False) for k in others],
+        "kh long, is_member boolean",
+    )
+    got = probe.select(
+        "kh",
+        "is_member",
+        bloom_member_expr(F.col("kh"), words, m_bits, DEFAULT_BLOOM_K).alias("hit"),
+    ).collect()
+    false_negatives = [r.kh for r in got if r.is_member and not r.hit]
+    assert false_negatives == []
+    fp = sum(1 for r in got if not r.is_member and r.hit)
+    assert fp / len(others) < 0.01
+
+
+def test_bloom_expr_vs_numpy_path_parity(spark):
+    """The inline-literal codegen path and the vectorized NumPy
+    mapInPandas path (bitmaps past EXPR_MAX_WORDS) must keep the exact
+    same candidate set — the codegen-limit seam can never diverge."""
+    import kartothek_spark.operators.bloom as B
+
+    docs = _docs(spark)
+    bench = _bench(docs)
+    keys = B._bench_shingle_keys(bench, 8, "text")
+    words = B.dense_words(B.bloom_words(keys, M).collect(), M)
+    src = B._doc_hash_arrays(docs, "text", "doc_id", 8)
+
+    expr_ids = {
+        r.doc_id
+        for r in B._prefilter(src, words, M, B.DEFAULT_BLOOM_K).select("doc_id").collect()
+    }
+    old = B.EXPR_MAX_WORDS
+    B.EXPR_MAX_WORDS = 1  # force the NumPy path
+    try:
+        np_ids = {
+            r.doc_id
+            for r in B._prefilter(src, words, M, B.DEFAULT_BLOOM_K)
+            .select("doc_id")
+            .collect()
+        }
+    finally:
+        B.EXPR_MAX_WORDS = old
+    assert expr_ids and expr_ids == np_ids
+
+
+def test_bloom_index_sync_equals_build(spark, tmp_root):
+    """build(half) + sync(half) == build(full): identical bitmap words
+    AND identical key sets — the bitmap is rebuilt from the persisted
+    key set, so sync is history-independent by construction."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.operators.bloom import build_bloom_index, sync_bloom_index
+
+    docs = _docs(spark)
+    bench = _bench(docs)
+    b1 = bench.where(F.col("doc_id") % 22 == 0)
+    b2 = bench.where(F.col("doc_id") % 22 != 0)
+
+    build_bloom_index(spark, b1, tmp_root, "inc", n=8, m_bits=M)
+    sync_bloom_index(spark, b2, tmp_root, "inc")
+    build_bloom_index(spark, bench, tmp_root, "full", n=8, m_bits=M)
+
+    w_inc = {(r.word_idx, r.word) for r in read_table(spark, tmp_root, "inc").collect()}
+    w_full = {(r.word_idx, r.word) for r in read_table(spark, tmp_root, "full").collect()}
+    assert w_inc == w_full
+    k_inc = {r.kh for r in read_table(spark, tmp_root, "inc__keys").collect()}
+    k_full = {r.kh for r in read_table(spark, tmp_root, "full__keys").collect()}
+    assert k_inc == k_full
+
+
+def test_bloom_sync_redelivery_and_torn_state_heal(spark, tmp_root):
+    """Re-shipping an already-indexed suite appends nothing (content-
+    hash idempotency), and a torn two-dataset state (keys appended,
+    bitmap stale — the crash window between sync's two commits) is
+    repaired by the replayed sync because the rebuild reads the
+    persisted key set, not the incoming batch."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import update_dataset
+    from kartothek_spark.operators.bloom import (
+        _bench_shingle_keys,
+        bloom_contamination_hits_indexed,
+        build_bloom_index,
+        sync_bloom_index,
+    )
+    from kartothek_spark.operators.contamination import contamination_hits
+
+    docs = _docs(spark)
+    bench = _bench(docs)
+    b1 = bench.where(F.col("doc_id") % 22 == 0)
+    b2 = bench.where(F.col("doc_id") % 22 != 0)
+
+    build_bloom_index(spark, b1, tmp_root, "bx", n=8, m_bits=M)
+    # simulate the crash window: b2's keys land but the bitmap rebuild
+    # never ran (sync's first commit only)
+    known = read_table(spark, tmp_root, "bx__keys")
+    update_dataset(
+        spark,
+        _bench_shingle_keys(b2, 8, "text").join(known, "kh", "left_anti"),
+        tmp_root,
+        "bx__keys",
+        sort_partitions_by=["kh"],
+    )
+    # the replayed sync appends nothing new but rebuilds the bitmap
+    sync_bloom_index(spark, b2, tmp_root, "bx")
+
+    exact = {(r.doc_id, r.n_hits) for r in contamination_hits(docs, bench, n=8).collect()}
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in bloom_contamination_hits_indexed(spark, docs, tmp_root, "bx").collect()
+    }
+    assert got == exact
+    # keys stayed a set: no duplicates from the re-delivery
+    keys = read_table(spark, tmp_root, "bx__keys").collect()
+    assert len(keys) == len({r.kh for r in keys})
+
+
+def test_bloom_oversize_raises():
+    from kartothek_spark.operators.bloom import MAX_BLOOM_BITS, _size_m
+
+    with pytest.raises(ValueError, match="exact broadcast-join"):
+        _size_m(MAX_BLOOM_BITS)  # 16 bits/key would blow the cap

@@ -624,3 +624,66 @@ def test_c4_span_dedup_combines_and_no_cartesian(spark):
     pre = plan.split("Exchange hashpartitioning(h#", 1)
     assert len(pre) == 2
     assert "partial_count" in pre[1] or "partial" in pre[1]
+
+
+def test_bloom_prefilter_is_pure_codegen(spark):
+    """The Bloom prefilter (expression path) is ONE narrow scan: the
+    inline bitmap literal probes via getbit/element_at inside codegen —
+    no exchange, no join, no Python. This is the operator's 100 TB
+    contract: clean documents never leave their input partition."""
+    from kartothek_spark.operators.bloom import (
+        DEFAULT_BLOOM_K,
+        _bench_shingle_keys,
+        _doc_hash_arrays,
+        _prefilter,
+        bloom_words,
+        dense_words,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    bench = docs.where("doc_id % 11 = 0")
+    m = 1 << 16
+    words = dense_words(
+        bloom_words(_bench_shingle_keys(bench, 8, "text"), m).collect(), m
+    )
+    plan = _plan(
+        _prefilter(_doc_hash_arrays(docs, "text", "doc_id", 8), words, m, DEFAULT_BLOOM_K)
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert py not in plan
+
+
+def test_bloom_words_build_combines_mapside(spark):
+    """The bitmap build's bit_or groupBy must partially aggregate
+    map-side: at most m/63 rows reach the exchange regardless of key
+    count."""
+    from kartothek_spark.operators.bloom import _bench_shingle_keys, bloom_words
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    plan = _plan(bloom_words(_bench_shingle_keys(docs, 8, "text"), 1 << 16))
+    pre = plan.split("Exchange hashpartitioning(word_idx", 1)
+    assert len(pre) == 2, plan[:2000]
+    assert "partial_bit_or" in pre[1] or "partial" in pre[1]
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_verification_broadcasts_keys(spark):
+    """Only candidate docs reach the exact verification join, and the
+    benchmark key set ships broadcast — the corpus side never
+    shuffles on content."""
+    from kartothek_spark.operators.bloom import bloom_contamination_hits
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    bench = docs.where("doc_id % 11 = 0")
+    plan = _plan(bloom_contamination_hits(docs, bench, n=8, m_bits=1 << 16))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
