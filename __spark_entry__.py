@@ -2870,6 +2870,89 @@ def stream_bloom_index(spark, sf_dir):
     )
 
 
+_CLEAN_GOPHER = {"min_words": 20, "min_stopwords": 1}
+_CLEAN_INGEST_SQL = (
+    "SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 7 = 0"
+)
+
+
+def _clean_ingest(spark, sf_dir):
+    """The cleaning gates' ingest: the corpus plus an exact clone of
+    every 7th doc at id+100000 — so exact dedup has real work (the raw
+    corpus has no duplicate texts) and the clones' higher ids make
+    first-arrival == min-id under the ordered fixture."""
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    return docs.unionByName(clones)
+
+
+def corpus_clean(spark, sf_dir):
+    """The full cleaning pipeline as ONE composed operator: Gopher
+    quality rules → exact 8-gram decontamination (vs the perturbed %11
+    benchmark) → exact dedup (min id per content fingerprint). The
+    COMPOSITION is value-oracled by the nested stage twins in the same
+    order."""
+    from kartothek_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(
+        _clean_ingest(spark, sf_dir), _bloom_bench(spark, sf_dir),
+        n=8, gopher=_CLEAN_GOPHER,
+    ).select("doc_id", "lang", "n_chars")
+
+
+def stream_clean_corpus(spark, sf_dir):
+    """Continuous-ingest cleaning: ordered micro-batches run Gopher →
+    Bloom-indexed decontamination → exact dedup within the batch AND
+    against everything committed (bitmap-prefiltered, broadcast-
+    verified — history is scanned, never shuffled), appending survivors
+    exactly-once. The drained dataset must equal the batch pipeline
+    over everything ingested — shared oracle with corpus_clean."""
+    from kartothek_spark.dataset.read import read_table
+
+    ingest = _clean_ingest(spark, sf_dir)
+    bloom_root = _bloom_index_root(spark, sf_dir)
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_clean_corpus as op
+
+        src = os.path.join(root, "_src")
+        os.makedirs(src)
+        mx = ingest.agg(F.max("doc_id")).first()[0] - 100000
+        cuts = [0, (mx + 1) // 3, 2 * (mx + 1) // 3, 100000, 1 << 40]
+        # ordered slice files (ids nondecreasing across batches — the
+        # monotonic-arrival contract under which drained == batch)
+        for i in range(len(cuts) - 1):
+            pdf = ingest.where(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            ).toPandas()
+            path = os.path.join(src, f"slice_{i}.parquet")
+            pdf.to_parquet(path)
+            os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(ingest.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "cc", bloom_root=bloom_root, bloom_uuid="blx",
+            gopher=_CLEAN_GOPHER, fp_m_bits=1 << 18,
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_clean_corpus fixture: stream did not drain")
+
+    root = _fixture(sf_dir, "ccidx", build)
+    return read_table(spark, root, "cc").select("doc_id", "lang", "n_chars")
+
+
 def corpus_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023): hashed-unigram+
     bigram occurrence distributions of raw vs target corpus, per-doc
@@ -4541,9 +4624,10 @@ _PERENNIAL_SAMPLED = frozenset({
 # runs (full value oracles preferred); everything else follows in
 # registry order
 _FRESH_PRIORITY = [
-    # round-7 Bloom membership-index family
+    # round-7 Bloom membership-index family + composed cleaning pipeline
     "corpus_bloom_words", "corpus_bloom_hits", "corpus_bloom_decontaminate",
     "corpus_bloom_index_sync", "stream_bloom_index",
+    "corpus_clean", "stream_clean_corpus",
     # round-7 persisted-index families
     "dedup_winnow_indexed", "dedup_winnow_index_sync", "corpus_winnow_probe",
     "stream_winnow_index", "dedup_cross_corpus_indexed",
@@ -4712,6 +4796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bloom_decontaminate": corpus_bloom_decontaminate,
         "corpus_bloom_index_sync": corpus_bloom_index_sync,
         "stream_bloom_index": stream_bloom_index,
+        "corpus_clean": corpus_clean,
+        "stream_clean_corpus": stream_clean_corpus,
         "corpus_contamination_report": corpus_contamination_report,
         "corpus_pack": corpus_pack,
         "corpus_chunk": corpus_chunk,
@@ -5716,6 +5802,18 @@ FROM toks
         ).decontaminate_sql(
             "SELECT * FROM documents", _BLOOM_BENCH_SQL, n=8,
             columns="doc_id, lang, n_chars",
+        ),
+        "corpus_clean": __import__(
+            "kartothek_spark.operators.pipeline", fromlist=["clean_corpus_sql"]
+        ).clean_corpus_sql(
+            _CLEAN_INGEST_SQL, _BLOOM_BENCH_SQL, n=8,
+            columns="doc_id, lang, n_chars", gopher=_CLEAN_GOPHER,
+        ),
+        "stream_clean_corpus": __import__(
+            "kartothek_spark.operators.pipeline", fromlist=["clean_corpus_sql"]
+        ).clean_corpus_sql(
+            _CLEAN_INGEST_SQL, _BLOOM_BENCH_SQL, n=8,
+            columns="doc_id, lang, n_chars", gopher=_CLEAN_GOPHER,
         ),
         "corpus_fuzzy_decontaminate": fuzzy_decontaminate_sql(
             "SELECT * FROM documents",

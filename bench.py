@@ -163,6 +163,8 @@ HEADLINE = [
     "corpus_bloom_hits",        # codegen prefilter + exact verification
     "corpus_bloom_decontaminate",  # probe vs persisted bitmap + key set
     "stream_bloom_index",       # foreachBatch-maintained bloom index
+    "corpus_clean",             # gopher -> decontaminate -> dedup, one plan
+    "stream_clean_corpus",      # continuous ingest cleaning, bitmap dedup
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

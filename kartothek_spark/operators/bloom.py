@@ -250,6 +250,47 @@ def _np_prefilter_func(words, m_bits: int, k: int, n_fields: int):
     return run
 
 
+def _np_scalar_prefilter_func(words, m_bits: int, k: int, col_name: str):
+    """mapInPandas prefilter for a SCALAR int64 hash column (the seen-
+    fingerprint dedup path): keeps rows whose hash is a bitmap member.
+    Same double-hashing arithmetic as the array form, one vectorized
+    pass per Arrow batch."""
+    import numpy as np
+
+    w = np.asarray(words, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            h = pdf[col_name].to_numpy(dtype=np.int64)
+            h1 = h % _TWO_32
+            h2 = ((h >> 28) | 1) % _TWO_32
+            ok = np.ones(h.shape, dtype=bool)
+            for i in range(k):
+                pos = (h1 + i * h2) % m_bits
+                ok &= ((w[pos // WORD_BITS] >> (pos % WORD_BITS)) & 1) == 1
+            yield pdf[ok]
+
+    return run
+
+
+def bloom_member_scalar(
+    df: DataFrame, col: str, words: list[int], m_bits: int, k: int
+) -> DataFrame:
+    """Rows whose int64 hash column is a bitmap member. Expression path
+    under EXPR_MAX_WORDS, vectorized NumPy mapInPandas above — same
+    result either way (the parity the array form pins)."""
+    if not words:
+        return df.where(F.lit(False))
+    if len(words) <= EXPR_MAX_WORDS:
+        return df.where(bloom_member_expr(F.col(col), words, m_bits, k))
+    return df.mapInPandas(
+        _np_scalar_prefilter_func(words, m_bits, k, col), schema=df.schema
+    )
+
+
 def _doc_hash_arrays(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, array<int64> distinct shingle hashes) — the prefilter's
     per-doc unit. Tokenization staged once (bind_once inside
@@ -488,6 +529,7 @@ __all__ = [
     "bloom_words_sql",
     "bench_shingle_keys_sql",
     "bloom_member_expr",
+    "bloom_member_scalar",
     "bloom_contamination_hits",
     "bloom_decontaminate",
     "build_bloom_index",

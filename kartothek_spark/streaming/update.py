@@ -1129,3 +1129,143 @@ def stream_bloom_index(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_clean_corpus(
+    stream_df: DataFrame,
+    root: str,
+    out_uuid: str = "clean_corpus",
+    bloom_root: str | None = None,
+    bloom_uuid: str = "bloom_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gopher: dict | None = None,
+    fp_m_bits: int = 1 << 18,
+    fp_k: int | None = None,
+    buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Continuous corpus cleaning (see :mod:`kartothek_spark.operators
+    .pipeline`): each micro-batch runs Gopher filter → Bloom-indexed
+    decontamination (against the persisted benchmark index at
+    ``bloom_root``/``bloom_uuid``; skipped when ``bloom_root`` is None)
+    → exact dedup within the batch AND against everything already
+    committed, then appends the survivors to the managed ``out_uuid``
+    dataset (partitioned on ``fpb``, files sorted by ``fp``).
+
+    Cross-batch dedup never shuffles history: a sidecar
+    ``<out_uuid>__fpbloom`` bitmap of every committed fingerprint
+    prefilters the batch (codegen/NumPy, no join); only the candidate
+    trickle is broadcast into one column-pruned SCAN of the history
+    fingerprints for exact verification. Commit order: bitmap merge
+    FIRST (bit_or is idempotent — a torn state only adds harmless
+    false positives), cleaned rows LAST with the exactly-once
+    ``(txn_id, batch_id)`` stamp. Under monotonic id arrival the
+    drained output equals :func:`~kartothek_spark.operators.pipeline
+    .clean_corpus` over everything ingested (the gate's full value
+    oracle); out-of-order ids keep the first-seen copy instead.
+    Returns the StreamingQuery."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import (
+        store_dataframe_as_dataset,
+        update_dataset,
+    )
+    from kartothek_spark.operators.bloom import (
+        DEFAULT_BLOOM_K,
+        bloom_decontaminate_indexed,
+        bloom_member_scalar,
+        bloom_words,
+        dense_words,
+    )
+    from kartothek_spark.operators.pipeline import (
+        keep_first_per_fingerprint,
+        with_fingerprint,
+    )
+    from kartothek_spark.operators.text import gopher_filter
+
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+    k = fp_k or DEFAULT_BLOOM_K
+    fpbloom_uuid = f"{out_uuid}__fpbloom"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if _batch_already_committed(root, out_uuid, batch_id, txn_id):
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+
+        survivors = gopher_filter(batch_df, text_col, **(gopher or {}))
+        if bloom_root is not None:
+            survivors = bloom_decontaminate_indexed(
+                spark, survivors, bloom_root, bloom_uuid, text_col, id_col
+            )
+        kept = keep_first_per_fingerprint(
+            with_fingerprint(survivors, text_col, buckets), id_col
+        ).localCheckpoint(eager=True)
+
+        exists = DatasetManifest.exists(root, out_uuid)
+        if exists:
+            words = dense_words(
+                read_table(spark, root, fpbloom_uuid).collect(), fp_m_bits
+            )
+            cand = bloom_member_scalar(
+                kept.select("fp").distinct(), "fp", words, fp_m_bits, k
+            )
+            # exact verification: ONE column-pruned scan of history
+            # fingerprints with the candidate trickle broadcast — the
+            # history side is never shuffled
+            matched = (
+                read_table(spark, root, out_uuid, columns=["fp"])
+                .join(F.broadcast(cand), "fp")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            fresh = kept.join(matched, "fp", "left_anti")
+        else:
+            _purge_uncommitted_dataset_dir(root, out_uuid)
+            _purge_uncommitted_dataset_dir(root, fpbloom_uuid)
+            fresh = kept
+
+        fresh = fresh.localCheckpoint(eager=True)
+        # bitmap FIRST: bits for rows that never commit are harmless
+        # false positives; missing bits for committed rows would be
+        # missed duplicates, so the bitmap may never lag the data
+        new_words = bloom_words(
+            fresh.select(F.col("fp").alias("kh")).distinct(), fp_m_bits, k
+        )
+        if DatasetManifest.exists(root, fpbloom_uuid):
+            merged = (
+                read_table(spark, root, fpbloom_uuid)
+                .unionByName(new_words)
+                .groupBy("word_idx")
+                .agg(F.bit_or("word").alias("word"))
+                # pin BEFORE the overwrite: the merge reads the very
+                # files the store below replaces
+                .localCheckpoint(eager=True)
+            )
+        else:
+            merged = new_words
+        store_dataframe_as_dataset(
+            spark, merged, root, fpbloom_uuid,
+            sort_partitions_by=["word_idx"], overwrite=True,
+        )
+        if exists:
+            update_dataset(
+                spark, fresh, root, out_uuid,
+                sort_partitions_by=["fp"], metadata=stamp,
+            )
+        else:
+            store_dataframe_as_dataset(
+                spark, fresh, root, out_uuid,
+                partition_on=["fpb"], sort_partitions_by=["fp"],
+                metadata=stamp,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,172 @@
+"""Composed cleaning pipeline (operators/pipeline.py +
+streaming/update.py:stream_clean_corpus): batch composition semantics,
+drained-stream == batch parity, torn-state healing, and the
+history-is-scanned-never-shuffled plan shape."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+GOPHER = {"min_words": 20, "min_stopwords": 1}
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _bench(docs):
+    return docs.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.expr("substring(text, 12)").alias("text")
+    )
+
+
+def _ingest(docs):
+    clones = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    return docs.unionByName(clones)
+
+
+def _batch_clean_ids(spark):
+    from kartothek_spark.operators.pipeline import clean_corpus
+
+    docs = _docs(spark)
+    out = clean_corpus(_ingest(docs), _bench(docs), n=8, gopher=GOPHER)
+    return {r.doc_id for r in out.select("doc_id").collect()}
+
+
+def test_clean_corpus_equals_manual_composition(spark):
+    """clean_corpus == gopher_filter |> decontaminate |> dedup_exact
+    applied by hand in the documented order."""
+    from kartothek_spark.operators.contamination import decontaminate
+    from kartothek_spark.operators.dedup import dedup_exact
+    from kartothek_spark.operators.text import gopher_filter
+
+    docs = _docs(spark)
+    ingest, bench = _ingest(docs), _bench(docs)
+    manual = dedup_exact(decontaminate(gopher_filter(ingest, **GOPHER), bench, n=8))
+    got = _batch_clean_ids(spark)
+    assert got == {r.doc_id for r in manual.select("doc_id").collect()}
+    # every stage did real work: clones dropped (dedup), contaminated
+    # originals dropped (decon), and something failed quality
+    assert got
+    assert not any(i >= 100000 for i in got)
+    assert len(got) < ingest.count()
+
+
+def _drain(spark, root, ingest, bloom_root, slices, ckpt):
+    from kartothek_spark.streaming.update import stream_clean_corpus as op
+
+    src = os.path.join(root, "_src")
+    os.makedirs(src, exist_ok=True)
+    t0 = 1_000_000_000 + len(os.listdir(src)) * 10
+    for i, sl in enumerate(slices):
+        path = os.path.join(src, f"slice_{t0}_{i}.parquet")
+        sl.toPandas().to_parquet(path)
+        os.utime(path, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = op(
+        stream, root, "cc", bloom_root=bloom_root, bloom_uuid="blx",
+        gopher=GOPHER, fp_m_bits=1 << 18,
+        checkpoint_dir=os.path.join(root, ckpt),
+        trigger={"availableNow": True},
+    )
+    assert q.awaitTermination(300)
+
+
+def _stream_setup(spark, tmp_root):
+    from kartothek_spark.operators.bloom import build_bloom_index
+
+    docs = _docs(spark)
+    ingest = _ingest(docs)
+    bloom_root = os.path.join(tmp_root, "_bloom")
+    build_bloom_index(spark, _bench(docs), bloom_root, "blx", n=8, m_bits=1 << 16)
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    slices = [
+        ingest.where(F.col("doc_id") <= mx // 2),
+        ingest.where((F.col("doc_id") > mx // 2) & (F.col("doc_id") < 100000)),
+        ingest.where(F.col("doc_id") >= 100000),
+    ]
+    return ingest, bloom_root, slices
+
+
+def test_stream_clean_corpus_equals_batch(spark, tmp_root):
+    """Drained ordered stream == the batch pipeline over everything
+    ingested (the monotonic-arrival contract)."""
+    from kartothek_spark.dataset.read import read_table
+
+    ingest, bloom_root, slices = _stream_setup(spark, tmp_root)
+    _drain(spark, tmp_root, ingest, bloom_root, slices, "_ckpt")
+    got = {r.doc_id for r in read_table(spark, tmp_root, "cc").select("doc_id").collect()}
+    assert got == _batch_clean_ids(spark)
+
+
+def test_stream_clean_corpus_torn_bitmap_heals(spark, tmp_root):
+    """A torn state where the fingerprint bitmap ran ahead of the data
+    (sync's crash window: bitmap merged, rows never committed) must NOT
+    lose the affected rows — bitmap hits are candidates, and the exact
+    verification scan finds no committed twin, so they land on replay."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from kartothek_spark.operators.bloom import bloom_words
+    from kartothek_spark.operators.pipeline import with_fingerprint
+
+    ingest, bloom_root, slices = _stream_setup(spark, tmp_root)
+    _drain(spark, tmp_root, ingest, bloom_root, slices[:1], "_ckpt1")
+
+    # poison the bitmap with slice-2 fingerprints BEFORE slice 2 streams
+    # (as if a prior attempt crashed between its two commits)
+    s2_words = bloom_words(
+        with_fingerprint(slices[1], "text").select(F.col("fp").alias("kh")).distinct(),
+        1 << 18,
+    )
+    merged = (
+        read_table(spark, tmp_root, "cc__fpbloom")
+        .unionByName(s2_words)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .localCheckpoint(eager=True)
+    )
+    store_dataframe_as_dataset(
+        spark, merged, tmp_root, "cc__fpbloom",
+        sort_partitions_by=["word_idx"], overwrite=True,
+    )
+
+    _drain(spark, tmp_root, ingest, bloom_root, slices[1:], "_ckpt2")
+    got = {r.doc_id for r in read_table(spark, tmp_root, "cc").select("doc_id").collect()}
+    assert got == _batch_clean_ids(spark)
+
+
+def test_history_check_is_broadcast_scan(spark, tmp_root):
+    """The cross-batch dedup verification joins the candidate trickle
+    BROADCAST into a column-pruned scan of history fingerprints —
+    history is never shuffled (no SortMergeJoin, no hash-partition
+    exchange on the history side)."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from kartothek_spark.operators.pipeline import with_fingerprint
+
+    docs = _docs(spark)
+    hist = with_fingerprint(docs.limit(200), "text")
+    store_dataframe_as_dataset(
+        spark, hist, tmp_root, "hist", partition_on=["fpb"], sort_partitions_by=["fp"]
+    )
+    cand = with_fingerprint(docs.limit(10), "text").select("fp").distinct()
+    plan = (
+        read_table(spark, tmp_root, "hist", columns=["fp"])
+        .join(F.broadcast(cand), "fp")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<fp:bigint>" in plan or "fp" in plan
