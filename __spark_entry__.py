@@ -2953,6 +2953,123 @@ def stream_clean_corpus(spark, sf_dir):
     return read_table(spark, root, "cc").select("doc_id", "lang", "n_chars")
 
 
+def corpus_cms_counts(spark, sf_dir):
+    """The Count-Min sketch ITSELF over the corpus' token occurrences
+    (depth×width cells, double-hashed rows — pure int64 arithmetic, so
+    the sketch state is value-exact across engines). The vocabulary
+    never shuffles; only d·w cells do. Full value oracle."""
+    from kartothek_spark.operators.sketch import cms_sketch
+
+    return cms_sketch(_t(spark, sf_dir, "documents"))
+
+
+def corpus_cms_estimate(spark, sf_dir):
+    """CMS point estimates for a probe token set (the distinct tokens
+    of docs 0-2): min over the sketch's rows — the classic upper-bound
+    estimate, a deterministic function of the sketch, so fully
+    value-oracled (the ≥-true-count guarantee is pinned by pytest)."""
+    from kartothek_spark.functions.hashing import tokens
+    from kartothek_spark.operators.sketch import cms_estimate, cms_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    probe = (
+        docs.where("doc_id < 3")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    return cms_estimate(cms_sketch(docs), probe)
+
+
+def stream_cms(spark, sf_dir):
+    """Streaming Count-Min maintenance: per-batch sketches fold in by
+    cell-wise sum (one atomic stamped commit per batch — a single
+    dataset, so no torn state exists); the drained sketch must equal
+    the batch sketch over everything ingested — shared oracle with
+    corpus_cms_counts."""
+    from kartothek_spark.dataset.read import read_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_cms_sketch as op
+
+        src = os.path.join(root, "_src")
+        docs.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "cms",
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_cms fixture: stream did not drain")
+
+    root = _fixture(sf_dir, "cmsidx", build)
+    return read_table(spark, root, "cms")
+
+
+def corpus_hll_registers(spark, sf_dir):
+    """Per-source HyperLogLog registers over distinct tokens — the
+    sketch state itself (bucket + leading-zero rank via exact integer
+    bit-length), value-exact across engines. Full value oracle."""
+    from kartothek_spark.operators.sketch import hll_registers
+
+    return hll_registers(_t(spark, sf_dir, "documents"), group_cols=("source",))
+
+
+def corpus_hll_estimate(spark, sf_dir):
+    """Per-source distinct-token cardinality estimates from the HLL
+    registers (harmonic mean + small-range correction; the scaled sum
+    is exact decimal, so the estimate is deterministic and fully
+    value-oracled; accuracy vs exact distinct is pinned by pytest)."""
+    from kartothek_spark.operators.sketch import hll_estimate, hll_registers
+
+    return hll_estimate(
+        hll_registers(_t(spark, sf_dir, "documents"), group_cols=("source",)),
+        group_cols=("source",),
+    )
+
+
+def stream_hll(spark, sf_dir):
+    """Streaming HyperLogLog maintenance: per-batch registers fold in
+    by register-wise max (idempotent — even a replayed batch cannot
+    corrupt the state); the drained registers must equal the batch
+    build over everything ingested — shared oracle with
+    corpus_hll_registers."""
+    from kartothek_spark.dataset.read import read_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def build(root):
+        from kartothek_spark.streaming.update import stream_hll_registers as op
+
+        src = os.path.join(root, "_src")
+        docs.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = op(
+            stream, root, "hll", group_cols=("source",),
+            checkpoint_dir=os.path.join(root, "_ckpt"),
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_hll fixture: stream did not drain")
+
+    root = _fixture(sf_dir, "hllidx", build)
+    return read_table(spark, root, "hll")
+
+
 def corpus_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023): hashed-unigram+
     bigram occurrence distributions of raw vs target corpus, per-doc
@@ -4628,6 +4745,8 @@ _FRESH_PRIORITY = [
     "corpus_bloom_words", "corpus_bloom_hits", "corpus_bloom_decontaminate",
     "corpus_bloom_index_sync", "stream_bloom_index",
     "corpus_clean", "stream_clean_corpus",
+    "corpus_cms_counts", "corpus_cms_estimate", "stream_cms",
+    "corpus_hll_registers", "corpus_hll_estimate", "stream_hll",
     # round-7 persisted-index families
     "dedup_winnow_indexed", "dedup_winnow_index_sync", "corpus_winnow_probe",
     "stream_winnow_index", "dedup_cross_corpus_indexed",
@@ -4798,6 +4917,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bloom_index": stream_bloom_index,
         "corpus_clean": corpus_clean,
         "stream_clean_corpus": stream_clean_corpus,
+        "corpus_cms_counts": corpus_cms_counts,
+        "corpus_cms_estimate": corpus_cms_estimate,
+        "stream_cms": stream_cms,
+        "corpus_hll_registers": corpus_hll_registers,
+        "corpus_hll_estimate": corpus_hll_estimate,
+        "stream_hll": stream_hll,
         "corpus_contamination_report": corpus_contamination_report,
         "corpus_pack": corpus_pack,
         "corpus_chunk": corpus_chunk,
@@ -5803,6 +5928,38 @@ FROM toks
             "SELECT * FROM documents", _BLOOM_BENCH_SQL, n=8,
             columns="doc_id, lang, n_chars",
         ),
+        "corpus_cms_counts": __import__(
+            "kartothek_spark.operators.sketch", fromlist=["cms_sketch_sql"]
+        ).cms_sketch_sql("SELECT * FROM documents"),
+        "corpus_cms_estimate": __import__(
+            "kartothek_spark.operators.sketch", fromlist=["cms_estimate_sql"]
+        ).cms_estimate_sql(
+            __import__(
+                "kartothek_spark.operators.sketch", fromlist=["cms_sketch_sql"]
+            ).cms_sketch_sql("SELECT * FROM documents"),
+            "SELECT DISTINCT unnest("
+            + __import__(
+                "kartothek_spark.functions.hashing", fromlist=["tokens_sql"]
+            ).tokens_sql("text")
+            + ") AS token FROM documents WHERE doc_id < 3",
+        ),
+        "stream_cms": __import__(
+            "kartothek_spark.operators.sketch", fromlist=["cms_sketch_sql"]
+        ).cms_sketch_sql("SELECT * FROM documents"),
+        "corpus_hll_registers": __import__(
+            "kartothek_spark.operators.sketch", fromlist=["hll_registers_sql"]
+        ).hll_registers_sql("SELECT * FROM documents", group_cols=("source",)),
+        "corpus_hll_estimate": __import__(
+            "kartothek_spark.operators.sketch", fromlist=["hll_estimate_sql"]
+        ).hll_estimate_sql(
+            __import__(
+                "kartothek_spark.operators.sketch", fromlist=["hll_registers_sql"]
+            ).hll_registers_sql("SELECT * FROM documents", group_cols=("source",)),
+            group_cols=("source",),
+        ),
+        "stream_hll": __import__(
+            "kartothek_spark.operators.sketch", fromlist=["hll_registers_sql"]
+        ).hll_registers_sql("SELECT * FROM documents", group_cols=("source",)),
         "corpus_clean": __import__(
             "kartothek_spark.operators.pipeline", fromlist=["clean_corpus_sql"]
         ).clean_corpus_sql(

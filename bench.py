@@ -165,6 +165,9 @@ HEADLINE = [
     "stream_bloom_index",       # foreachBatch-maintained bloom index
     "corpus_clean",             # gopher -> decontaminate -> dedup, one plan
     "stream_clean_corpus",      # continuous ingest cleaning, bitmap dedup
+    "corpus_cms_counts",        # Count-Min sketch build (d*w cells shuffle)
+    "corpus_hll_estimate",      # per-source HLL cardinality estimates
+    "stream_hll",               # streamed register-wise-max maintenance
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

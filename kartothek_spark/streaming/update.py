@@ -1269,3 +1269,109 @@ def stream_clean_corpus(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def _stream_merge_sketch(
+    stream_df: DataFrame,
+    root: str,
+    sketch_uuid: str,
+    build_batch,
+    merge_two,
+    sort_cols: list[str],
+    checkpoint_dir: str | None,
+    trigger: dict[str, Any] | None,
+):
+    """Shared skeleton for mergeable-sketch maintenance (CMS sum / HLL
+    max): each micro-batch's sketch folds into the persisted one in a
+    SINGLE atomic overwrite commit carrying the exactly-once
+    ``(txn_id, batch_id)`` stamp — one dataset, so there is no torn
+    state at all. The merged frame is pinned eagerly before the
+    overwrite (the merge reads the files the store replaces)."""
+    spark = stream_df.sparkSession
+    txn_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from kartothek_spark.dataset.read import read_table
+        from kartothek_spark.dataset.write import store_dataframe_as_dataset
+
+        if batch_df.isEmpty():
+            return
+        if _batch_already_committed(root, sketch_uuid, batch_id, txn_id):
+            return
+        stamp = _batch_stamp(batch_id, txn_id)
+        new = build_batch(batch_df)
+        if DatasetManifest.exists(root, sketch_uuid):
+            merged = merge_two(
+                read_table(spark, root, sketch_uuid), new
+            ).localCheckpoint(eager=True)
+        else:
+            _purge_uncommitted_dataset_dir(root, sketch_uuid)
+            merged = new
+        store_dataframe_as_dataset(
+            spark, merged, root, sketch_uuid,
+            sort_partitions_by=sort_cols, metadata=stamp, overwrite=True,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def stream_cms_sketch(
+    stream_df: DataFrame,
+    root: str,
+    sketch_uuid: str = "cms",
+    text_col: str = "text",
+    depth: int | None = None,
+    width: int | None = None,
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming Count-Min maintenance: per-batch sketches fold in by
+    cell-wise SUM (CMS is mergeable), one atomic stamped commit per
+    batch. The drained sketch equals the batch sketch over everything
+    ingested — full value oracle. Returns the StreamingQuery."""
+    from kartothek_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_sketch,
+        merge_cms,
+    )
+
+    d = depth or CMS_DEPTH
+    w = width or CMS_WIDTH
+    return _stream_merge_sketch(
+        stream_df, root, sketch_uuid,
+        lambda b: cms_sketch(b, text_col, d, w),
+        merge_cms,
+        ["row", "col"], checkpoint_dir, trigger,
+    )
+
+
+def stream_hll_registers(
+    stream_df: DataFrame,
+    root: str,
+    sketch_uuid: str = "hll",
+    text_col: str = "text",
+    p: int | None = None,
+    group_cols: tuple[str, ...] = (),
+    checkpoint_dir: str | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Streaming HyperLogLog maintenance: per-batch registers fold in
+    by register-wise MAX (idempotent — even a replayed batch could not
+    corrupt the state), one atomic stamped commit per batch. The
+    drained registers equal the batch build over everything ingested —
+    full value oracle. Returns the StreamingQuery."""
+    from kartothek_spark.operators.sketch import HLL_P, hll_registers, merge_hll
+
+    pp = p or HLL_P
+    return _stream_merge_sketch(
+        stream_df, root, sketch_uuid,
+        lambda b: hll_registers(b, text_col, pp, group_cols),
+        lambda a, b: merge_hll(a, b, group_cols=group_cols),
+        [*group_cols, "bucket"], checkpoint_dir, trigger,
+    )

@@ -687,3 +687,37 @@ def test_bloom_verification_broadcasts_keys(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sketch_builds_combine_mapside(spark):
+    """CMS and HLL builds must partially aggregate map-side: at most
+    d·w cells / m registers reach the exchange regardless of corpus
+    size — the mergeable-sketch scale contract."""
+    from kartothek_spark.operators.sketch import cms_sketch, hll_registers
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text", "source"
+    )
+    for df, key in ((cms_sketch(docs), "row"), (hll_registers(docs), "bucket")):
+        plan = _plan(df)
+        pre = plan.split(f"Exchange hashpartitioning({key}", 1)
+        assert len(pre) == 2, plan[:1500]
+        assert "partial" in pre[1]
+        assert "CartesianProduct" not in plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """The probe join ships the (≤ d·w cell) sketch broadcast — probe
+    tokens never shuffle on (row, col)."""
+    from kartothek_spark.functions.hashing import tokens as _toks
+    from kartothek_spark.operators.sketch import cms_estimate, cms_sketch
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    probe = docs.where("doc_id < 3").select(
+        F.explode(_toks(F.col("text"))).alias("token")
+    ).distinct()
+    plan = _plan(cms_estimate(cms_sketch(docs), probe))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
