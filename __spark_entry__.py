@@ -2953,6 +2953,17 @@ def stream_clean_corpus(spark, sf_dir):
     return read_table(spark, root, "cc").select("doc_id", "lang", "n_chars")
 
 
+def corpus_novelty(spark, sf_dir):
+    """Per-doc 8-gram novelty vs a reference corpus (contamination
+    inverted — the eval-freshness report): the perturbed %11 slice is
+    scored against the full corpus, so recycled items show low novelty
+    while genuinely new text scores 1.0. Full value oracle."""
+    from kartothek_spark.operators.contamination import novelty_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return novelty_report(_bloom_bench(spark, sf_dir), docs, n=8)
+
+
 def corpus_cms_counts(spark, sf_dir):
     """The Count-Min sketch ITSELF over the corpus' token occurrences
     (depth×width cells, double-hashed rows — pure int64 arithmetic, so
@@ -4747,6 +4758,7 @@ _FRESH_PRIORITY = [
     "corpus_clean", "stream_clean_corpus",
     "corpus_cms_counts", "corpus_cms_estimate", "stream_cms",
     "corpus_hll_registers", "corpus_hll_estimate", "stream_hll",
+    "corpus_novelty",
     # round-7 persisted-index families
     "dedup_winnow_indexed", "dedup_winnow_index_sync", "corpus_winnow_probe",
     "stream_winnow_index", "dedup_cross_corpus_indexed",
@@ -4923,6 +4935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hll_registers": corpus_hll_registers,
         "corpus_hll_estimate": corpus_hll_estimate,
         "stream_hll": stream_hll,
+        "corpus_novelty": corpus_novelty,
         "corpus_contamination_report": corpus_contamination_report,
         "corpus_pack": corpus_pack,
         "corpus_chunk": corpus_chunk,
@@ -5927,6 +5940,12 @@ FROM toks
         ).decontaminate_sql(
             "SELECT * FROM documents", _BLOOM_BENCH_SQL, n=8,
             columns="doc_id, lang, n_chars",
+        ),
+        "corpus_novelty": __import__(
+            "kartothek_spark.operators.contamination",
+            fromlist=["novelty_report_sql"],
+        ).novelty_report_sql(
+            _BLOOM_BENCH_SQL, "SELECT * FROM documents", n=8
         ),
         "corpus_cms_counts": __import__(
             "kartothek_spark.operators.sketch", fromlist=["cms_sketch_sql"]

@@ -168,6 +168,7 @@ HEADLINE = [
     "corpus_cms_counts",        # Count-Min sketch build (d*w cells shuffle)
     "corpus_hll_estimate",      # per-source HLL cardinality estimates
     "stream_hll",               # streamed register-wise-max maintenance
+    "corpus_novelty",           # eval-freshness n-gram novelty report
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -180,12 +180,93 @@ WHERE {id_col} NOT IN (SELECT {id_col} FROM ({hits}))
 """
 
 
+def novelty_report(
+    df: DataFrame,
+    reference: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc n-gram novelty vs a reference corpus — contamination
+    inverted: ``(id, n_shingles, n_novel, novelty)`` where ``n_novel``
+    counts the doc's distinct n-gram shingles NOT occurring anywhere in
+    the reference and ``novelty = n_novel / n_shingles`` (round-6; docs
+    with no shingle at all report novelty 1.0 — nothing was recycled).
+    The eval-set freshness report: before trusting a new benchmark,
+    check its items aren't recycled training text. Same scale shape as
+    :func:`contamination_hits` — the reference's distinct shingle set
+    broadcasts, the scored side streams once, never shuffles on
+    content."""
+    ref_hashes = (
+        _doc_shingle_hashes(reference, text_col, id_col, n).select("_h").distinct()
+    )
+    doc_hashes = _doc_shingle_hashes(df, text_col, id_col, n)
+    counted = (
+        doc_hashes.join(
+            F.broadcast(ref_hashes.withColumn("__hit", F.lit(1))), "_h", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(counted, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_shingles"), F.lit(0)) == 0, F.lit(1.0)
+                ).otherwise(F.col("n_novel") / F.col("n_shingles")),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def novelty_report_sql(
+    df_sql: str,
+    reference_sql: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    sh = word_shingles_sql(text_col, n)
+    h = h60_sql("_sh")
+    return f"""
+WITH ref_h AS (
+  SELECT DISTINCT {h} AS _h, 1 AS __hit
+  FROM (SELECT unnest({sh}) AS _sh FROM ({reference_sql}))
+), doc_h AS (
+  SELECT {id_col}, {h} AS _h
+  FROM (SELECT {id_col}, unnest({sh}) AS _sh FROM ({df_sql}))
+), counted AS (
+  SELECT {id_col}, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN __hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM doc_h LEFT JOIN ref_h USING (_h)
+  GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       coalesce(n_shingles, 0) AS n_shingles,
+       coalesce(n_novel, 0) AS n_novel,
+       round(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 1.0
+             ELSE n_novel / n_shingles END, 6) AS novelty
+FROM (SELECT {id_col} FROM ({df_sql})) d LEFT JOIN counted USING ({id_col})
+"""
+
+
 # note on tokenization reuse: tokens_sql is imported for callers that
 # build custom oracle CTEs around this operator
 __all__ = [
     "contamination_hits",
     "decontaminate",
+    "novelty_report",
     "contamination_hits_sql",
     "decontaminate_sql",
+    "novelty_report_sql",
     "tokens_sql",
 ]

@@ -170,3 +170,30 @@ def test_history_check_is_broadcast_scan(spark, tmp_root):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ReadSchema: struct<fp:bigint>" in plan or "fp" in plan
+
+
+def test_novelty_report_planted_cases(spark):
+    """novelty_report semantics on planted docs: a verbatim copy of
+    reference text scores 0, unique text scores 1, and a doc too short
+    to carry ANY 8-gram reports novelty 1.0 (nothing was recycled)."""
+    from kartothek_spark.operators.contamination import novelty_report
+
+    ref_text = " ".join(f"ref{i}" for i in range(40))
+    new_text = " ".join(f"new{i}" for i in range(40))
+    half = " ".join(f"ref{i}" for i in range(20)) + " " + " ".join(
+        f"new{i}" for i in range(20)
+    )
+    ref = spark.createDataFrame([(100, ref_text)], "doc_id long, text string")
+    # a doc SHORTER than n still carries one partial shingle (the
+    # slice truncates — same in the SQL twin), and it scores as novel
+    probe = spark.createDataFrame(
+        [(1, ref_text), (2, new_text), (3, half), (4, "too short")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in novelty_report(probe, ref, n=8).collect()}
+    assert got[1].novelty == 0.0
+    assert got[2].novelty == 1.0
+    assert 0.0 < got[3].novelty < 1.0
+    assert got[4].n_shingles == 1 and got[4].novelty == 1.0
+    # counts are exact: a doc's novel + recycled == its distinct shingles
+    assert all(r.n_novel <= r.n_shingles for r in got.values())
