@@ -213,43 +213,6 @@ def bloom_member_expr(h: Column, words: list[int], m_bits: int, k: int) -> Colum
     return cond
 
 
-def _np_prefilter_func(words, m_bits: int, k: int, n_fields: int):
-    """mapInPandas prefilter for bitmaps past the codegen-literal cap:
-    keeps rows whose LAST column (a shingle-hash array) has any member
-    hash. Vectorized NumPy over Arrow batches — no per-row Python."""
-    import numpy as np
-
-    w = np.asarray(words, dtype=np.int64)
-
-    def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            col = pdf.iloc[:, n_fields - 1]
-            lens = np.fromiter(
-                (len(a) for a in col), dtype=np.int64, count=len(col)
-            )
-            if lens.sum() == 0:
-                yield pdf.iloc[0:0]
-                continue
-            # flatten every doc's hash array, test membership over the
-            # whole batch at once, then segment-reduce back to docs
-            h = np.concatenate([np.asarray(a, dtype=np.int64) for a in col])
-            h1 = h % _TWO_32
-            h2 = ((h >> 28) | 1) % _TWO_32
-            ok = np.ones(h.shape, dtype=bool)
-            for i in range(k):
-                pos = (h1 + i * h2) % m_bits
-                # words only ever set bits 0..62, so int64 >> is safe
-                ok &= ((w[pos // WORD_BITS] >> (pos % WORD_BITS)) & 1) == 1
-            doc = np.repeat(np.arange(len(col)), lens)
-            keep = np.bincount(doc[ok], minlength=len(col)) > 0
-            yield pdf[keep]
-
-    return run
-
-
 def _np_scalar_prefilter_func(words, m_bits: int, k: int, col_name: str):
     """mapInPandas prefilter for a SCALAR int64 hash column (the seen-
     fingerprint dedup path): keeps rows whose hash is a bitmap member.
@@ -285,49 +248,52 @@ def bloom_member_scalar(
     if not words:
         return df.where(F.lit(False))
     if len(words) <= EXPR_MAX_WORDS:
-        return df.where(bloom_member_expr(F.col(col), words, m_bits, k))
+        # bind the hash VALUE to a lambda variable before probing:
+        # FilterExec has no subexpression elimination, so a filter
+        # directly on bloom_member_expr(col) re-evaluates whatever
+        # expression Catalyst collapsed into `col` once per getbit
+        # probe (~4x the whole scan cost when col is an md5 pipeline —
+        # measured). A lambda variable is an evaluated value
+        # (functions/hashing.bind_once), so the k probes share ONE
+        # evaluation.
+        return df.where(
+            F.exists(
+                F.array(F.col(col)),
+                lambda x: bloom_member_expr(x, words, m_bits, k),
+            )
+        )
     return df.mapInPandas(
         _np_scalar_prefilter_func(words, m_bits, k, col), schema=df.schema
     )
 
 
-def _doc_hash_arrays(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, array<int64> distinct shingle hashes) — the prefilter's
-    per-doc unit. Tokenization staged once (bind_once inside
-    shingles_from_tokens); hashing rides a transform over the array."""
-    return df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_t")
-    ).select(
-        F.col(id_col),
-        F.transform(
-            shingles_from_tokens(F.col("_t"), n), lambda s: h60(s)
-        ).alias("_hs"),
-    )
+def _candidate_shingles(
+    df: DataFrame, words: list[int], m_bits: int, k: int,
+    text_col: str, id_col: str, n: int,
+) -> DataFrame:
+    """(id, kh) shingle rows passing the bitmap — the prefilter. Rides
+    the SAME exploded (id, hash) pipeline as the exact operator (one
+    tokenize + one md5 per shingle; an earlier per-doc array-EXISTS
+    form let Catalyst's project-collapse DUPLICATE the whole shingle
+    expression into both the filter and the downstream explode,
+    doubling the dominant hashing cost — plan-pinned narrow now)."""
+    from kartothek_spark.operators.contamination import _doc_shingle_hashes
 
-
-def _prefilter(cand_src: DataFrame, words: list[int], m_bits: int, k: int) -> DataFrame:
-    """Candidate docs: any shingle hash passes the bitmap. Expression
-    path under EXPR_MAX_WORDS, NumPy mapInPandas above."""
-    if len(words) <= EXPR_MAX_WORDS:
-        return cand_src.where(
-            F.exists(F.col("_hs"), lambda s: bloom_member_expr(s, words, m_bits, k))
-        )
-    return cand_src.mapInPandas(
-        _np_prefilter_func(words, m_bits, k, len(cand_src.columns)),
-        schema=cand_src.schema,
+    doc_h = _doc_shingle_hashes(df, text_col, id_col, n).withColumnRenamed(
+        "_h", "kh"
     )
+    return bloom_member_scalar(doc_h, "kh", words, m_bits, k)
 
 
 def _verify_hits(
     candidates: DataFrame, bench_keys: DataFrame, id_col: str
 ) -> DataFrame:
-    """Exact per-doc hit counts over the candidate set: explode the
-    (already distinct) shingle hashes, broadcast semi-join the true key
-    set — false positives die here, so the result equals
-    contamination_hits over the full corpus."""
+    """Exact per-doc hit counts over the candidate shingles: broadcast
+    semi-join the true key set — false positives die here, so the
+    result equals contamination_hits over the full corpus (the bitmap
+    has no false negatives, so no true hit was dropped upstream)."""
     return (
-        candidates.select(F.col(id_col), F.explode("_hs").alias("kh"))
-        .join(F.broadcast(bench_keys), "kh")
+        candidates.join(F.broadcast(bench_keys), "kh")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
@@ -354,7 +320,7 @@ def bloom_contamination_hits(
     if m_bits is None:
         m_bits = _size_m(bench_keys.count())
     words = _collect_words(bench_keys, m_bits, k)
-    cand = _prefilter(_doc_hash_arrays(train, text_col, id_col, n), words, m_bits, k)
+    cand = _candidate_shingles(train, words, m_bits, k, text_col, id_col, n)
     return _verify_hits(cand, bench_keys, id_col)
 
 
@@ -499,7 +465,7 @@ def bloom_contamination_hits_indexed(
     from kartothek_spark.dataset.read import read_table
 
     words, m_bits, k, n = _load_bloom(spark, root, index_uuid)
-    cand = _prefilter(_doc_hash_arrays(train, text_col, id_col, n), words, m_bits, k)
+    cand = _candidate_shingles(train, words, m_bits, k, text_col, id_col, n)
     keys = read_table(spark, root, _keys_uuid(index_uuid))
     return _verify_hits(cand, keys, id_col)
 

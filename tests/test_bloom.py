@@ -80,31 +80,62 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
 def test_bloom_expr_vs_numpy_path_parity(spark):
     """The inline-literal codegen path and the vectorized NumPy
     mapInPandas path (bitmaps past EXPR_MAX_WORDS) must keep the exact
-    same candidate set — the codegen-limit seam can never diverge."""
+    same candidate shingle set — the codegen-limit seam can never
+    diverge."""
     import kartothek_spark.operators.bloom as B
 
     docs = _docs(spark)
     bench = _bench(docs)
     keys = B._bench_shingle_keys(bench, 8, "text")
     words = B.dense_words(B.bloom_words(keys, M).collect(), M)
-    src = B._doc_hash_arrays(docs, "text", "doc_id", 8)
 
-    expr_ids = {
-        r.doc_id
-        for r in B._prefilter(src, words, M, B.DEFAULT_BLOOM_K).select("doc_id").collect()
-    }
+    def cand():
+        return {
+            (r.doc_id, r.kh)
+            for r in B._candidate_shingles(
+                docs, words, M, B.DEFAULT_BLOOM_K, "text", "doc_id", 8
+            ).collect()
+        }
+
+    expr_rows = cand()
     old = B.EXPR_MAX_WORDS
     B.EXPR_MAX_WORDS = 1  # force the NumPy path
     try:
-        np_ids = {
-            r.doc_id
-            for r in B._prefilter(src, words, M, B.DEFAULT_BLOOM_K)
-            .select("doc_id")
-            .collect()
+        np_rows = cand()
+    finally:
+        B.EXPR_MAX_WORDS = old
+    assert expr_rows and expr_rows == np_rows
+
+
+def test_bloom_scalar_expr_vs_numpy_parity(spark):
+    """The scalar-column membership filter (the streaming pipeline's
+    seen-fingerprint path) keeps the same rows through the codegen and
+    NumPy paths."""
+    import random
+
+    import kartothek_spark.operators.bloom as B
+
+    rng = random.Random(7)
+    members = rng.sample(range(1, 1 << 60), 300)
+    probe_vals = members[:150] + rng.sample(range(1, 1 << 60), 500)
+    keys = spark.createDataFrame([(x,) for x in members], "kh long")
+    m_bits = 1 << 14
+    words = B.dense_words(B.bloom_words(keys, m_bits).collect(), m_bits)
+    probe = spark.createDataFrame([(x,) for x in probe_vals], "fp long")
+
+    expr_hits = {
+        r.fp for r in B.bloom_member_scalar(probe, "fp", words, m_bits, 6).collect()
+    }
+    old = B.EXPR_MAX_WORDS
+    B.EXPR_MAX_WORDS = 1
+    try:
+        np_hits = {
+            r.fp for r in B.bloom_member_scalar(probe, "fp", words, m_bits, 6).collect()
         }
     finally:
         B.EXPR_MAX_WORDS = old
-    assert expr_ids and expr_ids == np_ids
+    assert set(members[:150]) <= expr_hits  # no false negatives
+    assert expr_hits == np_hits
 
 
 def test_bloom_index_sync_equals_build(spark, tmp_root):

@@ -634,8 +634,7 @@ def test_bloom_prefilter_is_pure_codegen(spark):
     from kartothek_spark.operators.bloom import (
         DEFAULT_BLOOM_K,
         _bench_shingle_keys,
-        _doc_hash_arrays,
-        _prefilter,
+        _candidate_shingles,
         bloom_words,
         dense_words,
     )
@@ -649,12 +648,16 @@ def test_bloom_prefilter_is_pure_codegen(spark):
         bloom_words(_bench_shingle_keys(bench, 8, "text"), m).collect(), m
     )
     plan = _plan(
-        _prefilter(_doc_hash_arrays(docs, "text", "doc_id", 8), words, m, DEFAULT_BLOOM_K)
+        _candidate_shingles(docs, words, m, DEFAULT_BLOOM_K, "text", "doc_id", 8)
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert py not in plan
+    # the shingle-hash expression must appear ONCE: the scalar-column
+    # prefilter shape can't be project-collapsed into a duplicate (the
+    # per-doc array-EXISTS form paid the md5 pass twice)
+    assert plan.count("md5") <= plan.count("Generate") + 1
 
 
 def test_bloom_words_build_combines_mapside(spark):
