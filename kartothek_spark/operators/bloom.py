@@ -425,6 +425,20 @@ def sync_bloom_index(
         metadata=dict(extra_metadata or {}),
     )
     all_keys = read_table(spark, root, _keys_uuid(index_uuid))
+    n_keys = all_keys.count()
+    if n_keys * 8 > m_bits:
+        # correctness survives ANY load factor (false positives die in
+        # the verification join) but the prefilter stops filtering —
+        # the whole point of the bitmap — so a saturating index should
+        # be rebuilt with a bigger m_bits
+        import warnings
+
+        warnings.warn(
+            f"bloom index {index_uuid!r} holds {n_keys} keys in "
+            f"{m_bits} bits (<8 bits/key): false-positive rate is "
+            "degrading; rebuild with a larger m_bits",
+            stacklevel=2,
+        )
     meta = {META_M_BITS: m_bits, META_K: k, META_N: n, **(extra_metadata or {})}
     return store_dataframe_as_dataset(
         spark,

@@ -213,3 +213,26 @@ def test_bloom_oversize_raises():
 
     with pytest.raises(ValueError, match="exact broadcast-join"):
         _size_m(MAX_BLOOM_BITS)  # 16 bits/key would blow the cap
+
+
+def test_bloom_sync_warns_on_saturation(spark, tmp_root):
+    """Growing the key set past ~8 bits/key must emit the saturation
+    warning (results stay exact; only the prefilter's selectivity
+    degrades)."""
+    import warnings as w
+
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.bloom import build_bloom_index, sync_bloom_index
+
+    docs = _docs(spark)
+    bench = _bench(docs)
+    # tiny bitmap: the benchmark slice carries thousands of shingles
+    build_bloom_index(
+        spark, bench.where(F.col("doc_id") % 22 == 0), tmp_root, "sat",
+        n=8, m_bits=1 << 13,
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        sync_bloom_index(spark, bench.where(F.col("doc_id") % 22 != 0), tmp_root, "sat")
+    assert any("false-positive rate is degrading" in str(c.message) for c in caught)
