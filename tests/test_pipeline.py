@@ -197,3 +197,23 @@ def test_novelty_report_planted_cases(spark):
     assert got[4].n_shingles == 1 and got[4].novelty == 1.0
     # counts are exact: a doc's novel + recycled == its distinct shingles
     assert all(r.n_novel <= r.n_shingles for r in got.values())
+
+
+def test_stream_clean_corpus_full_duplicate_batch(spark, tmp_root):
+    """Re-delivering an already-committed slice under a NEW checkpoint
+    (so the exactly-once stamp does NOT skip it) must append nothing:
+    every row is a cross-batch duplicate, the fingerprint bitmap flags
+    all of them, verification matches all of them, and the empty
+    append leaves the output unchanged."""
+    from kartothek_spark.dataset.read import read_table
+
+    ingest, bloom_root, slices = _stream_setup(spark, tmp_root)
+    _drain(spark, tmp_root, ingest, bloom_root, slices[:1], "_ckptA")
+    before = sorted(
+        r.doc_id for r in read_table(spark, tmp_root, "cc").select("doc_id").collect()
+    )
+    _drain(spark, tmp_root, ingest, bloom_root, slices[:1], "_ckptB")  # re-deliver
+    after = sorted(
+        r.doc_id for r in read_table(spark, tmp_root, "cc").select("doc_id").collect()
+    )
+    assert after == before
