@@ -1927,6 +1927,17 @@ def events_json_props(spark, sf_dir):
     )
 
 
+def events_resample(spark, sf_dir):
+    """Regular-grid time-series resampling with LOCF gap fill: per-user
+    6-hour grid over the user's own observation span, each point
+    carrying the latest event at-or-before it — a thin composition over
+    the keyed as-of join (one shuffle), oracled by DuckDB's native ASOF
+    LEFT JOIN over a generate_series grid. Full value oracle."""
+    from kartothek_spark.operators.temporal import resample_events
+
+    return resample_events(_events(spark, sf_dir), interval_seconds=21600)
+
+
 def events_asof(spark, sf_dir):
     """Distributed as-of join: attribute each purchase to the user's most
     recent page view at-or-before it (union + keyed window, one shuffle).
@@ -4758,7 +4769,7 @@ _FRESH_PRIORITY = [
     "corpus_clean", "stream_clean_corpus",
     "corpus_cms_counts", "corpus_cms_estimate", "stream_cms",
     "corpus_hll_registers", "corpus_hll_estimate", "stream_hll",
-    "corpus_novelty",
+    "corpus_novelty", "events_resample",
     # round-7 persisted-index families
     "dedup_winnow_indexed", "dedup_winnow_index_sync", "corpus_winnow_probe",
     "stream_winnow_index", "dedup_cross_corpus_indexed",
@@ -4889,6 +4900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_value": events_user_value,
         "events_quantiles": events_quantiles,
         "events_top_users": events_top_users,
+        "events_resample": events_resample,
         "events_asof": events_asof,
         "events_asof_tolerance": events_asof_tolerance,
         "events_asof_keyless": events_asof_keyless,
@@ -5528,6 +5540,9 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """,
+        "events_resample": __import__(
+            "kartothek_spark.operators.temporal", fromlist=["resample_events_sql"]
+        ).resample_events_sql("events", interval_seconds=21600),
         "events_asof": """
 WITH l AS (
   SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value

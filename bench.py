@@ -169,6 +169,7 @@ HEADLINE = [
     "corpus_hll_estimate",      # per-source HLL cardinality estimates
     "stream_hll",               # streamed register-wise-max maintenance
     "corpus_novelty",           # eval-freshness n-gram novelty report
+    "events_resample",          # regular-grid LOCF downsample via asof
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

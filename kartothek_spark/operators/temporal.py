@@ -464,3 +464,81 @@ FROM (SELECT activity.*, cohorts.cohort_start
       FROM activity JOIN cohorts USING (u)) a
 GROUP BY 1, 2
 """
+
+
+def resample_events(
+    events: DataFrame,
+    interval_seconds: int = 3600,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward
+    gap fill (the time-series downsample every metrics pipeline needs):
+    per ``by`` key, a grid of timestamps from the key's first to last
+    observation (floored to ``interval_seconds``), each grid point
+    carrying the LATEST event at-or-before it — ``(by, ts, last_id,
+    last_value)``, NULLs only on a grid point before the key's first
+    event (the floor of the minimum).
+
+    Composition, not new machinery: the grid explodes from one row per
+    key (``sequence`` of timestamps — narrow), observations are
+    deduplicated to one row per (key, ts) by max event id (the as-of
+    contract's uniqueness requirement; ``max_by`` both engines), and
+    the fill IS :func:`asof_join` backward — same single-shuffle keyed
+    window, same skew stance, oracled by DuckDB's native ASOF LEFT
+    JOIN. Grid volume is span/interval per key, independent of event
+    count — choose the interval for the dashboard, not the data."""
+    s = int(interval_seconds)
+    floor_ts = lambda c: F.timestamp_seconds(  # noqa: E731
+        (F.unix_timestamp(c) / s).cast("long") * s
+    )
+    grid = (
+        events.groupBy(by)
+        .agg(floor_ts(F.min(ts_col)).alias("__lo"), floor_ts(F.max(ts_col)).alias("__hi"))
+        .select(
+            by,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {s} SECONDS"))
+            ).alias(ts_col),
+        )
+    )
+    obs = events.groupBy(by, ts_col).agg(
+        F.max_by(id_col, id_col).alias("last_id"),
+        F.max_by(value_col, id_col).alias("last_value"),
+    )
+    return asof_join(grid, obs, on=ts_col, by=by)
+
+
+def resample_events_sql(
+    table: str,
+    interval_seconds: int = 3600,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    s = int(interval_seconds)
+    # CAST to naive TIMESTAMP: to_timestamp() is TIMESTAMPTZ in DuckDB
+    # and would render +00:00 against Spark's session-UTC naive values
+    fl = lambda e: (  # noqa: E731
+        f"CAST(to_timestamp(CAST(floor(epoch({e}) / {s}) AS BIGINT) * {s}) AS TIMESTAMP)"
+    )
+    return f"""
+WITH bounds AS (
+  SELECT {by}, {fl(f"min({ts_col})")} AS lo, {fl(f"max({ts_col})")} AS hi
+  FROM {table} GROUP BY {by}
+), grid AS (
+  SELECT {by}, unnest(generate_series(lo, hi, INTERVAL {s} SECOND)) AS {ts_col}
+  FROM bounds
+), obs AS (
+  SELECT {by}, {ts_col},
+         arg_max({id_col}, {id_col}) AS last_id,
+         arg_max({value_col}, {id_col}) AS last_value
+  FROM {table} GROUP BY {by}, {ts_col}
+)
+SELECT g.{by}, g.{ts_col}, o.last_id, o.last_value
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.{by} = o.{by} AND g.{ts_col} >= o.{ts_col}
+"""

@@ -217,3 +217,35 @@ def test_stream_clean_corpus_full_duplicate_batch(spark, tmp_root):
         r.doc_id for r in read_table(spark, tmp_root, "cc").select("doc_id").collect()
     )
     assert after == before
+
+
+def test_resample_events_locf_semantics(spark):
+    """Planted series: grid points inside a gap carry the LAST
+    observation forward; a grid point before the key's first event
+    (the floored minimum) is NULL; dup timestamps resolve to the max
+    event id."""
+    import datetime as dt
+
+    from kartothek_spark.operators.temporal import resample_events
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: events at :05, :07 (dup ts with ids 3>2), :35
+        (1, T(5), 1, 10.0),
+        (2, T(7), 1, 20.0),
+        (3, T(7), 1, 30.0),
+        (4, T(35), 1, 40.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r.user_id, r.ts.minute): (r.last_id, r.last_value)
+        for r in resample_events(ev, interval_seconds=600).collect()
+    }
+    # grid: floor(:05)=:00 .. floor(:35)=:30 step 10min
+    assert got[(1, 0)] == (None, None)          # before first event
+    assert got[(1, 10)] == (3, 30.0)            # dup ts -> max id wins
+    assert got[(1, 20)] == (3, 30.0)            # gap carries forward
+    assert got[(1, 30)] == (3, 30.0)            # :35 is after the :30 point
+    assert len(got) == 4
