@@ -489,7 +489,15 @@ def resample_events(
     the fill IS :func:`asof_join` backward — same single-shuffle keyed
     window, same skew stance, oracled by DuckDB's native ASOF LEFT
     JOIN. Grid volume is span/interval per key, independent of event
-    count — choose the interval for the dashboard, not the data."""
+    count — choose the interval for the dashboard, not the data.
+
+    Scale note: the grid materializes as ONE ``sequence`` array per key
+    before exploding, so span/interval is also the per-row array size —
+    a year at 1 s is a 31M-element array in a single task. For extreme
+    ratios, pre-split keys by coarse time range (e.g. resample each
+    month's slice and union) so every sequence stays bounded; the LOCF
+    fill then needs the previous slice's last observation appended to
+    the next slice's input (one row per key per boundary)."""
     s = int(interval_seconds)
     floor_ts = lambda c: F.timestamp_seconds(  # noqa: E731
         (F.unix_timestamp(c) / s).cast("long") * s
