@@ -1938,6 +1938,16 @@ def events_resample(spark, sf_dir):
     return resample_events(_events(spark, sf_dir), interval_seconds=21600)
 
 
+def events_gaps(spark, sf_dir):
+    """Silent-interval mining: per-user gaps of >= 24h between
+    consecutive events — one keyed window lag over the user's timeline
+    (same single shuffle as the keyed as-of join); exact integer-second
+    gap lengths. Full value oracle."""
+    from kartothek_spark.operators.temporal import event_gaps
+
+    return event_gaps(_events(spark, sf_dir), min_gap_seconds=86400)
+
+
 def events_asof(spark, sf_dir):
     """Distributed as-of join: attribute each purchase to the user's most
     recent page view at-or-before it (union + keyed window, one shuffle).
@@ -4769,7 +4779,7 @@ _FRESH_PRIORITY = [
     "corpus_clean", "stream_clean_corpus",
     "corpus_cms_counts", "corpus_cms_estimate", "stream_cms",
     "corpus_hll_registers", "corpus_hll_estimate", "stream_hll",
-    "corpus_novelty", "events_resample",
+    "corpus_novelty", "events_resample", "events_gaps",
     # round-7 persisted-index families
     "dedup_winnow_indexed", "dedup_winnow_index_sync", "corpus_winnow_probe",
     "stream_winnow_index", "dedup_cross_corpus_indexed",
@@ -4901,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": events_quantiles,
         "events_top_users": events_top_users,
         "events_resample": events_resample,
+        "events_gaps": events_gaps,
         "events_asof": events_asof,
         "events_asof_tolerance": events_asof_tolerance,
         "events_asof_keyless": events_asof_keyless,
@@ -5543,6 +5554,9 @@ FROM events GROUP BY event_type
         "events_resample": __import__(
             "kartothek_spark.operators.temporal", fromlist=["resample_events_sql"]
         ).resample_events_sql("events", interval_seconds=21600),
+        "events_gaps": __import__(
+            "kartothek_spark.operators.temporal", fromlist=["event_gaps_sql"]
+        ).event_gaps_sql("events", min_gap_seconds=86400),
         "events_asof": """
 WITH l AS (
   SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value

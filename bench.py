@@ -170,6 +170,7 @@ HEADLINE = [
     "stream_hll",               # streamed register-wise-max maintenance
     "corpus_novelty",           # eval-freshness n-gram novelty report
     "events_resample",          # regular-grid LOCF downsample via asof
+    "events_gaps",              # silent-interval mining (window lag)
 ]
 
 # each query is timed as the best of N runs: the box runs periodic

@@ -550,3 +550,50 @@ SELECT g.{by}, g.{ts_col}, o.last_id, o.last_value
 FROM grid g ASOF LEFT JOIN obs o
   ON g.{by} = o.{by} AND g.{ts_col} >= o.{ts_col}
 """
+
+
+def event_gaps(
+    events: DataFrame,
+    min_gap_seconds: int = 86400,
+    ts_col: str = "ts",
+    by: str = "user_id",
+) -> DataFrame:
+    """Silent-interval mining — the monitoring companion to
+    :func:`resample_events`: per ``by`` key, every gap between
+    consecutive events of at least ``min_gap_seconds`` as
+    ``(by, gap_start, gap_end, gap_seconds)``. One keyed window (lag
+    over the key's timeline — the same single shuffle and skew stance
+    as the keyed as-of join); the gap length is an exact integer
+    second difference, so the twin is value-exact."""
+    w = Window.partitionBy(by).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
+    return (
+        events.select(by, F.col(ts_col), prev.alias("gap_start"), gap.alias("gap_seconds"))
+        .where(F.col("gap_seconds") >= min_gap_seconds)
+        .select(
+            by,
+            "gap_start",
+            F.col(ts_col).alias("gap_end"),
+            F.col("gap_seconds").cast("long").alias("gap_seconds"),
+        )
+    )
+
+
+def event_gaps_sql(
+    table: str,
+    min_gap_seconds: int = 86400,
+    ts_col: str = "ts",
+    by: str = "user_id",
+) -> str:
+    return f"""
+WITH lagged AS (
+  SELECT {by}, {ts_col},
+         lag({ts_col}) OVER (PARTITION BY {by} ORDER BY {ts_col}) AS gap_start
+  FROM {table}
+)
+SELECT {by}, gap_start, {ts_col} AS gap_end,
+       CAST(floor(epoch({ts_col})) AS BIGINT) - CAST(floor(epoch(gap_start)) AS BIGINT) AS gap_seconds
+FROM lagged
+WHERE CAST(floor(epoch({ts_col})) AS BIGINT) - CAST(floor(epoch(gap_start)) AS BIGINT) >= {min_gap_seconds}
+"""

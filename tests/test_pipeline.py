@@ -249,3 +249,26 @@ def test_resample_events_locf_semantics(spark):
     assert got[(1, 20)] == (3, 30.0)            # gap carries forward
     assert got[(1, 30)] == (3, 30.0)            # :35 is after the :30 point
     assert len(got) == 4
+
+
+def test_event_gaps_planted(spark):
+    """Planted timeline: only the gap >= threshold surfaces, with the
+    exact bounding events and integer-second length; per-key isolation
+    (another key's events never close a gap)."""
+    import datetime as dt
+
+    from kartothek_spark.operators.temporal import event_gaps
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, 0.0),
+        (2, dt.datetime(2024, 1, 1, 0, 10), 1, 0.0),   # 600 s — below
+        (3, dt.datetime(2024, 1, 1, 2, 10), 1, 0.0),   # 7200 s — gap
+        (4, dt.datetime(2024, 1, 1, 1, 0), 2, 0.0),    # other key inside the gap
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = [(r.user_id, r.gap_start.minute + 60 * r.gap_start.hour,
+            r.gap_end.hour, r.gap_seconds)
+           for r in event_gaps(ev, min_gap_seconds=3600).collect()]
+    assert got == [(1, 10, 2, 7200)]
