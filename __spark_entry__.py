@@ -4819,21 +4819,59 @@ _FRESH_PRIORITY = [
 ]
 
 
-def _rotation_rounds_done() -> int:
+# Entries with NO oracle_sql() twin (driver records a weaker rows-only
+# check and renders `err: no_oracle`). Enumerated DEAD LAST so a driver
+# sample slot is never spent on an entry that cannot go green on values
+# (round 7 burned one slot on `embedding_kmeans_train`). Kept as an
+# explicit constant — tests/test_registry.py pins it equal to
+# queries() - oracle_sql() so it cannot drift.
+_ROWS_ONLY = frozenset({
+    "corpus_classifier_train",
+    "corpus_bpe",
+    "stream_kmeans_model",
+    "embedding_kmeans_train",
+})
+
+
+def _driver_sampled_ever() -> frozenset:
+    """Registry entries that already hold a driver hash row in ANY
+    committed CORRECTNESS_r*.json. Computed at enumeration time so the
+    rotation self-advances: once the driver writes round N's file, those
+    entries leave the front of the line automatically next round."""
     import glob
+    import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    sampled = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                sampled.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return frozenset(sampled)
 
 
 def _rotate_for_driver(base: dict) -> dict:
-    fresh = [k for k in _FRESH_PRIORITY if k in base]
-    seen = set(fresh)
-    fresh += [k for k in base if k not in _PERENNIAL_SAMPLED and k not in seen]
-    ordered = fresh + [k for k in base if k in _PERENNIAL_SAMPLED]
-    # rounds 1-6 predate the rotation; window 0 begins at round 7
-    start = (max(0, _rotation_rounds_done() - 6) * _DRIVER_WINDOW) % len(ordered)
-    return {k: base[k] for k in ordered[start:] + ordered[:start]}
+    """Pure presentation reorder: never-driver-sampled value-oracled
+    entries first (high-value families leading via _FRESH_PRIORITY,
+    then registry order), already-sampled entries next, rows-only
+    entries dead last. The driver hashes the first ~_DRIVER_WINDOW
+    entries, so each round's window lands on 50 first-time entries
+    that can all go green on row+schema+value hash."""
+    sampled = _driver_sampled_ever()
+    prio = {k: i for i, k in enumerate(_FRESH_PRIORITY)}
+    reg_pos = {k: i for i, k in enumerate(base)}
+
+    def bucket(k: str) -> int:
+        if k in _ROWS_ONLY:
+            return 2
+        return 1 if k in sampled else 0
+
+    ordered = sorted(
+        base, key=lambda k: (bucket(k), prio.get(k, len(prio)), reg_pos[k])
+    )
+    return {k: base[k] for k in ordered}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
