@@ -4284,9 +4284,13 @@ def corpus_diverse_sample(spark, sf_dir):
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """Approximate ANN (multi-table LSH) — no SQL oracle (approximate by
-    design); driver records rows-only. Recall against brute force is
-    gated separately by ``ann_lsh_recall``."""
+    """Approximate ANN (multi-table LSH) with a FULL value oracle:
+    the hyperplanes are deterministic constants and the plane dots fold
+    sequentially in float64 on both engines, so bucket ids, the
+    OR-amplified candidate set, and the fixed-point cosine rank are
+    bit-reproducible — ``lsh_topk_sql`` renders the identical computation
+    in DuckDB ("approximate" = recall vs brute force, which
+    ``ann_lsh_recall`` gates separately, not nondeterminism)."""
     from kartothek_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4312,17 +4316,6 @@ def ann_lsh_recall(spark, sf_dir):
         F.countDistinct("query_id").cast("long").alias("n_queries"),
         ((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")) >= 0.5).alias("recall_ok"),
     )
-
-
-def ann_ivf_topk(spark, sf_dir):
-    """Approximate ANN (IVF coarse quantizer, nprobe cells) — no SQL
-    oracle (approximate by design); driver records rows-only. The
-    ``ann_ivf_exhaustive`` entry oracles the same operator exactly."""
-    from kartothek_spark.operators.similarity import ivf_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, dim=EMB_DIM, n_centroids=8, nprobe=2)
 
 
 def ann_ivf_exhaustive(spark, sf_dir):
@@ -4670,7 +4663,10 @@ def multimodal_dups(spark, sf_dir):
 def stream_windowed_update(spark, sf_dir):
     """Structured Streaming: micro-batch ingest of events into a managed
     dataset via foreachBatch + atomic manifest commits, then windowed agg
-    over the managed dataset. Streaming machinery is non-SQL — rows-only."""
+    over the managed dataset. The drain is exactly-once (availableNow +
+    fresh checkpoint + atomic commits), so the managed dataset holds
+    exactly the staged events and the batch windowed-count SQL is a FULL
+    value oracle for the whole ingest→commit→read→aggregate path."""
     from kartothek_spark.streaming.update import stream_update_dataset, windowed_event_counts
     from kartothek_spark.dataset.read import read_table
 
@@ -4699,15 +4695,41 @@ def stream_windowed_update(spark, sf_dir):
 
 def stream_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): per-user
-    session state across micro-batches. Oracle = the batch sessionizer minus
-    each user's final (still-open-in-state) session — checked in
-    tests/test_streaming_state.py; here rows-only (streaming machinery)."""
+    session state across micro-batches, with a FULL value oracle.
+
+    The replay fixture makes the oracle exact rather than rows-only:
+    the event log is staged as two time-range-disjoint files with forced
+    ascending mtimes, so FileStreamSource (oldest-first) replays them in
+    event-time order and the per-user GroupState merge is the only
+    cross-batch mechanism exercised — exactly the production shape, where
+    a log's micro-batches arrive in time order. Timestamps are truncated
+    to whole seconds so the state's microsecond gap test (> 30 min) and
+    the SQL twin's epoch-seconds gap test decide identically. Emitted
+    rows = every CLOSED session; each user's final session stays open in
+    state, so the twin drops each user's max session_seq row."""
     from kartothek_spark.streaming.update import sessionize_stream
 
     root = tempfile.mkdtemp(prefix="ktk_sess_")
-    ev = _events(spark, sf_dir).select("user_id", "ts").where(F.col("user_id") < 100)
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id") < 100)
+        .select("user_id", F.date_trunc("second", F.col("ts")).alias("ts"))
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
     src = os.path.join(root, "src")
-    ev.repartition(2).write.parquet(src)
+    os.makedirs(src)
+    import shutil
+
+    for i, part in enumerate(
+        (ev.where(F.col("ts") <= F.lit(mid)), ev.where(F.col("ts") > F.lit(mid)))
+    ):
+        d = os.path.join(root, f"slice{i}")
+        part.coalesce(1).write.parquet(d)
+        pf = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch-{i:03d}.parquet")
+        shutil.copyfile(os.path.join(d, pf), dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
     stream = (
         spark.readStream.format("parquet")
         .schema(ev.schema)
@@ -4861,16 +4883,15 @@ def _rotate_for_driver(base: dict) -> dict:
     that can all go green on row+schema+value hash."""
     sampled = _driver_sampled_ever()
     prio = {k: i for i, k in enumerate(_FRESH_PRIORITY)}
-    reg_pos = {k: i for i, k in enumerate(base)}
 
     def bucket(k: str) -> int:
         if k in _ROWS_ONLY:
             return 2
         return 1 if k in sampled else 0
 
-    ordered = sorted(
-        base, key=lambda k: (bucket(k), prio.get(k, len(prio)), reg_pos[k])
-    )
+    # name as the final tiebreak (NOT dict position): queries() and
+    # oracle_sql() must enumerate in the identical order
+    ordered = sorted(base, key=lambda k: (bucket(k), prio.get(k, len(prio)), k))
     return {k: base[k] for k in ordered}
 
 
@@ -5074,7 +5095,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_planted": ann_ivfpq_planted,
         "ann_pq_index_search": ann_pq_index_search,
         "ann_pq_index_sync": ann_pq_index_sync,
-        "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_exhaustive": ann_ivf_exhaustive,
         "multimodal_plumbing": multimodal_plumbing,
         "multimodal_features": multimodal_features,
@@ -6271,6 +6291,12 @@ FROM embeddings WHERE vec_id < 5
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < 10
 """,
+        # full value twin of the multi-table LSH result itself: constant
+        # hyperplanes + sequential float64 plane folds + fixed-point
+        # cosine are bit-reproducible cross-engine
+        "ann_lsh_topk": _sim.lsh_topk_sql(
+            "embeddings", "vec_id < 10", k=5, dim=EMB_DIM, planes=4, tables=16
+        ),
         # hybrid-ANN composition gate: the fused list is k=10 by
         # construction (80 candidates feed the fusion) and the 0.5
         # overlap floor sits far below the measured 0.70-0.90
@@ -6395,6 +6421,42 @@ CROSS JOIN guard
 WHERE guard.ok = 1
 GROUP BY f.doc_id, d.text
 """,
-        # ann_lsh_topk, multimodal_features, stream_windowed_update:
-        # intentionally no oracle (approximate / Python featurizer / streaming)
+        # exactly-once drain: the managed dataset holds exactly the staged
+        # events, so the ingest→commit→read→window path shares the batch
+        # hourly-count twin verbatim
+        "stream_windowed_update": """
+SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+        # time-ordered two-batch replay + whole-second timestamps make the
+        # stateful sessionizer's emitted set exactly "every closed session":
+        # the batch sessionizer minus each user's final (open) session
+        "stream_sessionize": """
+WITH src AS (
+  SELECT user_id, date_trunc('second', ts) AS ts FROM events WHERE user_id < 100
+), marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_part('epoch', ts) - date_part('epoch', lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+), sessions AS (
+  SELECT user_id, session_seq,
+         min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sessions s
+WHERE session_seq < (SELECT max(session_seq) FROM sessions m WHERE m.user_id = s.user_id)
+""",
+        # remaining entries WITHOUT an oracle (_ROWS_ONLY): iterative
+        # float training (kmeans/classifier/BPE merges) has no SQL twin;
+        # each is value-pinned by pytest instead
     })

@@ -651,9 +651,9 @@ def lsh_bucket(vec: Column, dim: int, planes: int = LSH_PLANES, table: int = 0) 
     return total
 
 
-def lsh_bucket_sql(vec: str, dim: int, planes: int = LSH_PLANES) -> str:
+def lsh_bucket_sql(vec: str, dim: int, planes: int = LSH_PLANES, table: int = 0) -> str:
     def plane_dot(p: int) -> str:
-        lit = "[" + ", ".join(repr(_plane_weight(p, j)) for j in range(dim)) + "]"
+        lit = "[" + ", ".join(repr(_plane_weight(p, j, table)) for j in range(dim)) + "]"
         return (
             f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
             f"list_transform(range(1, {dim + 1}), i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i])), "
@@ -665,6 +665,52 @@ def lsh_bucket_sql(vec: str, dim: int, planes: int = LSH_PLANES) -> str:
         for p in range(planes)
     )
     return f"({terms})"
+
+
+def lsh_topk_sql(
+    table: str,
+    query_filter: str,
+    k: int,
+    dim: int,
+    planes: int = LSH_PLANES,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact SQL value twin of :func:`lsh_topk`: the hyperplanes are
+    deterministic constants (:func:`_plane_weight`) and every plane dot
+    is a SEQUENTIAL left fold in float64 — the identical IEEE op sequence
+    as the batched NumPy pass in ``_lsh_index_side`` — so per-table bucket
+    ids, the OR-amplified candidate set, and the fixed-point cosine rank
+    are all bit-reproducible cross-engine. This upgrades the approximate
+    operator from a rows-only driver check to a full value-hash oracle:
+    \"approximate\" refers to recall vs brute force, not to any
+    nondeterminism in the computed result."""
+    bucket_list = "[" + ", ".join(
+        lsh_bucket_sql(vec_col, dim, planes, table=t) for t in range(tables)
+    ) + "]"
+    return f"""
+WITH quant AS (
+  SELECT {id_col} AS id, {quantize_sql(vec_col)} AS qv, {bucket_list} AS bs
+  FROM {table}
+), base AS (
+  SELECT id, qv, {qdot_sql('qv', 'qv', dim)} AS n, bs FROM quant
+), idx AS (
+  SELECT id, qv, n, tt.t AS tbl, bs[tt.t + 1] AS bkt
+  FROM base, (SELECT unnest(range(0, {tables})) AS t) tt
+), q AS (
+  SELECT i.* FROM idx i JOIN {table} t ON i.id = t.{id_col} WHERE {query_filter}
+), cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
+         {cos_from_ints_sql(qdot_sql('q.qv', 'c.qv', dim), 'q.n', 'c.n')} AS cos_sim
+  FROM idx c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt
+  WHERE q.id <> c.id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
 
 
 def diversity_sample(
