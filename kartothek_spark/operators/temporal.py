@@ -44,6 +44,7 @@ def asof_join(
     by: str | list[str] | None = None,
     direction: str = "backward",
     tolerance=None,
+    salt_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row joined to the latest ``right``
     row with ``right.on <= left.on`` (``direction='backward'``; ties
@@ -85,12 +86,34 @@ def asof_join(
     a single timeline across range partitions with a boundary carry:
     ``asof_join(l.where(hot), r.where(hot), on=on, by=None)`` unioned
     with the keyed join of the remainder. Pinned by
-    ``tests/test_operators.py::test_asof_join_keyed_skew``."""
+    ``tests/test_operators.py::test_asof_join_keyed_skew``.
+
+    ``salt_seconds`` (keyed form only) is the IN-OPERATOR version of that
+    stance — opt-in coarse-time salting so a single viral key cannot pin
+    the join to one task: the window partitions on
+    ``(by, floor(on / salt_seconds))``, splitting each key's timeline
+    into bounded buckets, and the cross-bucket LOCF is repaired with a
+    boundary carry — per (key, bucket), the latest right observation of
+    any EARLIER bucket (running fill over the tiny per-(key, bucket)
+    spine, one synthetic row per boundary — the same trick as the
+    keyless path's partition-boundary exchange, and as
+    :func:`resample_events`'s slice carry). Value-identical to the
+    unsalted join by construction for every direction and tolerance
+    (pinned by ``tests/test_operators.py::test_asof_join_salted_parity``);
+    the cost is two extra small shuffles over the bucket spine. Size
+    ``salt_seconds`` so a hot key's densest bucket fits one task
+    comfortably (e.g. hours for second-grained data)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"asof_join: direction must be backward|forward|nearest, got {direction!r}"
         )
     by = [by] if isinstance(by, str) else list(by or [])
+    if salt_seconds is not None and not by:
+        raise ValueError(
+            "asof_join: salt_seconds applies to the keyed form only — the "
+            "keyless path already parallelizes one timeline via the "
+            "range-partitioned prefix scan"
+        )
     l_payload = [c for c in left.columns if c not in by + [on]]
     r_payload = [c for c in right.columns if c not in by + [on]]
     clash = set(l_payload) & set(r_payload)
@@ -169,6 +192,84 @@ def asof_join(
             *[F.col(c) for c in l_payload],
             *[F.col("__r").getField(c).alias(c) for c in r_payload],
         )
+
+    if by and salt_seconds is not None:
+        # coarse-time salted keyed form: window on (by, time-bucket) so a
+        # hot key's timeline splits across span/salt tasks; cross-bucket
+        # LOCF repaired by a boundary carry over the (key, bucket) spine
+        on_t = dict(u.dtypes)[on]
+        sec = F.unix_timestamp(F.col(on)) if "timestamp" in on_t else F.col(on)
+        ub = u.withColumn(
+            "__bk", F.floor(sec / F.lit(int(salt_seconds))).cast("long")
+        )
+        is_r = F.col("__is_l") == 0
+
+        def _bucket_carry(d: str) -> DataFrame:
+            # per (key, bucket): the last right struct in traversal order
+            # (max time for backward, min for forward; right rows unique
+            # per (by, on) by contract so the pick is well-defined), then
+            # a running fill over buckets STRICTLY EARLIER in traversal —
+            # the spine is one row per (key, bucket), tiny next to data
+            pick = F.max_by if d == "backward" else F.min_by
+            lasts = ub.groupBy(*by, "__bk").agg(
+                pick(F.when(is_r, F.col("__r")), F.when(is_r, F.col(on))).alias("__pl")
+            )
+            o = F.col("__bk").asc() if d == "backward" else F.col("__bk").desc()
+            wc = (
+                Window.partitionBy(*by)
+                .orderBy(o)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            return lasts.select(
+                *by,
+                "__bk",
+                F.last("__pl", ignorenulls=True).over(wc).alias(f"__carry_{d}"),
+            )
+
+        def _wfill(d: str):
+            o = F.col(on).asc() if d == "backward" else F.col(on).desc()
+            return (
+                Window.partitionBy(*by, "__bk")
+                .orderBy(o, F.col("__is_l").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+
+        keys = by + ["__bk"]
+        if direction == "nearest":
+            d2 = (
+                ub.withColumn(
+                    "__fb", F.last("__r", ignorenulls=True).over(_wfill("backward"))
+                )
+                .withColumn(
+                    "__ff", F.last("__r", ignorenulls=True).over(_wfill("forward"))
+                )
+                .join(_bucket_carry("backward"), keys, "left")
+                .join(_bucket_carry("forward"), keys, "left")
+                .withColumn(
+                    "__rb",
+                    _tol_nullify(F.coalesce("__fb", "__carry_backward"), "backward"),
+                )
+                .withColumn(
+                    "__rf",
+                    _tol_nullify(F.coalesce("__ff", "__carry_forward"), "forward"),
+                )
+            )
+            return _explode(
+                d2.withColumn("__r", _pick_nearest(F.col("__rb"), F.col("__rf")))
+            )
+        d1 = (
+            ub.withColumn(
+                "__fill", F.last("__r", ignorenulls=True).over(_wfill(direction))
+            )
+            .join(_bucket_carry(direction), keys, "left")
+            .withColumn(
+                "__r",
+                _tol_nullify(
+                    F.coalesce("__fill", f"__carry_{direction}"), direction
+                ),
+            )
+        )
+        return _explode(d1)
 
     if by:
         if direction == "nearest":
@@ -466,6 +567,68 @@ GROUP BY 1, 2
 """
 
 
+def resample_grid(
+    events: DataFrame,
+    interval_seconds: int,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    max_grid_points: int | None = None,
+    keep_slice: bool = False,
+) -> DataFrame:
+    """The regular grid of :func:`resample_events`: per ``by`` key, one
+    row per ``interval_seconds`` step from the key's floored min to max
+    timestamp. With ``max_grid_points`` the generation is a TWO-LEVEL
+    bounded explode — the outer level walks slice indices (array of
+    ceil(n/max) elements), the inner ``sequence`` covers one slice's at
+    most ``max_grid_points`` timestamps — so no task ever materializes a
+    span-sized array. ``keep_slice`` exposes the slice ordinal for the
+    bound test (``tests/test_operators.py::test_resample_grid_bounded``)."""
+    s = int(interval_seconds)
+    floor_ts = lambda c: F.timestamp_seconds(  # noqa: E731
+        (F.unix_timestamp(c) / s).cast("long") * s
+    )
+    bounds = events.groupBy(by).agg(
+        floor_ts(F.min(ts_col)).alias("__lo"), floor_ts(F.max(ts_col)).alias("__hi")
+    )
+    if max_grid_points is None:
+        return bounds.select(
+            by,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {s} SECONDS"))
+            ).alias(ts_col),
+        )
+    m = int(max_grid_points)
+    if m < 2:
+        raise ValueError("resample_grid: max_grid_points must be >= 2")
+    # slice i covers grid points [i*m, (i+1)*m) of the key's range —
+    # both explode levels are bounded: outer by ceil(n/m), inner by m
+    n = (F.unix_timestamp("__hi") - F.unix_timestamp("__lo")) / F.lit(s) + 1
+    sliced = bounds.select(
+        by,
+        "__lo",
+        "__hi",
+        F.explode(F.sequence(F.lit(0), F.ceil(n / m).cast("long") - 1)).alias(
+            "__slice"
+        ),
+    )
+    slice_lo = F.timestamp_seconds(
+        F.unix_timestamp("__lo") + F.col("__slice") * (m * s)
+    )
+    slice_hi = F.least(
+        F.col("__hi"),
+        F.timestamp_seconds(
+            F.unix_timestamp("__lo") + (F.col("__slice") + 1) * (m * s) - s
+        ),
+    )
+    return sliced.select(
+        by,
+        *(["__slice"] if keep_slice else []),
+        F.explode(
+            F.sequence(slice_lo, slice_hi, F.expr(f"INTERVAL {s} SECONDS"))
+        ).alias(ts_col),
+    )
+
+
 def resample_events(
     events: DataFrame,
     interval_seconds: int = 3600,
@@ -473,6 +636,7 @@ def resample_events(
     by: str = "user_id",
     id_col: str = "event_id",
     value_col: str = "value",
+    max_grid_points: int | None = None,
 ) -> DataFrame:
     """Regular-grid resampling with last-observation-carried-forward
     gap fill (the time-series downsample every metrics pipeline needs):
@@ -491,32 +655,36 @@ def resample_events(
     JOIN. Grid volume is span/interval per key, independent of event
     count — choose the interval for the dashboard, not the data.
 
-    Scale note: the grid materializes as ONE ``sequence`` array per key
-    before exploding, so span/interval is also the per-row array size —
-    a year at 1 s is a 31M-element array in a single task. For extreme
-    ratios, pre-split keys by coarse time range (e.g. resample each
-    month's slice and union) so every sequence stays bounded; the LOCF
-    fill then needs the previous slice's last observation appended to
-    the next slice's input (one row per key per boundary)."""
+    Scale note: unbounded, the grid materializes as ONE ``sequence``
+    array per key before exploding, so span/interval is also the per-row
+    array size — a year at 1 s is a 31M-element array in a single task.
+    ``max_grid_points`` bounds it IN CODE: the key's span pre-splits
+    into slices of at most that many grid points (a two-level explode —
+    the outer slice index array holds span/(interval·max) elements, the
+    inner ``sequence`` at most ``max_grid_points``), and the LOCF fill
+    runs as the coarse-time SALTED as-of join with ``salt_seconds``
+    aligned to the slice width, so the previous slice's last observation
+    is carried across every boundary (one spine row per key per slice —
+    :func:`asof_join`'s documented carry contract). Value-identical to
+    the unbounded form (pinned by
+    ``tests/test_operators.py::test_resample_sliced_parity``); size
+    ``max_grid_points`` near sqrt(max span/interval) so neither level's
+    array dominates."""
     s = int(interval_seconds)
-    floor_ts = lambda c: F.timestamp_seconds(  # noqa: E731
-        (F.unix_timestamp(c) / s).cast("long") * s
-    )
-    grid = (
-        events.groupBy(by)
-        .agg(floor_ts(F.min(ts_col)).alias("__lo"), floor_ts(F.max(ts_col)).alias("__hi"))
-        .select(
-            by,
-            F.explode(
-                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {s} SECONDS"))
-            ).alias(ts_col),
-        )
+    grid = resample_grid(
+        events, s, ts_col=ts_col, by=by, max_grid_points=max_grid_points
     )
     obs = events.groupBy(by, ts_col).agg(
         F.max_by(id_col, id_col).alias("last_id"),
         F.max_by(value_col, id_col).alias("last_value"),
     )
-    return asof_join(grid, obs, on=ts_col, by=by)
+    return asof_join(
+        grid,
+        obs,
+        on=ts_col,
+        by=by,
+        salt_seconds=None if max_grid_points is None else int(max_grid_points) * s,
+    )
 
 
 def resample_events_sql(

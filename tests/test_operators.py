@@ -1880,3 +1880,111 @@ def test_ngram_containment_asymmetric(spark):
     # doc-level jaccard misses the same pair at any comparable threshold
     jac = ngram_jaccard_pairs(df, n=6, threshold=0.8).collect()
     assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
+
+
+def test_asof_join_salted_parity(spark):
+    """The opt-in coarse-time salt (window on (key, time-bucket) + spine
+    boundary carry) must be value-identical to the unsalted keyed join
+    for every direction and with tolerance — including matches that
+    cross MANY empty buckets — and its plan must actually partition the
+    window on the salt bucket."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.temporal import asof_join
+
+    # hot key with a dense timeline + sparse right side whose matches
+    # must carry across several thousand-second buckets of silence
+    left = spark.range(4000).select(
+        F.when(F.col("id") % 4 < 3, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") * 7 % 9973).alias("ts"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(40).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") * 251).alias("ts"),
+        (F.col("id") * 10).alias("rv"),
+    )
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 300):
+            plain = asof_join(left, right, on="ts", by="k", direction=direction, tolerance=tol)
+            salted = asof_join(
+                left, right, on="ts", by="k", direction=direction, tolerance=tol,
+                salt_seconds=1000,
+            )
+            a = {tuple(r) for r in plain.collect()}
+            b = {tuple(r) for r in salted.collect()}
+            assert a == b, f"salted mismatch: direction={direction} tol={tol}"
+    plan = (
+        asof_join(left, right, on="ts", by="k", salt_seconds=1000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__bk" in plan  # the window really partitions on the salt bucket
+    with pytest.raises(ValueError, match="keyed form only"):
+        asof_join(left.drop("k"), right.drop("k"), on="ts", by=None, salt_seconds=10)
+
+
+def _resample_fixture(spark):
+    from pyspark.sql import functions as F
+
+    # user 1: observations then LONG silence (many empty slices — the
+    # LOCF value must carry across every slice boundary), then a burst;
+    # user 2: a single observation (degenerate one-point grid)
+    rows = [
+        (1, 10, 100, 1.5),
+        (1, 130, 101, 2.5),
+        (1, 5000, 102, 3.5),
+        (1, 5020, 103, 4.5),
+        (2, 777, 200, 9.0),
+    ]
+    return (
+        spark.createDataFrame(rows, "user_id long, sec long, event_id long, value double")
+        .select(
+            "user_id",
+            F.timestamp_seconds(F.col("sec")).alias("ts"),
+            "event_id",
+            "value",
+        )
+    )
+
+
+def test_resample_sliced_parity(spark):
+    """resample_events(max_grid_points=...) (bounded two-level explode +
+    slice-aligned salted as-of fill) must equal the unbounded form row
+    for row, including grid points whose LOCF observation lives many
+    slices back."""
+    from kartothek_spark.operators.temporal import resample_events
+
+    ev = _resample_fixture(spark)
+    base = resample_events(ev, interval_seconds=60)
+    sliced = resample_events(ev, interval_seconds=60, max_grid_points=7)
+    a = {tuple(r) for r in base.collect()}
+    b = {tuple(r) for r in sliced.collect()}
+    assert a == b
+    assert len(a) > 80  # user 1 spans ~84 grid points
+    # the fill must really run salted (slice-aligned buckets in the plan)
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "__bk" in plan
+
+
+def test_resample_grid_bounded(spark):
+    """No slice of the bounded grid may exceed max_grid_points, the
+    slices must tile the unbounded grid exactly, and the degenerate
+    parameter is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.temporal import resample_grid
+
+    ev = _resample_fixture(spark)
+    m = 7
+    bounded = resample_grid(ev, 60, max_grid_points=m, keep_slice=True)
+    sizes = bounded.groupBy("user_id", "__slice").count().collect()
+    assert sizes and max(r["count"] for r in sizes) <= m
+    # a full slice exists (the bound is tight, not accidentally tiny)
+    assert any(r["count"] == m for r in sizes)
+    flat = {(r.user_id, r.ts) for r in bounded.drop("__slice").collect()}
+    full = {(r.user_id, r.ts) for r in resample_grid(ev, 60).collect()}
+    assert flat == full
+    with pytest.raises(ValueError, match="max_grid_points"):
+        resample_grid(ev, 60, max_grid_points=1).collect()
