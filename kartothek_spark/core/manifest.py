@@ -65,6 +65,41 @@ class CommitConflict(RuntimeError):
     (:func:`kartothek_spark.dataset.write.update_dataset`)."""
 
 
+class ConditionalPutStore:
+    """SPEC.md §7's object-store atomicity stance as a code seam.
+
+    A store adapter implementing these three methods can be attached to a
+    loaded manifest (:meth:`DatasetManifest.attach_conditional_store`);
+    :meth:`DatasetManifest.commit` then swaps the LIVE manifest object
+    through ``put_if_match`` — S3 ``If-Match`` on the ETag observed at
+    load, or ``If-None-Match: *`` (``expected_etag=None``) for creation —
+    making the optimistic-concurrency check exact instead of
+    read-check-swap. Duck-typed protocol (subclassing optional):
+
+    - ``etag(path) -> str | None``: current ETag, None if absent.
+    - ``put_if_match(path, data, expected_etag)``: atomically write iff
+      the object's ETag equals ``expected_etag`` (None = must not exist);
+      raise :class:`CommitConflict` otherwise.
+    - ``put(path, data)``: unconditional write (``check_conflict=False``
+      deliberate-overwrite semantics).
+
+    Only the live-manifest swap is conditional: history snapshots and
+    partition sidecars are written to version-unique names BEFORE the
+    swap (write-once keys, no contention — SPEC.md §7's ordering), so
+    plain puts suffice for them on any store."""
+
+    def etag(self, path: str) -> str | None:  # pragma: no cover - protocol
+        raise NotImplementedError
+
+    def put_if_match(
+        self, path: str, data: bytes, expected_etag: str | None
+    ) -> None:  # pragma: no cover - protocol
+        raise NotImplementedError
+
+    def put(self, path: str, data: bytes) -> None:  # pragma: no cover - protocol
+        raise NotImplementedError
+
+
 _SAFE_SEGMENT = None  # compiled lazily (regex import cost at module load)
 
 
@@ -246,6 +281,13 @@ class DatasetManifest:
     # True once this in-memory state corresponds to a committed manifest —
     # the next commit() then advances the version (never serialized)
     _persisted: bool = field(default=False, repr=False, compare=False)
+    # SPEC.md §7 seam: when attached (attach_conditional_store), the live
+    # manifest swap goes through the store's put-if-match instead of the
+    # local read-check-swap — the S3 `If-Match` stance, exact by
+    # construction (never serialized)
+    _cond_store: Any = field(default=None, repr=False, compare=False)
+    # the store ETag this state was loaded against (the If-Match value)
+    _loaded_etag: str | None = field(default=None, repr=False, compare=False)
     # root-relative path of the sidecar for the version being written
     # (set by commit(); never serialized as state — the serialized form
     # is the "partitions_ref" pointer itself)
@@ -588,9 +630,10 @@ class DatasetManifest:
         ``update_dataset(max_conflict_retries=...)``); pass
         ``check_conflict=False`` for deliberate overwrite semantics. On an
         object store the check maps to a conditional put (put-if-match on
-        the manifest object), making it exact rather than read-check-swap.
+        the manifest object), making it exact rather than read-check-swap —
+        attach a :class:`ConditionalPutStore` to take that path.
         """
-        if check_conflict:
+        if check_conflict and self._cond_store is None:
             disk_exists = type(self).exists(self.root, self.dataset_uuid)
             if not self._persisted:
                 if disk_exists:
@@ -635,14 +678,32 @@ class DatasetManifest:
             # orphan snapshot that the next commit overwrites harmlessly
             os.makedirs(self.history_root, exist_ok=True)
             self._write_blob(self.history_path(self.version))
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-        try:
-            self._write_fd(fd)
-            os.replace(tmp, self.manifest_path)
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        if self._cond_store is not None:
+            # exact swap: If-Match on the load-time ETag (If-None-Match:*
+            # for creation); the store raises CommitConflict on staleness
+            data = self._serialize()
+            if check_conflict:
+                expected = self._loaded_etag if self._persisted else None
+                try:
+                    self._cond_store.put_if_match(self.manifest_path, data, expected)
+                except CommitConflict:
+                    # roll the version bump back — this state was NOT
+                    # committed; the caller reloads and rebases
+                    if self._persisted:
+                        self.version -= 1
+                    raise
+            else:
+                self._cond_store.put(self.manifest_path, data)
+            self._loaded_etag = self._cond_store.etag(self.manifest_path)
+        else:
+            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+            try:
+                self._write_fd(fd)
+                os.replace(tmp, self.manifest_path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
         self._persisted = True
         if self._sidecar_ref and not self.keep_history:
             # no time travel -> superseded sidecars are unreferenced now;
@@ -666,19 +727,33 @@ class DatasetManifest:
                 os.unlink(tmp)
             raise
 
-    def _write_fd(self, fd: int) -> None:
+    def attach_conditional_store(self, store: "ConditionalPutStore") -> None:
+        """Route this manifest's live swaps through ``store``'s
+        conditional put (SPEC.md §7). Captures the CURRENT ETag as the
+        If-Match baseline — attach immediately after load, before any
+        concurrent writer can move the object."""
+        self._cond_store = store
+        self._loaded_etag = (
+            store.etag(self.manifest_path) if self._persisted else None
+        )
+
+    def _serialize(self) -> bytes:
+        """The manifest's exact on-disk byte representation (SPEC.md §3):
+        plain JSON, or the 8-byte-length-prefixed zstd frame."""
         if self.storage_format == "zstd":
             import pyarrow as pa
 
             payload = json.dumps(
                 self.to_dict(), default=str, separators=(",", ":")
             ).encode("utf-8")
-            with os.fdopen(fd, "wb") as fh:
-                fh.write(len(payload).to_bytes(8, "little"))
-                fh.write(pa.Codec("zstd").compress(payload, asbytes=True))
-        else:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(self.to_dict(), fh, default=str)
+            return len(payload).to_bytes(8, "little") + pa.Codec("zstd").compress(
+                payload, asbytes=True
+            )
+        return json.dumps(self.to_dict(), default=str).encode("utf-8")
+
+    def _write_fd(self, fd: int) -> None:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(self._serialize())
 
 
 def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) -> None:

@@ -236,3 +236,113 @@ def test_bloom_sync_warns_on_saturation(spark, tmp_root):
         w.simplefilter("always")
         sync_bloom_index(spark, bench.where(F.col("doc_id") % 22 != 0), tmp_root, "sat")
     assert any("false-positive rate is degrading" in str(c.message) for c in caught)
+
+
+# --- property test: no false negatives under adversarial m/k ---------------
+
+try:
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+_spark_for_prop = None
+
+
+@pytest.fixture()
+def prop_spark(spark):
+    # hypothesis forbids function-scoped fixtures inside @given bodies
+    # re-running per example; stash the session module-globally instead
+    global _spark_for_prop
+    _spark_for_prop = spark
+    return spark
+
+
+def _words_via_spark_and_duckdb(keys, m_bits, k):
+    """Build the bitmap in BOTH engines and assert bit-for-bit equality;
+    return the dense word list."""
+    import duckdb
+
+    from kartothek_spark.operators.bloom import bloom_words, bloom_words_sql, dense_words
+
+    spark = _spark_for_prop
+    kdf = spark.createDataFrame([(x,) for x in keys], "kh long")
+    rows = bloom_words(kdf, m_bits, k=k).collect()
+    values = ", ".join(f"({x})" for x in keys)
+    sql = bloom_words_sql(f"SELECT kh FROM (VALUES {values}) t(kh)", m_bits, k=k)
+    oracle = duckdb.sql(sql).fetchall()
+    assert sorted((int(a), int(b)) for a, b in rows) == sorted(
+        (int(a), int(b)) for a, b in oracle
+    )
+    return dense_words(rows, m_bits)
+
+
+def _py_member(h, words, m_bits, k):
+    h1 = h % (1 << 32)
+    h2 = ((h >> 28) | 1) % (1 << 32)
+    for i in range(k):
+        pos = (h1 + i * h2) % m_bits
+        if (words[pos // 63] >> (pos % 63)) & 1 != 1:
+            return False
+    return True
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        # the shared SparkSession is stateless across examples — reuse is safe
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.lists(st.integers(0, (1 << 60) - 1), min_size=1, max_size=60, unique=True),
+        m_bits=st.sampled_from([127, 8191, 1 << 13, (1 << 16) + 1, 1 << 16]),
+        k=st.integers(1, 8),
+    )
+    def test_bloom_property_no_false_negative(prop_spark, keys, m_bits, k):
+        """For ANY key set and adversarial (m, k) — non-power-of-two and
+        tiny bitmaps included — every inserted key must pass the
+        membership expression, and the Spark bitmap must equal the
+        DuckDB SQL construction word for word (the load-bearing
+        contract behind the three Bloom gates and the streaming
+        cleaner; false POSITIVES are allowed and killed downstream by
+        exact verification)."""
+        from kartothek_spark.operators.bloom import bloom_member_expr
+
+        words = _words_via_spark_and_duckdb(keys, m_bits, k)
+        # python reference: every true key is a member
+        assert all(_py_member(h, words, m_bits, k) for h in keys)
+        # spark expression path agrees on every true key
+        spark = _spark_for_prop
+        kdf = spark.createDataFrame([(x,) for x in keys], "kh long")
+        n_member = kdf.where(
+            bloom_member_expr(F.col("kh"), words, m_bits, k)
+        ).count()
+        assert n_member == len(keys)
+
+
+def test_bloom_no_false_negative_near_cap(spark):
+    """At the 2^26-bit cap the inline-expression path is out of contract
+    (EXPR_MAX_WORDS) — the deployed path is the vectorized NumPy
+    prefilter; its arithmetic must keep the no-false-negative guarantee
+    at the cap boundary, and the sparse bitmap must still match DuckDB."""
+    global _spark_for_prop
+    _spark_for_prop = spark
+    import numpy as np
+    import pandas as pd
+
+    from kartothek_spark.operators.bloom import (
+        MAX_BLOOM_BITS,
+        _np_scalar_prefilter_func,
+        dense_words,
+    )
+
+    keys = [0, 1, (1 << 60) - 1, 123456789123456789 % (1 << 60), 982451653]
+    m, k = MAX_BLOOM_BITS, 6
+    words = _words_via_spark_and_duckdb(keys, m, k)
+    run = _np_scalar_prefilter_func(words, m, k, "kh")
+    out = list(run(iter([pd.DataFrame({"kh": np.array(keys, dtype=np.int64)})])))
+    kept = pd.concat(out)["kh"].tolist()
+    assert sorted(kept) == sorted(keys)

@@ -159,3 +159,103 @@ def test_callable_metadata_composes_on_conflict(spark, tmp_root, monkeypatch):
     ]
     want = [tuple(r) for r in bm25_search(docs, ["spark", "join"], k=30).collect()]
     assert got == want
+
+
+class _FakeConditionalStore:
+    """In-memory conditional-put store (the S3 If-Match contract): ETag =
+    md5 of the object bytes; put_if_match atomically compare-and-swaps,
+    rejecting a stale expected ETag with CommitConflict — the SPEC.md §7
+    seam exercised without any cloud SDK. Writes through to the local
+    path too so DatasetManifest.load() still reads the committed state."""
+
+    def __init__(self):
+        self.objects = {}
+        self.conditional_puts = 0
+
+    def _etag_of(self, data: bytes) -> str:
+        import hashlib
+
+        return hashlib.md5(data).hexdigest()
+
+    def etag(self, path):
+        data = self.objects.get(path)
+        return None if data is None else self._etag_of(data)
+
+    def put_if_match(self, path, data, expected_etag):
+        self.conditional_puts += 1
+        current = self.etag(path)
+        if current != expected_etag:
+            raise CommitConflict(
+                f"put-if-match failed for {path}: expected {expected_etag}, "
+                f"object is at {current}"
+            )
+        self.put(path, data)
+
+    def put(self, path, data):
+        self.objects[path] = bytes(data)
+        with open(path, "wb") as fh:
+            fh.write(data)
+
+
+def test_conditional_put_store_commit(spark, tmp_root):
+    """The live swap goes through put_if_match with the load-time ETag;
+    a writer holding a stale ETag is rejected exactly (no read-check-swap
+    window), reload + reattach rebases, and check_conflict=False maps to
+    an unconditional put."""
+    store_dataframe_as_dataset(spark, _sup(spark), tmp_root, "s")
+    store = _FakeConditionalStore()
+    # seed the store with the current on-disk object (migration moment)
+    a = DatasetManifest.load(tmp_root, "s")
+    with open(a.manifest_path, "rb") as fh:
+        store.objects[a.manifest_path] = fh.read()
+
+    a.attach_conditional_store(store)
+    b = DatasetManifest.load(tmp_root, "s")
+    b.attach_conditional_store(store)
+
+    a.metadata["x"] = 1
+    v_before = a.version
+    a.commit()
+    assert store.conditional_puts == 1
+    assert a.version == v_before + 1
+
+    # b holds the pre-commit ETag — its put must be rejected atomically
+    b.metadata["y"] = 2
+    v_b = b.version
+    with pytest.raises(CommitConflict, match="put-if-match failed"):
+        b.commit()
+    assert b.version == v_b  # version bump rolled back on rejection
+    # the winning state is what readers see
+    assert DatasetManifest.load(tmp_root, "s").metadata.get("x") == 1
+
+    # rebase: reload, reattach (fresh ETag), reapply
+    b2 = DatasetManifest.load(tmp_root, "s")
+    b2.attach_conditional_store(store)
+    b2.metadata["y"] = 2
+    b2.commit()
+    assert DatasetManifest.load(tmp_root, "s").metadata == {"x": 1, "y": 2}
+
+    # deliberate overwrite takes the unconditional put
+    c = DatasetManifest.load(tmp_root, "s")
+    c.attach_conditional_store(store)
+    stale = DatasetManifest.load(tmp_root, "s")
+    stale.attach_conditional_store(store)
+    c.metadata["z"] = 3
+    c.commit()
+    stale.metadata = {"only": "me"}
+    stale.commit(check_conflict=False)
+    assert DatasetManifest.load(tmp_root, "s").metadata == {"only": "me"}
+
+
+def test_conditional_put_store_creation_requires_absent(spark, tmp_root):
+    """Creation maps to If-None-Match:* — expected ETag None; a
+    concurrently created object rejects the second creator."""
+    sup = _sup(spark)
+    store = _FakeConditionalStore()
+    m1 = DatasetManifest(dataset_uuid="c", root=tmp_root, schema=sup.schema)
+    m1.attach_conditional_store(store)
+    m2 = DatasetManifest(dataset_uuid="c", root=tmp_root, schema=sup.schema)
+    m2.attach_conditional_store(store)
+    m1.commit()
+    with pytest.raises(CommitConflict, match="put-if-match failed"):
+        m2.commit()
