@@ -320,9 +320,11 @@ def main() -> None:
     # full-suite snapshot (it happened twice).
     out_file = "BENCH_LAST_SUBSET.json" if only else "BENCH_LAST.json"
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    codes = _short_codes(sorted(timings))
     try:
         with open(os.path.join(repo_dir, out_file), "w") as fh:
-            json.dump(result, fh, indent=1)
+            # code->name legend for the compact stdout line rides here
+            json.dump({**result, "codes": {codes[k]: k for k in timings}}, fh, indent=1)
             fh.write("\n")
     except OSError:
         pass
@@ -338,23 +340,57 @@ def main() -> None:
                 fh.write("\n")
         except OSError:
             pass
-    # stdout line: keep under ~1.9 KB so a 2000-char log capture still
-    # parses (r04's artifact was truncated mid-key and unparseable).
-    # Full precision + full query set always live in BENCH_LAST.json.
+    # stdout line: must stay under ~1.9 KB so the driver's 2000-char TAIL
+    # capture parses it WHOLE (a longer line is head-truncated and
+    # unparseable — r04 proved it). Full names for 140+ queries cannot
+    # fit (their name bytes alone exceed 2 KB), so the stdout dict keys
+    # are DETERMINISTIC short codes — initials of the leading name
+    # tokens + the last token's first 4 chars, collisions suffixed with
+    # a digit in sorted-name order — letting the driver record EVERY
+    # per-query timing each round. The code->name legend rides in
+    # BENCH_LAST.json ("codes") and the full-name dict in
+    # BENCH_SNAPSHOT.json; codes are a pure function of the name set,
+    # so they stay stable across rounds for cross-round diffs.
     out = dict(result)
-    out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    out["queries"] = {codes[k]: _sig2(v) for k, v in timings.items()}
+    out["legend"] = "BENCH_LAST.json"
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1950:
+        # safety valve only — with codes the full suite fits comfortably
         kept = dict(out["queries"])
         for k, _v in sorted(timings.items(), key=lambda kv: kv[1]):
             if len(line) <= 1950:
                 break
-            del kept[k]
+            kept.pop(codes[k], None)
             out["queries"] = kept
             out["queries_omitted"] = len(timings) - len(kept)
-            out["detail"] = "BENCH_LAST.json"
             line = json.dumps(out, separators=(",", ":"))
     print(line)
+
+
+def _sig2(v: float) -> float:
+    """0.1 s stdout resolution (full precision lives in the JSON files);
+    >= 10 s drops the fraction entirely."""
+    return round(v, 0) if v >= 10 else round(v, 1)
+
+
+def _short_codes(names: list) -> dict:
+    """Deterministic compact code per query name: initials of all
+    '_'-tokens but the last, plus the last token's first 3 chars;
+    collisions get a positional digit suffix (iteration over the SORTED
+    name list, so the mapping is a pure function of the name set)."""
+    taken: set = set()
+    codes: dict = {}
+    for name in names:
+        t = name.split("_")
+        base = ("".join(x[0] for x in t[:-1]) + t[-1][:3]) if len(t) > 1 else name[:5]
+        code, i = base, 2
+        while code in taken:
+            code = f"{base}{i}"
+            i += 1
+        taken.add(code)
+        codes[name] = code
+    return codes
 
 
 if __name__ == "__main__":
