@@ -125,7 +125,7 @@ def _h1(h: Column) -> Column:
 
 
 def _h2(h: Column) -> Column:
-    return (F.shiftright(h, 28).bitwiseOR(F.lit(1))) % F.lit(_TWO_32)
+    return (F.shiftright(h, 32).bitwiseOR(F.lit(1))) % F.lit(_TWO_32)
 
 
 def bloom_words(
@@ -157,7 +157,7 @@ def bloom_words_sql(keys_sql: str, m_bits: int, k: int = DEFAULT_BLOOM_K, key_co
     value-exact across engines."""
     return f"""
 WITH rows_ AS (
-  SELECT i, {key_col} % {_TWO_32} AS h1, (({key_col} >> 28) | 1) % {_TWO_32} AS h2
+  SELECT i, {key_col} % {_TWO_32} AS h1, (({key_col} >> 32) | 1) % {_TWO_32} AS h2
   FROM ({keys_sql}), range(0, {k}) t(i)
 ), pos AS (
   SELECT (h1 + i*h2) % {m_bits} AS p FROM rows_
@@ -236,7 +236,7 @@ def _np_scalar_prefilter_func(words, m_bits: int, k: int, col_name: str):
                 continue
             h = pdf[col_name].to_numpy(dtype=np.int64)
             h1 = h % _TWO_32
-            h2 = ((h >> 28) | 1) % _TWO_32
+            h2 = ((h >> 32) | 1) % _TWO_32
             ok = np.ones(h.shape, dtype=bool)
             for i in range(k):
                 pos = (h1 + i * h2) % m_bits
@@ -435,17 +435,35 @@ def sync_bloom_index(
     n_keys = all_keys.count()
     if n_keys * 8 > m_bits:
         # correctness survives ANY load factor (false positives die in
-        # the verification join) but the prefilter stops filtering —
-        # the whole point of the bitmap — so a saturating index should
-        # be rebuilt with a bigger m_bits
+        # the verification join) but the prefilter stops filtering — the
+        # whole point of the bitmap. The keys dataset permits a full
+        # rebuild at any size, so sync AUTO-RESIZES: double to
+        # DEFAULT_BITS_PER_KEY per key (cap MAX_BLOOM_BITS) and write
+        # the new size into the manifest — probes always read m_bits
+        # from there, so the grown bitmap is picked up atomically with
+        # the words commit. An index created from an unrepresentative
+        # batch 0 (streaming) heals on its first saturating sync.
         import warnings
 
-        warnings.warn(
-            f"bloom index {index_uuid!r} holds {n_keys} keys in "
-            f"{m_bits} bits (<8 bits/key): false-positive rate is "
-            "degrading; rebuild with a larger m_bits",
-            stacklevel=2,
-        )
+        new_m = m_bits
+        while new_m < n_keys * DEFAULT_BITS_PER_KEY and new_m < MAX_BLOOM_BITS:
+            new_m <<= 1
+        if new_m > m_bits:
+            warnings.warn(
+                f"bloom index {index_uuid!r}: {n_keys} keys saturated "
+                f"{m_bits} bits (<8 bits/key) — auto-resizing bitmap to "
+                f"{new_m} bits (rebuild from the persisted key set)",
+                stacklevel=2,
+            )
+            m_bits = new_m
+        else:
+            warnings.warn(
+                f"bloom index {index_uuid!r} holds {n_keys} keys at the "
+                f"{MAX_BLOOM_BITS}-bit cap (<8 bits/key): false-positive "
+                "rate is degrading and the bitmap cannot grow — switch "
+                "this benchmark to the exact broadcast-join operator",
+                stacklevel=2,
+            )
     meta = {META_M_BITS: m_bits, META_K: k, META_N: n, **(extra_metadata or {})}
     return store_dataframe_as_dataset(
         spark,

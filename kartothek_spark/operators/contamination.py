@@ -193,18 +193,20 @@ def novelty_report(
     the reference and ``novelty = n_novel / n_shingles`` (round-6; docs
     with no shingle at all report novelty 1.0 — nothing was recycled).
     The eval-set freshness report: before trusting a new benchmark,
-    check its items aren't recycled training text. Same scale shape as
-    :func:`contamination_hits` — the reference's distinct shingle set
-    broadcasts, the scored side streams once, never shuffles on
-    content."""
+    check its items aren't recycled training text. In the primary use
+    case (score an eval set against the TRAINING corpus) the reference
+    side is the unbounded 100 TB side and the SCORED side is the small
+    one — the inverse of :func:`contamination_hits` — so there is NO
+    forced broadcast here (the module's documented stance): AQE picks
+    broadcast when the reference's distinct shingle set is actually
+    small, and falls back to a shuffle join when it isn't, instead of
+    OOMing the executors on a forced hint."""
     ref_hashes = (
         _doc_shingle_hashes(reference, text_col, id_col, n).select("_h").distinct()
     )
     doc_hashes = _doc_shingle_hashes(df, text_col, id_col, n)
     counted = (
-        doc_hashes.join(
-            F.broadcast(ref_hashes.withColumn("__hit", F.lit(1))), "_h", "left"
-        )
+        doc_hashes.join(ref_hashes.withColumn("__hit", F.lit(1)), "_h", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_shingles"),

@@ -114,7 +114,7 @@ def _cms_col(h, r):
     """Row-r column of hash h: (h1 + r*h2) mod width arithmetic shared
     with the Bloom bitmap (independent per row, pure int64)."""
     h1 = h % F.lit(_TWO32)
-    h2 = (F.shiftright(h, 28).bitwiseOR(F.lit(1))) % F.lit(_TWO32)
+    h2 = (F.shiftright(h, 32).bitwiseOR(F.lit(1))) % F.lit(_TWO32)
     return h1 + r * h2
 
 
@@ -158,7 +158,7 @@ WITH occ AS (
   FROM (SELECT unnest({toks}) AS __tok FROM ({table_sql}))
 ), cells AS (
   SELECT r AS row,
-         ((__h % {_TWO32}) + r * (((__h >> 28) | 1) % {_TWO32})) % {width} AS col
+         ((__h % {_TWO32}) + r * (((__h >> 32) | 1) % {_TWO32})) % {width} AS col
   FROM occ, range(0, {depth}) t(r)
 )
 SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col
@@ -208,7 +208,7 @@ def cms_estimate_sql(
 WITH sk AS ({sketch_sql}),
 cells AS (
   SELECT {token_col}, r AS row,
-         ((({h}) % {_TWO32}) + r * (((({h}) >> 28) | 1) % {_TWO32})) % {width} AS col
+         ((({h}) % {_TWO32}) + r * (((({h}) >> 32) | 1) % {_TWO32})) % {width} AS col
   FROM ({probe_sql}), range(0, {depth}) t(r)
 )
 SELECT {token_col}, min(coalesce(cnt, 0)) AS est

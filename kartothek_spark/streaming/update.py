@@ -1089,6 +1089,15 @@ def stream_bloom_index(
     bitmap is history-independent and a torn two-dataset commit
     self-heals on the next batch.
 
+    ``m_bits=None`` sizes the bitmap from batch 0's key count — pass an
+    explicit ``m_bits`` provisioned for the FULL expected key set when
+    the first micro-batch is a small, unrepresentative fraction of the
+    eval suites. Either way an undersized bitmap is not permanent:
+    ``sync_bloom_index`` auto-resizes past 8 bits/key (full rebuild from
+    the persisted keys, new size committed atomically with the words),
+    so the prefilter's selectivity recovers on the first saturating
+    sync.
+
     Exactly-once: the ``(txn_id, batch_id)`` stamp rides the WORDS
     dataset's commit, which both build and sync perform LAST — a crash
     before it replays the batch (the key append is a content-hash
@@ -1156,7 +1165,15 @@ def stream_clean_corpus(
 
     Cross-batch dedup never shuffles history: a sidecar
     ``<out_uuid>__fpbloom`` bitmap of every committed fingerprint
-    prefilters the batch (codegen/NumPy, no join); only the candidate
+    prefilters the batch (codegen/NumPy, no join). PROVISION
+    ``fp_m_bits`` for the corpus LIFETIME (>= 8 bits per document ever
+    to be committed): the sidecar bitmap is merged with ``bit_or`` and
+    never resized, so it is part of the dedup state's identity; once
+    committed-docs * 8 exceeds it the prefilter saturates and every
+    batch pays the full history verification scan (still exact — the
+    contract degrades from O(candidate-trickle) to O(batch); a warning
+    fires per batch past the threshold, from the manifest's free row
+    stats). Only the candidate
     trickle is broadcast into one column-pruned SCAN of the history
     fingerprints for exact verification. Commit order: bitmap merge
     FIRST (bit_or is idempotent — a torn state only adds harmless
@@ -1261,6 +1278,30 @@ def stream_clean_corpus(
                 spark, fresh, root, out_uuid,
                 partition_on=["fpb"], sort_partitions_by=["fp"],
                 metadata=stamp,
+            )
+        # saturation telemetry (same 8-bits/key line as sync_bloom_index,
+        # which warns on the contamination index; this sidecar bitmap is
+        # NEVER resized — fp_m_bits is part of the dedup state's identity
+        # for the corpus lifetime, so the only fix is re-provisioning):
+        # past this point every batch fingerprint becomes a broadcast
+        # candidate into the history scan — still exact, but the
+        # documented O(candidate-trickle) contract degrades to O(batch).
+        # Committed-row count comes free from the manifest's partition
+        # stats — no data scan.
+        n_committed = sum(
+            int(p.get("rows") or 0)
+            for p in DatasetManifest.load(root, out_uuid).partitions.values()
+        )
+        if n_committed * 8 > fp_m_bits:
+            import warnings
+
+            warnings.warn(
+                f"stream_clean_corpus {out_uuid!r}: {n_committed} committed "
+                f"docs saturate the {fp_m_bits}-bit dedup prefilter "
+                "(<8 bits/key) — every batch now pays the full history "
+                "verification scan; re-provision fp_m_bits for the corpus "
+                "lifetime (the sidecar bitmap is never resized)",
+                stacklevel=2,
             )
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).outputMode("update")

@@ -216,9 +216,9 @@ def test_bloom_oversize_raises():
 
 
 def test_bloom_sync_warns_on_saturation(spark, tmp_root):
-    """Growing the key set past ~8 bits/key must emit the saturation
-    warning (results stay exact; only the prefilter's selectivity
-    degrades)."""
+    """Growing the key set past ~8 bits/key must surface: since round 8
+    a growable bitmap AUTO-RESIZES (warning says so); the
+    'cannot grow' message is reserved for the MAX_BLOOM_BITS cap."""
     import warnings as w
 
     from pyspark.sql import functions as F
@@ -235,7 +235,8 @@ def test_bloom_sync_warns_on_saturation(spark, tmp_root):
     with w.catch_warnings(record=True) as caught:
         w.simplefilter("always")
         sync_bloom_index(spark, bench.where(F.col("doc_id") % 22 != 0), tmp_root, "sat")
-    assert any("false-positive rate is degrading" in str(c.message) for c in caught)
+    assert any("auto-resizing" in str(c.message) for c in caught)
+    assert not any("cannot grow" in str(c.message) for c in caught)
 
 
 # --- property test: no false negatives under adversarial m/k ---------------
@@ -280,7 +281,7 @@ def _words_via_spark_and_duckdb(keys, m_bits, k):
 
 def _py_member(h, words, m_bits, k):
     h1 = h % (1 << 32)
-    h2 = ((h >> 28) | 1) % (1 << 32)
+    h2 = ((h >> 32) | 1) % (1 << 32)
     for i in range(k):
         pos = (h1 + i * h2) % m_bits
         if (words[pos // 63] >> (pos % 63)) & 1 != 1:
@@ -346,3 +347,37 @@ def test_bloom_no_false_negative_near_cap(spark):
     out = list(run(iter([pd.DataFrame({"kh": np.array(keys, dtype=np.int64)})])))
     kept = pd.concat(out)["kh"].tolist()
     assert sorted(kept) == sorted(keys)
+
+
+def test_bloom_sync_auto_resizes_saturated_bitmap(spark, tmp_root):
+    """A sync that pushes the key set past 8 bits/key must GROW the
+    bitmap (full rebuild from the persisted keys, new m_bits in the
+    manifest) instead of merely warning, and the grown index must still
+    probe exactly like the exact operator."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.operators.bloom import (
+        MIN_BLOOM_BITS,
+        bloom_contamination_hits_indexed,
+        build_bloom_index,
+        sync_bloom_index,
+    )
+    from kartothek_spark.operators.contamination import contamination_hits
+
+    docs = _docs(spark)
+    bench = _bench(docs)
+    first = bench.where(F.col("doc_id") % 22 == 0)
+    build_bloom_index(spark, first, tmp_root, "bx", n=8, m_bits=MIN_BLOOM_BITS)
+    assert int(DatasetManifest.load(tmp_root, "bx").metadata["bloom_m_bits"]) == MIN_BLOOM_BITS
+
+    rest = bench.where(F.col("doc_id") % 22 != 0)
+    with pytest.warns(UserWarning, match="auto-resizing"):
+        sync_bloom_index(spark, rest, tmp_root, "bx")
+    m_after = int(DatasetManifest.load(tmp_root, "bx").metadata["bloom_m_bits"])
+    assert m_after > MIN_BLOOM_BITS
+
+    exact = {(r.doc_id, r.n_hits) for r in contamination_hits(docs, bench, n=8).collect()}
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in bloom_contamination_hits_indexed(spark, docs, tmp_root, "bx").collect()
+    }
+    assert exact and got == exact
