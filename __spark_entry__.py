@@ -1938,6 +1938,48 @@ def events_resample(spark, sf_dir):
     return resample_events(_events(spark, sf_dir), interval_seconds=21600)
 
 
+def events_resample_sliced(spark, sf_dir):
+    """The bounded-grid form of ``events_resample``: max_grid_points
+    pre-splits each user's span into <=16-point slices (two-level
+    explode, no span-sized array in any task) and the LOCF fill rides
+    the slice-aligned SALTED as-of join with boundary carry — value
+    parity with the unbounded form is the operator's contract, so this
+    entry shares ``events_resample``'s oracle VERBATIM and gives the
+    round-8 sliced+salted path its own driver hash row."""
+    from kartothek_spark.operators.temporal import resample_events
+
+    return resample_events(
+        _events(spark, sf_dir), interval_seconds=21600, max_grid_points=16
+    )
+
+
+def events_asof_salted(spark, sf_dir):
+    """``events_asof`` through the coarse-time SALTED keyed window
+    (1-day buckets + per-(key, bucket) boundary carry): a viral key's
+    timeline splits across span/salt tasks instead of pinning one task.
+    Value-identical to the unsalted join by construction — shares the
+    DuckDB ASOF oracle verbatim, driver-hashing the salted path."""
+    from kartothek_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id", salt_seconds=86400)
+    return out.select(
+        "purchase_id", "user_id", "ts", "view_ts", "view_value", "purchase_value"
+    )
+
+
 def events_gaps(spark, sf_dir):
     """Silent-interval mining: per-user gaps of >= 24h between
     consecutive events — one keyed window lag over the user's timeline
@@ -2935,6 +2977,47 @@ def corpus_clean(spark, sf_dir):
         _clean_ingest(spark, sf_dir), _bloom_bench(spark, sf_dir),
         n=8, gopher=_CLEAN_GOPHER,
     ).select("doc_id", "lang", "n_chars")
+
+
+def corpus_leakage_split(spark, sf_dir):
+    """Leakage-safe train/test split (round 8): deterministic hash-range
+    split (stable under corpus growth, zero shuffle) + drop every train
+    doc sharing an 8-gram with ANY test doc — eval text can never
+    survive in training. Test side keeps all rows; only train pays
+    attrition. Full value twin from the composed stage twins."""
+    from kartothek_spark.operators.pipeline import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, {"train": 0.9, "test": 0.1}).select(
+        "doc_id", "lang", "n_chars", "split"
+    )
+
+
+def corpus_source_overlap(spark, sf_dir):
+    """Pairwise n-gram overlap matrix between the corpus' source feeds
+    (round 8): distinct (source, shingle-hash) set, hash-equi self-join
+    bounded by the GROUP count (never document-granular pairing), exact
+    integer counts + Jaccard. The data-procurement dashboard: how much
+    of feed B is already inside feed A."""
+    from kartothek_spark.operators.contamination import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), n=8)
+
+
+def embedding_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (round 8): per
+    query, the top-5 most cosine-similar vectors EXCLUDING self and the
+    labeled positive (here the deterministic (v, v+1) label relation) —
+    ranked after exclusion so every query gets its k. Broadcast query
+    matrix + one int64 matmul per Arrow batch; exact fixed-point twin."""
+    from kartothek_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    positives = queries.select(
+        F.col("vec_id").alias("query_id"), (F.col("vec_id") + 1).alias("pos_id")
+    )
+    return hard_negatives(emb, queries, positives, k=5)
 
 
 def stream_clean_corpus(spark, sf_dir):
@@ -4981,8 +5064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": events_quantiles,
         "events_top_users": events_top_users,
         "events_resample": events_resample,
+        "events_resample_sliced": events_resample_sliced,
         "events_gaps": events_gaps,
         "events_asof": events_asof,
+        "events_asof_salted": events_asof_salted,
         "events_asof_tolerance": events_asof_tolerance,
         "events_asof_keyless": events_asof_keyless,
         "events_asof_forward": events_asof_forward,
@@ -5021,6 +5106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bloom_index_sync": corpus_bloom_index_sync,
         "stream_bloom_index": stream_bloom_index,
         "corpus_clean": corpus_clean,
+        "corpus_leakage_split": corpus_leakage_split,
+        "corpus_source_overlap": corpus_source_overlap,
+        "embedding_hard_negatives": embedding_hard_negatives,
         "stream_clean_corpus": stream_clean_corpus,
         "corpus_cms_counts": corpus_cms_counts,
         "corpus_cms_estimate": corpus_cms_estimate,
@@ -5623,10 +5711,28 @@ FROM events GROUP BY event_type
         "events_resample": __import__(
             "kartothek_spark.operators.temporal", fromlist=["resample_events_sql"]
         ).resample_events_sql("events", interval_seconds=21600),
+        # bounded-slice + salted fill promises value identity with the
+        # unbounded form, so it shares the oracle verbatim
+        "events_resample_sliced": __import__(
+            "kartothek_spark.operators.temporal", fromlist=["resample_events_sql"]
+        ).resample_events_sql("events", interval_seconds=21600),
         "events_gaps": __import__(
             "kartothek_spark.operators.temporal", fromlist=["event_gaps_sql"]
         ).event_gaps_sql("events", min_gap_seconds=86400),
         "events_asof": """
+WITH l AS (
+  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, ts AS view_ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT purchase_id, l.user_id, l.ts, r.view_ts, r.view_value, purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        # salted keyed window promises value identity with the unsalted
+        # join, so it shares the ASOF oracle verbatim
+        "events_asof_salted": """
 WITH l AS (
   SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
   FROM events WHERE event_type = 'purchase'
@@ -6077,6 +6183,20 @@ FROM toks
         "stream_hll": __import__(
             "kartothek_spark.operators.sketch", fromlist=["hll_registers_sql"]
         ).hll_registers_sql("SELECT * FROM documents", group_cols=("source",)),
+        "corpus_leakage_split": __import__(
+            "kartothek_spark.operators.pipeline", fromlist=["leakage_safe_split_sql"]
+        ).leakage_safe_split_sql(
+            "documents", {"train": 0.9, "test": 0.1},
+            columns="doc_id, lang, n_chars, split",
+        ),
+        "corpus_source_overlap": __import__(
+            "kartothek_spark.operators.contamination", fromlist=["source_overlap_sql"]
+        ).source_overlap_sql("documents", n=8),
+        "embedding_hard_negatives": _sim.hard_negatives_sql(
+            "embeddings", "vec_id < 10",
+            "SELECT vec_id AS query_id, vec_id + 1 AS pos_id FROM embeddings WHERE vec_id < 10",
+            k=5, dim=EMB_DIM,
+        ),
         "corpus_clean": __import__(
             "kartothek_spark.operators.pipeline", fromlist=["clean_corpus_sql"]
         ).clean_corpus_sql(

@@ -164,12 +164,17 @@ HEADLINE = [
     "corpus_bloom_decontaminate",  # probe vs persisted bitmap + key set
     "stream_bloom_index",       # foreachBatch-maintained bloom index
     "corpus_clean",             # gopher -> decontaminate -> dedup, one plan
+    "corpus_leakage_split",     # hash split + zero-leakage train decon (r8)
+    "corpus_source_overlap",    # pairwise source n-gram overlap matrix (r8)
+    "embedding_hard_negatives", # contrastive hard-negative mining (r8)
     "stream_clean_corpus",      # continuous ingest cleaning, bitmap dedup
     "corpus_cms_counts",        # Count-Min sketch build (d*w cells shuffle)
     "corpus_hll_estimate",      # per-source HLL cardinality estimates
     "stream_hll",               # streamed register-wise-max maintenance
     "corpus_novelty",           # eval-freshness n-gram novelty report
     "events_resample",          # regular-grid LOCF downsample via asof
+    "events_resample_sliced",   # bounded two-level grid + salted fill (r8)
+    "events_asof_salted",       # coarse-time salted keyed as-of (r8)
     "events_gaps",              # silent-interval mining (window lag)
 ]
 

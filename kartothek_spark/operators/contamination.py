@@ -261,14 +261,101 @@ FROM (SELECT {id_col} FROM ({df_sql})) d LEFT JOIN counted USING ({id_col})
 """
 
 
+def source_overlap(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise n-gram overlap matrix between corpus GROUPS (sources,
+    snapshots, providers) — the dataset-procurement question "how much
+    of feed B is already in feed A" answered before paying for feed B,
+    and the group-level mirror of per-doc contamination. Per unordered
+    group pair with at least one shared shingle:
+    ``(src_a, src_b, n_shared, n_a, n_b, jaccard)`` where ``n_*`` are
+    the groups' distinct n-gram shingle counts, ``n_shared`` the
+    distinct shingles occurring in BOTH, and
+    ``jaccard = shared / (n_a + n_b - shared)`` (rounded 6).
+
+    Scale shape: one distinct over (group, shingle-hash) — map-side
+    combinable — then a self-equi-join on the hash (co-partitioned,
+    the pair fan-out per hash is bounded by the GROUP count squared,
+    not by data) and a tiny per-pair count; group totals broadcast
+    into the final projection. Nothing ever pairs at document
+    granularity."""
+    sh = (
+        df.select(F.col(group_col).alias("grp"), tokens(F.col(text_col)).alias("_t"))
+        .select("grp", F.explode(shingles_from_tokens(F.col("_t"), n)).alias("_sh"))
+        .select("grp", h60(F.col("_sh")).alias("_h"))
+        .distinct()
+    )
+    totals = sh.groupBy("grp").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "_h")
+        .where(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(F.col("a.grp").alias("src_a"), F.col("b.grp").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(F.broadcast(totals.select(F.col("grp").alias("src_a"), F.col("n").alias("n_a"))), "src_a")
+        .join(F.broadcast(totals.select(F.col("grp").alias("src_b"), F.col("n").alias("n_b"))), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_sql(
+    table: str,
+    n: int = 8,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`source_overlap` (value-exact: integer
+    counts and one rounded division)."""
+    sh = word_shingles_sql(text_col, n)
+    h = h60_sql("_sh")
+    return f"""
+WITH gh AS (
+  SELECT DISTINCT grp, {h} AS _h
+  FROM (SELECT {group_col} AS grp, unnest({sh}) AS _sh FROM {table})
+), totals AS (
+  SELECT grp, count(*) AS n FROM gh GROUP BY grp
+), pairs AS (
+  SELECT a.grp AS src_a, b.grp AS src_b, count(*) AS n_shared
+  FROM gh a JOIN gh b ON a._h = b._h AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+       round(n_shared / CAST(ta.n + tb.n - n_shared AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN totals ta ON ta.grp = src_a
+JOIN totals tb ON tb.grp = src_b
+"""
+
+
 # note on tokenization reuse: tokens_sql is imported for callers that
 # build custom oracle CTEs around this operator
 __all__ = [
     "contamination_hits",
     "decontaminate",
     "novelty_report",
+    "source_overlap",
     "contamination_hits_sql",
     "decontaminate_sql",
     "novelty_report_sql",
+    "source_overlap_sql",
     "tokens_sql",
 ]

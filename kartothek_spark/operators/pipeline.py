@@ -100,6 +100,67 @@ def clean_corpus_sql(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    test_split: str = "test",
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/test split with a ZERO-LEAKAGE guarantee: deterministic
+    hash-range split (:func:`~kartothek_spark.operators.corpus
+    .split_corpus` — stable under corpus growth, no shuffle), then every
+    NON-test doc sharing even one n-gram shingle with any test doc is
+    dropped — so no eval item's text survives in training, verbatim or
+    embedded. The held-out side keeps ALL its rows; only the training
+    side pays attrition (the standard construction for leakage-free
+    eval sets, the split-time mirror of post-hoc decontamination).
+
+    Scale shape: the split is one per-row hash comparison; the
+    decontamination is :func:`~kartothek_spark.operators.contamination
+    .decontaminate` with the TEST slice as the benchmark side — test is
+    the small fraction by construction, its distinct shingle set
+    broadcasts, and the training side streams through once without
+    shuffling on content. Output: the input columns plus ``split``,
+    containing all test rows and the leak-free training rows."""
+    from kartothek_spark.operators.corpus import split_corpus
+
+    fractions = fractions or {"train": 0.9, "test": 0.1}
+    if test_split not in fractions:
+        raise ValueError(
+            f"leakage_safe_split: test_split {test_split!r} not in fractions "
+            f"{sorted(fractions)}"
+        )
+    s = split_corpus(df, fractions, key_col=id_col, salt=salt)
+    test = s.where(F.col("split") == test_split)
+    rest = s.where(F.col("split") != test_split)
+    return decontaminate(rest, test, n, text_col, id_col).unionByName(test)
+
+
+def leakage_safe_split_sql(
+    table: str,
+    fractions: dict[str, float] | None = None,
+    test_split: str = "test",
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split",
+    columns: str = "*",
+) -> str:
+    """DuckDB twin of :func:`leakage_safe_split` (same stage twins in
+    the same order)."""
+    from kartothek_spark.operators.corpus import split_corpus_sql
+
+    fractions = fractions or {"train": 0.9, "test": 0.1}
+    s = split_corpus_sql(table, fractions, key_col=id_col, salt=salt)
+    test_sql = f"SELECT * FROM ({s}) WHERE split = '{test_split}'"
+    rest_sql = f"SELECT * FROM ({s}) WHERE split <> '{test_split}'"
+    clean = decontaminate_sql(rest_sql, test_sql, n, text_col, id_col, columns)
+    return f"{clean} UNION ALL SELECT {columns} FROM ({test_sql})"
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", buckets: int = 16
 ) -> DataFrame:
@@ -120,6 +181,8 @@ def keep_first_per_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFra
 __all__ = [
     "clean_corpus",
     "clean_corpus_sql",
+    "leakage_safe_split",
+    "leakage_safe_split_sql",
     "with_fingerprint",
     "keep_first_per_fingerprint",
 ]

@@ -262,6 +262,22 @@ def brute_force_topk(
     numpy matmul per Arrow batch. Rank orders by (cos DESC, neighbor id
     ASC) — fully deterministic under the fixed-point contract.
     Output: (query_id, neighbor_id, rank, cos_sim)."""
+    sims = _bf_sims(df, queries, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
+    )
+
+
+def _bf_sims(
+    df: DataFrame, queries: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """All (query, corpus) fixed-point cosine rows minus self-pairs —
+    the shared kernel of :func:`brute_force_topk` and
+    :func:`hard_negatives` (broadcast query matrix, one int64 matmul
+    per Arrow batch, corpus never shuffles)."""
     import numpy as np
 
     spark = df.sparkSession
@@ -290,13 +306,83 @@ def brute_force_topk(
             })
 
     qdf = scale_out(df).select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
-    sims = qdf.mapInPandas(gen, _TOPK_SIM_SCHEMA)
+    return qdf.mapInPandas(gen, _TOPK_SIM_SCHEMA)
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "query_id",
+    pos_col: str = "pos_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the ``k`` most cosine-similar corpus vectors EXCLUDING the
+    query itself and its labeled positives (``positives`` is the
+    external (query_id, pos_id) label relation) — the near-misses that
+    actually move a contrastive loss, instead of the random negatives
+    in-batch sampling yields. Ranking happens AFTER the exclusion, so
+    every query still receives ``k`` negatives.
+
+    Scale shape = :func:`brute_force_topk`'s: the (small) query matrix
+    broadcasts, the corpus streams through one int64 matmul per Arrow
+    batch and never shuffles on content; the positives exclusion is a
+    left-anti join on (query, neighbor) that AQE broadcasts (label sets
+    are tiny by nature). For query sides too large to broadcast,
+    compose :func:`knn_join` with the same anti-join instead. Output:
+    ``(query_id, neighbor_id, rank, cos_sim)``."""
+    spark_sims = _bf_sims(df, queries, id_col, vec_col)
+    pos = positives.select(
+        F.col(query_col).alias("query_id"), F.col(pos_col).alias("neighbor_id")
+    )
+    negs = spark_sims.join(pos, ["query_id", "neighbor_id"], "left_anti")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        negs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
     )
+
+
+def hard_negatives_sql(
+    table: str,
+    query_filter: str,
+    positives_sql: str,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`hard_negatives` (``positives_sql`` yields
+    (query_id, pos_id)); exact under the fixed-point cosine contract."""
+    cos = cos_from_ints_sql(qdot_sql("q.qv", "c.qv", dim), "q.n", "c.n")
+    return f"""
+WITH quant AS (
+  SELECT {id_col} AS id, {quantize_sql(vec_col)} AS qv FROM {table}
+), base AS (
+  SELECT id, qv, {qdot_sql('qv', 'qv', dim)} AS n FROM quant
+), q AS (
+  SELECT b.* FROM base b JOIN {table} t ON b.id = t.{id_col} WHERE {query_filter}
+), c AS (
+  SELECT * FROM base
+), pos AS (
+  SELECT query_id, pos_id FROM ({positives_sql})
+), sims AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id, {cos} AS cos_sim
+  FROM c, q
+  WHERE q.id <> c.id
+    AND NOT EXISTS (
+      SELECT 1 FROM pos p WHERE p.query_id = q.id AND p.pos_id = c.id
+    )
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""
 
 
 def brute_force_topk_sql(

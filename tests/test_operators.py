@@ -1988,3 +1988,54 @@ def test_resample_grid_bounded(spark):
     assert flat == full
     with pytest.raises(ValueError, match="max_grid_points"):
         resample_grid(ev, 60, max_grid_points=1).collect()
+
+
+def test_hard_negatives_excludes_positives(spark):
+    """Labeled positives and self never appear; ranking happens AFTER
+    exclusion (dense 1..k per query); with no positives the result
+    equals brute-force top-k exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.similarity import brute_force_topk, hard_negatives
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 8)
+    pos = queries.select(
+        F.col("vec_id").alias("query_id"), (F.col("vec_id") + 1).alias("pos_id")
+    )
+    out = hard_negatives(emb, queries, pos, k=5).collect()
+    banned = {(r.query_id, r.pos_id) for r in pos.collect()}
+    assert all((r.query_id, r.neighbor_id) not in banned for r in out)
+    assert all(r.query_id != r.neighbor_id for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in by_q.values())
+    # empty positives degenerates to brute-force top-k
+    none = pos.where(F.lit(False))
+    a = {tuple(r) for r in hard_negatives(emb, queries, none, k=5).collect()}
+    b = {tuple(r) for r in brute_force_topk(emb, queries, k=5).collect()}
+    assert a == b
+
+
+def test_source_overlap_planted(spark):
+    """Planted overlap: groups A and B share exactly one 8-gram run, C
+    shares nothing — counts and Jaccard are exact."""
+    from kartothek_spark.operators.contamination import source_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    rows = [
+        (1, shared + " unique a tail words here one two three", "A"),
+        (2, shared + " other b ending words go four five six", "B"),
+        (3, "totally different content with no common run at all x y z", "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.src_a, r.src_b): r for r in source_overlap(df, n=8).collect()}
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    # A and B each hold 9 distinct 8-grams (16 tokens), exactly 1 shared
+    assert r.n_shared == 1 and r.n_a == 9 and r.n_b == 9
+    assert abs(r.jaccard - round(1 / 17, 6)) < 1e-9

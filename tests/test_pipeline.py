@@ -272,3 +272,34 @@ def test_event_gaps_planted(spark):
             r.gap_end.hour, r.gap_seconds)
            for r in event_gaps(ev, min_gap_seconds=3600).collect()]
     assert got == [(1, 10, 2, 7200)]
+
+
+def test_leakage_safe_split_guarantee(spark):
+    """Every test doc survives; NO surviving train doc shares an 8-gram
+    with any test doc (the zero-leakage contract); the split column is
+    total; unknown test_split raises."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.contamination import contamination_hits
+    from kartothek_spark.operators.pipeline import leakage_safe_split
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    out = leakage_safe_split(docs, {"train": 0.8, "test": 0.2}).cache()
+    test = out.where(F.col("split") == "test")
+    train = out.where(F.col("split") == "train")
+    # test side intact: the split assignment alone decides membership
+    assert test.count() > 0 and train.count() > 0
+    assert out.count() == test.count() + train.count()
+    # zero leakage: no surviving train doc shares a shingle with test
+    assert contamination_hits(train, test, n=8).count() == 0
+    # attrition happened only on the train side (some doc shared a gram)
+    n_train_assigned = (
+        docs.count() - test.count()
+    )
+    assert train.count() <= n_train_assigned
+    with pytest.raises(ValueError, match="test_split"):
+        leakage_safe_split(docs, {"train": 1.0}, test_split="test")
