@@ -4889,6 +4889,12 @@ _PERENNIAL_SAMPLED = frozenset({
 # runs (full value oracles preferred); everything else follows in
 # registry order
 _FRESH_PRIORITY = [
+    # round-8 additions + newly value-oracled conversions: the code that
+    # changed THIS round should convert to driver hash rows first
+    "corpus_leakage_split", "corpus_source_overlap",
+    "embedding_hard_negatives", "events_resample_sliced",
+    "events_asof_salted", "ann_lsh_topk", "stream_sessionize",
+    "stream_windowed_update",
     # round-7 Bloom membership-index family + composed cleaning pipeline
     "corpus_bloom_words", "corpus_bloom_hits", "corpus_bloom_decontaminate",
     "corpus_bloom_index_sync", "stream_bloom_index",
