@@ -45,3 +45,37 @@ def test_query_and_oracle_order_agree():
     q = [k for k in entry.queries() if k not in entry._ROWS_ONLY]
     o = list(entry.oracle_sql())
     assert q == o
+
+
+def test_bench_short_codes_deterministic_and_unique():
+    """bench.py's stdout compact codes: pure function of the name set,
+    unique, and the full-suite line stays under the driver's 2000-char
+    tail capture."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+
+    # the benched set: HEADLINE + the six manifest micro-benches
+    names = sorted(
+        set(b.HEADLINE)
+        | {f"manifest_{op}_{sz}" for op in ("plan", "commit") for sz in ("20k", "200k", "1m")}
+    )
+    codes = b._short_codes(names)
+    assert len(set(codes.values())) == len(names)
+    assert codes == b._short_codes(names)  # deterministic
+    # simulate the stdout line at worst-case (all entries benched, 9.9 s each)
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {codes[k]: 9.9 for k in names},
+        "sf": 0.1,
+        "legend": "BENCH_LAST.json",
+    }
+    assert len(json.dumps(out, separators=(",", ":"))) < 1950
