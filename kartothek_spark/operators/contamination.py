@@ -283,12 +283,26 @@ def source_overlap(
     the pair fan-out per hash is bounded by the GROUP count squared,
     not by data) and a tiny per-pair count; group totals broadcast
     into the final projection. Nothing ever pairs at document
-    granularity."""
+    granularity.
+
+    The distinct (group, hash) set is MATERIALIZED once (eager
+    localCheckpoint): it feeds three consumers (both self-join sides +
+    the totals agg) and Spark's exchange reuse measurably does NOT fire
+    across the aliased join sides (0 ReusedExchange in the executed
+    plan at every SF tried), so the lazy form runs the corpus
+    tokenize+shingle+md5 pass THREE times. On an idle local[32] at
+    sf0.1 the extra passes hide in unused cores (wall ~equal); on a
+    saturated cluster they are 3x the dominant cost — three full corpus
+    scans instead of one. The checkpoint is 16 bytes/distinct-shingle
+    on local disk — strictly smaller than one extra corpus pass, and
+    this is a terminal report operator (G^2-row output), not a
+    composable plan fragment."""
     sh = (
         df.select(F.col(group_col).alias("grp"), tokens(F.col(text_col)).alias("_t"))
         .select("grp", F.explode(shingles_from_tokens(F.col("_t"), n)).alias("_sh"))
         .select("grp", h60(F.col("_sh")).alias("_h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     totals = sh.groupBy("grp").agg(F.count("*").alias("n"))
     pairs = (
