@@ -724,3 +724,49 @@ def test_cms_estimate_broadcasts_sketch(spark):
     plan = _plan(cms_estimate(cms_sketch(docs), probe))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_plan_shape(spark):
+    """Hard-negative mining: the corpus never sort-merge-joins — the
+    positives exclusion is a broadcastable anti join, the sims kernel is
+    one Arrow pass, and the only wide op is the per-query rank window."""
+    from kartothek_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = emb.where("vec_id < 8")
+    pos = q.selectExpr("vec_id AS query_id", "vec_id + 1 AS pos_id")
+    df = hard_negatives(emb, q, pos, k=5)
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    assert "MapInPandas" in plan  # the matmul sims kernel
+
+
+def test_leakage_safe_split_plan_shape(spark):
+    """Leakage-safe split: the split itself is a per-row hash (no
+    shuffle before the contamination stage) and nothing goes cartesian;
+    the test-side shingle set is the (broadcastable) build side."""
+    from kartothek_spark.operators.pipeline import leakage_safe_split
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    df = leakage_safe_split(docs, {"train": 0.8, "test": 0.2})
+    df.collect()
+    plan = _plan(df)
+    assert "Cartesian" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython"):
+        assert py not in plan  # split + shingles are pure JVM expressions
+
+
+def test_source_overlap_single_corpus_pass(spark):
+    """source_overlap materializes the distinct (group, shingle) set
+    once: the executed plan's three consumers read the checkpointed
+    RDD, not three fresh corpus scans."""
+    from kartothek_spark.operators.contamination import source_overlap
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    df = source_overlap(docs, n=8)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 0  # all inputs are the checkpoint
+    assert "Scan ExistingRDD" in plan
