@@ -2804,7 +2804,7 @@ def stream_contamination_index(spark, sf_dir):
 # every gated scale — the 2^16 it replaced was 3 bits/key at sf0.1, a
 # saturated bitmap whose "prefilter" passed 42% of all corpus shingles
 # straight into the verification join. 2^19/63 = 8,322 words stays under
-# EXPR_MAX_WORDS, so the probe remains the pure-codegen inline path.
+# EXPR_MAX_WORDS, so the probe remains the inline JVM expression path.
 _BLOOM_M = 1 << 19
 _BLOOM_BENCH_SQL = (
     "SELECT doc_id, substr(text, 12) AS text FROM documents"
@@ -2837,7 +2837,7 @@ def corpus_bloom_words(spark, sf_dir):
 
 def corpus_bloom_hits(spark, sf_dir):
     """Bloom-accelerated contamination hits: the corpus prefilters
-    through a pure-codegen EXISTS over the inline bitmap literal (zero
+    through a join-free EXISTS over the inline bitmap literal (zero
     joins for clean docs), and only candidates pay the exact
     verification join — value-identical to the broadcast-join operator
     (shared oracle; no false negatives by construction).

@@ -8,7 +8,7 @@ training batch, and the relation grows linearly with the number of
 indexed eval suites. The Bloom filter collapses the benchmark side to a
 fixed-size bitmap (16 bits/key ≈ 2 KB per thousand shingles) that ships
 as a plain expression literal: the prefilter over the corpus is then a
-pure whole-stage-codegen ``EXISTS`` over each doc's shingle-hash array —
+single narrow JVM ``EXISTS`` scan over each doc's shingle-hash array —
 **zero joins, zero shuffles, zero relation builds** for the overwhelming
 majority of clean documents. Only candidate docs (true hits + the
 bitmap's documented false positives) pay the exact verification join,
@@ -34,7 +34,9 @@ Probe paths (same results, pinned by parity tests):
 
 * ``n_words <= EXPR_MAX_WORDS``: the words ship as an inline array
   literal and membership is ``getbit(element_at(...), pos) == 1`` —
-  whole-stage codegen, no Python.
+  one narrow JVM scan, no joins, no Python (higher-order functions
+  evaluate interpreted, outside whole-stage codegen — see
+  ``EXPR_MAX_WORDS`` for the measured size boundary this implies).
 * larger bitmaps: a vectorized NumPy ``mapInPandas`` prefilter (Arrow
   batches, no row-at-a-time Python).
 
@@ -85,13 +87,18 @@ MIN_BLOOM_BITS = 1 << 13
 MAX_BLOOM_BITS = 1 << 26
 #: above this word count the inline-literal expression path gives way
 #: to the vectorized NumPy prefilter. The boundary is MEASURED, not a
-#: codegen-size guess: inside a higher-order-function lambda the
-#: ``F.lit(words)`` array is a CreateArray that Catalyst does NOT
-#: constant-fold, so every row re-builds the array per probe — at 8,322
-#: words (2^19 bits) the expression path took 8.9 s where the Arrow/NumPy
-#: pass took 0.55 s on the same 236k-shingle scan (sf0.1); at 1,041
-#: words (2^16) the two paths are within noise of each other. 2048 keeps
-#: the pure-codegen form exactly where it wins.
+#: codegen-size guess. Mechanism (verified round 8): higher-order
+#: functions run INTERPRETED, outside whole-stage codegen, and in
+#: interpreted mode the ``F.lit(words)`` CreateArray re-materializes per
+#: row — O(words) per row, not O(k). At 8,322 words (2^19 bits) the
+#: expression path took 8.9 s where the Arrow/NumPy pass took 0.55 s on
+#: the same 236k-shingle scan (sf0.1); at 1,041 words (2^16) the two
+#: paths are within noise of each other. A third shape — a
+#: nondeterministic-projection barrier + plain codegen filter, which
+#: DOES fold the literal — wins on pre-materialized inputs (1.6 s vs
+#: 29 s vs NumPy 3.0 s at 2M rows) but LOSES on the live md5 shingle
+#: pipeline (8.4 s vs the HOF's 4.6 s at 2^16), so the dispatch stays
+#: HOF-below / NumPy-above with 2048 as the measured crossover.
 EXPR_MAX_WORDS = 2048
 
 _TWO_32 = 4294967296
@@ -199,7 +206,7 @@ def dense_words(rows, m_bits: int) -> list[int]:
 
 
 def bloom_member_expr(h: Column, words: list[int], m_bits: int, k: int) -> Column:
-    """Pure-codegen membership test of an int64 hash against an inline
+    """Join-free JVM membership test of an int64 hash against an inline
     bitmap literal: k ``getbit(element_at(...))`` probes, no join, no
     Python. ``h`` may be a higher-order-function lambda variable, so the
     prefilter composes into ``F.exists`` over a shingle-hash array."""
@@ -499,7 +506,7 @@ def bloom_contamination_hits_indexed(
 ) -> DataFrame:
     """Per-doc hit counts against the PERSISTED index — value-identical
     to ``contamination_hits`` over everything indexed (shared oracle).
-    The bitmap read is ~m/63 rows; the corpus pays one codegen scan and
+    The bitmap read is ~m/63 rows; the corpus pays one narrow scan and
     only candidates touch the keys dataset."""
     from kartothek_spark.dataset.read import read_table
 
