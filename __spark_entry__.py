@@ -2993,6 +2993,22 @@ def corpus_leakage_split(spark, sf_dir):
     )
 
 
+def corpus_token_budget(spark, sf_dir):
+    """Token-budgeted temperature mixing (round 8): per-source budgets
+    in TOKENS (recipes are token-denominated; doc quotas over-weight
+    short-doc sources), exact micro-int budget arithmetic, hash-order
+    take-until-budget with the crossing doc included. The prefix sum
+    runs sharded-with-boundary-carry (no single-task window for a
+    mega-source); the twin is the plain single-window form — value
+    identity is the operator's contract."""
+    from kartothek_spark.operators.corpus import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(docs, "source", total_tokens=10_000).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def corpus_source_overlap(spark, sf_dir):
     """Pairwise n-gram overlap matrix between the corpus' source feeds
     (round 8): distinct (source, shingle-hash) set, hash-equi self-join
@@ -4891,7 +4907,7 @@ _PERENNIAL_SAMPLED = frozenset({
 _FRESH_PRIORITY = [
     # round-8 additions + newly value-oracled conversions: the code that
     # changed THIS round should convert to driver hash rows first
-    "corpus_leakage_split", "corpus_source_overlap",
+    "corpus_leakage_split", "corpus_source_overlap", "corpus_token_budget",
     "embedding_hard_negatives", "events_resample_sliced",
     "events_asof_salted", "ann_lsh_topk", "stream_sessionize",
     "stream_windowed_update",
@@ -5114,6 +5130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": corpus_clean,
         "corpus_leakage_split": corpus_leakage_split,
         "corpus_source_overlap": corpus_source_overlap,
+        "corpus_token_budget": corpus_token_budget,
         "embedding_hard_negatives": embedding_hard_negatives,
         "stream_clean_corpus": stream_clean_corpus,
         "corpus_cms_counts": corpus_cms_counts,
@@ -6198,6 +6215,12 @@ FROM toks
         "corpus_source_overlap": __import__(
             "kartothek_spark.operators.contamination", fromlist=["source_overlap_sql"]
         ).source_overlap_sql("documents", n=8),
+        "corpus_token_budget": __import__(
+            "kartothek_spark.operators.corpus", fromlist=["token_budget_sample_sql"]
+        ).token_budget_sample_sql(
+            "documents", "source", total_tokens=10_000,
+            columns="doc_id, lang, source, n_chars",
+        ),
         "embedding_hard_negatives": _sim.hard_negatives_sql(
             "embeddings", "vec_id < 10",
             "SELECT vec_id AS query_id, vec_id + 1 AS pos_id FROM embeddings WHERE vec_id < 10",

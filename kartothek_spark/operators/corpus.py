@@ -693,6 +693,138 @@ SELECT {columns} FROM (
 """
 
 
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    total_tokens: int,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "tokbudget",
+) -> DataFrame:
+    """Temperature-weighted source mixing by TOKEN budget — data recipes
+    are specified in tokens, not document counts, and doc-count quotas
+    (:func:`mixture_sample`) over-weight short-doc sources. Each group's
+    token budget is ``total_tokens * T_g^alpha / Σ T^alpha`` (T_g = the
+    group's token total; same exact micro-unit integer arithmetic as
+    ``mixture_sample``, clamped ≥ 1), and within a group documents are
+    taken in deterministic hash order until the budget is reached — a
+    doc is kept iff the token sum of the docs BEFORE it is still under
+    budget, so the crossing document is included and every non-empty
+    group keeps at least one doc. Growth-stable like every hash-ordered
+    selection here: new corpus rows only displace from the tail.
+
+    Scale shape: the per-group budget table is tiny and broadcast. The
+    prefix sum does NOT run as one per-group ordered window (a
+    95%-of-corpus source would serialize through one task): documents
+    shard by the TOP bits of the selection hash (shard order == hash
+    order), each (group, shard) computes its local running sum, and a
+    per-(group, shard) boundary carry — the same tiny-spine pattern as
+    the keyless as-of join and the salted window — converts local sums
+    to global prefix sums exactly. Value-identical to the single-window
+    form (integer token counts; pinned by
+    ``tests/test_operators.py::test_token_budget_sample``)."""
+    from pyspark.sql import Window
+
+    from kartothek_spark.operators.text import token_count
+
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    toks = df.withColumn("__tok", token_count(F.col(text_col)))
+    weights = toks.groupBy(group_col).agg(
+        F.sum("__tok").alias("__T")
+    ).select(
+        group_col,
+        F.round(F.pow(F.col("__T").cast("double"), F.lit(float(alpha))) * 1e6)
+        .cast("long")
+        .alias("__w"),
+    )
+    budgets = weights.withColumn(
+        "__wsum", F.sum("__w").over(Window.partitionBy())
+    ).select(
+        group_col,
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(CAST({int(total_tokens)} AS BIGINT) * __w) DIV __wsum"),
+        ).alias("__budget"),
+    )
+    h = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    # 64 shards by the hash's TOP 6 bits (h60 is 60-bit): shard index
+    # increases with h, so cross-shard order == global hash order
+    base = (
+        toks.join(F.broadcast(budgets), group_col)
+        .withColumn("__h", h)
+        .withColumn("__shard", F.shiftright(F.col("__h"), 54).cast("int"))
+    )
+    shard_sums = base.groupBy(group_col, "__shard").agg(
+        F.sum("__tok").alias("__ss")
+    )
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc("__shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = shard_sums.select(
+        group_col,
+        "__shard",
+        F.coalesce(F.sum("__ss").over(wc), F.lit(0)).alias("__carry"),
+    )
+    win = (
+        Window.partitionBy(group_col, "__shard")
+        .orderBy(F.asc("__h"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(carry), [group_col, "__shard"])
+        .withColumn(
+            "__before", F.col("__carry") + F.coalesce(F.sum("__tok").over(win), F.lit(0))
+        )
+        .where(F.col("__before") < F.col("__budget"))
+        .drop("__tok", "__h", "__shard", "__budget", "__carry", "__before")
+    )
+
+
+def token_budget_sample_sql(
+    table: str,
+    group_col: str,
+    total_tokens: int,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "tokbudget",
+    columns: str = "*",
+) -> str:
+    """DuckDB twin of :func:`token_budget_sample` — the plain
+    single-window prefix sum (the sharded carry promises value
+    identity)."""
+    from kartothek_spark.operators.text import token_count_sql
+
+    h = h60_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    tok = token_count_sql(text_col)
+    return f"""
+SELECT {columns} FROM (
+  SELECT t.*, b.budget,
+         coalesce(sum({tok}) OVER (
+           PARTITION BY t.{group_col} ORDER BY {h} ASC, t.{id_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before_toks
+  FROM {table} t
+  JOIN (
+    SELECT {group_col},
+           greatest(1, (CAST({int(total_tokens)} AS BIGINT) * w) // wsum) AS budget
+    FROM (
+      SELECT {group_col}, w, sum(w) OVER () AS wsum
+      FROM (
+        SELECT {group_col},
+               CAST(round(pow(CAST(sum({tok}) AS DOUBLE), {float(alpha)}) * 1e6) AS BIGINT) AS w
+        FROM {table} GROUP BY {group_col}
+      )
+    )
+  ) b USING ({group_col})
+) WHERE before_toks < budget
+"""
+
+
 def shard_corpus(
     df: DataFrame,
     n_shards: int,

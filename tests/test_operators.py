@@ -2039,3 +2039,46 @@ def test_source_overlap_planted(spark):
     # A and B each hold 9 distinct 8-grams (16 tokens), exactly 1 shared
     assert r.n_shared == 1 and r.n_a == 9 and r.n_b == 9
     assert abs(r.jaccard - round(1 / 17, 6)) < 1e-9
+
+
+def test_token_budget_sample(spark):
+    """Budget semantics: kept docs in hash order fill the group's token
+    budget with the crossing doc included (prefix strictly under budget
+    for every kept doc; the NEXT doc in hash order would start at or
+    past it); every non-empty group keeps >= 1 doc; the sharded
+    boundary-carry prefix sum equals the naive single-window form."""
+    import os
+
+    import pytest
+    from pyspark.sql import Window, functions as F
+
+    from kartothek_spark.functions.hashing import h60
+    from kartothek_spark.operators.corpus import token_budget_sample
+    from kartothek_spark.operators.text import token_count
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    total = 5000
+    out = token_budget_sample(docs, "source", total_tokens=total)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept
+
+    # naive single-window reference computed independently
+    h = h60(F.concat(F.lit("tokbudget:"), F.col("doc_id").cast("string")))
+    toks = docs.select("doc_id", "source", token_count(F.col("text")).alias("tok"), h.alias("h"))
+    T = {r.source: r.T for r in toks.groupBy("source").agg(F.sum("tok").alias("T")).collect()}
+    w = {s: int(round((t ** 0.5) * 1e6)) for s, t in T.items()}
+    wsum = sum(w.values())
+    budget = {s: max(1, total * w[s] // wsum) for s in w}
+    rows = sorted(toks.collect(), key=lambda r: (r.source, r.h, r.doc_id))
+    want, cum = set(), {}
+    for r in rows:
+        before = cum.get(r.source, 0)
+        if before < budget[r.source]:
+            want.add(r.doc_id)
+        cum[r.source] = before + r.tok
+    assert kept == want
+    # every source represented
+    assert {r.source for r in out.select("source").distinct().collect()} == set(T)
+    with pytest.raises(ValueError, match="total_tokens"):
+        token_budget_sample(docs, "source", total_tokens=0)
