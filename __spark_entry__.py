@@ -3095,6 +3095,31 @@ def corpus_novelty(spark, sf_dir):
     return novelty_report(_bloom_bench(spark, sf_dir), docs, n=8)
 
 
+def _novelty_index_root(spark, sf_dir):
+    """Cached Bloom index over the FULL documents corpus (the reference
+    side of the indexed novelty report) — keys auto-sized."""
+    from kartothek_spark.operators.bloom import build_bloom_index
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build(root):
+        build_bloom_index(spark, docs, root, "nvx", n=8)
+
+    return _fixture(sf_dir, "novelty_idx", build)
+
+
+def corpus_novelty_indexed(spark, sf_dir):
+    """The novelty report against the PERSISTED key set (round 8): the
+    reference corpus is shingled ONCE at index build; every subsequent
+    freshness report joins the 8-byte key dataset instead of re-paying
+    the reference scan — value-identical to the inline operator, so it
+    shares corpus_novelty's oracle verbatim."""
+    from kartothek_spark.operators.bloom import novelty_report_indexed
+
+    root = _novelty_index_root(spark, sf_dir)
+    return novelty_report_indexed(spark, _bloom_bench(spark, sf_dir), root, "nvx")
+
+
 def corpus_cms_counts(spark, sf_dir):
     """The Count-Min sketch ITSELF over the corpus' token occurrences
     (depth×width cells, double-hashed rows — pure int64 arithmetic, so
@@ -4908,6 +4933,7 @@ _FRESH_PRIORITY = [
     # round-8 additions + newly value-oracled conversions: the code that
     # changed THIS round should convert to driver hash rows first
     "corpus_leakage_split", "corpus_source_overlap", "corpus_token_budget",
+    "corpus_novelty_indexed",
     "embedding_hard_negatives", "events_resample_sliced",
     "events_asof_salted", "ann_lsh_topk", "stream_sessionize",
     "stream_windowed_update",
@@ -5140,6 +5166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hll_estimate": corpus_hll_estimate,
         "stream_hll": stream_hll,
         "corpus_novelty": corpus_novelty,
+        "corpus_novelty_indexed": corpus_novelty_indexed,
         "corpus_contamination_report": corpus_contamination_report,
         "corpus_pack": corpus_pack,
         "corpus_chunk": corpus_chunk,
@@ -6169,6 +6196,14 @@ FROM toks
             columns="doc_id, lang, n_chars",
         ),
         "corpus_novelty": __import__(
+            "kartothek_spark.operators.contamination",
+            fromlist=["novelty_report_sql"],
+        ).novelty_report_sql(
+            _BLOOM_BENCH_SQL, "SELECT * FROM documents", n=8
+        ),
+        # the persisted key set promises value identity with the inline
+        # reference shingling, so the indexed report shares the oracle
+        "corpus_novelty_indexed": __import__(
             "kartothek_spark.operators.contamination",
             fromlist=["novelty_report_sql"],
         ).novelty_report_sql(

@@ -167,6 +167,7 @@ HEADLINE = [
     "corpus_leakage_split",     # hash split + zero-leakage train decon (r8)
     "corpus_source_overlap",    # pairwise source n-gram overlap matrix (r8)
     "corpus_token_budget",      # token-denominated temperature mixing (r8)
+    "corpus_novelty_indexed",   # freshness report vs persisted key set (r8)
     "embedding_hard_negatives", # contrastive hard-negative mining (r8)
     "stream_clean_corpus",      # continuous ingest cleaning, bitmap dedup
     "corpus_cms_counts",        # Count-Min sketch build (d*w cells shuffle)

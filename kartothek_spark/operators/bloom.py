@@ -516,6 +516,36 @@ def bloom_contamination_hits_indexed(
     return _verify_hits(cand, keys, id_col)
 
 
+def novelty_report_indexed(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    index_uuid: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc n-gram novelty vs the PERSISTED key set of a Bloom
+    membership index — value-identical to
+    :func:`~kartothek_spark.operators.contamination.novelty_report`
+    against whatever corpus the index was built/synced over (shared
+    oracle). The build-once key dataset (8 bytes per distinct shingle)
+    replaces re-shingling the reference corpus on EVERY freshness
+    report — the at-scale shape when the same reference scores many
+    candidate feeds. The shingle ``n`` comes from the index manifest so
+    probe and index can never disagree; no broadcast hint on the
+    reference side (an index over a 100 TB corpus is the big side —
+    AQE picks the join), matching ``novelty_report``'s stance."""
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.operators.contamination import _novelty_vs_ref_hashes
+
+    manifest = DatasetManifest.load(root, index_uuid)
+    n = int(manifest.metadata[META_N])
+    ref = read_table(spark, root, _keys_uuid(index_uuid)).select(
+        F.col("kh").alias("_h")
+    )
+    return _novelty_vs_ref_hashes(df, ref, n, text_col, id_col)
+
+
 def bloom_decontaminate_indexed(
     spark: SparkSession,
     train: DataFrame,

@@ -204,6 +204,14 @@ def novelty_report(
     ref_hashes = (
         _doc_shingle_hashes(reference, text_col, id_col, n).select("_h").distinct()
     )
+    return _novelty_vs_ref_hashes(df, ref_hashes, n, text_col, id_col)
+
+
+def _novelty_vs_ref_hashes(
+    df: DataFrame, ref_hashes: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared novelty kernel over a precomputed distinct reference
+    shingle-hash relation (column ``_h``)."""
     doc_hashes = _doc_shingle_hashes(df, text_col, id_col, n)
     counted = (
         doc_hashes.join(ref_hashes.withColumn("__hit", F.lit(1)), "_h", "left")

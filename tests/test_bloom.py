@@ -381,3 +381,34 @@ def test_bloom_sync_auto_resizes_saturated_bitmap(spark, tmp_root):
         for r in bloom_contamination_hits_indexed(spark, docs, tmp_root, "bx").collect()
     }
     assert exact and got == exact
+
+
+def test_novelty_report_indexed_equals_inline(spark, tmp_root):
+    """Novelty vs the persisted key set must equal the inline operator
+    against the corpus the index was built over, including after a sync
+    extends the reference."""
+    from kartothek_spark.operators.bloom import (
+        build_bloom_index,
+        novelty_report_indexed,
+        sync_bloom_index,
+    )
+    from kartothek_spark.operators.contamination import novelty_report
+
+    docs = _docs(spark)
+    bench = _bench(docs)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    build_bloom_index(spark, half, tmp_root, "nv", n=8)
+    inline_half = {tuple(r) for r in novelty_report(bench, half, n=8).collect()}
+    got_half = {
+        tuple(r)
+        for r in novelty_report_indexed(spark, bench, tmp_root, "nv").collect()
+    }
+    assert got_half == inline_half
+    # extend the reference: the report must follow the synced key set
+    sync_bloom_index(spark, docs.where(F.col("doc_id") % 2 != 0), tmp_root, "nv")
+    inline_full = {tuple(r) for r in novelty_report(bench, docs, n=8).collect()}
+    got_full = {
+        tuple(r)
+        for r in novelty_report_indexed(spark, bench, tmp_root, "nv").collect()
+    }
+    assert got_full == inline_full and got_full != got_half
