@@ -4930,6 +4930,10 @@ _PERENNIAL_SAMPLED = frozenset({
 # runs (full value oracles preferred); everything else follows in
 # registry order
 _FRESH_PRIORITY = [
+    # round-9 front: the last two stream_* entries without a driver hash
+    # row ever (the rest of the streaming family went green in r7/r8) —
+    # pulled to the window head so the family closes out this round
+    "stream_multimodal_ingest", "stream_text_index",
     # round-8 additions + newly value-oracled conversions: the code that
     # changed THIS round should convert to driver hash rows first
     "corpus_leakage_split", "corpus_source_overlap", "corpus_token_budget",
