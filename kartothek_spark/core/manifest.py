@@ -77,26 +77,36 @@ class ConditionalPutStore:
     read-check-swap. Duck-typed protocol (subclassing optional):
 
     - ``etag(path) -> str | None``: current ETag, None if absent.
-    - ``put_if_match(path, data, expected_etag)``: atomically write iff
-      the object's ETag equals ``expected_etag`` (None = must not exist);
-      raise :class:`CommitConflict` otherwise.
-    - ``put(path, data)``: unconditional write (``check_conflict=False``
-      deliberate-overwrite semantics).
+    - ``put_if_match(path, data, expected_etag) -> str | None``:
+      atomically write iff the object's ETag equals ``expected_etag``
+      (None = must not exist); raise :class:`CommitConflict` otherwise.
+      SHOULD return the new object's ETag (S3 PUT responses carry it):
+      commit() uses the returned value as the next If-Match baseline, so
+      a competitor landing right after the put still conflicts on the
+      next commit. Returning None degrades to a follow-up ``etag()``
+      read, which reopens that small lost-update window.
+    - ``put(path, data) -> str | None``: unconditional write
+      (``check_conflict=False`` deliberate-overwrite semantics); same
+      return convention.
 
-    Only the live-manifest swap is conditional: history snapshots and
-    partition sidecars are written to version-unique names BEFORE the
-    swap (write-once keys, no contention — SPEC.md §7's ordering), so
-    plain puts suffice for them on any store."""
+    Scope: this seam covers ONLY conflict detection on the live manifest
+    object. History snapshots and partition sidecars are written to
+    version-unique names BEFORE the swap (write-once keys, no contention
+    — SPEC.md §7's ordering), and their bytes — like the parquet data
+    files themselves — travel over the shared filesystem/data plane, not
+    through this store adapter."""
 
     def etag(self, path: str) -> str | None:  # pragma: no cover - protocol
         raise NotImplementedError
 
     def put_if_match(
         self, path: str, data: bytes, expected_etag: str | None
-    ) -> None:  # pragma: no cover - protocol
+    ) -> str | None:  # pragma: no cover - protocol
         raise NotImplementedError
 
-    def put(self, path: str, data: bytes) -> None:  # pragma: no cover - protocol
+    def put(
+        self, path: str, data: bytes
+    ) -> str | None:  # pragma: no cover - protocol
         raise NotImplementedError
 
 
@@ -685,7 +695,9 @@ class DatasetManifest:
             if check_conflict:
                 expected = self._loaded_etag if self._persisted else None
                 try:
-                    self._cond_store.put_if_match(self.manifest_path, data, expected)
+                    new_etag = self._cond_store.put_if_match(
+                        self.manifest_path, data, expected
+                    )
                 except CommitConflict:
                     # roll the version bump back — this state was NOT
                     # committed; the caller reloads and rebases
@@ -693,8 +705,15 @@ class DatasetManifest:
                         self.version -= 1
                     raise
             else:
-                self._cond_store.put(self.manifest_path, data)
-            self._loaded_etag = self._cond_store.etag(self.manifest_path)
+                new_etag = self._cond_store.put(self.manifest_path, data)
+            # the PUT's own ETag is the next If-Match baseline; a
+            # follow-up etag() read could observe a competitor that
+            # landed after our put and silently adopt it as baseline
+            self._loaded_etag = (
+                new_etag
+                if new_etag is not None
+                else self._cond_store.etag(self.manifest_path)
+            )
         else:
             fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
             try:

@@ -103,9 +103,20 @@ EXPR_MAX_WORDS = 2048
 
 _TWO_32 = 4294967296
 
+#: version of the bit-position derivation (the Kirsch–Mitzenmacher
+#: h1/h2 slicing below). v1 sliced h2 from bit 28 (overlapping h1);
+#: v2 made the pair disjoint (h2 from bit 32). Bit positions — and
+#: therefore every persisted bitmap — change between versions, so a
+#: bitmap built under one version probed under another silently loses
+#: the no-false-negatives guarantee. The version is stamped into the
+#: index manifest; probes REJECT a mismatch (sync heals it instead:
+#: the rebuild reads the raw 60-bit key set, which is version-free).
+BLOOM_HASH_VERSION = 2
+
 META_M_BITS = "bloom_m_bits"
 META_K = "bloom_k"
 META_N = "bloom_shingle_n"
+META_HASH_VERSION = "bloom_hash_version"
 
 
 def _keys_uuid(index_uuid: str) -> str:
@@ -125,6 +136,23 @@ def _size_m(n_keys: int, bits_per_key: int = DEFAULT_BITS_PER_KEY) -> int:
             "use the exact broadcast-join operator instead"
         )
     return m
+
+
+def _validate_m_bits(m_bits: int) -> None:
+    """Persisted bitmaps must be power-of-two sized within
+    [MIN_BLOOM_BITS, MAX_BLOOM_BITS]: the auto-resize doubling loop and
+    the 8-MB driver-collect cap both assume it (a non-power-of-two size
+    accepted here could double past the cap unchecked)."""
+    if (
+        not isinstance(m_bits, int)
+        or m_bits < MIN_BLOOM_BITS
+        or m_bits > MAX_BLOOM_BITS
+        or m_bits & (m_bits - 1)
+    ):
+        raise ValueError(
+            f"m_bits={m_bits!r}: persisted bloom bitmaps must be a power "
+            f"of two in [{MIN_BLOOM_BITS}, {MAX_BLOOM_BITS}]"
+        )
 
 
 def _h1(h: Column) -> Column:
@@ -384,6 +412,8 @@ def build_bloom_index(
     )
     if m_bits is None:
         m_bits = _size_m(bench_keys.count())
+    else:
+        _validate_m_bits(m_bits)
     store_dataframe_as_dataset(
         spark,
         bench_keys,
@@ -393,7 +423,13 @@ def build_bloom_index(
         metadata=dict(extra_metadata or {}),
         overwrite=overwrite or not DatasetManifest.exists(root, index_uuid),
     )
-    meta = {META_M_BITS: m_bits, META_K: k, META_N: n, **(extra_metadata or {})}
+    meta = {
+        META_M_BITS: m_bits,
+        META_K: k,
+        META_N: n,
+        META_HASH_VERSION: BLOOM_HASH_VERSION,
+        **(extra_metadata or {}),
+    }
     return store_dataframe_as_dataset(
         spark,
         bloom_words(bench_keys, m_bits, k),
@@ -427,6 +463,19 @@ def sync_bloom_index(
     m_bits = int(manifest.metadata[META_M_BITS])
     k = int(manifest.metadata[META_K])
     n = int(manifest.metadata[META_N])
+    stored_hv = int(manifest.metadata.get(META_HASH_VERSION, 1))
+    if stored_hv != BLOOM_HASH_VERSION:
+        # sync HEALS a version mismatch: the rebuild below reads the raw
+        # 60-bit key set (version-free) and re-derives every bit position
+        # under the current hashing, then stamps the current version
+        import warnings
+
+        warnings.warn(
+            f"bloom index {index_uuid!r} was built under hash version "
+            f"{stored_hv} (current {BLOOM_HASH_VERSION}) — rebuilding the "
+            "bitmap from the persisted key set under the current hashing",
+            stacklevel=2,
+        )
 
     new_keys = _bench_shingle_keys(new_bench, n, text_col)
     known = read_table(spark, root, _keys_uuid(index_uuid))
@@ -471,7 +520,13 @@ def sync_bloom_index(
                 "this benchmark to the exact broadcast-join operator",
                 stacklevel=2,
             )
-    meta = {META_M_BITS: m_bits, META_K: k, META_N: n, **(extra_metadata or {})}
+    meta = {
+        META_M_BITS: m_bits,
+        META_K: k,
+        META_N: n,
+        META_HASH_VERSION: BLOOM_HASH_VERSION,
+        **(extra_metadata or {}),
+    }
     return store_dataframe_as_dataset(
         spark,
         bloom_words(all_keys, m_bits, k),
@@ -487,6 +542,20 @@ def _load_bloom(spark: SparkSession, root: str, index_uuid: str):
     from kartothek_spark.dataset.read import read_table
 
     manifest = DatasetManifest.load(root, index_uuid)
+    stored_hv = int(manifest.metadata.get(META_HASH_VERSION, 1))
+    if stored_hv != BLOOM_HASH_VERSION:
+        # probing a bitmap whose bit positions were derived under a
+        # different hash version silently produces FALSE NEGATIVES —
+        # the one failure mode a Bloom decontamination gate must never
+        # have. Reject loudly; sync_bloom_index heals by rebuilding
+        # from the (version-free) persisted key set.
+        raise ValueError(
+            f"bloom index {index_uuid!r} was built under hash version "
+            f"{stored_hv} but this code probes under version "
+            f"{BLOOM_HASH_VERSION}: probing would silently drop true "
+            "hits. Run sync_bloom_index (rebuilds the bitmap from the "
+            "persisted key set) before probing."
+        )
     m_bits = int(manifest.metadata[META_M_BITS])
     k = int(manifest.metadata[META_K])
     n = int(manifest.metadata[META_N])
@@ -567,6 +636,7 @@ __all__ = [
     "WORD_BITS",
     "DEFAULT_BLOOM_K",
     "EXPR_MAX_WORDS",
+    "BLOOM_HASH_VERSION",
     "bloom_words",
     "bloom_words_sql",
     "bench_shingle_keys_sql",

@@ -215,6 +215,65 @@ def test_bloom_oversize_raises():
         _size_m(MAX_BLOOM_BITS)  # 16 bits/key would blow the cap
 
 
+def test_bloom_build_validates_explicit_m_bits(spark, tmp_root):
+    """Persisted bitmaps reject a user-supplied m_bits that is not a
+    power of two within [MIN, MAX]: the auto-resize doubling loop and
+    the driver-collect cap both assume the invariant (ADVICE r8 #4)."""
+    from kartothek_spark.operators.bloom import (
+        MAX_BLOOM_BITS,
+        MIN_BLOOM_BITS,
+        build_bloom_index,
+    )
+
+    docs = _docs(spark)
+    bench = _bench(docs)
+    for bad in [(1 << 16) + 1, MIN_BLOOM_BITS // 2, MAX_BLOOM_BITS * 2, 0, -8]:
+        with pytest.raises(ValueError, match="power of two"):
+            build_bloom_index(spark, bench, tmp_root, "vb", n=8, m_bits=bad)
+
+
+def test_bloom_hash_version_probe_rejects_sync_heals(spark, tmp_root):
+    """A persisted bitmap built under an older hash version must never
+    be probed (silent false negatives — ADVICE r8 #2): loads reject on
+    the manifest's version stamp; sync rebuilds from the version-free
+    key set and re-stamps, after which probes match the exact operator."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.operators.bloom import (
+        BLOOM_HASH_VERSION,
+        META_HASH_VERSION,
+        bloom_contamination_hits_indexed,
+        build_bloom_index,
+        sync_bloom_index,
+    )
+    from kartothek_spark.operators.contamination import contamination_hits
+
+    docs = _docs(spark)
+    bench = _bench(docs)
+    build_bloom_index(spark, bench, tmp_root, "hv", n=8, m_bits=M)
+    m = DatasetManifest.load(tmp_root, "hv")
+    assert int(m.metadata[META_HASH_VERSION]) == BLOOM_HASH_VERSION
+    # simulate an index persisted under the previous hashing
+    m.metadata[META_HASH_VERSION] = BLOOM_HASH_VERSION - 1
+    m.commit(check_conflict=False)
+
+    with pytest.raises(ValueError, match="hash version"):
+        bloom_contamination_hits_indexed(spark, docs, tmp_root, "hv").collect()
+
+    # sync heals: rebuild from the persisted keys, stamp current version
+    with pytest.warns(UserWarning, match="hash version"):
+        sync_bloom_index(spark, bench.limit(0), tmp_root, "hv")
+    assert (
+        int(DatasetManifest.load(tmp_root, "hv").metadata[META_HASH_VERSION])
+        == BLOOM_HASH_VERSION
+    )
+    exact = {(r.doc_id, r.n_hits) for r in contamination_hits(docs, bench, n=8).collect()}
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in bloom_contamination_hits_indexed(spark, docs, tmp_root, "hv").collect()
+    }
+    assert got == exact
+
+
 def test_bloom_sync_warns_on_saturation(spark, tmp_root):
     """Growing the key set past ~8 bits/key must surface: since round 8
     a growable bitmap AUTO-RESIZES (warning says so); the

@@ -189,12 +189,15 @@ class _FakeConditionalStore:
                 f"put-if-match failed for {path}: expected {expected_etag}, "
                 f"object is at {current}"
             )
-        self.put(path, data)
+        return self.put(path, data)
 
     def put(self, path, data):
         self.objects[path] = bytes(data)
         with open(path, "wb") as fh:
             fh.write(data)
+        # S3 PUT responses carry the new ETag; commit() adopts it as the
+        # next If-Match baseline instead of a racy follow-up etag() read
+        return self._etag_of(data)
 
 
 def test_conditional_put_store_commit(spark, tmp_root):
@@ -259,3 +262,61 @@ def test_conditional_put_store_creation_requires_absent(spark, tmp_root):
     m1.commit()
     with pytest.raises(CommitConflict, match="put-if-match failed"):
         m2.commit()
+
+
+def test_conditional_put_baseline_is_put_response_etag(spark, tmp_root):
+    """A competitor landing BETWEEN our put and any follow-up read must
+    not become our If-Match baseline: commit() adopts the ETag returned
+    by put_if_match itself, so our next commit conflicts against the
+    competitor instead of silently overwriting it (ADVICE r8 #1)."""
+
+    class _InterleavingStore(_FakeConditionalStore):
+        """After every successful conditional put, a competitor
+        immediately overwrites the object — the worst-case interleave
+        for a follow-up etag() baseline read."""
+
+        def put_if_match(self, path, data, expected_etag):
+            ours = super().put_if_match(path, data, expected_etag)
+            self.objects[path] = b"competitor wrote this"
+            return ours
+
+    store_dataframe_as_dataset(spark, _sup(spark), tmp_root, "ib")
+    store = _InterleavingStore()
+    a = DatasetManifest.load(tmp_root, "ib")
+    with open(a.manifest_path, "rb") as fh:
+        store.objects[a.manifest_path] = fh.read()
+    a.attach_conditional_store(store)
+    a.metadata["x"] = 1
+    a.commit()
+    # our baseline is OUR object's ETag, not the competitor's
+    assert a._loaded_etag != store.etag(a.manifest_path)
+    with pytest.raises(CommitConflict, match="put-if-match failed"):
+        a.metadata["x"] = 2
+        a.commit()
+
+
+def test_conditional_put_legacy_adapter_none_return(spark, tmp_root):
+    """Adapters predating the ETag-return convention (put_if_match
+    returns None) still work: commit() falls back to the follow-up
+    etag() read and consecutive commits by one writer succeed."""
+
+    class _LegacyStore(_FakeConditionalStore):
+        def put_if_match(self, path, data, expected_etag):
+            super().put_if_match(path, data, expected_etag)
+            return None
+
+        def put(self, path, data):
+            super().put(path, data)
+            return None
+
+    store_dataframe_as_dataset(spark, _sup(spark), tmp_root, "lg")
+    store = _LegacyStore()
+    a = DatasetManifest.load(tmp_root, "lg")
+    with open(a.manifest_path, "rb") as fh:
+        store.objects[a.manifest_path] = fh.read()
+    a.attach_conditional_store(store)
+    a.metadata["x"] = 1
+    a.commit()
+    a.metadata["x"] = 2
+    a.commit()
+    assert DatasetManifest.load(tmp_root, "lg").metadata["x"] == 2
