@@ -186,6 +186,33 @@ HEADLINE = [
 # reports the warm operator cost, which is what the query measures
 BEST_OF = 3
 
+# in-run drift canary: a fixed 5-query set timed as ONE single-run pass
+# at session start, suite midpoint and session end (plus one untimed warm
+# pass first, so pass 1 carries no one-time fixture/codegen cost).
+# `canary_spread` = max/min of the three pass totals measures how much
+# THIS session's host-load band moved while the suite ran — totals from
+# different rounds divide by it instead of being compared raw (same-
+# commit totals have drifted 156-199 s across runs on this box).
+CANARY = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "ktk_read_pruned",
+    "dedup_exact",
+    "corpus_heavy_hitters",
+]
+
+
+def _canary_pass(qs, spark, sf_dir):
+    """One timed single-run pass over the canary set (deliberately NOT
+    best-of: the canary measures the session's noise, best-of would
+    mask it)."""
+    per = {}
+    for name in CANARY:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        per[name] = round(time.perf_counter() - t0, 3)
+    return round(sum(per.values()), 3), per
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -223,8 +250,23 @@ def main() -> None:
     }
     headline = [n for n in HEADLINE if not only or n in only]
 
+    canary_totals: list[float] = []
+    canary_detail: list[dict] = []
+
+    def canary(label: str) -> None:
+        total, per = _canary_pass(qs, spark, sf_dir)
+        canary_totals.append(total)
+        canary_detail.append({"at": label, "total": total, **per})
+        print(f"# canary[{label}]: {total}s", file=sys.stderr)
+
+    if not only:
+        _canary_pass(qs, spark, sf_dir)  # untimed warm (fixtures, codegen)
+        canary("start")
+
     timings: dict[str, float] = {}
-    for name in headline:
+    for i, name in enumerate(headline):
+        if not only and i == len(headline) // 2:
+            canary("mid")
         fn = qs[name]
         best, n = None, 0
         for _ in range(BEST_OF):
@@ -305,6 +347,9 @@ def main() -> None:
         timings[f"manifest_commit_{label}"] = round(best, 3)
         print(f"# manifest_commit_{label}: {best:.3f}s", file=sys.stderr)
 
+    if not only:
+        canary("end")
+
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -317,6 +362,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if canary_totals:
+        result["canary_totals"] = canary_totals
+        result["canary_spread"] = round(max(canary_totals) / min(canary_totals), 3)
+        result["canary_detail"] = canary_detail
     if only:
         result["subset"] = True
     # the stdout line can exceed a log collector's tail window at 70+

@@ -259,10 +259,13 @@ def brute_force_topk(
     """Exact cosine top-k neighbors per query vector.
 
     The (small) query matrix is broadcast; the corpus streams through one
-    numpy matmul per Arrow batch. Rank orders by (cos DESC, neighbor id
+    numpy matmul per Arrow batch, and only each query's per-batch top-k
+    rows leave the kernel (exact: any global top-k row is a batch top-k
+    row), so the ranking window shuffles Q·k·batches rows instead of the
+    full Q·|C| similarity relation. Rank orders by (cos DESC, neighbor id
     ASC) — fully deterministic under the fixed-point contract.
     Output: (query_id, neighbor_id, rank, cos_sim)."""
-    sims = _bf_sims(df, queries, id_col, vec_col)
+    sims = _bf_sims(df, queries, id_col, vec_col, batch_topk=k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -272,23 +275,49 @@ def brute_force_topk(
 
 
 def _bf_sims(
-    df: DataFrame, queries: DataFrame, id_col: str, vec_col: str
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    batch_topk: int | None = None,
+    slack: dict | None = None,
 ) -> DataFrame:
-    """All (query, corpus) fixed-point cosine rows minus self-pairs —
-    the shared kernel of :func:`brute_force_topk` and
-    :func:`hard_negatives` (broadcast query matrix, one int64 matmul
-    per Arrow batch, corpus never shuffles)."""
+    """(query, corpus) fixed-point cosine rows minus self-pairs — the
+    shared kernel of :func:`brute_force_topk` and :func:`hard_negatives`
+    (broadcast query matrix, one int64 matmul per Arrow batch, corpus
+    never shuffles on content).
+
+    ``batch_topk`` bounds the SHUFFLE, not the compute: the matmul is
+    inherently O(Q·C) for an exact operator, but only each query's
+    per-batch top-``(batch_topk + slack[qid])`` rows — under the exact
+    global order (cos DESC, neighbor_id ASC) — need to reach the
+    downstream ranking window, because any row in a query's global
+    top-k is by definition in that query's top-(k + #excluded-above-it)
+    of its own batch, and #excluded-above-it ≤ slack. Emitted volume
+    drops from Q·|C| rows to Q·(k+slack)·batches — at a 100 TB corpus
+    the difference between a top-k and a full materialization. ``slack``
+    carries each query's downstream-exclusion row count (its labeled
+    positives for ``hard_negatives``); queries absent from the dict get
+    0 (self-pairs are already excluded in-kernel). ``None`` emits every
+    pair (the similarity-relation form)."""
     import numpy as np
 
     spark = df.sparkSession
     q_ids, Qm = _quantized_matrix(queries, id_col, vec_col)
     q_norms = (Qm * Qm).sum(axis=1)
-    bc = spark.sparkContext.broadcast((q_ids, Qm, q_norms))
+    if batch_topk is not None:
+        sl = slack or {}
+        limits = np.array(
+            [batch_topk + int(sl.get(int(q), 0)) for q in q_ids], dtype="int64"
+        )
+    else:
+        limits = None
+    bc = spark.sparkContext.broadcast((q_ids, Qm, q_norms, limits))
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        b_qids, b_Q, b_qn = bc.value
+        b_qids, b_Q, b_qn, b_lim = bc.value
         qn = np.sqrt(b_qn.astype("float64"))
         for pdf in batches:
             if len(pdf) == 0:
@@ -298,12 +327,42 @@ def _bf_sims(
             G = C @ b_Q.T  # corpus-batch × queries, exact int64
             cn = np.sqrt((C * C).sum(axis=1).astype("float64"))
             cos = np.round(G.astype("float64") / (cn[:, None] * qn[None, :]), 6)
-            ii, jj = np.where(c_ids[:, None] != b_qids[None, :])
-            yield pd.DataFrame({
-                "query_id": b_qids[jj],
-                "neighbor_id": c_ids[ii],
-                "cos_sim": cos[ii, jj],
-            })
+            if b_lim is None:
+                ii, jj = np.where(c_ids[:, None] != b_qids[None, :])
+                yield pd.DataFrame({
+                    "query_id": b_qids[jj],
+                    "neighbor_id": c_ids[ii],
+                    "cos_sim": cos[ii, jj],
+                })
+                continue
+            B = len(c_ids)
+            out = []
+            for j in range(len(b_qids)):
+                col = cos[:, j].copy()
+                col[c_ids == b_qids[j]] = -np.inf  # self-pairs sort last
+                L = int(b_lim[j])
+                if L <= 0:
+                    continue
+                if B > L:
+                    # value threshold first (keeps boundary TIES), then
+                    # the exact composite order on the survivors only —
+                    # a tied boundary row with a smaller neighbor_id
+                    # must not be cut before the global window sees it
+                    v = np.partition(col, B - L)[B - L]
+                    cand = np.nonzero(col >= v)[0]
+                else:
+                    cand = np.arange(B)
+                order = np.lexsort((c_ids[cand], -col[cand]))[:L]
+                keep = cand[order]
+                keep = keep[col[keep] != -np.inf]  # drop selected self-pairs
+                if len(keep):
+                    out.append(pd.DataFrame({
+                        "query_id": np.full(len(keep), b_qids[j], dtype="int64"),
+                        "neighbor_id": c_ids[keep],
+                        "cos_sim": cos[keep, j],
+                    }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     qdf = scale_out(df).select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
     return qdf.mapInPandas(gen, _TOPK_SIM_SCHEMA)
@@ -329,12 +388,25 @@ def hard_negatives(
 
     Scale shape = :func:`brute_force_topk`'s: the (small) query matrix
     broadcasts, the corpus streams through one int64 matmul per Arrow
-    batch and never shuffles on content; the positives exclusion is a
-    left-anti join on (query, neighbor) that AQE broadcasts (label sets
-    are tiny by nature). For query sides too large to broadcast,
+    batch and never shuffles on content, and the kernel emits only each
+    query's per-batch top-(k + its positive count) rows — the slack
+    guarantees k survivors per batch even if every labeled positive
+    outranks them, so the post-exclusion result is exactly the
+    unbounded form's while the ranking shuffle carries
+    Q·(k+slack)·batches rows instead of Q·|C|. The positives exclusion
+    is a left-anti join on (query, neighbor) that AQE broadcasts (label
+    sets are tiny by nature). For query sides too large to broadcast,
     compose :func:`knn_join` with the same anti-join instead. Output:
     ``(query_id, neighbor_id, rank, cos_sim)``."""
-    spark_sims = _bf_sims(df, queries, id_col, vec_col)
+    pos_counts = {
+        int(r["query_id"]): int(r["n"])
+        for r in positives.groupBy(F.col(query_col).alias("query_id"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    spark_sims = _bf_sims(
+        df, queries, id_col, vec_col, batch_topk=k, slack=pos_counts
+    )
     pos = positives.select(
         F.col(query_col).alias("query_id"), F.col(pos_col).alias("neighbor_id")
     )

@@ -2021,6 +2021,94 @@ def test_hard_negatives_excludes_positives(spark):
     assert a == b
 
 
+def test_bf_sims_batch_topk_exact_and_bounded(spark):
+    """The in-kernel per-batch top-k (r8 ADVICE: shuffle hygiene) is
+    EXACT — identical to ranking the unbounded Q×|C| relation, including
+    cross-batch cosine TIES broken by neighbor_id (planted duplicate
+    vectors) — and the emitted row count is bounded by
+    queries·(k+slack)·batches instead of Q·|C|."""
+    import math
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from kartothek_spark.operators._util import scale_out
+    from kartothek_spark.operators.similarity import (
+        _bf_sims,
+        brute_force_topk,
+        hard_negatives,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    # plant exact duplicates (vec_id + 100000 shares the embedding):
+    # every query's neighbor list now carries cos ties that straddle
+    # batch boundaries — the selection must keep boundary ties alive
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 6)
+    k = 5
+    batch_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(batch_conf)
+    spark.conf.set(batch_conf, "64")  # force many small Arrow batches
+    try:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        unbounded = (
+            _bf_sims(corpus, queries, "vec_id", "embedding")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"), "cos_sim",
+            )
+        )
+        want = sorted(map(tuple, unbounded.collect()))
+        got = sorted(map(tuple, brute_force_topk(corpus, queries, k=k).collect()))
+        assert got == want
+
+        # volume bound: emitted rows <= n_queries * k * n_batches << Q*|C|
+        sims = _bf_sims(corpus, queries, "vec_id", "embedding", batch_topk=k)
+        n_emitted = sims.count()
+        per_part = (
+            scale_out(corpus)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        n_batches = sum(math.ceil(r["count"] / 64) for r in per_part)
+        nq = queries.count()
+        assert n_emitted <= nq * k * n_batches
+        assert n_emitted < nq * (corpus.count() - 1)  # strictly below Q*|C|
+
+        # hard negatives under worst-case slack: positives ARE the true
+        # top-3, so every batch's head rows get excluded downstream —
+        # the k+slack emission must still surface ranks 4..(k+3)
+        pos = (
+            brute_force_topk(corpus, queries, k=3)
+            .select("query_id", F.col("neighbor_id").alias("pos_id"))
+        )
+        pos_rel = pos.select("query_id", F.col("pos_id").alias("neighbor_id"))
+        want_hn = sorted(map(tuple, (
+            _bf_sims(corpus, queries, "vec_id", "embedding")
+            .join(pos_rel, ["query_id", "neighbor_id"], "left_anti")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"), "cos_sim",
+            )
+        ).collect()))
+        got_hn = sorted(map(tuple, hard_negatives(corpus, queries, pos, k=k).collect()))
+        assert got_hn == want_hn
+    finally:
+        spark.conf.set(batch_conf, old)
+
+
 def test_source_overlap_planted(spark):
     """Planted overlap: groups A and B share exactly one 8-gram run, C
     shares nothing — counts and Jaccard are exact."""
