@@ -108,6 +108,25 @@ def _code_tag() -> str:
 _FIXTURE_TAG: str | None = None
 
 
+def _drain_stream(q, what: str, timeout: int = 300) -> None:
+    """Block until an availableNow stream finishes, guaranteeing the
+    query is STOPPED on every exit path: an active StreamExecution
+    dying with the SparkSession at interpreter exit prints a spurious
+    stack trace into sweep/gate logs (r8 brief #7), and a silent
+    timeout would publish a PARTIAL fixture into the cache (poisoned
+    until the code tag changes) — so a timeout fails the build."""
+    try:
+        done = q.awaitTermination(timeout)
+    finally:
+        try:
+            if q.isActive:
+                q.stop()
+        except Exception:
+            pass
+    if not done:
+        raise RuntimeError(f"{what}: stream did not drain within {timeout}s")
+
+
 def _fixture(sf_dir: str, key: str, build) -> str:
     """Return the root of a cached, READ-ONLY dataset fixture, building it
     via ``build(root)`` on first use. Concurrency-safe: builds land in a
@@ -2308,9 +2327,7 @@ def stream_text_index(spark, sf_dir):
         )
         # a silent timeout would publish a PARTIAL index into the fixture
         # cache (poisoned until the code tag changes) — fail the build
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_text_index fixture: stream did not drain")
+        _drain_stream(q, "stream_text_index fixture")
 
     root = _fixture(sf_dir, "stidx", build)
     return search_text_index(spark, root, "stidx", _SEARCH_TERMS, k=25)
@@ -2345,9 +2362,7 @@ def stream_fuzzy_index(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_fuzzy_index fixture: stream did not drain")
+        _drain_stream(q, "stream_fuzzy_index fixture")
 
     root = _fixture(sf_dir, "sfidx", build)
     return search_fuzzy_index(
@@ -2780,11 +2795,7 @@ def stream_contamination_index(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "stream_contamination_index fixture: stream did not drain"
-            )
+        _drain_stream(q, "stream_contamination_index fixture")
         # post-stream compaction — the real pipeline step before serving:
         # per-batch commits leave one small file set per micro-batch, and
         # probe latency is file-count-bound on the index side
@@ -2933,9 +2944,7 @@ def stream_bloom_index(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_bloom_index fixture: stream did not drain")
+        _drain_stream(q, "stream_bloom_index fixture")
         from kartothek_spark.dataset.write import compact_dataset
 
         compact_dataset(spark, root, "sblx__keys", sort_partitions_by=["kh"])
@@ -3078,9 +3087,7 @@ def stream_clean_corpus(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_clean_corpus fixture: stream did not drain")
+        _drain_stream(q, "stream_clean_corpus fixture")
 
     root = _fixture(sf_dir, "ccidx", build)
     return read_table(spark, root, "cc").select("doc_id", "lang", "n_chars")
@@ -3175,9 +3182,7 @@ def stream_cms(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_cms fixture: stream did not drain")
+        _drain_stream(q, "stream_cms fixture")
 
     root = _fixture(sf_dir, "cmsidx", build)
     return read_table(spark, root, "cms")
@@ -3231,9 +3236,7 @@ def stream_hll(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_hll fixture: stream did not drain")
+        _drain_stream(q, "stream_hll fixture")
 
     root = _fixture(sf_dir, "hllidx", build)
     return read_table(spark, root, "hll")
@@ -3328,9 +3331,7 @@ def stream_dsir_scores(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_dsir_scores fixture: stream did not drain")
+        _drain_stream(q, "stream_dsir_scores fixture")
 
     root = _fixture(sf_dir, "dsir_scores_stream", build)
     return read_table(spark, root, "dsc")
@@ -3442,9 +3443,7 @@ def stream_span_index(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_span_index fixture: stream did not drain")
+        _drain_stream(q, "stream_span_index fixture")
 
     root = _fixture(sf_dir, "sspx_idx", build)
     return c4_dedup_incremental(spark, _c4_probe_batch(spark, sf_dir), root, "sspx")
@@ -3921,9 +3920,7 @@ def stream_winnow_index(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_winnow_index fixture: stream did not drain")
+        _drain_stream(q, "stream_winnow_index fixture")
 
     root = _fixture(sf_dir, "swxidx", build)
     return winnow_dup_pairs_indexed(spark, root, "swx", min_shared=12)
@@ -4141,9 +4138,7 @@ def _cluster_assign_fixture(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_cluster_assign fixture: stream did not drain")
+        _drain_stream(q, "stream_cluster_assign fixture")
 
     return _fixture(sf_dir, "cl_assign", build)
 
@@ -4200,9 +4195,7 @@ def stream_kmeans_model(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_kmeans_model fixture: stream did not drain")
+        _drain_stream(q, "stream_kmeans_model fixture")
 
     root = _fixture(sf_dir, "skm", build)
     model = load_kmeans_model(spark, root)
@@ -4309,9 +4302,7 @@ def stream_sq_index(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_sq_index fixture: stream did not drain")
+        _drain_stream(q, "stream_sq_index fixture")
 
     root = _fixture(sf_dir, "ssq_idx", build)
     return search_sq_index(spark, root, "ssq", emb.where(F.col("vec_id") < 10), k=5)
@@ -4753,9 +4744,7 @@ def stream_multimodal_ingest(spark, sf_dir):
             checkpoint_dir=os.path.join(root, "_ckpt"),
             trigger={"availableNow": True},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("stream_multimodal_ingest fixture: stream did not drain")
+        _drain_stream(q, "stream_multimodal_ingest fixture")
 
     root = _fixture(sf_dir, "binstream", build)
     media = read_table(spark, root, "media_stream")
@@ -4823,7 +4812,7 @@ def stream_windowed_update(spark, sf_dir):
         stream, root, "events_ds", checkpoint_dir=os.path.join(root, "_ckpt"),
         trigger={"availableNow": True},
     )
-    q.awaitTermination(120)
+    _drain_stream(q, "stream_windowed_update gate", timeout=120)
     managed = read_table(spark, root, "events_ds")
     return windowed_event_counts(managed, window_duration="1 hour").select(
         "window_start", "event_type", "n_events"
@@ -4883,7 +4872,7 @@ def stream_sessionize(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain_stream(q, "stream_sessionize gate", timeout=120)
     return spark.sql(f"SELECT * FROM {name}")
 
 

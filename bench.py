@@ -260,7 +260,11 @@ def main() -> None:
         print(f"# canary[{label}]: {total}s", file=sys.stderr)
 
     if not only:
-        _canary_pass(qs, spark, sf_dir)  # untimed warm (fixtures, codegen)
+        # two untimed warm passes (fixtures, codegen, C2 JIT of the lanes
+        # the canaries exercise) so pass "start" measures the session's
+        # host band, not leftover one-time costs
+        _canary_pass(qs, spark, sf_dir)
+        _canary_pass(qs, spark, sf_dir)
         canary("start")
 
     timings: dict[str, float] = {}
@@ -409,6 +413,9 @@ def main() -> None:
     # so they stay stable across rounds for cross-round diffs.
     out = dict(result)
     out["queries"] = {codes[k]: _sig2(v) for k, v in timings.items()}
+    # per-pass per-query canary detail lives in BENCH_LAST/SNAPSHOT only;
+    # the stdout line keeps just the spread + totals (byte budget)
+    out.pop("canary_detail", None)
     out["legend"] = "BENCH_LAST.json"
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1950:

@@ -2170,3 +2170,107 @@ def test_token_budget_sample(spark):
     assert {r.source for r in out.select("source").distinct().collect()} == set(T)
     with pytest.raises(ValueError, match="total_tokens"):
         token_budget_sample(docs, "source", total_tokens=0)
+
+
+def test_asof_salted_parity_any_shape(spark):
+    """Property (hypothesis, r8 brief #6): for ANY random event sets,
+    salt_seconds, direction and tolerance, the salted keyed as-of join
+    is value-identical to the unsalted form. Random shapes exercise the
+    carry's edge cases the fixed-shape parity test cannot: empty
+    buckets, all-left buckets, single-bucket degenerate salts, and
+    tolerances that cross a bucket boundary."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kartothek_spark.operators.temporal import asof_join
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 120)),
+            min_size=0, max_size=20,
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 120)),
+            min_size=0, max_size=20, unique=True,  # unique per (by, on)
+        ),
+        direction=st.sampled_from(["backward", "forward", "nearest"]),
+        tolerance=st.sampled_from([None, 0, 3, 17, 1000]),
+        salt=st.sampled_from([1, 2, 7, 50, 1000]),
+    )
+    def prop(left, right, direction, tolerance, salt):
+        ldf = spark.createDataFrame(
+            [(k, t, k * 1000 + t) for k, t in left] or [(None, None, None)],
+            "k int, ts int, l_tag long",
+        ).where("k IS NOT NULL")
+        rdf = spark.createDataFrame(
+            [(k, t, float(k * 7 + t)) for k, t in right] or [(None, None, None)],
+            "k int, ts int, r_val double",
+        ).where("k IS NOT NULL")
+        base = sorted(
+            map(tuple, asof_join(
+                ldf, rdf, on="ts", by="k",
+                direction=direction, tolerance=tolerance,
+            ).collect())
+        )
+        salted = sorted(
+            map(tuple, asof_join(
+                ldf, rdf, on="ts", by="k",
+                direction=direction, tolerance=tolerance, salt_seconds=salt,
+            ).collect())
+        )
+        assert salted == base
+
+    prop()
+
+
+def test_resample_sliced_parity_any_shape(spark):
+    """Property (hypothesis, r8 brief #6): for ANY random event set,
+    interval and max_grid_points, the bounded two-level-explode resample
+    equals the unbounded form exactly — including the LOCF carry across
+    slice boundaries, keys whose whole span fits one slice, and
+    duplicate (key, ts) observations (deduplicated by max event id)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.temporal import resample_events
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        events=st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 400)),
+            min_size=1, max_size=25,
+        ),
+        interval=st.sampled_from([1, 7, 60]),
+        max_pts=st.sampled_from([2, 3, 5, 64]),
+    )
+    def prop(events, interval, max_pts):
+        rows = [
+            (k, t, i, float(t % 13)) for i, (k, t) in enumerate(events)
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id int, sec int, event_id long, value double"
+        ).select(
+            "user_id",
+            F.timestamp_seconds("sec").alias("ts"),
+            "event_id",
+            "value",
+        )
+        full = sorted(
+            map(tuple, resample_events(ev, interval_seconds=interval).collect())
+        )
+        sliced = sorted(
+            map(tuple, resample_events(
+                ev, interval_seconds=interval, max_grid_points=max_pts
+            ).collect())
+        )
+        assert sliced == full
+
+    prop()

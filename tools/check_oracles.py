@@ -128,6 +128,16 @@ def main():
         else:
             print(f"PASS {name}: {len(sdata)} rows")
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    # clean teardown: any stream still active (a gate that failed between
+    # start and drain) would die WITH the SparkSession and print a
+    # spurious StreamExecution stack trace at interpreter exit; stop
+    # streams first, then the session, so the sweep log ends clean
+    try:
+        for q in spark.streams.active:
+            q.stop()
+        spark.stop()
+    except Exception:
+        pass
     sys.exit(1 if failures else 0)
 
 
