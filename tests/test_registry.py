@@ -69,13 +69,56 @@ def test_bench_short_codes_deterministic_and_unique():
     codes = b._short_codes(names)
     assert len(set(codes.values())) == len(names)
     assert codes == b._short_codes(names)  # deterministic
-    # simulate the stdout line at worst-case (all entries benched, 9.9 s each)
+    # simulate the stdout line at worst-case (all entries benched, 9.9 s
+    # each, canary fields included — canary_detail stays OUT of stdout)
     out = {
         "metric": "headline_queries_total_runtime",
         "value": 9999.999,
         "unit": "sec",
         "queries": {codes[k]: 9.9 for k in names},
         "sf": 0.1,
+        "canary_totals": [99.999, 99.999, 99.999],
+        "canary_spread": 9.999,
         "legend": "BENCH_LAST.json",
     }
     assert len(json.dumps(out, separators=(",", ":"))) < 1950
+
+
+def test_round10_closeout_enumeration_plan(monkeypatch):
+    """Round-10 closeout plan (r8 verdict #8), tested ahead of time:
+
+    1. After this round's window, the never-sampled oracled leftovers
+       number <= 12 — one more rotation finishes driver coverage.
+    2. Once CORRECTNESS_r09.json lands, those leftovers enumerate FIRST
+       automatically (the rotation reads the committed files; no code
+       change owed in round 10) — simulated by patching the sampled set.
+    3. Once EVERY value-oracled entry holds a driver row, the order
+       FREEZES into a pure function of the name set (bucket 1 sorted by
+       priority-then-name), so from then on the driver window is a
+       stable regression re-sample; rows-only entries stay dead last.
+    """
+    names = list(entry.queries())
+    oracles = set(entry.oracle_sql())
+    sampled = entry._driver_sampled_ever()
+    window = names[: entry._DRIVER_WINDOW]
+    leftover = [
+        n for n in names[entry._DRIVER_WINDOW:]
+        if n not in sampled and n in oracles
+    ]
+    assert len(leftover) <= 12
+
+    # round 10: r9's window has driver rows too -> leftovers lead
+    future = frozenset(set(sampled) | set(window))
+    monkeypatch.setattr(entry, "_driver_sampled_ever", lambda: future)
+    names10 = list(entry.queries())
+    # none of the leftovers carries a _FRESH_PRIORITY slot, so within
+    # bucket 0 they sort by name — pin that exact head
+    assert names10[: len(leftover)] == sorted(leftover)
+
+    # full coverage reached: frozen, deterministic order
+    everything = frozenset(n for n in names if n not in entry._ROWS_ONLY)
+    monkeypatch.setattr(entry, "_driver_sampled_ever", lambda: everything)
+    frozen = list(entry.queries())
+    assert frozen == list(entry.queries())  # pure function of the name set
+    assert set(frozen) == set(names)  # nothing lost in any rotation state
+    assert set(frozen[-len(entry._ROWS_ONLY):]) == set(entry._ROWS_ONLY)
