@@ -84,6 +84,32 @@ def test_bench_short_codes_deterministic_and_unique():
     assert len(json.dumps(out, separators=(",", ":"))) < 1950
 
 
+def test_bench_snapshot_complete():
+    """BENCH_SNAPSHOT.json — the cross-round diff artifact — must cover
+    EXACTLY the benched set (HEADLINE + the 6 manifest micro-benches).
+    r8 verdict #4: a query added after the final snapshot commit left
+    the artifact one short; this pin forces a re-snapshot whenever the
+    benched set changes."""
+    import importlib.util
+    import json
+    import os
+
+    here = os.path.dirname(__file__)
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(here, "..", "bench.py")
+    )
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+    with open(os.path.join(here, "..", "BENCH_SNAPSHOT.json")) as fh:
+        snap = json.load(fh)
+    expected = set(b.HEADLINE) | {
+        f"manifest_{op}_{sz}"
+        for op in ("plan", "commit")
+        for sz in ("20k", "200k", "1m")
+    }
+    assert set(snap["queries"]) == expected
+
+
 def test_round10_closeout_enumeration_plan(monkeypatch):
     """Round-10 closeout plan (r8 verdict #8), tested ahead of time:
 
