@@ -3047,6 +3047,26 @@ def embedding_hard_negatives(spark, sf_dir):
     return hard_negatives(emb, queries, positives, k=5)
 
 
+def embedding_hard_negatives_margin(spark, sf_dir):
+    """Positive-aware hard-negative mining (round 9): as
+    embedding_hard_negatives, but any candidate whose cosine exceeds
+    ``max(cos(query, labeled positives)) - margin`` is ALSO excluded —
+    the false-negative guard from contrastive-retrieval training (a
+    corpus vector nearly as close as the closest labeled positive is
+    more likely an unlabeled positive than a hard negative). Two labeled
+    positives per query; the per-query cutoffs broadcast into the same
+    top-(k+slack) kernel. Exact fixed-point twin."""
+    from kartothek_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    q = queries.select(F.col("vec_id").alias("query_id"))
+    positives = q.select(
+        "query_id", (F.col("query_id") + 1).alias("pos_id")
+    ).unionByName(q.select("query_id", (F.col("query_id") + 2).alias("pos_id")))
+    return hard_negatives(emb, queries, positives, k=5, margin=0.02)
+
+
 def stream_clean_corpus(spark, sf_dir):
     """Continuous-ingest cleaning: ordered micro-batches run Gopher →
     Bloom-indexed decontamination → exact dedup within the batch AND
@@ -4923,8 +4943,10 @@ _PERENNIAL_SAMPLED = frozenset({
 _FRESH_PRIORITY = [
     # round-9 front: the last two stream_* entries without a driver hash
     # row ever (the rest of the streaming family went green in r7/r8) —
-    # pulled to the window head so the family closes out this round
+    # pulled to the window head so the family closes out this round —
+    # plus the round's one new operator
     "stream_multimodal_ingest", "stream_text_index",
+    "embedding_hard_negatives_margin",
     # round-8 additions + newly value-oracled conversions: the code that
     # changed THIS round should convert to driver hash rows first
     "corpus_leakage_split", "corpus_source_overlap", "corpus_token_budget",
@@ -5153,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_overlap": corpus_source_overlap,
         "corpus_token_budget": corpus_token_budget,
         "embedding_hard_negatives": embedding_hard_negatives,
+        "embedding_hard_negatives_margin": embedding_hard_negatives_margin,
         "stream_clean_corpus": stream_clean_corpus,
         "corpus_cms_counts": corpus_cms_counts,
         "corpus_cms_estimate": corpus_cms_estimate,
@@ -6255,6 +6278,13 @@ FROM toks
             "embeddings", "vec_id < 10",
             "SELECT vec_id AS query_id, vec_id + 1 AS pos_id FROM embeddings WHERE vec_id < 10",
             k=5, dim=EMB_DIM,
+        ),
+        "embedding_hard_negatives_margin": _sim.hard_negatives_sql(
+            "embeddings", "vec_id < 10",
+            "SELECT vec_id AS query_id, vec_id + 1 AS pos_id FROM embeddings"
+            " WHERE vec_id < 10 UNION ALL SELECT vec_id, vec_id + 2"
+            " FROM embeddings WHERE vec_id < 10",
+            k=5, dim=EMB_DIM, margin=0.02,
         ),
         "corpus_clean": __import__(
             "kartothek_spark.operators.pipeline", fromlist=["clean_corpus_sql"]

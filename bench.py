@@ -169,6 +169,7 @@ HEADLINE = [
     "corpus_token_budget",      # token-denominated temperature mixing (r8)
     "corpus_novelty_indexed",   # freshness report vs persisted key set (r8)
     "embedding_hard_negatives", # contrastive hard-negative mining (r8)
+    "embedding_hard_negatives_margin",  # positive-aware margin filter (r9)
     "stream_clean_corpus",      # continuous ingest cleaning, bitmap dedup
     "corpus_cms_counts",        # Count-Min sketch build (d*w cells shuffle)
     "corpus_hll_estimate",      # per-source HLL cardinality estimates

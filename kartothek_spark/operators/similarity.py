@@ -281,6 +281,7 @@ def _bf_sims(
     vec_col: str,
     batch_topk: int | None = None,
     slack: dict | None = None,
+    cutoffs: dict | None = None,
 ) -> DataFrame:
     """(query, corpus) fixed-point cosine rows minus self-pairs — the
     shared kernel of :func:`brute_force_topk` and :func:`hard_negatives`
@@ -299,7 +300,14 @@ def _bf_sims(
     carries each query's downstream-exclusion row count (its labeled
     positives for ``hard_negatives``); queries absent from the dict get
     0 (self-pairs are already excluded in-kernel). ``None`` emits every
-    pair (the similarity-relation form)."""
+    pair (the similarity-relation form).
+
+    ``cutoffs`` (requires ``batch_topk``) additionally DROPS, in-kernel,
+    every pair whose cos exceeds the query's cutoff — the positive-aware
+    margin filter of :func:`hard_negatives`. A value cutoff is monotone
+    in the ranking order, so applying it before the per-batch top-k
+    keeps the emission exact with the same positive-count slack; queries
+    absent from the dict are not cutoff-filtered."""
     import numpy as np
 
     spark = df.sparkSession
@@ -311,13 +319,20 @@ def _bf_sims(
             [batch_topk + int(sl.get(int(q), 0)) for q in q_ids], dtype="int64"
         )
     else:
+        assert cutoffs is None, "cutoffs requires the batch_topk emission path"
         limits = None
-    bc = spark.sparkContext.broadcast((q_ids, Qm, q_norms, limits))
+    if cutoffs is not None:
+        cuts = np.array(
+            [float(cutoffs.get(int(q), np.inf)) for q in q_ids], dtype="float64"
+        )
+    else:
+        cuts = None
+    bc = spark.sparkContext.broadcast((q_ids, Qm, q_norms, limits, cuts))
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        b_qids, b_Q, b_qn, b_lim = bc.value
+        b_qids, b_Q, b_qn, b_lim, b_cut = bc.value
         qn = np.sqrt(b_qn.astype("float64"))
         for pdf in batches:
             if len(pdf) == 0:
@@ -340,6 +355,8 @@ def _bf_sims(
             for j in range(len(b_qids)):
                 col = cos[:, j].copy()
                 col[c_ids == b_qids[j]] = -np.inf  # self-pairs sort last
+                if b_cut is not None and np.isfinite(b_cut[j]):
+                    col[col > b_cut[j]] = -np.inf  # margin-excluded
                 L = int(b_lim[j])
                 if L <= 0:
                     continue
@@ -377,6 +394,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     query_col: str = "query_id",
     pos_col: str = "pos_id",
+    margin: float | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/embedding training: per
     query, the ``k`` most cosine-similar corpus vectors EXCLUDING the
@@ -385,6 +403,18 @@ def hard_negatives(
     actually move a contrastive loss, instead of the random negatives
     in-batch sampling yields. Ranking happens AFTER the exclusion, so
     every query still receives ``k`` negatives.
+
+    ``margin`` turns on positive-aware filtering (the false-negative
+    guard from the contrastive-retrieval training literature): any
+    candidate whose cosine exceeds ``max(cos(query, labeled positives))
+    - margin`` is ALSO excluded — a corpus vector nearly as close as
+    the closest labeled positive is more likely an unlabeled positive
+    than a hard negative, and training against it teaches the model to
+    push true matches apart. Queries without positives are not
+    margin-filtered. The per-query cutoffs are computed from the
+    (tiny) label relation and broadcast into the kernel, where the
+    value cutoff composes with the per-batch top-k emission exactly
+    (a cutoff is monotone in the ranking order).
 
     Scale shape = :func:`brute_force_topk`'s: the (small) query matrix
     broadcasts, the corpus streams through one int64 matmul per Arrow
@@ -404,11 +434,27 @@ def hard_negatives(
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    spark_sims = _bf_sims(
-        df, queries, id_col, vec_col, batch_topk=k, slack=pos_counts
-    )
     pos = positives.select(
         F.col(query_col).alias("query_id"), F.col(pos_col).alias("neighbor_id")
+    )
+    cutoffs = None
+    if margin is not None:
+        # cos(query, labeled positive) for the label pairs only: run the
+        # shared kernel over the positive SUBSET of the corpus (|P| rows,
+        # trivial) and keep the labeled pairs
+        pos_members = pos.select(F.col("neighbor_id").alias(id_col)).distinct()
+        pos_sims = _bf_sims(
+            df.join(pos_members, id_col, "left_semi"), queries, id_col, vec_col
+        ).join(pos, ["query_id", "neighbor_id"])
+        cutoffs = {
+            int(r["query_id"]): float(r["m"]) - float(margin)
+            for r in pos_sims.groupBy("query_id")
+            .agg(F.max("cos_sim").alias("m"))
+            .collect()
+        }
+    spark_sims = _bf_sims(
+        df, queries, id_col, vec_col,
+        batch_topk=k, slack=pos_counts, cutoffs=cutoffs,
     )
     negs = spark_sims.join(pos, ["query_id", "neighbor_id"], "left_anti")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -427,10 +473,29 @@ def hard_negatives_sql(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    margin: float | None = None,
 ) -> str:
     """DuckDB twin of :func:`hard_negatives` (``positives_sql`` yields
-    (query_id, pos_id)); exact under the fixed-point cosine contract."""
+    (query_id, pos_id)); exact under the fixed-point cosine contract.
+    With ``margin``, candidates above ``max labeled-positive cos -
+    margin`` are excluded per query (positive-aware filtering) — the
+    cutoff arithmetic is float64 over the already-rounded fixed-point
+    cosines on both engines, so the comparison decides identically."""
     cos = cos_from_ints_sql(qdot_sql("q.qv", "c.qv", dim), "q.n", "c.n")
+    margin_ctes = margin_pred = ""
+    if margin is not None:
+        pcos = cos_from_ints_sql(qdot_sql("q.qv", "pc.qv", dim), "q.n", "pc.n")
+        margin_ctes = f""", cut AS (
+  SELECT p.query_id, max({pcos}) - {margin!r} AS cutoff
+  FROM pos p
+  JOIN q ON q.id = p.query_id
+  JOIN base pc ON pc.id = p.pos_id AND pc.id <> q.id
+  GROUP BY 1
+)"""
+        margin_pred = (
+            "\n    AND {c} <= COALESCE("
+            "(SELECT cutoff FROM cut WHERE cut.query_id = q.id), 1e308)"
+        ).format(c=cos)
     return f"""
 WITH quant AS (
   SELECT {id_col} AS id, {quantize_sql(vec_col)} AS qv FROM {table}
@@ -442,13 +507,13 @@ WITH quant AS (
   SELECT * FROM base
 ), pos AS (
   SELECT query_id, pos_id FROM ({positives_sql})
-), sims AS (
+){margin_ctes}, sims AS (
   SELECT q.id AS query_id, c.id AS neighbor_id, {cos} AS cos_sim
   FROM c, q
   WHERE q.id <> c.id
     AND NOT EXISTS (
       SELECT 1 FROM pos p WHERE p.query_id = q.id AND p.pos_id = c.id
-    )
+    ){margin_pred}
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank

@@ -2274,3 +2274,76 @@ def test_resample_sliced_parity_any_shape(spark):
         assert sliced == full
 
     prop()
+
+
+def test_hard_negatives_margin_positive_aware(spark):
+    """Positive-aware margin filter (round 9): a planted unlabeled
+    near-positive ABOVE max(pos_cos) - margin is excluded, candidates
+    below are kept with dense re-ranking, a query WITHOUT positives is
+    not margin-filtered, and the whole result equals the exclusion rule
+    applied in pandas to the unbounded similarity relation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kartothek_spark.operators.similarity import _bf_sims, hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # query with positives
+        (1, [0.9, 0.1, 0.0, 0.0]),       # labeled positive (cos ~.994)
+        (2, [0.95, 0.05, 0.0, 0.0]),     # unlabeled near-positive (cos ~.998)
+        (3, [0.7, 0.3, 0.0, 0.0]),
+        (4, [0.5, 0.5, 0.0, 0.0]),
+        (5, [0.3, 0.7, 0.0, 0.0]),
+        (6, [0.1, 0.9, 0.0, 0.0]),
+        (7, [0.0, 1.0, 0.0, 0.0]),
+        (9, [0.0, 0.0, 1.0, 0.0]),       # query with NO positives
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id").isin(0, 9))
+    positives = spark.createDataFrame([(0, 1)], "query_id long, pos_id long")
+    margin = 0.02
+    k = 3
+
+    got = hard_negatives(emb, queries, positives, k=k, margin=margin).collect()
+
+    # independent reference: unbounded sims + the rule applied in pandas
+    sims = _bf_sims(emb, queries, "vec_id", "embedding").toPandas()
+    pos_pairs = {(0, 1)}
+    cut = {
+        q: max(
+            r.cos_sim for r in sims.itertuples()
+            if (r.query_id, r.neighbor_id) in pos_pairs and r.query_id == q
+        ) - margin
+        for q in {0}
+    }
+    keep = sims[
+        sims.apply(
+            lambda r: (r.query_id, r.neighbor_id) not in pos_pairs
+            and r.cos_sim <= cut.get(r.query_id, float("inf")),
+            axis=1,
+        )
+    ]
+    want = set()
+    for q, grp in keep.groupby("query_id"):
+        grp = grp.sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        for rank, r in enumerate(grp.itertuples(), 1):
+            want.add((r.query_id, r.neighbor_id, rank, r.cos_sim))
+    assert {tuple(r) for r in got} == want
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    # the planted near-positive is margin-excluded for query 0...
+    assert all(r.neighbor_id != 2 for r in by_q[0])
+    assert sorted(r.rank for r in by_q[0]) == [1, 2, 3]
+    # ...but query 9 (no positives) is not margin-filtered
+    assert len(by_q[9]) == k
+    # and without margin the near-positive ranks FIRST (the filter bites)
+    unfiltered = hard_negatives(emb, queries, positives, k=k).collect()
+    top0 = [r for r in unfiltered if r.query_id == 0 and r.rank == 1]
+    assert top0 and top0[0].neighbor_id == 2
