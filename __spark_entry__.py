@@ -127,6 +127,39 @@ def _drain_stream(q, what: str, timeout: int = 300) -> None:
         raise RuntimeError(f"{what}: stream did not drain within {timeout}s")
 
 
+def _drain_stream_by_progress(q, expected_rows: int, what: str, timeout: int = 300) -> None:
+    """Drain a stream whose StreamExecution never self-terminates:
+    ``applyInPandasWithState`` with ``ProcessingTimeTimeout`` keeps the
+    availableNow query alive after all input is processed (measured:
+    neither ``awaitTermination`` nor ``processAllAvailable`` ever
+    returns), which is what used to leave an active stream to
+    stack-trace the log at interpreter exit. Progress entries are
+    reported AFTER each micro-batch commits, so once the summed
+    ``numInputRows`` reaches the staged input size every sink row is
+    visible and the query can be stopped; a shortfall past the deadline
+    raises (a silent partial would poison the gate)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    seen = 0
+    try:
+        while _time.monotonic() < deadline:
+            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            if seen >= expected_rows:
+                return
+            _time.sleep(0.5)
+        raise RuntimeError(
+            f"{what}: processed {seen}/{expected_rows} input rows "
+            f"within {timeout}s"
+        )
+    finally:
+        try:
+            if q.isActive:
+                q.stop()
+        except Exception:
+            pass
+
+
 def _fixture(sf_dir: str, key: str, build) -> str:
     """Return the root of a cached, READ-ONLY dataset fixture, building it
     via ``build(root)`` on first use. Concurrency-safe: builds land in a
@@ -4892,7 +4925,11 @@ def stream_sessionize(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    _drain_stream(q, "stream_sessionize gate", timeout=120)
+    # this query never self-terminates (stateful ProcessingTimeTimeout +
+    # availableNow — see _drain_stream_by_progress), so drain on input
+    # accounting: all staged event rows processed -> all CLOSED sessions
+    # are in the sink (final open sessions stay in state by design)
+    _drain_stream_by_progress(q, ev.count(), "stream_sessionize gate")
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -62,7 +62,19 @@ def test_sessionize_stream_matches_batch(spark, event_stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # applyInPandasWithState + ProcessingTimeTimeout never self-terminates
+    # under availableNow (awaitTermination would idle its full timeout and
+    # leave a live stream behind) — drain on input accounting instead
+    import time
+
+    total = ev.count()
+    deadline = time.monotonic() + 300
+    try:
+        while sum(int(p["numInputRows"]) for p in q.recentProgress) < total:
+            assert time.monotonic() < deadline, "stream did not drain"
+            time.sleep(0.5)
+    finally:
+        q.stop()
 
     got = {
         (r.user_id, r.session_start, r.session_end, r.n_events)
