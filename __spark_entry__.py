@@ -144,7 +144,13 @@ def _drain_stream_by_progress(q, expected_rows: int, what: str, timeout: int = 3
     seen = 0
     try:
         while _time.monotonic() < deadline:
-            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            # recentProgress holds only the last ~100 updates; a stream
+            # that keeps scheduling empty batches could rotate the
+            # data-bearing entries out, so keep a monotonic high-water
+            # sum across polls instead of trusting one snapshot
+            seen = max(
+                seen, sum(int(p["numInputRows"]) for p in q.recentProgress)
+            )
             if seen >= expected_rows:
                 return
             _time.sleep(0.5)

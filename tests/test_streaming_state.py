@@ -69,8 +69,10 @@ def test_sessionize_stream_matches_batch(spark, event_stream_dir):
 
     total = ev.count()
     deadline = time.monotonic() + 300
+    seen = 0  # high-water mark: recentProgress keeps only ~100 updates
     try:
-        while sum(int(p["numInputRows"]) for p in q.recentProgress) < total:
+        while seen < total:
+            seen = max(seen, sum(int(p["numInputRows"]) for p in q.recentProgress))
             assert time.monotonic() < deadline, "stream did not drain"
             time.sleep(0.5)
     finally:
