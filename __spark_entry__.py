@@ -137,7 +137,9 @@ def _drain_stream_by_progress(q, expected_rows: int, what: str, timeout: int = 3
     reported AFTER each micro-batch commits, so once the summed
     ``numInputRows`` reaches the staged input size every sink row is
     visible and the query can be stopped; a shortfall past the deadline
-    raises (a silent partial would poison the gate)."""
+    raises (a silent partial would poison the gate). A stream that DIES
+    mid-run surfaces its own exception immediately instead of spinning
+    out the deadline behind a misleading processed-X/Y error."""
     import time as _time
 
     deadline = _time.monotonic() + timeout
@@ -153,6 +155,21 @@ def _drain_stream_by_progress(q, expected_rows: int, what: str, timeout: int = 3
             )
             if seen >= expected_rows:
                 return
+            if not q.isActive:
+                # re-read once: the final batch may have committed
+                # between the seen check above and the isActive check
+                seen = max(
+                    seen, sum(int(p["numInputRows"]) for p in q.recentProgress)
+                )
+                if seen >= expected_rows:
+                    return
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                raise RuntimeError(
+                    f"{what}: stream stopped after {seen}/{expected_rows} "
+                    "input rows without an exception"
+                )
             _time.sleep(0.5)
         raise RuntimeError(
             f"{what}: processed {seen}/{expected_rows} input rows "

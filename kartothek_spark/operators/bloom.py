@@ -463,16 +463,21 @@ def sync_bloom_index(
     m_bits = int(manifest.metadata[META_M_BITS])
     k = int(manifest.metadata[META_K])
     n = int(manifest.metadata[META_N])
-    stored_hv = int(manifest.metadata.get(META_HASH_VERSION, 1))
-    if stored_hv != BLOOM_HASH_VERSION:
+    stored_hv = manifest.metadata.get(META_HASH_VERSION)
+    if stored_hv is None or int(stored_hv) != BLOOM_HASH_VERSION:
         # sync HEALS a version mismatch: the rebuild below reads the raw
         # 60-bit key set (version-free) and re-derives every bit position
-        # under the current hashing, then stamps the current version
+        # under the current hashing, then stamps the current version. A
+        # MISSING stamp is an unknown vintage (pre-stamp indexes were in
+        # fact built under the current v2 hashing, but the manifest
+        # cannot prove it) — this sync is the documented one-time
+        # migration that stamps them
         import warnings
 
         warnings.warn(
-            f"bloom index {index_uuid!r} was built under hash version "
-            f"{stored_hv} (current {BLOOM_HASH_VERSION}) — rebuilding the "
+            f"bloom index {index_uuid!r} carries hash version stamp "
+            f"{'<none: pre-stamp index>' if stored_hv is None else stored_hv}"
+            f" (current {BLOOM_HASH_VERSION}) — rebuilding the "
             "bitmap from the persisted key set under the current hashing",
             stacklevel=2,
         )
@@ -542,19 +547,25 @@ def _load_bloom(spark: SparkSession, root: str, index_uuid: str):
     from kartothek_spark.dataset.read import read_table
 
     manifest = DatasetManifest.load(root, index_uuid)
-    stored_hv = int(manifest.metadata.get(META_HASH_VERSION, 1))
-    if stored_hv != BLOOM_HASH_VERSION:
+    stored_hv = manifest.metadata.get(META_HASH_VERSION)
+    if stored_hv is None or int(stored_hv) != BLOOM_HASH_VERSION:
         # probing a bitmap whose bit positions were derived under a
         # different hash version silently produces FALSE NEGATIVES —
         # the one failure mode a Bloom decontamination gate must never
         # have. Reject loudly; sync_bloom_index heals by rebuilding
-        # from the (version-free) persisted key set.
+        # from the (version-free) persisted key set. A MISSING stamp is
+        # an UNKNOWN vintage, not version 1: pre-stamp indexes were in
+        # fact built under the current v2 hashing, but the manifest
+        # cannot prove it, so the one-time sync_bloom_index migration
+        # (re-ship any suite, or an empty one) stamps them.
         raise ValueError(
-            f"bloom index {index_uuid!r} was built under hash version "
-            f"{stored_hv} but this code probes under version "
+            f"bloom index {index_uuid!r} carries hash version stamp "
+            f"{'<none: pre-stamp index>' if stored_hv is None else stored_hv}"
+            f" but this code probes under version "
             f"{BLOOM_HASH_VERSION}: probing would silently drop true "
-            "hits. Run sync_bloom_index (rebuilds the bitmap from the "
-            "persisted key set) before probing."
+            "hits. Run sync_bloom_index once (rebuilds the bitmap from "
+            "the persisted key set and stamps the current version) "
+            "before probing."
         )
     m_bits = int(manifest.metadata[META_M_BITS])
     k = int(manifest.metadata[META_K])

@@ -27,6 +27,7 @@ Overflow margin: |v| ≤ 16 keeps a 64-dim dot under 2^62.
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterator
 
 from pyspark.sql import Column, DataFrame, Window
@@ -351,35 +352,51 @@ def _bf_sims(
                 })
                 continue
             B = len(c_ids)
-            out = []
-            for j in range(len(b_qids)):
-                col = cos[:, j].copy()
-                col[c_ids == b_qids[j]] = -np.inf  # self-pairs sort last
-                if b_cut is not None and np.isfinite(b_cut[j]):
-                    col[col > b_cut[j]] = -np.inf  # margin-excluded
-                L = int(b_lim[j])
+            # vectorized per-query selection (no Python loop over the
+            # query axis — at Q in the thousands and small Arrow batches
+            # that loop dominates): mask exclusions in the full matrix,
+            # threshold per DISTINCT limit value with one axis-0
+            # partition each (few distinct limits: k and the k+slack
+            # variants), then cap at L under the exact composite order
+            # (cos DESC, neighbor_id ASC) with one flat lexsort
+            M = cos  # fresh per batch; safe to mask in place
+            M[c_ids[:, None] == b_qids[None, :]] = -np.inf  # self-pairs
+            if b_cut is not None:
+                # cut = +inf for non-filtered queries -> never exceeded
+                M[M > b_cut[None, :]] = -np.inf  # margin-excluded
+            cand_mask = np.zeros(M.shape, dtype=bool)
+            for L in np.unique(b_lim):
+                L = int(L)
                 if L <= 0:
                     continue
+                cols = np.nonzero(b_lim == L)[0]
                 if B > L:
-                    # value threshold first (keeps boundary TIES), then
-                    # the exact composite order on the survivors only —
-                    # a tied boundary row with a smaller neighbor_id
-                    # must not be cut before the global window sees it
-                    v = np.partition(col, B - L)[B - L]
-                    cand = np.nonzero(col >= v)[0]
+                    # value threshold keeps boundary TIES — a tied
+                    # boundary row with a smaller neighbor_id must not
+                    # be cut before the global window sees it
+                    thr = np.partition(M[:, cols], B - L, axis=0)[B - L]
+                    cand_mask[:, cols] = M[:, cols] >= thr
                 else:
-                    cand = np.arange(B)
-                order = np.lexsort((c_ids[cand], -col[cand]))[:L]
-                keep = cand[order]
-                keep = keep[col[keep] != -np.inf]  # drop selected self-pairs
-                if len(keep):
-                    out.append(pd.DataFrame({
-                        "query_id": np.full(len(keep), b_qids[j], dtype="int64"),
-                        "neighbor_id": c_ids[keep],
-                        "cos_sim": cos[keep, j],
-                    }))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                    cand_mask[:, cols] = True
+            cand_mask &= M != -np.inf  # drop masked rows everywhere
+            rr, jj = np.nonzero(cand_mask)
+            if len(rr) == 0:
+                continue
+            vals = M[rr, jj]
+            ids = c_ids[rr]
+            order = np.lexsort((ids, -vals, jj))
+            jj, vals, ids = jj[order], vals[order], ids[order]
+            # rank within each query run, keep rank < that query's limit
+            starts = np.flatnonzero(np.r_[True, jj[1:] != jj[:-1]])
+            run_len = np.diff(np.r_[starts, len(jj)])
+            rank = np.arange(len(jj)) - np.repeat(starts, run_len)
+            keep = rank < b_lim[jj]
+            if keep.any():
+                yield pd.DataFrame({
+                    "query_id": b_qids[jj[keep]],
+                    "neighbor_id": ids[keep],
+                    "cos_sim": vals[keep],
+                })
 
     qdf = scale_out(df).select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
     return qdf.mapInPandas(gen, _TOPK_SIM_SCHEMA)
@@ -427,31 +444,54 @@ def hard_negatives(
     is a left-anti join on (query, neighbor) that AQE broadcasts (label
     sets are tiny by nature). For query sides too large to broadcast,
     compose :func:`knn_join` with the same anti-join instead. Output:
-    ``(query_id, neighbor_id, rank, cos_sim)``."""
-    pos_counts = {
-        int(r["query_id"]): int(r["n"])
-        for r in positives.groupBy(F.col(query_col).alias("query_id"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    ``(query_id, neighbor_id, rank, cos_sim)``.
+
+    .. note:: Plan construction is EAGER on the label side: building
+       the per-query slack (and, with ``margin``, the per-query cutoff)
+       runs ONE Spark job whose collected result is one row per
+       distinct query with positives — query-scale, never
+       positives-scale, and the query matrix is broadcast by contract
+       anyway. Callers composing plans without executing them will
+       still trigger that job here."""
     pos = positives.select(
         F.col(query_col).alias("query_id"), F.col(pos_col).alias("neighbor_id")
     )
     cutoffs = None
-    if margin is not None:
+    if margin is None:
+        pos_counts = {
+            int(r["query_id"]): int(r["n"])
+            for r in pos.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+    else:
         # cos(query, labeled positive) for the label pairs only: run the
         # shared kernel over the positive SUBSET of the corpus (|P| rows,
-        # trivial) and keep the labeled pairs
+        # trivial), keep the labeled pairs, and take count + max per
+        # query in ONE aggregated collect — the count doubles as the
+        # emission slack (corpus-present non-self positives are exactly
+        # the rows the downstream anti-join can remove from the emitted
+        # stream, so this tighter count keeps the k-survivor guarantee)
         pos_members = pos.select(F.col("neighbor_id").alias(id_col)).distinct()
-        pos_sims = _bf_sims(
-            df.join(pos_members, id_col, "left_semi"), queries, id_col, vec_col
-        ).join(pos, ["query_id", "neighbor_id"])
-        cutoffs = {
-            int(r["query_id"]): float(r["m"]) - float(margin)
-            for r in pos_sims.groupBy("query_id")
-            .agg(F.max("cos_sim").alias("m"))
+        pos_stats = (
+            _bf_sims(
+                df.join(pos_members, id_col, "left_semi"), queries, id_col, vec_col
+            )
+            .join(pos, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n"), F.max("cos_sim").alias("m"))
             .collect()
+        )
+        pos_counts = {int(r["query_id"]): int(r["n"]) for r in pos_stats}
+        cutoffs = {
+            int(r["query_id"]): float(r["m"]) - float(margin) for r in pos_stats
         }
+    if len(pos_counts) > 100_000:
+        warnings.warn(
+            "hard_negatives collected label stats for "
+            f"{len(pos_counts):,} distinct queries on the driver; the "
+            "broadcast-query contract assumes a small query side — "
+            "compose knn_join with an anti-join for query sets this size",
+            stacklevel=2,
+        )
     spark_sims = _bf_sims(
         df, queries, id_col, vec_col,
         batch_topk=k, slack=pos_counts, cutoffs=cutoffs,

@@ -1189,7 +1189,9 @@ def stream_clean_corpus(
         update_dataset,
     )
     from kartothek_spark.operators.bloom import (
+        BLOOM_HASH_VERSION,
         DEFAULT_BLOOM_K,
+        META_HASH_VERSION,
         bloom_decontaminate_indexed,
         bloom_member_scalar,
         bloom_words,
@@ -1205,6 +1207,46 @@ def stream_clean_corpus(
     txn_id = checkpoint_dir
     k = fp_k or DEFAULT_BLOOM_K
     fpbloom_uuid = f"{out_uuid}__fpbloom"
+
+    def read_sidecar_checked() -> DataFrame:
+        """Sidecar words, pinned eagerly (the caller's overwrite below
+        replaces the very files this reads), with the same hash-version
+        contract as the contamination index: the persisted bit
+        positions are only valid under the hashing that derived them,
+        and probing under a different version silently yields FALSE
+        NEGATIVES — committed duplicates, the one failure a dedup
+        prefilter must never have. A missing or mismatched stamp HEALS
+        in place by rebuilding the bitmap from the committed ``fp``
+        column (the version-free source of truth; absent history means
+        every stale bit was a harmless never-committed false positive,
+        so an empty rebuild is exact)."""
+        stored = DatasetManifest.load(root, fpbloom_uuid).metadata.get(
+            META_HASH_VERSION
+        )
+        if stored is not None and int(stored) == BLOOM_HASH_VERSION:
+            return read_table(spark, root, fpbloom_uuid).localCheckpoint(eager=True)
+        import warnings
+
+        warnings.warn(
+            f"dedup sidecar {fpbloom_uuid!r} carries hash version stamp "
+            f"{'<none>' if stored is None else stored} (current "
+            f"{BLOOM_HASH_VERSION}) — rebuilding the bitmap from the "
+            "committed fingerprint column before probing",
+            stacklevel=2,
+        )
+        if DatasetManifest.exists(root, out_uuid):
+            fps = read_table(spark, root, out_uuid, columns=["fp"])
+        else:
+            fps = spark.createDataFrame([], "fp long")
+        rebuilt = bloom_words(
+            fps.select(F.col("fp").alias("kh")).distinct(), fp_m_bits, k
+        ).localCheckpoint(eager=True)
+        store_dataframe_as_dataset(
+            spark, rebuilt, root, fpbloom_uuid,
+            sort_partitions_by=["word_idx"], overwrite=True,
+            metadata={META_HASH_VERSION: BLOOM_HASH_VERSION},
+        )
+        return rebuilt
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1223,10 +1265,10 @@ def stream_clean_corpus(
         ).localCheckpoint(eager=True)
 
         exists = DatasetManifest.exists(root, out_uuid)
+        side = None
         if exists:
-            words = dense_words(
-                read_table(spark, root, fpbloom_uuid).collect(), fp_m_bits
-            )
+            side = read_sidecar_checked()
+            words = dense_words(side.collect(), fp_m_bits)
             cand = bloom_member_scalar(
                 kept.select("fp").distinct(), "fp", words, fp_m_bits, k
             )
@@ -1252,21 +1294,25 @@ def stream_clean_corpus(
         new_words = bloom_words(
             fresh.select(F.col("fp").alias("kh")).distinct(), fp_m_bits, k
         )
-        if DatasetManifest.exists(root, fpbloom_uuid):
+        # crash debris: the bitmap may be committed while the data is
+        # not (bitmap-first ordering), so the merge condition is the
+        # sidecar's own existence, not `exists`
+        if side is None and DatasetManifest.exists(root, fpbloom_uuid):
+            side = read_sidecar_checked()
+        if side is not None:
+            # `side` is already pinned eagerly (read_sidecar_checked),
+            # so the merge never re-reads the files the store replaces
             merged = (
-                read_table(spark, root, fpbloom_uuid)
-                .unionByName(new_words)
+                side.unionByName(new_words)
                 .groupBy("word_idx")
                 .agg(F.bit_or("word").alias("word"))
-                # pin BEFORE the overwrite: the merge reads the very
-                # files the store below replaces
-                .localCheckpoint(eager=True)
             )
         else:
             merged = new_words
         store_dataframe_as_dataset(
             spark, merged, root, fpbloom_uuid,
             sort_partitions_by=["word_idx"], overwrite=True,
+            metadata={META_HASH_VERSION: BLOOM_HASH_VERSION},
         )
         if exists:
             update_dataset(

@@ -123,7 +123,10 @@ def test_stream_clean_corpus_torn_bitmap_heals(spark, tmp_root):
     _drain(spark, tmp_root, ingest, bloom_root, slices[:1], "_ckpt1")
 
     # poison the bitmap with slice-2 fingerprints BEFORE slice 2 streams
-    # (as if a prior attempt crashed between its two commits)
+    # (as if a prior attempt crashed between its two commits; real
+    # debris carries the stream's own hash-version stamp)
+    from kartothek_spark.operators.bloom import BLOOM_HASH_VERSION, META_HASH_VERSION
+
     s2_words = bloom_words(
         with_fingerprint(slices[1], "text").select(F.col("fp").alias("kh")).distinct(),
         1 << 18,
@@ -138,11 +141,45 @@ def test_stream_clean_corpus_torn_bitmap_heals(spark, tmp_root):
     store_dataframe_as_dataset(
         spark, merged, tmp_root, "cc__fpbloom",
         sort_partitions_by=["word_idx"], overwrite=True,
+        metadata={META_HASH_VERSION: BLOOM_HASH_VERSION},
     )
 
     _drain(spark, tmp_root, ingest, bloom_root, slices[1:], "_ckpt2")
     got = {r.doc_id for r in read_table(spark, tmp_root, "cc").select("doc_id").collect()}
     assert got == _batch_clean_ids(spark)
+
+
+def test_stream_clean_corpus_stale_hash_version_heals(spark, tmp_root):
+    """A sidecar bitmap stamped with an OLD hash version (or pre-stamp)
+    must never be probed — bit positions derived under different hashing
+    give FALSE NEGATIVES, i.e. committed duplicates. The stream heals by
+    rebuilding the bitmap from the committed fingerprint column before
+    probing. Proof the rebuild happens: the bitmap is replaced with an
+    all-zeros one (every probe would miss) under a stale stamp, and the
+    clone slice still dedups exactly."""
+    from kartothek_spark.core.manifest import DatasetManifest
+    from kartothek_spark.dataset.read import read_table
+    from kartothek_spark.dataset.write import store_dataframe_as_dataset
+    from kartothek_spark.operators.bloom import BLOOM_HASH_VERSION, META_HASH_VERSION
+
+    ingest, bloom_root, slices = _stream_setup(spark, tmp_root)
+    _drain(spark, tmp_root, ingest, bloom_root, slices[:2], "_ckpt1")
+
+    # all-zeros bitmap + stale version stamp: unhealed, every
+    # cross-batch duplicate in slice 3 (the clones) would slip through
+    zeros = spark.createDataFrame([(0, 0)], "word_idx long, word long")
+    store_dataframe_as_dataset(
+        spark, zeros, tmp_root, "cc__fpbloom",
+        sort_partitions_by=["word_idx"], overwrite=True,
+        metadata={META_HASH_VERSION: BLOOM_HASH_VERSION - 1},
+    )
+
+    _drain(spark, tmp_root, ingest, bloom_root, slices[2:], "_ckpt2")
+    got = {r.doc_id for r in read_table(spark, tmp_root, "cc").select("doc_id").collect()}
+    assert got == _batch_clean_ids(spark)
+    # healed sidecar is re-stamped with the current version
+    md = DatasetManifest.load(tmp_root, "cc__fpbloom").metadata
+    assert int(md[META_HASH_VERSION]) == BLOOM_HASH_VERSION
 
 
 def test_history_check_is_broadcast_scan(spark, tmp_root):
