@@ -355,6 +355,35 @@ def main() -> None:
     if not only:
         canary("end")
 
+    # single-query stall re-run (r9 verdict #4): the 3-pass canary is
+    # blind to a host stall that lands INSIDE one query's best-of-3 and
+    # falls between canary passes (observed: events_asof_nearest 7.9x
+    # for one session, gone the next). Any query whose best-of-3 came
+    # out >3x its committed-snapshot value gets ONE more timed run at
+    # session end; both numbers are emitted as rerun: {name: [first,
+    # second]}. Interpretation (BENCH_NOTES): second ~= snapshot means
+    # the first number was a transient stall — read the second; both
+    # high means a real regression — profile it.
+    rerun: dict[str, list[float]] = {}
+    if not only:
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        try:
+            with open(os.path.join(repo_dir, "BENCH_SNAPSHOT.json")) as fh:
+                prev = json.load(fh).get("queries", {})
+        except (OSError, ValueError):
+            prev = {}
+        for name, t in timings.items():
+            base = prev.get(name)
+            if name in qs and base and t > 3 * float(base):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                rerun[name] = [t, round(time.perf_counter() - t0, 3)]
+                print(
+                    f"# rerun {name}: best-of-3 {t}s vs snapshot {base}s "
+                    f"-> second run {rerun[name][1]}s",
+                    file=sys.stderr,
+                )
+
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -371,6 +400,8 @@ def main() -> None:
         result["canary_totals"] = canary_totals
         result["canary_spread"] = round(max(canary_totals) / min(canary_totals), 3)
         result["canary_detail"] = canary_detail
+    if rerun:
+        result["rerun"] = rerun
     if only:
         result["subset"] = True
     # the stdout line can exceed a log collector's tail window at 70+
@@ -417,6 +448,10 @@ def main() -> None:
     # per-pass per-query canary detail lives in BENCH_LAST/SNAPSHOT only;
     # the stdout line keeps just the spread + totals (byte budget)
     out.pop("canary_detail", None)
+    if rerun:
+        # stalled-query second timings, coded like the query dict —
+        # usually absent, at most a handful of entries
+        out["rerun"] = {codes[k]: v for k, v in rerun.items()}
     out["legend"] = "BENCH_LAST.json"
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1950:

@@ -110,6 +110,52 @@ def test_bench_snapshot_complete():
     assert set(snap["queries"]) == expected
 
 
+def test_registry_frozen():
+    """Round-10 closeout state, asserted ACTIVELY (no monkeypatch):
+
+    - The name set is FROZEN at 230 entries (md5 pin of the sorted
+      names) — new entries only for a demonstrated capability gap,
+      and adding one deliberately fails this test so the freeze is a
+      conscious decision, not drift.
+    - While the last never-driver-sampled oracled entries remain (the
+      r9 verdict's 10 — driver coverage completes when the round-10
+      window lands), they are EXACTLY those 10 and they lead the
+      enumeration.
+    - Once every value-oracled entry holds a driver hash row, the
+      enumeration is the pure frozen order — a function of the name
+      set alone (bucket-1 (priority, name) sort, rows-only dead last),
+      independent of WHICH round sampled what.
+    """
+    import hashlib
+
+    names = list(entry.queries())
+    assert len(names) == 230
+    digest = hashlib.md5("\n".join(sorted(names)).encode()).hexdigest()
+    assert digest == "5999071e19c68589fefc4d70ccc12134"
+
+    oracles = set(entry.oracle_sql())
+    sampled = entry._driver_sampled_ever()
+    leftover = sorted(n for n in names if n not in sampled and n in oracles)
+    if leftover:
+        assert leftover == [
+            "ktk_jsonl_roundtrip", "ktk_merge_func", "ktk_metadata_count",
+            "ktk_orc_roundtrip", "ktk_orc_stats_pruned", "ktk_quarantine",
+            "ktk_retention", "ktk_upsert", "text_normalize", "text_scrub",
+        ]
+        assert names[: len(leftover)] == leftover
+    else:
+        prio = {k: i for i, k in enumerate(entry._FRESH_PRIORITY)}
+        expect = sorted(
+            names,
+            key=lambda k: (
+                2 if k in entry._ROWS_ONLY else 1,
+                prio.get(k, len(prio)),
+                k,
+            ),
+        )
+        assert names == expect
+
+
 def test_round10_closeout_enumeration_plan(monkeypatch):
     """Round-10 closeout plan (r8 verdict #8), tested ahead of time:
 
