@@ -351,55 +351,74 @@ def _bf_sims(
                     "cos_sim": cos[ii, jj],
                 })
                 continue
-            B = len(c_ids)
-            # vectorized per-query selection (no Python loop over the
-            # query axis — at Q in the thousands and small Arrow batches
-            # that loop dominates): mask exclusions in the full matrix,
-            # threshold per DISTINCT limit value with one axis-0
-            # partition each (few distinct limits: k and the k+slack
-            # variants), then cap at L under the exact composite order
-            # (cos DESC, neighbor_id ASC) with one flat lexsort
-            M = cos  # fresh per batch; safe to mask in place
-            M[c_ids[:, None] == b_qids[None, :]] = -np.inf  # self-pairs
-            if b_cut is not None:
-                # cut = +inf for non-filtered queries -> never exceeded
-                M[M > b_cut[None, :]] = -np.inf  # margin-excluded
-            cand_mask = np.zeros(M.shape, dtype=bool)
-            for L in np.unique(b_lim):
-                L = int(L)
-                if L <= 0:
-                    continue
-                cols = np.nonzero(b_lim == L)[0]
-                if B > L:
-                    # value threshold keeps boundary TIES — a tied
-                    # boundary row with a smaller neighbor_id must not
-                    # be cut before the global window sees it
-                    thr = np.partition(M[:, cols], B - L, axis=0)[B - L]
-                    cand_mask[:, cols] = M[:, cols] >= thr
-                else:
-                    cand_mask[:, cols] = True
-            cand_mask &= M != -np.inf  # drop masked rows everywhere
-            rr, jj = np.nonzero(cand_mask)
-            if len(rr) == 0:
-                continue
-            vals = M[rr, jj]
-            ids = c_ids[rr]
-            order = np.lexsort((ids, -vals, jj))
-            jj, vals, ids = jj[order], vals[order], ids[order]
-            # rank within each query run, keep rank < that query's limit
-            starts = np.flatnonzero(np.r_[True, jj[1:] != jj[:-1]])
-            run_len = np.diff(np.r_[starts, len(jj)])
-            rank = np.arange(len(jj)) - np.repeat(starts, run_len)
-            keep = rank < b_lim[jj]
-            if keep.any():
+            jj, ids, vals = _select_batch_topk(cos, c_ids, b_qids, b_lim, b_cut)
+            if len(jj):
                 yield pd.DataFrame({
-                    "query_id": b_qids[jj[keep]],
-                    "neighbor_id": ids[keep],
-                    "cos_sim": vals[keep],
+                    "query_id": b_qids[jj],
+                    "neighbor_id": ids,
+                    "cos_sim": vals,
                 })
 
     qdf = scale_out(df).select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
     return qdf.mapInPandas(gen, _TOPK_SIM_SCHEMA)
+
+
+def _select_batch_topk(cos, c_ids, b_qids, b_lim, b_cut):
+    """Vectorized per-query bounded emission for one Arrow batch — the
+    selection half of :func:`_bf_sims`'s ``batch_topk`` path, kept as a
+    pure NumPy function so its exactness contract is pinned by a
+    Spark-free fuzz test against a literal per-query reference
+    (``tests/test_operators.py::test_select_batch_topk_fuzz``).
+
+    Per query column j, with L = ``b_lim[j]``: self-pairs
+    (``c_ids == b_qids[j]``) and values above ``b_cut[j]`` are
+    excluded, and of the remainder the top-L rows under the exact
+    composite order (cos DESC, id ASC) are selected. Implementation
+    avoids a Python loop over the query axis (at Q in the thousands and
+    small Arrow batches that loop dominates): exclusions are masked to
+    ``-inf`` in the full matrix; the L-th-largest value threshold is
+    computed per DISTINCT limit value with one axis-0 ``np.partition``
+    each (few distinct limits: k and the k+slack variants; the value
+    cut keeps boundary TIES — a tied boundary row with a smaller id
+    must not be cut before the global ranking window sees it); then one
+    flat lexsort + run-rank caps each query at L under the exact
+    composite order. ``cos`` is mutated in place (callers pass a
+    per-batch scratch matrix). Returns ``(jj, ids, vals)`` — query
+    column indices, neighbor ids, cosines — ordered by (jj, order)."""
+    import numpy as np
+
+    B = len(c_ids)
+    M = cos
+    M[c_ids[:, None] == b_qids[None, :]] = -np.inf  # self-pairs
+    if b_cut is not None:
+        # cut = +inf for non-filtered queries -> never exceeded
+        M[M > b_cut[None, :]] = -np.inf  # margin-excluded
+    cand_mask = np.zeros(M.shape, dtype=bool)
+    for L in np.unique(b_lim):
+        L = int(L)
+        if L <= 0:
+            continue
+        cols = np.nonzero(b_lim == L)[0]
+        if B > L:
+            thr = np.partition(M[:, cols], B - L, axis=0)[B - L]
+            cand_mask[:, cols] = M[:, cols] >= thr
+        else:
+            cand_mask[:, cols] = True
+    cand_mask &= M != -np.inf  # drop masked rows everywhere
+    rr, jj = np.nonzero(cand_mask)
+    if len(rr) == 0:
+        empty = np.empty(0, dtype="int64")
+        return empty, empty, np.empty(0, dtype="float64")
+    vals = M[rr, jj]
+    ids = c_ids[rr]
+    order = np.lexsort((ids, -vals, jj))
+    jj, vals, ids = jj[order], vals[order], ids[order]
+    # rank within each query run, keep rank < that query's limit
+    starts = np.flatnonzero(np.r_[True, jj[1:] != jj[:-1]])
+    run_len = np.diff(np.r_[starts, len(jj)])
+    rank = np.arange(len(jj)) - np.repeat(starts, run_len)
+    keep = rank < b_lim[jj]
+    return jj[keep], ids[keep], vals[keep]
 
 
 def hard_negatives(

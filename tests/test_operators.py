@@ -2347,3 +2347,66 @@ def test_hard_negatives_margin_positive_aware(spark):
     unfiltered = hard_negatives(emb, queries, positives, k=k).collect()
     top0 = [r for r in unfiltered if r.query_id == 0 and r.rank == 1]
     assert top0 and top0[0].neighbor_id == 2
+
+
+def test_select_batch_topk_fuzz():
+    """Spark-free exactness pin for the vectorized bounded-emission
+    kernel (`_select_batch_topk`): against a literal per-query
+    reference (copy column, mask self/cutoff, tie-keeping value
+    threshold, lexsort cap) over tie-DENSE random batches — few
+    distinct cosine values so boundary ties straddle the threshold
+    constantly, queries that are corpus members (self-pair masking),
+    zero limits, and per-query cutoffs including +inf sentinels."""
+    import numpy as np
+
+    from kartothek_spark.operators.similarity import _select_batch_topk
+
+    def reference(cos, c_ids, b_qids, b_lim, b_cut):
+        B = len(c_ids)
+        rows = []
+        for j in range(len(b_qids)):
+            col = cos[:, j].copy()
+            col[c_ids == b_qids[j]] = -np.inf
+            if b_cut is not None and np.isfinite(b_cut[j]):
+                col[col > b_cut[j]] = -np.inf
+            L = int(b_lim[j])
+            if L <= 0:
+                continue
+            if B > L:
+                v = np.partition(col, B - L)[B - L]
+                cand = np.nonzero(col >= v)[0]
+            else:
+                cand = np.arange(B)
+            order = np.lexsort((c_ids[cand], -col[cand]))[:L]
+            keep = cand[order]
+            keep = keep[col[keep] != -np.inf]
+            rows.extend(
+                (int(b_qids[j]), int(c_ids[i]), float(cos[i, j])) for i in keep
+            )
+        return sorted(rows)
+
+    rng = np.random.default_rng(7)
+    for trial in range(1500):
+        B = int(rng.integers(1, 12))
+        Q = int(rng.integers(1, 8))
+        cos = np.round(rng.integers(0, 4, size=(B, Q)) / 4.0, 6).astype("float64")
+        c_ids = rng.permutation(np.arange(100, 100 + B))
+        b_qids = rng.choice(
+            np.r_[c_ids, np.arange(500, 520)], size=Q, replace=False
+        )
+        b_lim = rng.integers(0, 5, size=Q).astype("int64")
+        if trial % 3 == 0:
+            b_cut = None
+        else:
+            b_cut = np.where(
+                rng.random(Q) < 0.5, np.inf,
+                np.round(rng.integers(0, 4, Q) / 4.0, 6),
+            ).astype("float64")
+        want = reference(cos.copy(), c_ids, b_qids, b_lim, b_cut)
+        jj, ids, vals = _select_batch_topk(cos.copy(), c_ids, b_qids, b_lim, b_cut)
+        got = sorted(
+            (int(b_qids[j]), int(i), float(v)) for j, i, v in zip(jj, ids, vals)
+        )
+        assert got == want, (trial, b_lim, b_cut)
+        # volume bound: never more than the sum of limits
+        assert len(jj) <= int(b_lim.sum())
