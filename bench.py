@@ -359,11 +359,14 @@ def main() -> None:
     # blind to a host stall that lands INSIDE one query's best-of-3 and
     # falls between canary passes (observed: events_asof_nearest 7.9x
     # for one session, gone the next). Any query whose best-of-3 came
-    # out >3x its committed-snapshot value gets ONE more timed run at
-    # session end; both numbers are emitted as rerun: {name: [first,
-    # second]}. Interpretation (BENCH_NOTES): second ~= snapshot means
-    # the first number was a transient stall — read the second; both
-    # high means a real regression — profile it.
+    # out >2x its committed-snapshot value (and >0.5 s above it — band
+    # wobble on sub-second queries is not a stall) gets ONE more timed
+    # run at session end; both numbers are emitted as rerun: {name:
+    # [first, second]}. Interpretation (BENCH_NOTES): second ~= snapshot
+    # means the first number was a transient stall — read the second;
+    # both high means a real regression — profile it. (The trigger was
+    # 3x for one session; an r10 run-2 stall CLUSTER sat at 1.7-2.2x
+    # across the adjacent bloom-family queries and slipped under it.)
     rerun: dict[str, list[float]] = {}
     if not only:
         repo_dir = os.path.dirname(os.path.abspath(__file__))
@@ -374,7 +377,7 @@ def main() -> None:
             prev = {}
         for name, t in timings.items():
             base = prev.get(name)
-            if name in qs and base and t > 3 * float(base):
+            if name in qs and base and t > max(2 * float(base), float(base) + 0.5):
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
                 rerun[name] = [t, round(time.perf_counter() - t0, 3)]
