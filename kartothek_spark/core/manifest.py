@@ -24,6 +24,7 @@ import json
 import os
 import tempfile
 import uuid as _uuid
+from collections.abc import Mapping, MutableMapping
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -111,6 +112,95 @@ class ConditionalPutStore:
 
 
 _SAFE_SEGMENT = None  # compiled lazily (regex import cost at module load)
+
+
+class _SidecarPartitions(MutableMapping):
+    """Partition map backed lazily by the parquet sidecar's arrow columns
+    (fast-path sidecars only: every entry is a pure ``{"file": ...}``).
+
+    Planning touches LABELS, not entries — ``query()`` iterates labels,
+    ``dispatch_labels`` sorts/intersects them — so load defers the
+    expensive part: at 1M partitions, building the inner dicts costs
+    ~2 s of driver time while the parquet decode itself is ~0.2 s
+    (measured; see BENCH_NOTES ``manifest_plan_1m``). Iteration, ``len``
+    and membership never materialize; the first ENTRY access (read or
+    write) builds the full dict once and delegates from then on, so
+    mutation semantics — including callers that mutate a returned entry
+    in place — are exactly a dict's."""
+
+    __slots__ = ("_labels_arr", "_files_arr", "_labels", "_set", "_dict")
+
+    def __init__(self, labels_arr, files_arr):
+        self._labels_arr = labels_arr  # pyarrow (Chunked)Array[string]
+        self._files_arr = files_arr
+        self._labels: list | None = None  # built on first iteration
+        self._set: set | None = None  # built on first membership test
+        self._dict: dict | None = None  # built on first entry access
+
+    # -- lazy accessors ------------------------------------------------------
+    def label_list(self) -> list:
+        if self._dict is not None:
+            return list(self._dict)
+        if self._labels is None:
+            self._labels = self._labels_arr.to_pylist()
+        return self._labels
+
+    def arrow_labels(self):
+        """Label column as a pyarrow array while still lazy, else None —
+        ``DatasetManifest.query``'s vectorized fast path."""
+        return None if self._dict is not None else self._labels_arr
+
+    def arrow_columns(self):
+        """(labels, files) arrow arrays while still lazy, else None —
+        ``_write_partitions_sidecar``'s rewrite fast path."""
+        if self._dict is not None:
+            return None
+        return self._labels_arr, self._files_arr
+
+    def _materialize(self) -> dict:
+        if self._dict is None:
+            labels = self.label_list()
+            files = self._files_arr.to_pylist()
+            self._dict = {lbl: {"file": f} for lbl, f in zip(labels, files)}
+            self._labels = None
+            self._set = None
+        return self._dict
+
+    # -- read-only views that stay lazy --------------------------------------
+    def __len__(self) -> int:
+        return len(self._dict) if self._dict is not None else len(self._labels_arr)
+
+    def __iter__(self):
+        return iter(self.label_list())
+
+    def __contains__(self, key) -> bool:
+        if self._dict is not None:
+            return key in self._dict
+        if self._set is None:
+            self._set = set(self.label_list())
+        return key in self._set
+
+    # -- entry access / mutation: materialize once, then delegate ------------
+    def __getitem__(self, key):
+        return self._materialize()[key]
+
+    def __setitem__(self, key, value) -> None:
+        self._materialize()[key] = value
+
+    def __delitem__(self, key) -> None:
+        del self._materialize()[key]
+
+    def __eq__(self, other):
+        if isinstance(other, _SidecarPartitions):
+            other = other._materialize()
+        if isinstance(other, Mapping):
+            return self._materialize() == dict(other)
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        if self._dict is not None:
+            return repr(self._dict)
+        return f"<_SidecarPartitions: {len(self)} labels, entries not materialized>"
 
 
 def _equality_segments(predicates, casters) -> list[list[str]] | None:
@@ -409,15 +499,42 @@ class DatasetManifest:
         segs_dnf = None if self.external_root else _equality_segments(predicates, casters)
         if segs_dnf is not None:
             # "/k=v/" can only match a directory segment (the trailing
-            # file segment has no terminating slash), so prefixing one
-            # slash is enough — no per-label split
+            # file segment has no terminating slash), so one leading
+            # slash is enough: seg in "/"+lbl  ⇔  lbl.startswith(seg[1:])
+            # or seg in lbl — the startswith/contains form avoids a
+            # string concat per label, and on a still-lazy sidecar map
+            # the whole match runs vectorized over the arrow label column
+            # (no 1M-string materialization on the planning path at all)
+            arrow_labels = getattr(self.partitions, "arrow_labels", None)
+            arr = arrow_labels() if arrow_labels is not None else None
+            if arr is not None:
+                import pyarrow.compute as pc
+
+                mask = None
+                for conj in segs_dnf:
+                    m = None
+                    for seg in conj:
+                        sm = pc.or_(
+                            pc.starts_with(arr, seg[1:]), pc.match_substring(arr, seg)
+                        )
+                        m = sm if m is None else pc.and_(m, sm)
+                    mask = m if mask is None else pc.or_(mask, m)
+                return arr.filter(mask).to_pylist()
             if len(segs_dnf) == 1 and len(segs_dnf[0]) == 1:
                 seg = segs_dnf[0][0]  # single point predicate: tightest loop
-                return [lbl for lbl in self.partitions if seg in "/" + lbl]
+                head = seg[1:]
+                return [
+                    lbl
+                    for lbl in self.partitions
+                    if lbl.startswith(head) or seg in lbl
+                ]
             return [
                 lbl
                 for lbl in self.partitions
-                if any(all(seg in "/" + lbl for seg in conj) for conj in segs_dnf)
+                if any(
+                    all(lbl.startswith(seg[1:]) or seg in lbl for seg in conj)
+                    for conj in segs_dnf
+                )
             ]
 
         decisions: dict[str, bool] = {}
@@ -453,7 +570,14 @@ class DatasetManifest:
         parts = (
             {"partitions_ref": self._sidecar_ref, "n_partitions": len(self.partitions)}
             if self._sidecar_ref
-            else {"partitions": self.partitions}
+            # a lazy sidecar map must render as a real dict here (the
+            # inline form is JSON-serialized; json treats a non-dict
+            # Mapping as an opaque object)
+            else {
+                "partitions": self.partitions
+                if isinstance(self.partitions, dict)
+                else dict(self.partitions)
+            }
         )
         return {
             "dataset_metadata_version": self.metadata_version,
@@ -782,6 +906,37 @@ def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # rewrite of a loaded-but-untouched lazy map: write straight from the
+    # held arrow columns — no dict materialization on the commit path
+    lazy_cols = (
+        partitions.arrow_columns()
+        if isinstance(partitions, _SidecarPartitions)
+        else None
+    )
+    if lazy_cols is not None:
+        labels_arr, files_arr = lazy_cols
+        n = len(labels_arr)
+        table = pa.table(
+            {
+                "label": labels_arr,
+                "file": files_arr,
+                "rows": pa.nulls(n, type=pa.int64()),
+                "stats": pa.nulls(n, type=pa.string()),
+                "extra": pa.nulls(n, type=pa.string()),
+            }
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        os.close(fd)
+        try:
+            pq.write_table(table, tmp, compression="zstd")
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+        return
+
     known = {"file", "rows", "stats"}
     entries = list(partitions.values())
     labels = list(partitions.keys())
@@ -820,21 +975,23 @@ def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) 
         raise
 
 
-def _read_partitions_sidecar(path: str) -> dict[str, dict[str, Any]]:
+def _read_partitions_sidecar(path: str) -> MutableMapping:
     import pyarrow.parquet as pq
 
     t = pq.read_table(path)
     n = t.num_rows
-    labels = t.column("label").to_pylist()
-    files = t.column("file").to_pylist()
     # fast path: the optional columns are usually all-null — check the
-    # arrow null counts instead of testing 1M python values
+    # arrow null counts instead of testing 1M python values, and hand the
+    # label/file columns over LAZILY (planning only needs labels; the 1M
+    # inner dicts are built on first entry access)
     if (
         t.column("rows").null_count == n
         and t.column("stats").null_count == n
         and t.column("extra").null_count == n
     ):
-        return {label: {"file": f} for label, f in zip(labels, files)}
+        return _SidecarPartitions(t.column("label"), t.column("file"))
+    labels = t.column("label").to_pylist()
+    files = t.column("file").to_pylist()
     rows = t.column("rows").to_pylist()
     stats = t.column("stats").to_pylist()
     extra = t.column("extra").to_pylist()

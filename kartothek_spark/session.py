@@ -30,6 +30,13 @@ def get_spark(app_name: str = "kartothek_spark", shuffle_partitions: int | None 
         # raise toward 64-128 MB for fewer, larger files.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 wraps every DataFrame API call to capture the Python
+        # call site for error messages: measured ~3 extra py4j round
+        # trips per call (+ a stack walk), ~60% of plan-construction
+        # latency on multi-join queries (q5: 0.50 s -> 0.20 s to build).
+        # Static conf, so it must be set here, not per-query. Costs only
+        # call-site info inside error messages.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
