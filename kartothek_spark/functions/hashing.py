@@ -72,6 +72,18 @@ def bind_once(col: Column, fn) -> Column:
     return F.flatten(F.transform(F.array(col), fn))
 
 
+def bind_value(col: Column, fn) -> Column:
+    """:func:`bind_once` for a SCALAR result: evaluate ``col`` once per
+    evaluation site, hand the VALUE to ``fn`` as a lambda variable, and
+    return ``fn``'s (non-array) result. Wraps in a one-element array and
+    unwraps with ``element_at`` — usable INSIDE another HOF lambda, where
+    re-evaluating a captured array expression per reference would
+    otherwise multiply its cost (e.g. a window slice consulted by min
+    AND position: one slice materialization instead of one per
+    reference)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def shingles_from_tokens(toks: Column, n: int) -> Column:
     """Distinct n-word shingles from a token array. The array expression
     is bound once per row (:func:`bind_once`), so passing ``tokens(col)``

@@ -90,18 +90,58 @@ def extract_features(media: DataFrame, decode_stub: bool = True, batch_rows: int
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        dim = 8
+        phases = np.arange(dim, dtype="int64")
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError(
                     "real media decoding requires PIL/ffmpeg — not available; "
                     "use decode_stub=True for the deterministic fake featurizer"
                 )
+            # Vectorized _fake_feature over the whole batch (guide §4.2):
+            # one flat uint8 view of the concatenated blobs, one bincount
+            # per batch keyed (row, byte-phase) — replaces a per-row
+            # Python loop doing dim strided slices + sums per blob. The
+            # strided byte sums are exact integers (< 2^53, float64
+            # accumulates them exactly); the final round() runs per cell
+            # in Python so the rounding is bit-identical to the scalar
+            # _fake_feature (pinned by test_multimodal parity).
+            blobs = pdf["content"].tolist()
+            n = len(blobs)
+            lens = np.fromiter(
+                (0 if b is None else len(b) for b in blobs), dtype="int64", count=n
+            )
+            total = int(lens.sum())
+            if total:
+                cat = np.frombuffer(
+                    b"".join(b for b in blobs if b), dtype=np.uint8
+                )
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                row_id = np.repeat(np.arange(n, dtype="int64"), lens)
+                pos = np.arange(total, dtype="int64") - np.repeat(starts, lens)
+                key = row_id * dim + (pos % dim)
+                sums = (
+                    np.bincount(key, weights=cat, minlength=n * dim)
+                    .astype("int64")
+                    .reshape(n, dim)
+                )
+            else:
+                sums = np.zeros((n, dim), dtype="int64")
+            # len(blob[i::dim]) == ceil((len - i) / dim), floored at 0
+            counts = np.maximum((lens[:, None] - phases[None, :] + dim - 1) // dim, 0)
+            denom = 255.0 * np.maximum(counts, 1)
+            feature = [
+                [round(s / d, 6) for s, d in zip(srow, drow)]
+                for srow, drow in zip(sums.tolist(), denom.tolist())
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["content"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                    "feature": pdf["content"].map(_fake_feature),
+                    "n_bytes": lens,
+                    "feature": feature,
                 }
             )
 
@@ -186,11 +226,21 @@ def media_dup_pairs(
     stay as-is. Note the stub's 8-dim histograms are weakly
     discriminative (same-alphabet payloads all score ≈ 0.998), hence the
     very high default threshold."""
+    import math
+
     from kartothek_spark.operators.similarity import embedding_dup_pairs
 
     feats = extract_features(media).select(
         F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
     )
+    if blocks is None:
+        # block sizing needs only the ROW COUNT, and the featurizer is
+        # 1:1 row-preserving — count the raw media frame (a pruned scan
+        # the parquet footer answers) instead of letting
+        # embedding_dup_pairs count the featurized frame, which would
+        # execute the whole decode+featurize pass once just to size the
+        # blocks. Same count, same blocking, identical output.
+        blocks = max(1, math.ceil(media.count() / target_block_rows))
     return embedding_dup_pairs(
         feats, threshold=threshold, blocks=blocks, target_block_rows=target_block_rows
     )

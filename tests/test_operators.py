@@ -158,6 +158,41 @@ def test_multimodal_feature_plumbing(spark, docs):
     ]
 
 
+def test_multimodal_vectorized_featurizer_matches_scalar(spark):
+    """The batched byte-histogram kernel (r10: one bincount per Arrow
+    batch instead of a per-row Python loop) must reproduce the scalar
+    ``_fake_feature`` bit-for-bit — including None, empty, shorter-than-
+    dim, and stride-boundary blobs."""
+    from pyspark.sql import Row
+
+    from kartothek_spark.operators.multimodal import (
+        _fake_feature,
+        extract_features,
+        make_media_df,
+    )
+
+    payloads = [
+        None,
+        "",
+        "a",
+        "abcdefg",          # len < dim
+        "abcdefgh",         # len == dim
+        "abcdefghi",        # one phase longer
+        "the quick brown fox jumps over the lazy dog",
+        "\x00\xff" * 33,    # high bytes, odd stride tail
+        "x" * 1000,
+    ]
+    rows = [Row(doc_id=i, text=p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = make_media_df(df, "doc_id", "text")
+    got = {r.media_id: (r.n_bytes, r.feature) for r in extract_features(media).collect()}
+    for i, p in enumerate(payloads):
+        blob = None if p is None else p.encode("utf-8")
+        want_nb = 0 if blob is None else len(blob)
+        assert got[i][0] == want_nb, (i, got[i][0], want_nb)
+        assert got[i][1] == _fake_feature(blob), (i, p)
+
+
 def test_multimodal_decode_stub_raises(spark, docs):
     from kartothek_spark.operators.multimodal import extract_features, make_media_df
     from py4j.protocol import Py4JJavaError
