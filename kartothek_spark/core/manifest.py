@@ -128,14 +128,19 @@ class _SidecarPartitions(MutableMapping):
     mutation semantics — including callers that mutate a returned entry
     in place — are exactly a dict's."""
 
-    __slots__ = ("_labels_arr", "_files_arr", "_labels", "_set", "_dict")
+    __slots__ = ("_labels_arr", "_files_arr", "_labels", "_set", "_dict", "source_path")
 
-    def __init__(self, labels_arr, files_arr):
+    def __init__(self, labels_arr, files_arr, source_path: str | None = None):
         self._labels_arr = labels_arr  # pyarrow (Chunked)Array[string]
         self._files_arr = files_arr
         self._labels: list | None = None  # built on first iteration
         self._set: set | None = None  # built on first membership test
         self._dict: dict | None = None  # built on first entry access
+        # sidecar file these columns were decoded from: while the map is
+        # unmaterialized it is PROVABLY byte-identical to that file
+        # (entry mutation requires materialization), so a metadata-only
+        # commit can copy the file instead of re-encoding 1M rows
+        self.source_path = source_path
 
     # -- lazy accessors ------------------------------------------------------
     def label_list(self) -> list:
@@ -914,6 +919,26 @@ def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) 
         else None
     )
     if lazy_cols is not None:
+        src = partitions.source_path
+        if src and os.path.exists(src) and os.path.abspath(src) != os.path.abspath(path):
+            # unmaterialized map == exact bytes of its source sidecar:
+            # copy instead of re-encoding (metadata-only commit of a
+            # 1M-partition dataset drops from ~0.6 s parquet encode to a
+            # file copy)
+            import shutil
+
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+            os.close(fd)
+            try:
+                shutil.copyfile(src, tmp)
+                os.replace(tmp, path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
+            partitions.source_path = path  # commit cleanup may unlink src
+            return
         labels_arr, files_arr = lazy_cols
         n = len(labels_arr)
         table = pa.table(
@@ -935,6 +960,7 @@ def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) 
             if os.path.exists(tmp):
                 os.unlink(tmp)
             raise
+        partitions.source_path = path
         return
 
     known = {"file", "rows", "stats"}
@@ -989,7 +1015,7 @@ def _read_partitions_sidecar(path: str) -> MutableMapping:
         and t.column("stats").null_count == n
         and t.column("extra").null_count == n
     ):
-        return _SidecarPartitions(t.column("label"), t.column("file"))
+        return _SidecarPartitions(t.column("label"), t.column("file"), source_path=path)
     labels = t.column("label").to_pylist()
     files = t.column("file").to_pylist()
     rows = t.column("rows").to_pylist()

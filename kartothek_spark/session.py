@@ -37,6 +37,12 @@ def get_spark(app_name: str = "kartothek_spark", shuffle_partitions: int | None 
         # Static conf, so it must be set here, not per-query. Costs only
         # call-site info inside error messages.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # allow shuffled hash join when its size conditions fit (guide
+        # §3.1/§9): avoids the sort on both sides of small-to-medium
+        # shuffle joins; sort-merge remains the planner's fallback for
+        # anything large. Not a local-only tune — same recommendation at
+        # cluster scale.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

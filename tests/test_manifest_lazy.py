@@ -90,6 +90,25 @@ def test_commit_without_entry_access_keeps_sidecar_loadable(tmp_path):
     }
 
 
+def test_repeated_metadata_commits_stay_lazy_and_loadable(tmp_path):
+    """A metadata-only commit of an untouched loaded map copies the
+    previous sidecar file (no re-encode); a second commit after the old
+    file was cleaned up must still work, and every version must load."""
+    root = _build(tmp_path)
+    m = DatasetManifest.load(root, "lazy")
+    for i in range(3):
+        m.metadata["touch"] = i
+        m.commit()
+        assert m.partitions._dict is None
+    m2 = DatasetManifest.load(root, "lazy")
+    assert m2.version == m.version
+    assert len(m2.partitions) == N
+    assert m2.query([[("p", "==", 42)]]) == ["p=42/part-00042.parquet"]
+    assert m2.partitions["p=42/part-00042.parquet"] == {
+        "file": "lazy/table/p=42/part-00042.parquet"
+    }
+
+
 def test_mutated_entries_round_trip_through_commit(tmp_path):
     root = _build(tmp_path)
     m = DatasetManifest.load(root, "lazy")
