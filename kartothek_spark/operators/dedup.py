@@ -1306,11 +1306,18 @@ def _deletion_blocks(df: DataFrame, max_dist: int, max_len: int) -> DataFrame:
         import pandas as pd
 
         B = np.uint64(1099511628211)  # FNV-1a prime, odd → full-period mod 2^64
-        with np.errstate(over="ignore"):  # wraparound mod 2^64 is the design
-            powers = np.empty(max_len + 1, dtype=np.uint64)
-            powers[0] = np.uint64(1)
-            for p in range(1, max_len + 1):
-                powers[p] = powers[p - 1] * B
+        # B odd ⇒ invertible mod 2^64: deleting position i divides every
+        # later term's power by B, so each variant hash is an O(1)
+        # combination of exclusive prefix sums instead of an
+        # O(L)-per-variant np.delete + dot (which re-copied the matrix
+        # once per cut — ~300 copies per 24-char key at d=2). Values are
+        # IDENTICAL: h(del i) = P_i + (S − P_{i+1})·B⁻¹ and
+        # h(del i<j) = P_i + (P_j − P_{i+1})·B⁻¹ + (S − P_{j+1})·B⁻²,
+        # all in the same wraparound uint64 arithmetic.
+        invB = np.uint64(pow(1099511628211, -1, 1 << 64))
+        with np.errstate(over="ignore"):
+            invB2 = invB * invB
+        pair_idx: dict[int, tuple] = {}  # L -> (ii, jj) upper-triangle pairs
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1329,20 +1336,41 @@ def _deletion_blocks(df: DataFrame, max_dist: int, max_len: int) -> DataFrame:
             with np.errstate(over="ignore"):
                 for L, idxs in by_len.items():
                     rows = np.asarray(idxs)
+                    n = len(idxs)
                     M = np.array(
                         [[ord(c) for c in s_list[k]] for k in idxs],
                         dtype=np.uint64,
-                    ).reshape(len(idxs), L)
-                    cuts = [()]
+                    ).reshape(n, L)
+                    # powers accumulate per column with wraparound; P is
+                    # the EXCLUSIVE prefix sum (P[:, i] = Σ_{j<i} c_j B^j)
+                    powers = np.empty(max(L, 1), dtype=np.uint64)
+                    powers[0] = np.uint64(1)
+                    for p in range(1, L):
+                        powers[p] = powers[p - 1] * B
+                    t = M * powers[:L][None, :]
+                    P = np.zeros((n, L + 1), dtype=np.uint64)
+                    np.cumsum(t, axis=1, out=P[:, 1:])
+                    S = P[:, L]
+                    out_idx.append(rows)
+                    out_blk.append(S.copy())  # the no-deletion variant
                     if L >= 1:
-                        cuts += [(i,) for i in range(L)]
+                        h1 = P[:, :L] + (S[:, None] - P[:, 1:]) * invB
+                        out_idx.append(np.repeat(rows, L))
+                        out_blk.append(h1.ravel())
                     if max_dist == 2 and L >= 2:
-                        cuts += [(i, j) for i in range(L - 1) for j in range(i + 1, L)]
-                    for cut in cuts:
-                        V = np.delete(M, cut, axis=1) if cut else M
-                        h = V @ powers[: V.shape[1]]
-                        out_idx.append(rows)
-                        out_blk.append(h)
+                        pij = pair_idx.get(L)
+                        if pij is None:
+                            iu = np.triu_indices(L, k=1)
+                            pij = (iu[0].astype(np.int64), iu[1].astype(np.int64))
+                            pair_idx[L] = pij
+                        ii, jj = pij
+                        h2 = (
+                            P[:, ii]
+                            + (P[:, jj] - P[:, ii + 1]) * invB
+                            + (S[:, None] - P[:, jj + 1]) * invB2
+                        )
+                        out_idx.append(np.repeat(rows, len(ii)))
+                        out_blk.append(h2.ravel())
             if not out_idx:
                 continue
             idx = np.concatenate(out_idx)

@@ -1435,6 +1435,51 @@ def test_fuzzy_join_matches_bruteforce(spark):
     assert got == want
 
 
+@pytest.mark.parametrize("max_dist", [1, 2])
+def test_deletion_block_hashes_match_delete_reference(spark, max_dist):
+    """The r10 prefix/suffix variant hashing (B⁻¹ mod 2^64 recombination)
+    must emit exactly the np.delete-and-dot reference multiset per key —
+    the blocking's completeness proof rides on these values."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from kartothek_spark.operators.dedup import _deletion_blocks
+
+    max_len = 48
+    keys = ["", "a", "ab", "abca", "the quick brown fox!", "xyzw" * 6, "\x01\x7f mix 42"]
+    df = spark.createDataFrame(
+        [Row(__id=i, __s=s) for i, s in enumerate(keys)], "__id long, __s string"
+    )
+    got: dict[int, list[int]] = {i: [] for i in range(len(keys))}
+    for r in _deletion_blocks(df, max_dist, max_len).collect():
+        got[r["__id"]].append(int(r["__blk"]))
+
+    B = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        powers = np.empty(max_len + 1, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for p in range(1, max_len + 1):
+            powers[p] = powers[p - 1] * B
+
+    def ref(s):
+        L = len(s)
+        M = np.array([[ord(c) for c in s]], dtype=np.uint64).reshape(1, L)
+        cuts = [()]
+        if L >= 1:
+            cuts += [(i,) for i in range(L)]
+        if max_dist == 2 and L >= 2:
+            cuts += [(i, j) for i in range(L - 1) for j in range(i + 1, L)]
+        out = []
+        with np.errstate(over="ignore"):
+            for cut in cuts:
+                V = np.delete(M, cut, axis=1) if cut else M
+                out.append(int(np.int64((V @ powers[: V.shape[1]])[0])))
+        return sorted(out)
+
+    for i, s in enumerate(keys):
+        assert sorted(got[i]) == ref(s), (i, s)
+
+
 def test_edit_distance_pairs_guards(spark):
     from kartothek_spark.operators.dedup import edit_distance_pairs
 
