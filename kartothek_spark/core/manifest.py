@@ -967,26 +967,43 @@ def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) 
     entries = list(partitions.values())
     labels = list(partitions.keys())
     files = [e.get("file") for e in entries]
-    rows = [e.get("rows") for e in entries]
-    stats = [
-        None if "stats" not in e else json.dumps(e["stats"], default=str)
-        for e in entries
-    ]
-    extra = [
-        None
-        if e.keys() <= known
-        else json.dumps(
-            {k: v for k, v in e.items() if k not in known}, default=str
+    # dominant shape: every entry is exactly {"file": ...} — len() is
+    # O(1) per dict, so one cheap pass replaces the rows/stats/extra
+    # comprehensions (each doing per-entry lookups over 1M entries) with
+    # three null columns; byte-identical output (the columns would have
+    # been all-null anyway)
+    n = len(entries)
+    if all(len(e) == 1 and "file" in e for e in entries):
+        rows_arr: Any = pa.nulls(n, type=pa.int64())
+        stats_arr: Any = pa.nulls(n, type=pa.string())
+        extra_arr: Any = pa.nulls(n, type=pa.string())
+    else:
+        rows_arr = pa.array([e.get("rows") for e in entries], type=pa.int64())
+        stats_arr = pa.array(
+            [
+                None if "stats" not in e else json.dumps(e["stats"], default=str)
+                for e in entries
+            ],
+            type=pa.string(),
         )
-        for e in entries
-    ]
+        extra_arr = pa.array(
+            [
+                None
+                if e.keys() <= known
+                else json.dumps(
+                    {k: v for k, v in e.items() if k not in known}, default=str
+                )
+                for e in entries
+            ],
+            type=pa.string(),
+        )
     table = pa.table(
         {
             "label": pa.array(labels, type=pa.string()),
             "file": pa.array(files, type=pa.string()),
-            "rows": pa.array(rows, type=pa.int64()),
-            "stats": pa.array(stats, type=pa.string()),
-            "extra": pa.array(extra, type=pa.string()),
+            "rows": rows_arr,
+            "stats": stats_arr,
+            "extra": extra_arr,
         }
     )
     os.makedirs(os.path.dirname(path), exist_ok=True)
