@@ -36,13 +36,15 @@ EMB_DIM = 64
 # construction per run. The memo returns the SAME unevaluated logical
 # plan object — no data or results are cached; every action still scans
 # the parquet files — it only stops re-inferring a schema that cannot
-# change (the sf dir is immutable input). Keyed by session identity so
-# test sessions never share plans with bench sessions.
+# change (the sf dir is immutable input). Keyed by the SESSION OBJECT
+# (not id(): a dead session's address could be reused) so test sessions
+# never share plans with bench sessions; the strong ref pins at most a
+# handful of sessions per process.
 _T_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (spark, sf_dir, name)
     df = _T_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -68,7 +70,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     window/state operators and oracles agree."""
     from pyspark.sql import types as T
 
-    key = (id(spark), sf_dir, "__events__")
+    key = (spark, sf_dir, "__events__")
     cached = _T_CACHE.get(key)
     if cached is not None:
         return cached
