@@ -269,18 +269,26 @@ def main() -> None:
         canary("start")
 
     timings: dict[str, float] = {}
+    # per-query best-of-3 max-min band: the host-noise width of THIS
+    # query's three runs. A query whose `noise` rivals its best is a
+    # host-band swinger (cfjoi class) — cross-round diffs of it are
+    # meaningless without this field (BENCH_NOTES). JSON files only;
+    # the stdout line has no byte budget for it.
+    noise: dict[str, float] = {}
     for i, name in enumerate(headline):
         if not only and i == len(headline) // 2:
             canary("mid")
         fn = qs[name]
-        best, n = None, 0
+        best, worst, n = None, 0.0, 0
         for _ in range(BEST_OF):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            worst = max(worst, dt)
         timings[name] = round(best, 3)
+        noise[name] = round(worst - best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         # drop DataFrame refs and collect promptly: queries that
         # localCheckpoint (dedup banding, clustering) pin executor block
@@ -328,28 +336,32 @@ def main() -> None:
                 "file": f"big/table/p={i}/part-{i:05d}.parquet"
             }
         big.commit()
-        best = None
+        best, worst = None, 0.0
         for _ in range(BEST_OF):
             t0 = time.perf_counter()
             m2 = DatasetManifest.load(mroot, "big")
             labels = dispatch_labels(spark, m2, [[("p", "==", 12_345 % n_parts)]])
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            worst = max(worst, dt)
         assert len(labels) == 1
         timings[f"manifest_plan_{label}"] = round(best, 3)
+        noise[f"manifest_plan_{label}"] = round(worst - best, 3)
         print(f"# manifest_plan_{label}: {best:.3f}s", file=sys.stderr)
 
         # commit latency at the same scale (the other half of the
         # reference's asv write.py:56-75 workload): serialize + zstd +
         # conflict check + atomic swap
-        best = None
+        best, worst = None, 0.0
         for i in range(BEST_OF):
             t0 = time.perf_counter()
             big.metadata["bench_touch"] = i
             big.commit()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            worst = max(worst, dt)
         timings[f"manifest_commit_{label}"] = round(best, 3)
+        noise[f"manifest_commit_{label}"] = round(worst - best, 3)
         print(f"# manifest_commit_{label}: {best:.3f}s", file=sys.stderr)
 
     if not only:
@@ -368,11 +380,26 @@ def main() -> None:
     # 3x for one session; an r10 run-2 stall CLUSTER sat at 1.7-2.2x
     # across the adjacent bloom-family queries and slipped under it.)
     rerun: dict[str, list[float]] = {}
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    cpus = spark.sparkContext.defaultParallelism
     if not only:
         repo_dir = os.path.dirname(os.path.abspath(__file__))
         try:
             with open(os.path.join(repo_dir, "BENCH_SNAPSHOT.json")) as fh:
-                prev = json.load(fh).get("queries", {})
+                snap = json.load(fh)
+            # the snapshot is only a valid stall reference when it was
+            # taken at the SAME core count and SF (the driver's 8-core run
+            # overwrote the working-tree snapshot in r10 and would have
+            # made a later 32-core session re-run everything); a snapshot
+            # without a cpus field predates this check — don't compare.
+            if snap.get("cpus") == cpus and snap.get("sf") == sf_val:
+                prev = snap.get("queries", {})
+            else:
+                prev = {}
         except (OSError, ValueError):
             prev = {}
         for name, t in timings.items():
@@ -387,17 +414,14 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
     result = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "cpus": cpus,
+        "noise": noise,
     }
     if canary_totals:
         result["canary_totals"] = canary_totals
@@ -448,17 +472,28 @@ def main() -> None:
     # so they stay stable across rounds for cross-round diffs.
     out = dict(result)
     out["queries"] = {codes[k]: _sig2(v) for k, v in timings.items()}
-    # per-pass per-query canary detail lives in BENCH_LAST/SNAPSHOT only;
-    # the stdout line keeps just the spread + totals (byte budget)
+    # per-pass per-query canary detail, per-query noise bands and the
+    # cpus tag live in BENCH_LAST/SNAPSHOT only; the stdout line keeps
+    # just the spread + totals (byte budget)
     out.pop("canary_detail", None)
+    out.pop("noise", None)
+    out.pop("cpus", None)
     if rerun:
         # stalled-query second timings, coded like the query dict —
         # usually absent, at most a handful of entries
         out["rerun"] = {codes[k]: v for k, v in rerun.items()}
     out["legend"] = "BENCH_LAST.json"
     line = json.dumps(out, separators=(",", ":"))
+    # Over-budget degradation order: NEVER drop a query entry first — the
+    # driver's comparator reads a missing per-query key as dropped-from-
+    # bench (it false-flagged mp200 in r10). Shed diagnostic extras
+    # instead (they all persist in BENCH_LAST/SNAPSHOT), and only then,
+    # as a last resort, omit queries (flagged via queries_omitted).
+    for extra in ("rerun", "canary_totals"):
+        if len(line) > 1950 and extra in out:
+            out.pop(extra)
+            line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1950:
-        # safety valve only — with codes the full suite fits comfortably
         kept = dict(out["queries"])
         for k, _v in sorted(timings.items(), key=lambda kv: kv[1]):
             if len(line) <= 1950:
@@ -472,8 +507,15 @@ def main() -> None:
 
 def _sig2(v: float) -> float:
     """0.1 s stdout resolution (full precision lives in the JSON files);
-    >= 10 s drops the fraction entirely."""
-    return round(v, 0) if v >= 10 else round(v, 1)
+    >= 10 s drops the fraction entirely. Sub-50 ms values get 2 decimals
+    with a 0.01 floor: a 0.0 on the stdout line reads as dropped-from-
+    bench to the driver's comparator (the r10 mp200 false flag)."""
+    if v >= 10:
+        return round(v, 0)
+    r = round(v, 1)
+    if r == 0.0:
+        return max(0.01, round(v, 2))
+    return r
 
 
 def _short_codes(names: list) -> dict:

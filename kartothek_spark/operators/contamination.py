@@ -36,8 +36,14 @@ def _doc_shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> Da
     """(id, shingle-hash) pairs, distinct per doc. Tokenization is staged
     into its own projection so the shingle lambda never re-runs the regex
     split per position (see shingles_from_tokens)."""
+    # shingle hashing is the dominant per-row cost of every contamination
+    # operator; scale_out first so a single-split input (one parquet row
+    # group) doesn't run the tokenize+md5 pass on one core (guide §2.6).
+    # No-op at real scale, where inputs have >= defaultParallelism splits.
+    from kartothek_spark.operators._util import scale_out
+
     return (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        scale_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_sh"))
         .select(F.col(id_col), h60(F.col("_sh")).alias("_h"))
     )
@@ -305,8 +311,11 @@ def source_overlap(
     on local disk — strictly smaller than one extra corpus pass, and
     this is a terminal report operator (G^2-row output), not a
     composable plan fragment."""
+    from kartothek_spark.operators._util import scale_out
+
     sh = (
-        df.select(F.col(group_col).alias("grp"), tokens(F.col(text_col)).alias("_t"))
+        scale_out(df)
+        .select(F.col(group_col).alias("grp"), tokens(F.col(text_col)).alias("_t"))
         .select("grp", F.explode(shingles_from_tokens(F.col("_t"), n)).alias("_sh"))
         .select("grp", h60(F.col("_sh")).alias("_h"))
         .distinct()

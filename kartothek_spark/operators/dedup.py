@@ -660,7 +660,14 @@ def winnow_fingerprints(
     — the earlier form materialized the slice three times and scanned it
     three times per window, which profiled as the majority of the
     operator at sf0.1 (2.35 s → 1.12 s for the fingerprint pass, value-
-    identical)."""
+    identical).
+
+    The input is scale_out-repartitioned first: the k-gram md5 stream is
+    the single most expensive per-row kernel in the module, and a
+    one-split source would run it on one core (guide §2.6). No-op at
+    real scale (and for callers that already scaled out — the probe
+    sees enough partitions)."""
+    df = scale_out(df)
     norm = F.concat_ws(" ", tokens(F.col(text_col)))
 
     def fps(s):

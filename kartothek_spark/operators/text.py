@@ -534,7 +534,16 @@ def gopher_flags(
 def gopher_filter(
     df: "DataFrame", text_col: str = "text", **thresholds
 ) -> "DataFrame":
-    """Rows passing ALL Gopher document-level rules."""
+    """Rows passing ALL Gopher document-level rules.
+
+    The rule expressions tokenize/scan the full text several times per
+    row, so the input is scale_out-repartitioned first: a single-split
+    source (one parquet row group) would otherwise evaluate the whole
+    rule battery on one core (guide §2.6 — idle capacity); at real scale
+    the input already has enough splits and this is a no-op."""
+    from kartothek_spark.operators._util import scale_out
+
+    df = scale_out(df)
     rules = gopher_rules(text_col, **thresholds)
     cond = None
     for flag in rules.values():

@@ -84,6 +84,30 @@ def test_bench_short_codes_deterministic_and_unique():
     assert len(json.dumps(out, separators=(",", ":"))) < 1950
 
 
+def test_bench_sig2_no_zero_emission():
+    """r10 verdict #2: a sub-50 ms query printed as 0.0 on the stdout
+    line and the driver's comparator read it as dropped-from-bench
+    (mp200 false flag). _sig2 must never return 0.0 for a positive
+    timing, and must keep the 1-decimal budget for normal values."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+
+    assert b._sig2(0.033) == 0.03
+    assert b._sig2(0.004) == 0.01  # floor, not 0.0
+    assert b._sig2(0.0) == 0.01
+    assert b._sig2(0.3) == 0.3
+    assert b._sig2(2.749) == 2.7
+    assert b._sig2(12.6) == 13.0
+    for v in (0.001, 0.02, 0.049, 0.05, 0.09):
+        assert b._sig2(v) > 0.0
+
+
 def test_bench_snapshot_complete():
     """BENCH_SNAPSHOT.json — the cross-round diff artifact — must cover
     EXACTLY the benched set (HEADLINE + the 6 manifest micro-benches).
