@@ -40,15 +40,24 @@ EMB_DIM = 64
 # (not id(): a dead session's address could be reused) so test sessions
 # never share plans with bench sessions; the strong ref pins at most a
 # handful of sessions per process.
-_T_CACHE: dict[tuple, DataFrame] = {}
+# Sessions are keyed WEAKLY (identity-hashed, so the no-id-reuse property
+# holds): a stopped session's plans and their JVM-side references become
+# collectable instead of accumulating for process lifetime across looped
+# test runs; the inner dict per live session is keyed by (sf_dir, name).
+import weakref
+
+_T_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark, sf_dir, name)
-    df = _T_CACHE.get(key)
+    per_session = _T_CACHE.get(spark)
+    if per_session is None:
+        per_session = _T_CACHE[spark] = {}
+    key = (sf_dir, name)
+    df = per_session.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        _T_CACHE[key] = df
+        per_session[key] = df
     return df
 
 
@@ -70,22 +79,29 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     window/state operators and oracles agree."""
     from pyspark.sql import types as T
 
-    key = (spark, sf_dir, "__events__")
-    cached = _T_CACHE.get(key)
-    if cached is not None:
-        return cached
+    # the session confs are (cheap, driver-local) re-asserted on EVERY
+    # call, not just cache misses: a cached plan's timestamp casts execute
+    # under whatever tz the session has at action time, so a later tz
+    # change would silently diverge from the pre-cache behavior
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    per_session = _T_CACHE.get(spark)
+    if per_session is None:
+        per_session = _T_CACHE[spark] = {}
+    key = (sf_dir, "__events__")
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     ev = _t(spark, sf_dir, "events")
     ts_type = next(f.dataType for f in ev.schema.fields if f.name == "ts")
     if isinstance(ts_type, T.LongType):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    _T_CACHE[key] = ev
+    per_session[key] = ev
     return ev
 
 

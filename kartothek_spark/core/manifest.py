@@ -128,7 +128,10 @@ class _SidecarPartitions(MutableMapping):
     mutation semantics — including callers that mutate a returned entry
     in place — are exactly a dict's."""
 
-    __slots__ = ("_labels_arr", "_files_arr", "_labels", "_set", "_dict", "source_path")
+    __slots__ = (
+        "_labels_arr", "_files_arr", "_labels", "_set", "_dict", "_files",
+        "source_path",
+    )
 
     def __init__(self, labels_arr, files_arr, source_path: str | None = None):
         self._labels_arr = labels_arr  # pyarrow (Chunked)Array[string]
@@ -136,6 +139,7 @@ class _SidecarPartitions(MutableMapping):
         self._labels: list | None = None  # built on first iteration
         self._set: set | None = None  # built on first membership test
         self._dict: dict | None = None  # built on first entry access
+        self._files: dict | None = None  # flat label->file, read-only path
         # sidecar file these columns were decoded from: while the map is
         # unmaterialized it is PROVABLY byte-identical to that file
         # (entry mutation requires materialization), so a metadata-only
@@ -162,6 +166,20 @@ class _SidecarPartitions(MutableMapping):
             return None
         return self._labels_arr, self._files_arr
 
+    def get_file(self, label: str) -> str | None:
+        """One label's file WITHOUT materializing the inner dicts — the
+        read-only lookup behind :meth:`DatasetManifest.file_path`, so the
+        first data read of a pruned partition costs a flat str->str dict
+        (one arrow ``to_pylist`` + zip) instead of ~2 s of per-entry dict
+        building at 1M partitions. Falls through to the real dict once
+        any mutation path has materialized it."""
+        if self._dict is not None:
+            entry = self._dict.get(label)
+            return None if entry is None else entry.get("file")
+        if self._files is None:
+            self._files = dict(zip(self.label_list(), self._files_arr.to_pylist()))
+        return self._files.get(label)
+
     def _materialize(self) -> dict:
         if self._dict is None:
             labels = self.label_list()
@@ -169,6 +187,7 @@ class _SidecarPartitions(MutableMapping):
             self._dict = {lbl: {"file": f} for lbl, f in zip(labels, files)}
             self._labels = None
             self._set = None
+            self._files = None  # entries are now mutable; flat view is stale
         return self._dict
 
     # -- read-only views that stay lazy --------------------------------------
@@ -436,9 +455,17 @@ class DatasetManifest:
         return os.path.join(self.history_root, f"_v{version:08d}.manifest{suffix}")
 
     def file_path(self, label: str) -> str:
+        parts = self.partitions
+        get_file = getattr(parts, "get_file", None)
+        if get_file is not None:  # lazy sidecar map: don't materialize
+            file = get_file(label)
+            if file is None:
+                raise KeyError(label)
+        else:
+            file = parts[label]["file"]
         if self.external_root:
-            return os.path.join(self.data_root, self.partitions[label]["file"])
-        return os.path.join(self.root, self.partitions[label]["file"])
+            return os.path.join(self.data_root, file)
+        return os.path.join(self.root, file)
 
     def files(self, labels: list[str] | None = None) -> list[str]:
         labels = list(self.partitions) if labels is None else labels
@@ -523,6 +550,12 @@ class DatasetManifest:
                             pc.starts_with(arr, seg[1:]), pc.match_substring(arr, seg)
                         )
                         m = sm if m is None else pc.and_(m, sm)
+                    if m is None:
+                        # empty conjunction matches every label — mirror
+                        # the dict-backed path, whose all() over an empty
+                        # conj is vacuously true (None here would raise on
+                        # filter() or null-propagate labels away in or_())
+                        return arr.to_pylist()
                     mask = m if mask is None else pc.or_(mask, m)
                 return arr.filter(mask).to_pylist()
             if len(segs_dnf) == 1 and len(segs_dnf[0]) == 1:

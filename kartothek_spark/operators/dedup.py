@@ -553,15 +553,19 @@ SELECT id_a, id_b, hamming FROM out
 NGRAM_MAX_DF = 20
 
 
-def _char_gram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Per-document DISTINCT char-n-gram rows ``(__id, g)``, generator-
-    shaped: the normalized text is computed once per row in the generate
-    stage's child, positions explode as rows, and the per-position
-    ``substr`` runs inside whole-stage codegen — ~3x faster at gate scale
-    than the interpreted higher-order-function array build, and the same
-    set semantics (the row ``distinct`` ≡ the array's ``array_distinct``).
-    No shuffle before the distinct; the text column is carried per
-    position row only WITHIN the stage."""
+def _df_capped_gram_index(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int
+) -> DataFrame:
+    """df-capped inverted gram index ``(__id, g)`` built over ONE
+    exchange: the raw gram rows are hash-partitioned by ``g`` once, and
+    that single partitioning serves (a) the per-document distinct —
+    g-clustering satisfies (id, g) clustering, so the dedup aggregate
+    runs map-side-local with no further shuffle — (b) the document-
+    frequency count, a window over g instead of a groupBy+join back
+    (which cost a second exchange plus a join), and (c) the downstream
+    gram-keyed self-join, which reuses the same partitioning. The
+    earlier shape paid three exchanges over the full gram set for the
+    same result (guide §2.4)."""
     norm = F.concat_ws(" ", tokens(F.col(text_col)))
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"), norm.alias("__norm")
@@ -573,9 +577,16 @@ def _char_gram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
             F.sequence(F.lit(1), F.greatest(F.length("__norm") - n + 1, F.lit(1)))
         ).alias("__i"),
     )
-    return pos.select(
+    grams = pos.select(
         "__id", F.col("__norm").substr(F.col("__i"), F.lit(n)).alias("g")
-    ).distinct()
+    )
+    return (
+        grams.repartition("g")
+        .dropDuplicates(["__id", "g"])
+        .withColumn("__df", F.count("*").over(Window.partitionBy("g")))
+        .where(F.col("__df") <= max_df)
+        .drop("__df")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -598,13 +609,10 @@ def ngram_jaccard_pairs(
     single spaces) so punctuation/whitespace differences don't break
     near-dup detection — consistent with minhash/simhash tokenization."""
     df = scale_out(df)
-    # the gram list feeds the df-count AND the capped index (and the
-    # capped index feeds three consumers) — pin both so the gram build
-    # runs ONCE, not once per consumer; at scale this is the difference
-    # between one corpus scan and four
-    inv_all = _char_gram_rows(df, text_col, id_col, n).persist()
-    rare = inv_all.groupBy("g").count().where(F.col("count") <= max_df).select("g")
-    inv = inv_all.join(rare, "g").persist()
+    # one-exchange capped index (see _df_capped_gram_index); it feeds
+    # three consumers (sizes + both self-join sides), so pin it — the
+    # single persist replaces the former two (raw grams + capped index)
+    inv = _df_capped_gram_index(df, text_col, id_col, n, max_df).persist()
     sizes = inv.groupBy("__id").agg(F.count("*").alias("__n"))
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
@@ -632,7 +640,6 @@ def ngram_jaccard_pairs(
     # cached inverted index (lazy return would leak the cache forever)
     out = result.localCheckpoint(eager=True)
     inv.unpersist()
-    inv_all.unpersist()
     return out
 
 
@@ -809,12 +816,9 @@ def ngram_containment_pairs(
     one gram-keyed self-join, candidates only ever the docs sharing a
     rare gram."""
     df = scale_out(df)
-    # pin the deduplicated gram set: it feeds the df-count and the capped
-    # index — without the pin the gram build + distinct re-runs per
-    # consumer (see the jaccard twin above)
-    inv_all = _char_gram_rows(df, text_col, id_col, n).persist()
-    rare = inv_all.groupBy("g").count().where(F.col("count") <= max_df).select("g")
-    inv = inv_all.join(rare, "g").persist()
+    # one-exchange capped index (see _df_capped_gram_index), pinned for
+    # its three consumers — the single persist replaces the former two
+    inv = _df_capped_gram_index(df, text_col, id_col, n, max_df).persist()
     sizes = inv.groupBy("__id").agg(F.count("*").alias("__n"))
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
@@ -837,7 +841,6 @@ def ngram_containment_pairs(
     )
     out = result.localCheckpoint(eager=True)
     inv.unpersist()
-    inv_all.unpersist()
     return out
 
 

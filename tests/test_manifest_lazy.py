@@ -61,6 +61,39 @@ def test_load_is_lazy_and_query_never_materializes(tmp_path):
     assert parts._dict is None
 
 
+def test_file_path_stays_lazy_and_tracks_mutation(tmp_path):
+    """r11: file_path goes through the flat label->file lookup, so the
+    first data read of a pruned partition never builds the inner entry
+    dicts; after any mutation materializes the map, the lookup must see
+    the mutated entry, not a stale flat view."""
+    root = _build(tmp_path)
+    m = DatasetManifest.load(root, "lazy")
+    parts = m.partitions
+    lbl = "p=123/part-00123.parquet"
+    assert m.file_path(lbl).endswith("lazy/table/p=123/part-00123.parquet")
+    assert parts._dict is None  # read-only lookup stayed lazy
+    with pytest.raises(KeyError):
+        m.file_path("missing-label")
+    assert parts._dict is None
+    # mutation materializes; the flat view must not serve stale files
+    parts[lbl] = {"file": "lazy/table/rewritten.parquet"}
+    assert parts._dict is not None
+    assert m.file_path(lbl).endswith("rewritten.parquet")
+
+
+def test_query_empty_conjunction_matches_all(tmp_path):
+    """r11 (ADVICE): an empty conjunction is vacuously true — the arrow
+    fast path must return every label (it used to raise on a sole empty
+    conj and silently drop labels in a mixed DNF), matching the
+    dict-backed path's all()-over-empty semantics."""
+    root = _build(tmp_path)
+    m = DatasetManifest.load(root, "lazy")
+    assert len(m.query([[]])) == N
+    got = m.query([[("p", "==", 5)], []])  # mixed DNF: empty conj wins
+    assert len(got) == N
+    assert m.partitions._dict is None
+
+
 def test_entry_access_materializes_with_dict_semantics(tmp_path):
     root = _build(tmp_path)
     m = DatasetManifest.load(root, "lazy")
