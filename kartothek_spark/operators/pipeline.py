@@ -58,8 +58,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kartothek_spark.operators.contamination import decontaminate, decontaminate_sql
-from kartothek_spark.operators.dedup import dedup_exact, dedup_exact_keep_sql
+from kartothek_spark.operators.contamination import (
+    contamination_hits,
+    decontaminate,
+    decontaminate_sql,
+)
+from kartothek_spark.operators.dedup import dedup_exact_keep_sql
 from kartothek_spark.operators.text import fingerprint, gopher_filter, gopher_filter_sql
 
 
@@ -74,10 +78,29 @@ def clean_corpus(
     """Gopher filter → exact decontamination (n-gram vs ``benchmark``)
     → exact dedup (min id per content fingerprint), one lazy plan.
     ``gopher`` passes threshold overrides through to
-    :func:`~kartothek_spark.operators.text.gopher_filter`."""
-    filtered = gopher_filter(df, text_col, **(gopher or {}))
-    decon = decontaminate(filtered, benchmark, n, text_col, id_col)
-    return dedup_exact(decon, text_col, id_col)
+    :func:`~kartothek_spark.operators.text.gopher_filter`.
+
+    Decide-on-small-rows staging (guide §1.2/§8): the naive stage
+    nesting (gopher → anti-join → dedup self-join) embeds the Gopher
+    rule battery under BOTH sides of each join, so the full text-kernel
+    battery re-evaluated up to 4× per action. Instead every per-doc
+    signal — the Gopher verdict and the content fingerprint — is
+    computed in ONE narrow pass over (id, text); the contamination hit
+    list comes from its own (id, text) pass over the RAW corpus (a
+    superset of the filtered corpus, which cannot change the anti-join:
+    hits outside the filtered set have nothing to remove); survivors
+    and the min-id-per-fingerprint winners are decided on (id, fp)
+    rows; and the payload joins in by id exactly once, with no text
+    kernel above the final scan. Value-identical to the nested form
+    (same stage twins oracle it)."""
+    slim = df.select(id_col, text_col)
+    sig = gopher_filter(slim, text_col, **(gopher or {})).select(
+        F.col(id_col), fingerprint(text_col).alias("__fp")
+    )
+    bad = contamination_hits(slim, benchmark, n, text_col, id_col).select(id_col)
+    survivors = sig.join(bad, id_col, "left_anti")
+    keep = survivors.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "inner")
 
 
 def clean_corpus_sql(
