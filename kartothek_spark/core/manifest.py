@@ -839,9 +839,16 @@ class DatasetManifest:
             self._sidecar_ref = os.path.join(
                 self.dataset_uuid, SIDECAR_DIR, f"_partitions_v{self.version:08d}.parquet"
             )
-            _write_partitions_sidecar(
+            adopted = _write_partitions_sidecar(
                 os.path.join(self.root, self._sidecar_ref), self.partitions
             )
+            if adopted is not None and adopted is not self.partitions:
+                # leave the manifest exactly as a reload would: the lazy
+                # map over the just-encoded columns. The next metadata-
+                # only commit then copies the sidecar file instead of
+                # re-encoding 1M entries; any entry mutation
+                # materializes dicts again (dict semantics preserved).
+                self.partitions = adopted
         else:
             self._sidecar_ref = None
         if self.keep_history:
@@ -937,10 +944,21 @@ class DatasetManifest:
             fh.write(self._serialize())
 
 
-def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) -> None:
+def _write_partitions_sidecar(
+    path: str, partitions: dict[str, dict[str, Any]]
+) -> "MutableMapping | None":
     """Columnar partition list: (label, file, rows, stats_json, extra_json).
     Common fields get real columns (fast columnar decode); rarely-present
-    keys ride as JSON strings. Atomic tmp + rename, zstd parquet."""
+    keys ride as JSON strings. Atomic tmp + rename, zstd parquet.
+
+    Returns the partition map the committing manifest should ADOPT —
+    the state :func:`_read_partitions_sidecar` would produce for the
+    file just written — or None when the mixed-shape general path ran
+    (a lazy map cannot represent rows/stats/extra). Adopting the lazy
+    map after a plain-shape encode makes the NEXT metadata-only commit
+    take the copy-the-source-file path instead of re-encoding 1M
+    entries (~0.5 s → ~0.05 s), exactly as if the manifest had been
+    reloaded from disk."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -971,7 +989,7 @@ def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) 
                     os.unlink(tmp)
                 raise
             partitions.source_path = path  # commit cleanup may unlink src
-            return
+            return partitions
         labels_arr, files_arr = lazy_cols
         n = len(labels_arr)
         table = pa.table(
@@ -994,46 +1012,55 @@ def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) 
                 os.unlink(tmp)
             raise
         partitions.source_path = path
-        return
+        return partitions
 
     known = {"file", "rows", "stats"}
     entries = list(partitions.values())
     labels = list(partitions.keys())
-    files = [e.get("file") for e in entries]
-    # dominant shape: every entry is exactly {"file": ...} — len() is
-    # O(1) per dict, so one cheap pass replaces the rows/stats/extra
-    # comprehensions (each doing per-entry lookups over 1M entries) with
-    # three null columns; byte-identical output (the columns would have
-    # been all-null anyway)
     n = len(entries)
-    if all(len(e) == 1 and "file" in e for e in entries):
+    # ONE fused pass extracts files and detects the dominant all-plain
+    # shape (every entry exactly {"file": ...}); a second single loop
+    # builds the remaining columns only when some entry is mixed-shape.
+    # The earlier form paid a dedicated all() pass plus up to four
+    # per-column comprehensions over 1M entries — at this size those
+    # Python passes cost more than the parquet encode itself (profiled:
+    # 0.56 s of passes vs 0.21 s of zstd encode at 1M).
+    files = []
+    plain = True
+    for e in entries:
+        files.append(e.get("file"))
+        if plain and (len(e) != 1 or "file" not in e):
+            plain = False
+    if plain:
+        # byte-identical output: the columns would have been all-null
         rows_arr: Any = pa.nulls(n, type=pa.int64())
         stats_arr: Any = pa.nulls(n, type=pa.string())
         extra_arr: Any = pa.nulls(n, type=pa.string())
     else:
-        rows_arr = pa.array([e.get("rows") for e in entries], type=pa.int64())
-        stats_arr = pa.array(
-            [
-                None if "stats" not in e else json.dumps(e["stats"], default=str)
-                for e in entries
-            ],
-            type=pa.string(),
-        )
-        extra_arr = pa.array(
-            [
+        rows_list: list = []
+        stats_list: list = []
+        extra_list: list = []
+        for e in entries:
+            rows_list.append(e.get("rows"))
+            stats_list.append(
+                json.dumps(e["stats"], default=str) if "stats" in e else None
+            )
+            extra_list.append(
                 None
                 if e.keys() <= known
                 else json.dumps(
                     {k: v for k, v in e.items() if k not in known}, default=str
                 )
-                for e in entries
-            ],
-            type=pa.string(),
-        )
+            )
+        rows_arr = pa.array(rows_list, type=pa.int64())
+        stats_arr = pa.array(stats_list, type=pa.string())
+        extra_arr = pa.array(extra_list, type=pa.string())
+    labels_pa = pa.array(labels, type=pa.string())
+    files_pa = pa.array(files, type=pa.string())
     table = pa.table(
         {
-            "label": pa.array(labels, type=pa.string()),
-            "file": pa.array(files, type=pa.string()),
+            "label": labels_pa,
+            "file": files_pa,
             "rows": rows_arr,
             "stats": stats_arr,
             "extra": extra_arr,
@@ -1049,6 +1076,9 @@ def _write_partitions_sidecar(path: str, partitions: dict[str, dict[str, Any]]) 
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+    if plain:
+        return _SidecarPartitions(labels_pa, files_pa, source_path=path)
+    return None
 
 
 def _read_partitions_sidecar(path: str) -> MutableMapping:
