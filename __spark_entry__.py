@@ -2779,6 +2779,9 @@ def dedup_cross_corpus(spark, sf_dir):
     return minhash_cross_pairs_from_sides(
         rd("base_l"), rd("reps_l"), rd("base_r"), rd("reps_r"),
         threshold=0.35, left_id="doc_id", right_id="bench_id",
+        # sides are plain parquet reads (nothing persisted to release), so
+        # the gate's single count skips the eager checkpoint job entirely
+        eager=False,
     )
 
 
@@ -3130,7 +3133,7 @@ def corpus_source_overlap(spark, sf_dir):
     of feed B is already inside feed A."""
     from kartothek_spark.operators.contamination import source_overlap
 
-    return source_overlap(_t(spark, sf_dir, "documents"), n=8)
+    return source_overlap(_t(spark, sf_dir, "documents"), n=8, materialize=False)
 
 
 def embedding_hard_negatives(spark, sf_dir):
@@ -3771,7 +3774,9 @@ def dedup_exact(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     from kartothek_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, materialize=False
+    )
 
 
 def dedup_incremental(spark, sf_dir):
@@ -3860,13 +3865,17 @@ def dedup_span_trim(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     from kartothek_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=6, materialize=False
+    )
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
     from kartothek_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=4, threshold=0.35)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=4, threshold=0.35, materialize=False
+    )
 
 
 def dedup_containment(spark, sf_dir):
@@ -3886,7 +3895,7 @@ def dedup_containment(spark, sf_dir):
         F.expr("substring(text, 1, 120)").alias("text"),
     )
     return ngram_containment_pairs(
-        docs.unionByName(snips), n=6, threshold=0.8
+        docs.unionByName(snips), n=6, threshold=0.8, materialize=False
     )
 
 
@@ -3918,7 +3927,9 @@ def dedup_winnow_pairs(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr("substring(text, 1, 120)").alias("text"),
     )
-    return winnow_dup_pairs(docs.unionByName(snips), k=8, w=4, min_shared=12)
+    return winnow_dup_pairs(
+        docs.unionByName(snips), k=8, w=4, min_shared=12, materialize=False
+    )
 
 
 def _winnow_pairs_corpus(spark, sf_dir):
@@ -4058,7 +4069,9 @@ def dedup_fuzzy_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr("substring(text, 1, 24)").alias("key")
     )
-    return edit_distance_pairs(docs, max_dist=2, string_col="key", id_col="doc_id")
+    return edit_distance_pairs(
+        docs, max_dist=2, string_col="key", id_col="doc_id", materialize=False
+    )
 
 
 def corpus_fuzzy_join(spark, sf_dir):
@@ -4088,6 +4101,7 @@ def corpus_fuzzy_join(spark, sf_dir):
         right_on="qkey",
         left_id="doc_id",
         right_id="probe_id",
+        materialize=False,
     )
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
 # semanticHash -> input partition count; bounded, cleared wholesale on
@@ -48,3 +50,33 @@ def scale_out(df: DataFrame, factor: int = 1) -> DataFrame:
     if parts < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def release_on_gc(out: DataFrame, *pins: DataFrame) -> DataFrame:
+    """Tie persisted ``pins`` to the lifetime of ``out`` (lazy return).
+
+    The pair operators pin shared sub-frames (persist) because their
+    result plan consumes them from several branches. The classic form
+    eagerly ``localCheckpoint``s the result so the pins can be released
+    before returning — at the price of one extra job plus a full
+    materialization of the result to executor storage, even when the
+    caller runs a single action (count, one write) and never reuses the
+    frame. This helper is the lazy alternative: the pins stay cached
+    (first action computes each pinned frame once, every branch reuses
+    the blocks) and are unpersisted when the returned DataFrame is
+    garbage-collected. Callers that run MANY actions over the result
+    should still checkpoint/persist it themselves.
+
+    The finalizer holds only the pinned frames, never ``out`` (a
+    reference would make the frame immortal). Unpersist after session
+    stop is swallowed — nothing to release then.
+    """
+    def _release(frames=pins):
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+
+    weakref.finalize(out, _release)
+    return out

@@ -281,6 +281,7 @@ def source_overlap(
     text_col: str = "text",
     group_col: str = "source",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairwise n-gram overlap matrix between corpus GROUPS (sources,
     snapshots, providers) — the dataset-procurement question "how much
@@ -319,8 +320,15 @@ def source_overlap(
         .select("grp", F.explode(shingles_from_tokens(F.col("_t"), n)).alias("_sh"))
         .select("grp", h60(F.col("_sh")).alias("_h"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    else:
+        # lazy-with-scoped-release: persist pins the distinct shingle set
+        # for the three consumers within the caller's single action and
+        # the pin releases when the result frame is GC'd (guide §5) —
+        # same one-corpus-pass guarantee, no eager job, no leaked blocks
+        sh = sh.persist()
     totals = sh.groupBy("grp").agg(F.count("*").alias("n"))
     pairs = (
         sh.alias("a")
@@ -329,7 +337,7 @@ def source_overlap(
         .groupBy(F.col("a.grp").alias("src_a"), F.col("b.grp").alias("src_b"))
         .agg(F.count("*").alias("n_shared"))
     )
-    return (
+    out = (
         pairs.join(F.broadcast(totals.select(F.col("grp").alias("src_a"), F.col("n").alias("n_a"))), "src_a")
         .join(F.broadcast(totals.select(F.col("grp").alias("src_b"), F.col("n").alias("n_b"))), "src_b")
         .select(
@@ -345,6 +353,11 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+    if not materialize:
+        from kartothek_spark.operators._util import release_on_gc
+
+        out = release_on_gc(out, sh)
+    return out
 
 
 def source_overlap_sql(

@@ -37,7 +37,7 @@ from kartothek_spark.functions.hashing import (
     word_shingles_sql,
 )
 from kartothek_spark.operators.text import fingerprint, fingerprint_sql
-from kartothek_spark.operators._util import scale_out
+from kartothek_spark.operators._util import release_on_gc, scale_out
 
 # MinHash defaults: 12 permutations in 4 bands × 3 rows
 MINHASH_NUM_HASHES = 12
@@ -176,6 +176,7 @@ def minhash_lsh_pairs(
     num_hashes: int = MINHASH_NUM_HASHES,
     bands: int = MINHASH_BANDS,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
@@ -257,6 +258,14 @@ def minhash_lsh_pairs(
     if threshold > 1.0:
         intra = intra.where(F.lit(False))
     verified = cross.unionByName(intra)
+    if not materialize:
+        # lazy-with-scoped-release (guide §5): the pinned base stays
+        # cached — the caller's single action computes it once and every
+        # branch reuses the blocks — and unpersists when the result is
+        # GC'd. Skips the eager checkpoint's extra job + full pair-set
+        # materialization; callers that run MANY actions over the result
+        # should keep materialize=True.
+        return release_on_gc(verified, base)
     # deterministic cleanup: materialize the (small) pair set and release
     # the cached frames — a lazy return would otherwise leak them into the
     # caller's session forever
@@ -429,6 +438,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    materialize: bool = True,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs whose SimHashes differ in <= max_hamming bits.
@@ -501,6 +511,9 @@ def simhash_pairs(
         F.col("ir.__id").alias("id_b"),
         F.lit(0).cast("integer").alias("hamming"),
     )
+    if not materialize:
+        # lazy-with-scoped-release — see minhash_lsh_pairs
+        return release_on_gc(cross.unionByName(intra), base)
     out = cross.unionByName(intra).localCheckpoint(eager=True)
     base.unpersist()
     return out
@@ -596,6 +609,7 @@ def ngram_jaccard_pairs(
     n: int = 4,
     threshold: float = 0.35,
     max_df: int = NGRAM_MAX_DF,
+    materialize: bool = True,
 ) -> DataFrame:
     """Character-n-gram Jaccard via inverted index: explode grams →
     drop grams with document frequency > max_df (stop-grams; without the
@@ -636,6 +650,9 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not materialize:
+        # lazy-with-scoped-release — see minhash_lsh_pairs
+        return release_on_gc(result, inv)
     # deterministic cleanup: materialize the (small) pair set, release the
     # cached inverted index (lazy return would leak the cache forever)
     out = result.localCheckpoint(eager=True)
@@ -683,22 +700,51 @@ def winnow_fingerprints(
 
         def sel(hs):
             starts = F.sequence(F.lit(1), F.greatest(F.size(hs) - w + 1, F.lit(1)))
-            return F.transform(
+            # selected (1-based) hash position per window — the struct is
+            # NOT built here: fp is a function of pos (fp = hs[pos]), so
+            # dedup can run on a bare long array
+            pos_expr = F.transform(
                 starts,
                 lambda st: bind_value(
                     F.slice(hs, st, w),
-                    lambda sl: F.struct(
-                        F.array_min(sl).alias("fp"),
-                        (F.array_position(sl, F.array_min(sl)) + st - 1).alias("pos"),
-                    ),
+                    lambda sl: F.array_position(sl, F.array_min(sl)) + st - 1,
                 ),
             )
+
+            # winnowing property: the selected position NEVER DECREASES as
+            # the window slides (if the leaving element was the first-min,
+            # the next first-min sits strictly to its right; otherwise the
+            # selection stays or a smaller entrant at the right edge takes
+            # over) — so duplicate selections form CONSECUTIVE runs, and
+            # keeping the first of each run equals array_distinct over the
+            # (fp, pos) structs. The former array_distinct form was
+            # ArrayDistinct's non-hashable fallback: an O(windows²)
+            # INTERPRETED struct-equivalence scan per document — i.e.
+            # quadratic in document length, the top kernel cost the 16x
+            # scaling probe exposed (tools/scaling_probe.py). This run-edge
+            # filter is O(windows) long comparisons; bit-identical output
+            # (fuzzed against the array_distinct form in
+            # tests/test_operators.py).
+            def dedup_pos(ps):
+                kept = F.filter(
+                    ps,
+                    lambda p, i: F.coalesce(p != F.get(ps, i - 1), F.lit(True)),
+                )
+                return F.transform(
+                    kept,
+                    lambda p: F.struct(
+                        F.element_at(hs, p.cast("integer")).alias("fp"),
+                        p.alias("pos"),
+                    ),
+                )
+
+            return bind_once(pos_expr, dedup_pos)
 
         return bind_once(hs_expr, sel)
 
     return (
         df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.explode(F.array_distinct(bind_once(norm, fps))).alias("f"))
+        .select(F.col(id_col), F.explode(bind_once(norm, fps)).alias("f"))
         .select(F.col(id_col), F.col("f.fp").alias("fp"), F.col("f.pos").cast("long").alias("pos"))
     )
 
@@ -731,6 +777,7 @@ def winnow_dup_pairs(
     min_shared: int = 3,
     max_df: int = NGRAM_MAX_DF,
     eager: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Plagiarism-style overlap pairs on WINNOWED fingerprints: docs
     sharing >= ``min_shared`` selected fingerprints (id_a < id_b,
@@ -762,6 +809,9 @@ def winnow_dup_pairs(
     )
     if not eager:
         return result
+    if not materialize:
+        # lazy-with-scoped-release — see minhash_lsh_pairs
+        return release_on_gc(result, fp)
     out = result.localCheckpoint(eager=True)
     fp.unpersist()
     return out
@@ -798,6 +848,7 @@ def ngram_containment_pairs(
     n: int = 4,
     threshold: float = 0.8,
     max_df: int = NGRAM_MAX_DF,
+    materialize: bool = True,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs — the near-dup signal Jaccard
     structurally misses: a short doc nested inside a much longer one
@@ -839,6 +890,9 @@ def ngram_containment_pairs(
         )
         .where(F.greatest("cont_a", "cont_b") >= threshold)
     )
+    if not materialize:
+        # lazy-with-scoped-release — see minhash_lsh_pairs
+        return release_on_gc(result, inv)
     out = result.localCheckpoint(eager=True)
     inv.unpersist()
     return out
@@ -1409,6 +1463,7 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     max_len: int = 48,
     eager: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, dist)`` with ``levenshtein <= max_dist``
     over a SHORT string key — near-duplicate titles / URLs / leading
@@ -1502,6 +1557,9 @@ def edit_distance_pairs(
         )
     )
     out = cross.unionByName(exact)
+    if eager and not materialize:
+        # lazy-with-scoped-release — see minhash_lsh_pairs
+        return release_on_gc(out, reps, base)
     if eager:
         try:
             out = out.localCheckpoint(eager=True)
@@ -1551,6 +1609,7 @@ def fuzzy_join(
     right_id: str = "doc_id",
     max_len: int = 48,
     eager: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Two-sided edit-distance join: ``(left_id, right_id, dist)`` for
     every cross pair with ``levenshtein <= max_dist`` — matching a dirty
@@ -1607,6 +1666,9 @@ def fuzzy_join(
         )
     )
     out = cross.unionByName(exact)
+    if eager and not materialize:
+        # lazy-with-scoped-release — see minhash_lsh_pairs
+        return release_on_gc(out, lreps, rreps, lb, rb)
     if eager:
         try:
             out = out.localCheckpoint(eager=True)
@@ -1725,6 +1787,7 @@ def minhash_cross_pairs(
     bands: int = MINHASH_BANDS,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
     eager: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cross-corpus near-duplicate pairs ``(left_id, right_id, jaccard)``
     at ``jaccard >= threshold`` — the fuzzy-decontamination primitive the
@@ -1751,6 +1814,9 @@ def minhash_cross_pairs(
         num_hashes=num_hashes, bands=bands, max_band_bucket=max_band_bucket,
         eager=False,
     )
+    if eager and not materialize:
+        # lazy-with-scoped-release — see minhash_lsh_pairs
+        return release_on_gc(out, base_l, base_r)
     if eager:
         try:
             out = out.localCheckpoint(eager=True)
@@ -1858,6 +1924,7 @@ def fuzzy_decontaminate(
     num_hashes: int = MINHASH_NUM_HASHES,
     bands: int = MINHASH_BANDS,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
+    materialize: bool = True,
 ) -> DataFrame:
     """The training corpus minus every doc NEAR-duplicate (Jaccard >=
     ``threshold``) to any benchmark doc — fuzzy decontamination, the
@@ -1878,6 +1945,7 @@ def fuzzy_decontaminate(
         num_hashes=num_hashes,
         bands=bands,
         max_band_bucket=max_band_bucket,
+        materialize=materialize,
     ).select(id_col).distinct()
     return train.join(hits, id_col, "left_anti")
 

@@ -2490,3 +2490,63 @@ def test_select_batch_topk_fuzz():
         assert got == want, (trial, b_lim, b_cut)
         # volume bound: never more than the sum of limits
         assert len(jj) <= int(b_lim.sum())
+
+
+def test_winnow_run_edge_dedup_matches_array_distinct(spark):
+    """The winnow kernel dedups per-row selections with a run-edge filter
+    (selected positions never decrease as the window slides, so equal
+    selections are consecutive). That must be BIT-identical to the
+    array_distinct-over-structs form it replaced — which was an
+    O(windows^2) interpreted struct scan per document. Fuzz over a tiny
+    alphabet (maximizing hash ties and repeated windows) plus edge docs."""
+    import random
+
+    from kartothek_spark.functions.hashing import bind_once, bind_value, h60, tokens
+    from kartothek_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+
+    def winnow_reference(df):
+        norm = F.concat_ws(" ", tokens(F.col("text")))
+
+        def fps(s):
+            npos = F.greatest(F.length(s) - k + 1, F.lit(1))
+            hs_expr = F.transform(
+                F.sequence(F.lit(1), npos), lambda i: h60(F.substring(s, i, k))
+            )
+
+            def sel(hs):
+                starts = F.sequence(F.lit(1), F.greatest(F.size(hs) - w + 1, F.lit(1)))
+                return F.transform(
+                    starts,
+                    lambda st: bind_value(
+                        F.slice(hs, st, w),
+                        lambda sl: F.struct(
+                            F.array_min(sl).alias("fp"),
+                            (F.array_position(sl, F.array_min(sl)) + st - 1).alias("pos"),
+                        ),
+                    ),
+                )
+
+            return bind_once(hs_expr, sel)
+
+        return (
+            df.where(F.col("text").isNotNull())
+            .select(F.col("doc_id"), F.explode(F.array_distinct(bind_once(norm, fps))).alias("f"))
+            .select(
+                F.col("doc_id"),
+                F.col("f.fp").alias("fp"),
+                F.col("f.pos").cast("long").alias("pos"),
+            )
+        )
+
+    random.seed(7)
+    rows = [(9001, None), (9002, "a" * 40), (9003, "abcabcabcabcabcabcabc"), (9004, "")]
+    for i in range(400):
+        n = random.choice([0, 1, 5, 7, 8, 9, 15, 60])
+        rows.append((i, "".join(random.choice("ab c") for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = [tuple(r) for r in winnow_fingerprints(df, k=k, w=w).collect()]
+    want = [tuple(r) for r in winnow_reference(df).collect()]
+    assert got == want  # ordered: same rows in the same explode order

@@ -474,8 +474,19 @@ def test_winnow_fingerprints_narrow(spark):
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = _plan(winnow_fingerprints(docs, k=8, w=4))
     # selection happens inside one projection + generator — the ~1/w
-    # selected set is the first thing that could ever leave the row
-    assert "Exchange" not in plan and "Join" not in plan
+    # selected set is the first thing that could ever leave the row. The
+    # only exchange allowed is scale_out's ROUND-ROBIN fan-out of a
+    # too-few-splits source (r11: the md5-per-gram kernel must not run on
+    # one core because the scan arrived as one split); never a hash
+    # shuffle, never a join.
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    # with enough input splits the fan-out disappears and the kernel is
+    # fully narrow
+    fanned = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    plan2 = _plan(winnow_fingerprints(fanned, k=8, w=4))
+    assert "Join" not in plan2
+    assert plan2.count("Exchange") == plan2.lower().count("roundrobinpartitioning")
 
 
 def test_media_dedup_exact_combines_map_side(spark):
@@ -650,7 +661,11 @@ def test_bloom_prefilter_is_pure_codegen(spark):
     plan = _plan(
         _candidate_shingles(docs, words, m, DEFAULT_BLOOM_K, "text", "doc_id", 8)
     )
-    assert "Exchange" not in plan
+    # the only exchange allowed is scale_out's round-robin fan-out of a
+    # too-few-splits source (r11, guide §2.6) — never a hash shuffle: clean
+    # documents still never co-locate by key, and at real scale (inputs
+    # with >= defaultParallelism splits) the fan-out disappears entirely
+    assert plan.count("Exchange") == plan.lower().count("roundrobinpartitioning")
     assert "Join" not in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert py not in plan
