@@ -996,21 +996,22 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # the convergence flag rides ALONG in the label-update checkpoint
+        # (labels only ever decrease, so "changed" = strictly smaller):
+        # the fixpoint probe then just scans the checkpointed blocks —
+        # the former new-vs-old self-join paid a full extra join+shuffle
+        # per round only to recompute information this pass already had
         new_labels = (
             labels.join(nbr_min.withColumnRenamed("src", "node"), "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
