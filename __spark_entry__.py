@@ -4235,7 +4235,12 @@ def dedup_semdedup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     seeds = _seed_centroids(spark, sf_dir)
     kept = semantic_dedup(emb, seeds, threshold=0.4)
-    return kept.select("vec_id", "cluster")
+    # chain the scoped release through the projection: without this,
+    # `kept` (the finalizer anchor for the assignment pin) is collected
+    # the moment this gate returns and the pin dies before the action
+    from kartothek_spark.operators._util import release_on_gc
+
+    return release_on_gc(kept.select("vec_id", "cluster"), kept)
 
 
 def dedup_semdedup_diverse(spark, sf_dir):
@@ -4247,7 +4252,10 @@ def dedup_semdedup_diverse(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     seeds = _seed_centroids(spark, sf_dir)
     kept = semantic_dedup(emb, seeds, threshold=0.4, keep="farthest")
-    return kept.select("vec_id", "cluster")
+    # see dedup_semdedup: chain the pin's lifetime through the projection
+    from kartothek_spark.operators._util import release_on_gc
+
+    return release_on_gc(kept.select("vec_id", "cluster"), kept)
 
 
 def _cluster_assign_fixture(spark, sf_dir):

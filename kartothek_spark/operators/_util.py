@@ -70,6 +70,18 @@ def release_on_gc(out: DataFrame, *pins: DataFrame) -> DataFrame:
     The finalizer holds only the pinned frames, never ``out`` (a
     reference would make the frame immortal). Unpersist after session
     stop is swallowed — nothing to release then.
+
+    LIFETIME: the pins release when ``out`` — the exact Python object
+    returned here — is collected. A caller that derives a new frame
+    (``select``/``filter``/...) and drops this one releases the pins
+    BEFORE its action runs, silently losing the caching. Such callers
+    must chain the release through the derivation::
+
+        release_on_gc(result.select(...), result)
+
+    (the new finalizer's closure keeps ``result`` — and transitively
+    its own pins — alive until the derived frame dies; the extra
+    ``unpersist`` on the unpersisted ``result`` is a no-op).
     """
     def _release(frames=pins):
         for f in frames:

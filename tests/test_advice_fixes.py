@@ -324,3 +324,38 @@ def test_scoped_release_parity_and_pin_lifecycle(spark):
         del lazy
         gc.collect()
         assert not (rdd_ids() & pins)
+
+
+def test_semdedup_gate_pin_survives_projection(spark):
+    """The semdedup entry gates project the operator result, so the
+    scoped release must be CHAINED through the projection: the
+    assignment pin has to stay registered while the gate's frame is
+    alive (one assignment pass shared by all plan branches) and release
+    when the gate frame is collected. Regression test for the
+    derive-then-drop trap documented on release_on_gc."""
+    import gc
+
+    from tests.conftest import SF_DIR
+
+    import __spark_entry__ as entrymod
+
+    spark.catalog.clearCache()
+    gc.collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+
+    def rdd_ids():
+        return set(jmap().keySet().toArray())
+
+    qs = entrymod.queries()
+    for name in ("dedup_semdedup", "dedup_semdedup_diverse"):
+        before = rdd_ids()
+        frame = qs[name](spark, SF_DIR)
+        gc.collect()  # collects the intermediate `kept` — pin must survive
+        frame.count()
+        pins = rdd_ids() - before
+        assert pins, f"{name}: assignment pin dead before the action"
+        executed = frame._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in executed
+        del frame
+        gc.collect()
+        assert not (rdd_ids() & pins)
