@@ -280,7 +280,16 @@ def main() -> None:
             canary("mid")
         fn = qs[name]
         best, worst, n = None, 0.0, 0
+        df = None
         for _ in range(BEST_OF):
+            # release the previous trial's frame BEFORE the timer starts:
+            # rebinding `df` inside the timed region dropped it mid-trial,
+            # so a scoped-release gate's pin release (plan-keyed in the
+            # CacheManager) landed INSIDE the next trial's timing and
+            # unpinned it — trials 2/3 measured an unpinned plan plus the
+            # unpersist cost. Timed action itself is unchanged (build +
+            # count, best-of-3).
+            df = None
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
