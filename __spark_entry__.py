@@ -3133,7 +3133,7 @@ def corpus_source_overlap(spark, sf_dir):
     of feed B is already inside feed A."""
     from kartothek_spark.operators.contamination import source_overlap
 
-    return source_overlap(_t(spark, sf_dir, "documents"), n=8, materialize=False)
+    return source_overlap(_t(spark, sf_dir, "documents"), n=8, materialize=True)
 
 
 def embedding_hard_negatives(spark, sf_dir):
