@@ -113,8 +113,12 @@ def _log_ratio(
         .agg(F.count("*").alias("rc"))
         .localCheckpoint(eager=True)
     )
-    tt = tc.agg(F.sum("tc")).collect()[0][0] or 0
-    rt = rc.agg(F.sum("rc")).collect()[0][0] or 0
+    # one action for both totals (they are tiny aggregates over the
+    # checkpointed B-row tables; two separate collects pay the local
+    # job-submit floor twice)
+    trow = tc.agg(F.sum("tc").alias("t")).crossJoin(rc.agg(F.sum("rc").alias("r"))).collect()[0]
+    tt = trow["t"] or 0
+    rt = trow["r"] or 0
     return (
         rc.join(tc, "bucket", "left")
         .select(
